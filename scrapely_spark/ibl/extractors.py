@@ -43,7 +43,10 @@ from scrapely_spark.ibl.matching import (
 from scrapely_spark.ibl.parsing import Region, Slot
 from scrapely_spark.ibl.schema import FieldDescriptor
 
-_IDENTITY = lambda x: x  # noqa: E731 — the "html" pass-through validator
+def _IDENTITY(x):  # the "html" pass-through validator; module-level so
+    return x       # compiled plans stay plain-picklable for broadcast
+
+
 _FALLBACK_DESCRIPTOR = FieldDescriptor("none", None)
 
 _NEG_INF = float("-inf")
@@ -59,12 +62,16 @@ def anchor(obj):
     return getattr(obj, "slot", obj)
 
 
-def _chain(outer, inner):
-    """outer∘inner, short-circuiting on None."""
-    def run(x):
-        y = inner(x)
-        return outer(y) if y is not None else None
-    return run
+class _chain:
+    """outer∘inner, short-circuiting on None (picklable, unlike a closure)."""
+
+    def __init__(self, outer, inner):
+        self.outer = outer
+        self.inner = inner
+
+    def __call__(self, x):
+        y = self.inner(x)
+        return self.outer(y) if y is not None else None
 
 
 def collect_fields(pairs):

@@ -1,0 +1,87 @@
+"""The vectorized extraction stage: pages DataFrame → extracted records.
+
+This is the Spark expression of the reference's ``Scraper.scrape_page``
+loop (scrapely/__init__.py:55-59 + extraction/__init__.py:105-123), shaped
+for a 1000-executor cluster:
+
+* the compiled :class:`~scrapely_spark.ibl.ExtractionPlan` (template token
+  arrays + extractor trees + frozen vocabulary) is **broadcast** once —
+  templates are few and small, pages are the big side;
+* extraction runs inside ``mapInPandas`` — Arrow batches in, Arrow batches
+  out, one Python kernel invocation per ~2k pages, never per-row Python
+  round trips through the JVM;
+* the stage is embarrassingly parallel (no shuffle): throughput scales
+  linearly with executors, which is what the N→4N scaling rule measures;
+* output is columnar: requested fields surface as typed string columns
+  (first value), the full record as a JSON column for everything else.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from scrapely_spark.html.page import HtmlPage
+from scrapely_spark.ibl import ExtractionPlan
+
+
+def plan_from_templates(template_bodies, descriptor=None) -> ExtractionPlan:
+    """Compile template HTML bodies into a broadcastable plan (driver)."""
+    pairs = []
+    for i, body in enumerate(template_bodies):
+        page = HtmlPage(url="template://%d" % i, body=body)
+        pairs.append((page, descriptor))
+    return ExtractionPlan(pairs)
+
+
+def extract_records(pages: DataFrame, plan: ExtractionPlan,
+                    fields: tuple = ("title", "image_url", "caption",
+                                     "price")) -> DataFrame:
+    """Run IBL extraction over a pages DataFrame.
+
+    ``pages`` needs columns ``url``, ``body`` and optionally ``encoding``.
+    Returns one row per input page that matched any template, with the
+    page url, the winning template id, requested fields as columns
+    (first extracted value) and the full record set as JSON.
+    """
+    spark = pages.sparkSession
+    bc_plan = spark.sparkContext.broadcast(plan)
+    field_list = list(fields)
+    has_encoding = "encoding" in pages.columns
+
+    out_schema = ("url string, template_id string, n_items int, "
+                  + ", ".join("%s string" % f for f in field_list)
+                  + ", items_json string")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_plan = bc_plan.value
+        for batch in batches:
+            encodings = (batch["encoding"] if has_encoding
+                         else ["utf-8"] * len(batch))
+            rows = []
+            for url, body, enc in zip(batch["url"], batch["body"],
+                                      encodings):
+                page = HtmlPage(url=url, body=body, encoding=enc)
+                items, template = local_plan.extract_page(page)
+                # descriptor-less plans validate an empty record as a
+                # "match" (reference-faithful); the pipeline operator
+                # drops those — an all-None row helps nobody downstream
+                items = [r for r in items or [] if r]
+                if not items:
+                    continue
+                first = items[0]
+                row = {"url": url, "template_id": template.id,
+                       "n_items": len(items)}
+                for f in field_list:
+                    values = first.get(f)
+                    row[f] = str(values[0]) if values else None
+                row["items_json"] = json.dumps(items, default=str)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["url", "template_id", "n_items"]
+                + field_list + ["items_json"])
+
+    return pages.mapInPandas(kernel, out_schema)

@@ -1,0 +1,82 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for correctness-at-scale defaults: AQE on (runtime coalescing +
+skew-join splitting), Arrow transport for the pandas-UDF extraction
+kernels, and a shuffle-partition count sized for the local harness
+(override SPARK_GRAFT_CPUS / spark.sql.shuffle.partitions for clusters —
+on a 1000-executor deployment you would set this to ~2-3× total cores
+and let AQE coalesce).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip the scrapely_spark package for --py-files-style shipping.
+
+    Executors' Python workers don't inherit the driver's sys.path; on a
+    real cluster the package arrives via ``spark-submit --py-files``.
+    This builds the same artifact on the fly (content-addressed, cached)
+    so local sessions behave identically to cluster deployments.
+    """
+    import scrapely_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(scrapely_spark.__file__))
+    digest = hashlib.sha1()
+    members = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                full = os.path.join(root, fname)
+                members.append(full)
+                with open(full, "rb") as fh:
+                    digest.update(full.encode())
+                    digest.update(fh.read())
+    out = os.path.join(tempfile.gettempdir(),
+                       "scrapely_spark-%s.zip" % digest.hexdigest()[:12])
+    if not os.path.exists(out):
+        tmp = out + ".tmp.%d" % os.getpid()
+        with zipfile.ZipFile(tmp, "w") as zf:
+            base = os.path.dirname(pkg_dir)
+            for full in members:
+                zf.write(full, os.path.relpath(full, base))
+        os.replace(tmp, out)
+    return out
+
+
+def get_spark(app_name: str = "scrapely-spark", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or "local[%s]" % cpus
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # ship the engine to executors exactly as spark-submit --py-files would
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark

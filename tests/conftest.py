@@ -44,6 +44,9 @@ def ref_extraction_corpus():
 @pytest.fixture(scope="session")
 def spark():
     from scrapely_spark.spark.session import get_spark
-    s = get_spark(app_name="scrapely-spark-tests")
+    # local[8]: python-worker startup dominates small test jobs; 8 workers
+    # is plenty for correctness runs (bench.py owns the scaling runs)
+    s = get_spark(app_name="scrapely-spark-tests", master="local[8]",
+                  shuffle_partitions=8)
     yield s
     s.stop()
