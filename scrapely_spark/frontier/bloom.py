@@ -1,0 +1,144 @@
+"""Partitioned blocked-bloom filter for URL-seen membership at 10^10 scale.
+
+State shape (north rule): a table ``url_seen_bloom(block_id int, bitmap
+binary)`` keyed by ``murmur3(canonical_url)``.  Each key maps to exactly
+one block (cache-friendly, mergeable per-partition) and k bit positions
+inside it derived from the key by an splitmix64 mix — everything is a pure
+function of the int32 key, so driver, executors and the oracle agree.
+
+Scale design:
+
+* blocks are built as per-round **deltas** with ``applyInPandas`` grouped
+  by block_id (map-side combine: each partition contributes only the
+  blocks it touched), then OR-merged into state — a MERGE INTO on Iceberg;
+* membership tests join candidate keys to their block (one int key join,
+  broadcastable while the filter is small, shuffle-hash at full scale)
+  and test bits vectorized in numpy;
+* the bloom is a *prefilter*: a negative answer is definitive (drop fast,
+  no exact lookup), a positive falls through to the exact key anti-join,
+  so false positives cost work but never correctness — the final decision
+  stays byte-identical to the oracle's exact set.
+
+Sizing: with 2^20 blocks × 4 KiB the filter holds ~10^10 keys at ~3.4
+bits/key with k=3; the sandbox default is tiny (tests) but the layout is
+scale-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+class BloomSpec:
+    def __init__(self, n_blocks: int = 1024, block_bytes: int = 256,
+                 k: int = 3):
+        self.n_blocks = n_blocks
+        self.block_bytes = block_bytes
+        self.k = k
+
+    @property
+    def block_bits(self) -> int:
+        return self.block_bytes * 8
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized) — uniform bits from int32 keys."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def key_block_ids(keys: np.ndarray, spec: BloomSpec) -> np.ndarray:
+    return (keys.astype(np.int64) % spec.n_blocks).astype(np.int32)
+
+
+def key_bit_positions(keys: np.ndarray, spec: BloomSpec) -> np.ndarray:
+    """(len(keys), k) bit positions inside each key's block."""
+    mixed = _mix64(np.asarray(keys, dtype=np.int64))
+    cols = []
+    for i in range(spec.k):
+        cols.append(((mixed >> np.uint64(16 * i))
+                     % np.uint64(spec.block_bits)).astype(np.int64))
+    return np.stack(cols, axis=1)
+
+
+def _bitmap_from_positions(positions: np.ndarray, spec: BloomSpec) -> bytes:
+    bits = np.zeros(spec.block_bits, dtype=bool)
+    bits[positions.reshape(-1)] = True
+    return np.packbits(bits).tobytes()
+
+
+def build_delta(keys_df: DataFrame, spec: BloomSpec,
+                key_col: str = "url_key") -> DataFrame:
+    """Keys → per-block delta bitmaps: (block_id int, bitmap binary)."""
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key_col].to_numpy()
+        positions = key_bit_positions(keys, spec)
+        return pd.DataFrame({
+            "block_id": [int(pdf["block_id"].iloc[0])],
+            "bitmap": [_bitmap_from_positions(positions, spec)],
+        })
+
+    with_block = keys_df.withColumn(
+        "block_id",
+        (F.col(key_col).cast("long") % spec.n_blocks).cast("int"))
+    return with_block.groupBy("block_id").applyInPandas(
+        per_block, "block_id int, bitmap binary")
+
+
+def merge_blocks(state_df: DataFrame | None, delta_df: DataFrame,
+                 spec: BloomSpec) -> DataFrame:
+    """OR-merge delta bitmaps into state (the MERGE INTO equivalent)."""
+    if state_df is None:
+        both = delta_df
+    else:
+        both = state_df.unionByName(delta_df)
+
+    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for blob in pdf["bitmap"]:
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            acc = arr if acc is None else (acc | arr)
+        return pd.DataFrame({"block_id": [int(pdf["block_id"].iloc[0])],
+                             "bitmap": [acc.tobytes()]})
+
+    return both.groupBy("block_id").applyInPandas(
+        or_merge, "block_id int, bitmap binary")
+
+
+def might_contain(candidates: DataFrame, state_df: DataFrame,
+                  spec: BloomSpec, key_col: str = "url_key") -> DataFrame:
+    """Append ``maybe_seen`` (bool) to candidates via a block join.
+
+    False is definitive (the key was never added); True falls through to
+    the exact check.  Keys whose block doesn't exist yet are definitively
+    unseen (left join → null bitmap → False).
+    """
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(pdf), dtype=bool)
+        have = pdf["bitmap"].notna().to_numpy()
+        if have.any():
+            keys = pdf[key_col].to_numpy()[have]
+            positions = key_bit_positions(keys, spec)
+            bitmaps = np.stack([
+                np.unpackbits(np.frombuffer(bytes(b), dtype=np.uint8))
+                for b in pdf["bitmap"][have]])
+            hit = np.take_along_axis(bitmaps, positions, axis=1).all(axis=1)
+            out[have] = hit
+        result = pdf.drop(columns=["bitmap", "block_id"])
+        result["maybe_seen"] = out
+        return result
+
+    with_block = candidates.withColumn(
+        "block_id",
+        (F.col(key_col).cast("long") % spec.n_blocks).cast("int"))
+    joined = with_block.join(F.broadcast(state_df), "block_id", "left")
+    out_schema = ", ".join(
+        "%s %s" % (f.name, f.dataType.simpleString())
+        for f in candidates.schema.fields) + ", maybe_seen boolean"
+    # group by block so each bitmap is unpacked once per batch
+    return joined.groupBy("block_id").applyInPandas(
+        lambda pdf: check(pdf), out_schema)

@@ -1,0 +1,124 @@
+"""URL canonicalization + murmur3 keying (the frontier's join key).
+
+The URL-seen set and the crawl ordering are both keyed by
+``murmur3(canonical_url)`` (north rule).  Spark's ``F.hash`` *is*
+Murmur3_x86_32 with seed 42; :func:`murmur3_32` is the bit-identical pure
+Python implementation so the single-threaded oracle scheduler and the
+Spark job operate in the same key space (verified by test against
+``F.hash``).
+
+Canonicalization rule (deterministic, shared by oracle + Spark kernels):
+lowercase scheme+host, drop default ports, strip fragments, sort query
+parameters, collapse empty path to '/'.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+from urllib.parse import urlsplit, urlunsplit
+
+import pandas as pd
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def canonicalize(url: str) -> str:
+    """Deterministic canonical form of a URL."""
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = "%s:%d" % (host, port)
+    path = parts.path or "/"
+    query = parts.query
+    if query:
+        query = "&".join(sorted(query.split("&")))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(url: str) -> str:
+    return (urlsplit(url).hostname or "").lower()
+
+
+# --- Murmur3_x86_32, seed 42: bit-identical to Spark's F.hash ------------
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _fmix32(h: int) -> int:
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def murmur3_32(data: bytes, seed: int = 42) -> int:
+    """Murmur3_x86_32 returning Spark's signed-int32 convention."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _M32
+    n = len(data)
+    tail = n & ~3
+    for i in range(0, tail, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    # Spark (like Guava) processes the tail bytes as signed ints one at a
+    # time rather than the classic murmur3 tail block
+    for i in range(tail, n):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # signed byte, as in JVM implementations
+        k = (b * c1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    h = _fmix32(h ^ n)
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def url_key(url: str) -> int:
+    """The frontier key: murmur3 of the canonical URL (== F.hash)."""
+    return murmur3_32(canonicalize(url).encode("utf-8"))
+
+
+# --- Spark kernel ---------------------------------------------------------
+
+
+def canonicalize_df(urls_df, url_col: str = "url"):
+    """Append (canonical_url, url_key, host) columns, keeping all others.
+
+    Batch kernel via mapInPandas: canonicalization needs real URL parsing
+    (query sort, port default rules) so it runs as an Arrow-batched kernel;
+    the key is also computable JVM-side as ``F.hash(canonical_url)`` —
+    the two agree bit-for-bit (tested) so downstream joins can use either.
+    """
+    in_schema = ", ".join("%s %s" % (f.name, f.dataType.simpleString())
+                          for f in urls_df.schema.fields)
+    out_schema = in_schema + ", canonical_url string, url_key int, host string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            canon = [canonicalize(u) for u in batch[url_col]]
+            out = batch.copy()
+            out["canonical_url"] = canon
+            out["url_key"] = pd.array(
+                [murmur3_32(c.encode("utf-8")) for c in canon],
+                dtype="int32")
+            out["host"] = [host_of(c) for c in canon]
+            yield out
+
+    return urls_df.mapInPandas(kernel, out_schema)

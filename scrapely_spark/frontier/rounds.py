@@ -1,0 +1,243 @@
+"""Deterministic, resumable crawl rounds (the north rule's frontier loop).
+
+One round = one batch-synchronous Spark job over the state store:
+
+    frontier ──broadcast-join robots──► politeness top-k (salted windows)
+       │                                        │ fetch batch
+       │                     broadcast(batch) ⋈ pages store (replay fetch)
+       │                                        │ hits
+       │                    extraction kernel (broadcast plan, Arrow)
+       │                                        │ records + outlinks
+       │        canonicalize ─ min-depth dedup ─ bloom prefilter ─ exact
+       │        anti-join vs seen ─ robots gate ─ new frontier entries
+       └────────anti-join fetched ──────────────► next frontier
+
+Every ordered decision is made on an explicit total key
+``(priority, canonical_url)`` — never on partition arrival order — which
+is what makes the fetch order and the final URL-seen set byte-identical
+to the single-threaded oracle (oracle.py) under any parallelism.
+
+Scale notes: the fetch batch is bounded by Σ host budgets, so it
+broadcasts; the pages store and the seen set are the big sides and are
+only ever probed with joins that shuffle on their keys; the bloom filter
+short-circuits the seen anti-join for definitively-new URLs; politeness
+selection is salted two-phase top-k (politeness.py) so a mega-host cannot
+serialize a stage.  State commits are atomic per round via the ledger —
+a killed job resumes from the last committed round (test_crawl_resume).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from scrapely_spark.frontier import bloom as bloomlib
+from scrapely_spark.frontier.bloom import BloomSpec
+from scrapely_spark.frontier.canonical import canonicalize_df
+from scrapely_spark.frontier.politeness import select_fetch_batch
+from scrapely_spark.frontier.robots import gate
+from scrapely_spark.frontier.state import StateStore
+from scrapely_spark.html.lexer import Tag, TAG_OPEN
+from scrapely_spark.html.page import HtmlPage
+
+FRONTIER = "frontier"
+SEEN = "seen"
+BLOOM = "bloom"
+FETCH_LOG = "fetch_log"
+EXTRACTED = "extracted"
+
+_FRONTIER_COLS = ["canonical_url", "url_key", "host", "priority"]
+
+_EXTRACT_SCHEMA = ("canonical_url string, priority int, title string, "
+                   "image_url string, caption string, price string, "
+                   "links array<string>, partition_id int")
+
+
+def discover_links(page: HtmlPage) -> list:
+    """hrefs of <a> open tags, in document order (the crawl expansion)."""
+    out = []
+    for frag in page.parsed_body:
+        if isinstance(frag, Tag) and frag.kind == TAG_OPEN \
+                and frag.name == "a":
+            href = frag.attributes.get("href")
+            if href:
+                out.append(href)
+    return out
+
+
+def _extract_kernel(plan_bc):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        plan = plan_bc.value
+        for batch in batches:
+            rows = []
+            for canon, prio, body in zip(batch["canonical_url"],
+                                         batch["priority"], batch["body"]):
+                page = HtmlPage(url=canon, body=body)
+                items, _tpl = plan.extract_page(page)
+                record = {}
+                for r in items or []:
+                    if r:
+                        record = r
+                        break
+
+                def first(field):
+                    vals = record.get(field)
+                    return str(vals[0]) if vals else None
+
+                rows.append({
+                    "canonical_url": canon,
+                    "priority": int(prio),
+                    "title": first("title"),
+                    "image_url": first("image_url"),
+                    "caption": first("caption"),
+                    "price": first("price"),
+                    "links": discover_links(page),
+                    "partition_id": pid,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "canonical_url", "priority", "title", "image_url",
+                "caption", "price", "links", "partition_id"])
+
+    return kernel
+
+
+def seed_round(spark, store: StateStore, seed_urls: list, robots: DataFrame,
+               spec: BloomSpec) -> None:
+    """Round 0: enqueue the seed list (idempotent if already committed)."""
+    if store.ledger()["rounds"]:
+        return
+    seeds = spark.createDataFrame([(u,) for u in seed_urls], "url string")
+    canon = (canonicalize_df(seeds)
+             .groupBy("canonical_url")
+             .agg(F.min("url_key").alias("url_key"),
+                  F.min("host").alias("host"))
+             .withColumn("priority", F.lit(0)))
+    canon = canon.cache()
+    frontier = gate(canon, robots).drop("crawl_delay") \
+        .select(*_FRONTIER_COLS)
+    seen = canon.select("canonical_url", "url_key")
+    delta = bloomlib.build_delta(seen, spec)
+
+    staged = {}
+    for df, table in ((frontier, FRONTIER), (seen, SEEN), (delta, BLOOM)):
+        _, staged[table] = store.stage(df, table)
+    store.commit_round(0, staged, {"seeded": len(seed_urls)})
+    canon.unpersist()
+
+
+def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
+              plan_bc, round_id: int, spec: BloomSpec) -> dict:
+    """Execute one committed crawl round; returns its metrics."""
+    frontier = store.read(spark, FRONTIER)
+
+    # politeness selection (broadcast robots supplies crawl_delay)
+    with_delay = (frontier.join(F.broadcast(robots.select(
+        "host", "crawl_delay")), "host", "left")
+        .withColumn("crawl_delay", F.coalesce(
+            F.col("crawl_delay"), F.lit(1.0))))
+    batch = select_fetch_batch(with_delay).drop("crawl_delay").cache()
+    fetched = batch.count()
+    if fetched == 0:
+        store.commit_round(round_id, {}, {"fetched": 0, "drained": True})
+        return {"fetched": 0}
+
+    # replay fetch: broadcast the (small) batch against the pages store
+    hits = (pages.select(F.col("url").alias("page_url"), "body")
+            .join(F.broadcast(batch),
+                  F.col("page_url") == F.col("canonical_url"), "inner")
+            .select("canonical_url", "priority", "body"))
+
+    ext = hits.mapInPandas(_extract_kernel(plan_bc), _EXTRACT_SCHEMA).cache()
+
+    # discovered links → new frontier candidates (min-depth dedup)
+    links = (ext.select(F.explode("links").alias("url"),
+                        (F.col("priority") + 1).alias("depth")))
+    candidates = (canonicalize_df(links)
+                  .groupBy("canonical_url")
+                  .agg(F.min("depth").alias("priority"),
+                       F.min("url_key").alias("url_key"),
+                       F.min("host").alias("host")))
+
+    # URL-seen: bloom prefilter, exact string anti-join only on maybes
+    seen = store.read(spark, SEEN)
+    bloom_state = store.read(spark, BLOOM)
+    flagged = bloomlib.might_contain(candidates, bloom_state, spec)
+    certain_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(seen.select("canonical_url"),
+                               "canonical_url", "left_anti")
+    new_urls = certain_new.unionByName(confirmed_new).cache()
+
+    # robots gate at enqueue (rejected URLs stay in the seen set)
+    enqueue = gate(new_urls, robots).drop("crawl_delay") \
+        .select(*_FRONTIER_COLS)
+
+    next_frontier = (frontier
+                     .join(batch.select("canonical_url"),
+                           "canonical_url", "left_anti")
+                     .select(*_FRONTIER_COLS)
+                     .unionByName(enqueue))
+    next_seen = seen.unionByName(
+        new_urls.select("canonical_url", "url_key"))
+    next_bloom = bloomlib.merge_blocks(
+        bloom_state, bloomlib.build_delta(new_urls, spec), spec)
+
+    fetch_log = batch.select(
+        F.lit(round_id).alias("round_id"), "priority", "canonical_url")
+    extracted = ext.select(
+        F.lit(round_id).alias("round_id"), "canonical_url", "priority",
+        "title", "image_url", "caption", "price")
+
+    lineage = [
+        {"partition_id": int(r["partition_id"]), "output_rows": int(r["n"])}
+        for r in ext.groupBy("partition_id").agg(
+            F.count("*").alias("n")).collect()]
+    metrics = {
+        "fetched": fetched,
+        "hits": ext.count(),
+        "new_urls": new_urls.count(),
+        "partition_lineage": lineage,
+    }
+
+    staged = {}
+    for df, table in ((next_frontier, FRONTIER), (next_seen, SEEN),
+                      (next_bloom, BLOOM)):
+        _, staged[table] = store.stage(df, table)
+    for df, table in ((fetch_log, FETCH_LOG), (extracted, EXTRACTED)):
+        _, staged[table] = store.stage_round(df, table, round_id)
+    store.commit_round(round_id, staged, metrics)
+
+    batch.unpersist()
+    ext.unpersist()
+    new_urls.unpersist()
+    return metrics
+
+
+def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
+          plan, seed_urls: list, max_rounds: int = 50,
+          spec: BloomSpec | None = None) -> StateStore:
+    """Run (or resume) a crawl to completion or ``max_rounds``.
+
+    Resume: everything is derived from the store's ledger — a killed job
+    restarted with the same arguments continues from the last committed
+    round and produces the identical final state.
+    """
+    spec = spec or BloomSpec()
+    plan_bc = spark.sparkContext.broadcast(plan)
+    robots = robots.cache()
+    seed_round(spark, store, seed_urls, robots, spec)
+    rounds_so_far = store.round_metrics()
+    if rounds_so_far and rounds_so_far[-1].get("drained"):
+        return store  # previous run already drained the frontier
+    round_id = store.last_round()
+    while round_id < max_rounds:
+        round_id += 1
+        metrics = run_round(spark, store, pages, robots, plan_bc, round_id,
+                            spec)
+        if metrics.get("fetched", 0) == 0:
+            break
+    return store

@@ -1,0 +1,122 @@
+"""Versioned table state with an atomic ledger — the Iceberg stand-in.
+
+The design calls for Iceberg state tables (snapshot isolation, MERGE INTO,
+time travel for resume).  No Iceberg runtime jar exists in this offline
+sandbox, so this module provides the same *contract* over parquet:
+
+* every table write lands in a fresh ``<root>/<table>/v<N>/`` directory
+  (immutable, like an Iceberg snapshot's data files);
+* the ledger (``<root>/_ledger.json``) maps table → committed version and
+  records per-round metadata (counts, per-partition lineage, wall time);
+  it is replaced atomically (write-temp + rename), so a kill at any point
+  leaves the previous committed state intact;
+* a restart reads the ledger and resumes from the last committed round —
+  exactly-once semantics per round (idempotent: a re-run of a committed
+  round is a no-op, an uncommitted round's orphan directories are ignored
+  and overwritten).
+
+Swapping in real Iceberg = replacing ``write``/``read`` with
+``writeTo(...).createOrReplace()`` / ``MERGE INTO`` and the ledger with
+snapshot ids; the round protocol does not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+class StateStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- ledger ------------------------------------------------------------
+
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.root, "_ledger.json")
+
+    def ledger(self) -> dict:
+        if not os.path.exists(self._ledger_path):
+            return {"tables": {}, "rounds": [], "created_at": time.time()}
+        with open(self._ledger_path) as fh:
+            return json.load(fh)
+
+    def _commit_ledger(self, ledger: dict):
+        tmp = self._ledger_path + ".tmp.%d" % os.getpid()
+        with open(tmp, "w") as fh:
+            json.dump(ledger, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._ledger_path)  # atomic commit point
+
+    # -- tables ------------------------------------------------------------
+
+    def version_of(self, table: str) -> int:
+        return self.ledger()["tables"].get(table, {}).get("version", 0)
+
+    def path_of(self, table: str, version: int | None = None) -> str:
+        v = self.version_of(table) if version is None else version
+        return os.path.join(self.root, table, "v%d" % v)
+
+    def exists(self, table: str) -> bool:
+        return self.version_of(table) > 0
+
+    def read(self, spark, table: str):
+        return spark.read.parquet(self.path_of(table))
+
+    def stage(self, df, table: str) -> tuple[str, int]:
+        """Write a new uncommitted version; return (path, version)."""
+        v = self.version_of(table) + 1
+        path = self.path_of(table, v)
+        if os.path.exists(path):  # orphan from a killed run — overwrite
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        return path, v
+
+    def stage_round(self, df, table: str, round_id: int) -> tuple[str, str]:
+        """Write a per-round append partition (committed via the ledger)."""
+        tag = "r%d" % round_id
+        path = os.path.join(self.root, table, tag)
+        if os.path.exists(path):  # orphan from a killed run — overwrite
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        return path, tag
+
+    def read_rounds(self, spark, table: str):
+        """Union of all *committed* per-round partitions of a table."""
+        paths = []
+        for entry in self.ledger()["rounds"]:
+            tag = entry["tables"].get(table)
+            if isinstance(tag, str):
+                paths.append(os.path.join(self.root, table, tag))
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    # -- round protocol ------------------------------------------------------
+
+    def last_round(self) -> int:
+        rounds = self.ledger()["rounds"]
+        return rounds[-1]["round_id"] if rounds else 0
+
+    def commit_round(self, round_id: int, staged: dict, metrics: dict):
+        """Atomically publish staged table versions + round metadata.
+
+        ``staged`` maps table name → version (from :meth:`stage`).
+        """
+        ledger = self.ledger()
+        if any(r["round_id"] == round_id for r in ledger["rounds"]):
+            return  # idempotent replay of a committed round
+        for table, version in staged.items():
+            if isinstance(version, int):  # str tags are per-round appends
+                ledger["tables"][table] = {"version": version}
+        entry = {"round_id": round_id, "tables": dict(staged),
+                 "committed_at": time.time()}
+        entry.update(metrics)
+        ledger["rounds"].append(entry)
+        self._commit_ledger(ledger)
+
+    def round_metrics(self) -> list:
+        return self.ledger()["rounds"]

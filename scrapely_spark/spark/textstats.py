@@ -1,0 +1,101 @@
+"""Text-analysis operators over a documents table (JVM-side, no UDFs).
+
+Large-scale training-data pipeline primitives: token counting, quality
+scoring, language identification, document fingerprinting.  Every operator
+is pure `pyspark.sql.functions` — whole-stage-codegen friendly, no Python
+in the hot path — and each has an exact ANSI-SQL twin used as the DuckDB
+oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "von", "mit"],
+    "es": ["el", "la", "de", "que", "en"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate + punctuation counts."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        # a BPE-ish proxy: words + one extra token per 4 chars of long words
+        (F.size(words) + F.aggregate(
+            words, F.lit(0),
+            lambda acc, w: acc + F.when(F.length(w) > 8,
+                                        (F.length(w) / 4).cast("int"))
+            .otherwise(0))).alias("n_tokens_est"),
+        F.size(F.split(F.col("text"), r"[.!?]")).alias("n_sentences"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristics."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(STOPWORDS)))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^\.,;:!?]", ""))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
+        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(alpha / F.length("text"), 6).alias("alpha_ratio"),
+        F.round(
+            F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (stop_hits / n_words) * 0.3
+            + (alpha / F.length("text")) * 0.2, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language guess with deterministic tie-break.
+
+    Scores each language by marker-word hits; ties (including the
+    all-zero case) resolve to the alphabetically first language.
+    """
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    scored = docs.select(
+        "doc_id", "lang",
+        *[F.size(F.filter(words, lambda w, m=markers: w.isin(m)))
+          .alias("score_%s" % lang)
+          for lang, markers in sorted(LANG_MARKERS.items())])
+    best = F.greatest(*[F.col("score_%s" % lang)
+                        for lang in sorted(LANG_MARKERS)])
+    pred = F.coalesce(
+        *[F.when(F.col("score_%s" % lang) == best, F.lit(lang))
+          for lang in sorted(LANG_MARKERS)])
+    return scored.select("doc_id", "lang",
+                         pred.alias("predicted_lang"), best.alias("score"))
+
+
+def fingerprints(docs: DataFrame, shingle_chars: int = 16) -> DataFrame:
+    """Rolling-hash document fingerprint: min/max md5 over char shingles.
+
+    The (min, max) pair over all ``shingle_chars``-grams is a cheap,
+    order-independent sketch usable for containment checks.
+    """
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - shingle_chars, F.lit(0)))
+    hashes = F.transform(
+        starts,
+        lambda i: F.md5(F.col("text").substr(i + 1, F.lit(shingle_chars))))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+    )

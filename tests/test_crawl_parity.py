@@ -1,0 +1,138 @@
+"""Crawl parity: the Spark frontier loop vs the single-threaded oracle.
+
+The north rule's acceptance: fetch order and the final URL-seen set must
+be byte-identical to the reference scheduler under the same seed list and
+politeness budget.  Also covers: murmur3 == F.hash on the real URL
+population, bloom-vs-exact equivalence, and kill/resume determinism.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle import OracleCrawl
+from scrapely_spark.frontier import rounds
+from scrapely_spark.frontier.bloom import BloomSpec
+from scrapely_spark.frontier.canonical import canonicalize, murmur3_32
+from scrapely_spark.frontier.state import StateStore
+from scrapely_spark.spark import datagen
+from scrapely_spark.spark.extract import plan_from_templates
+
+N = 400
+MAX_ROUNDS = 30
+
+
+@pytest.fixture(scope="module")
+def oracle_run():
+    return OracleCrawl(N, datagen.seeds(N)).run(MAX_ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def spark_run(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawlstate"))
+    store = StateStore(root)
+    pages = datagen.pages_df(spark, N).cache()
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    rounds.crawl(spark, store, pages, robots, plan, datagen.seeds(N),
+                 max_rounds=MAX_ROUNDS, spec=BloomSpec(n_blocks=64))
+    return store
+
+
+def test_fetch_order_byte_identical(spark, oracle_run, spark_run):
+    log = (spark_run.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    got = [(r.round_id, r.priority, r.canonical_url) for r in log]
+    assert got == oracle_run.fetch_order()
+
+
+def test_seen_set_byte_identical(spark, oracle_run, spark_run):
+    seen = spark_run.read(spark, rounds.SEEN).collect()
+    assert sorted(r.canonical_url for r in seen) == oracle_run.seen_urls()
+    assert sorted(r.url_key for r in seen) == oracle_run.seen_keys()
+    # and the keys really are Spark's murmur3: recompute JVM-side
+    recomputed = (spark_run.read(spark, rounds.SEEN)
+                  .where(F.hash("canonical_url") != F.col("url_key"))
+                  .count())
+    assert recomputed == 0
+
+
+def test_frontier_drained(spark, oracle_run, spark_run):
+    assert spark_run.read(spark, rounds.FRONTIER).count() == \
+        len(oracle_run.frontier)
+
+
+def test_extraction_during_crawl(spark, oracle_run, spark_run):
+    ext = spark_run.read_rounds(spark, rounds.EXTRACTED)
+    assert ext.count() == oracle_run.extracted
+    # every extracted record carries a caption equal to the ground truth
+    with_truth = (ext.withColumn(
+        "i", F.regexp_extract("image_url", r"img-(\d+)", 1).cast("int")))
+    rows = with_truth.select("i", "caption").collect()
+    for r in rows:
+        assert r.caption == datagen.caption_for(r.i)
+
+
+def test_robots_never_fetched(spark, spark_run):
+    log = spark_run.read_rounds(spark, rounds.FETCH_LOG)
+    assert log.where(F.col("canonical_url").contains("/private/")) \
+        .count() == 0
+
+
+def test_politeness_budget_respected(spark, spark_run):
+    """No host exceeds its per-round budget in any round."""
+    log = spark_run.read_rounds(spark, rounds.FETCH_LOG).withColumn(
+        "host", F.parse_url("canonical_url", F.lit("HOST")))
+    robots = datagen.robots_df(spark).select("host", "crawl_delay")
+    per_round = (log.groupBy("round_id", "host").count()
+                 .join(robots, "host", "left"))
+    over = per_round.where(
+        F.col("count") > F.greatest(
+            F.lit(1), F.floor(F.lit(10.0) / F.col("crawl_delay")))).count()
+    assert over == 0
+
+
+def test_lineage_and_metrics_recorded(spark_run):
+    metrics = spark_run.round_metrics()
+    assert metrics[0].get("seeded")
+    fetch_rounds = [m for m in metrics if m.get("fetched")]
+    assert fetch_rounds
+    assert all("partition_lineage" in m for m in fetch_rounds)
+    assert all(m["fetched"] >= m["hits"] for m in fetch_rounds)
+
+
+def test_resume_after_kill(spark, tmp_path_factory, oracle_run):
+    """Kill after round 2; a restarted job must converge identically."""
+    root = str(tmp_path_factory.mktemp("resume"))
+    store = StateStore(root)
+    pages = datagen.pages_df(spark, N).cache()
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    spec = BloomSpec(n_blocks=64)
+
+    # run only 2 rounds, then "kill" (also leave an orphan staging dir
+    # around, as a crash mid-write would)
+    rounds.crawl(spark, store, pages, robots, plan, datagen.seeds(N),
+                 max_rounds=2, spec=spec)
+    orphan = store.path_of(rounds.FRONTIER,
+                           store.version_of(rounds.FRONTIER) + 1)
+    import os
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    # resume to completion
+    resumed = StateStore(root)
+    rounds.crawl(spark, resumed, pages, robots, plan, datagen.seeds(N),
+                 max_rounds=MAX_ROUNDS, spec=spec)
+
+    seen = resumed.read(spark, rounds.SEEN).collect()
+    assert sorted(r.canonical_url for r in seen) == oracle_run.seen_urls()
+    log = (resumed.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    assert [(r.round_id, r.priority, r.canonical_url) for r in log] == \
+        oracle_run.fetch_order()
+    shutil.rmtree(root)
