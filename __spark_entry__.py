@@ -1,38 +1,754 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (IBL template extraction over
+pages synthesized from the documents table) at sf0.001.  ``queries()``
+exposes one entry per implemented operator family from SURVEY.md §2 plus
+the training-data pipeline operators; ``oracle_sql()`` gives each an ANSI
+SQL twin for the DuckDB side-by-side check.  Column names and value
+rounding are aligned so the driver's order-insensitive value hash matches.
+
+Cross-engine determinism notes:
+* money aggregates go through DECIMAL (exact in both engines);
+* float scores are ``round(x, 6)``;
+* every LIMIT sits on a total order (unique tie-break column);
+* md5 is the only hash shared with the oracle (Spark's murmur3 F.hash
+  keys are engine-internal and excluded from compared outputs).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
+from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_SHIPPED: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship this module + the engine package to executors.
+
+    The driver may create its SparkSession anywhere; executor Python
+    workers resolve the batch kernels' globals by importing this module,
+    so both artifacts go out via addPyFile (the --py-files mechanism).
+    """
+    import os
+
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    from scrapely_spark.spark.session import _package_zip
+    spark.sparkContext.addPyFile(_package_zip())
+    spark.sparkContext.addPyFile(os.path.abspath(__file__))
+    _SHIPPED.add(key)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
+    return spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
+
+
+# --------------------------------------------------------------------------
+# flagship: IBL extraction over pages synthesized from `documents`
+# --------------------------------------------------------------------------
+
+_DOC_PAGE = """<html><body>
+<h1 class="title">Doc %(doc_id)d</h1>
+<div class="product">
+<img class="main" src="/img/doc-%(doc_id)08d.png"/>
+<p class="caption">%(caption)s</p>
+<span class="price">%(price)s</span>
+</div>
+</body></html>
+"""
+
+
+def _doc_caption(text: str) -> str:
+    return re.sub(r"\s+", " ", str(text)[:48]).strip()
+
+
+def _doc_price(doc_id: int) -> str:
+    return "%d.50" % (doc_id % 90 + 10)
+
+
+_EXTRACT_DOCS_SCHEMA = ("doc_id long, title string, image_url string, "
+                        "caption string, price string")
+
+
+def ibl_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a product page per document row, extract it back.
+
+    End-to-end exercise of the extraction engine under the correctness
+    driver: the oracle recomputes the expected fields in pure SQL.
+    """
+    from scrapely_spark.spark.datagen import template_body
+    from scrapely_spark.spark.extract import plan_from_templates
+    from scrapely_spark.html.page import HtmlPage
+
+    plan_bc = spark.sparkContext.broadcast(
+        plan_from_templates([template_body()]))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plan = plan_bc.value
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                body = _DOC_PAGE % {
+                    "doc_id": int(doc_id),
+                    "caption": _doc_caption(text),
+                    "price": _doc_price(int(doc_id)),
+                }
+                page = HtmlPage(url="doc://%d" % doc_id, body=body)
+                items, _ = plan.extract_page(page)
+                rec = next((r for r in items or [] if r), {})
+
+                def first(k):
+                    v = rec.get(k)
+                    return str(v[0]) if v else None
+
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "title": first("title"),
+                    "image_url": first("image_url"),
+                    "caption": first("caption"),
+                    "price": first("price"),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "title", "image_url", "caption", "price"])
+
+    return (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .mapInPandas(kernel, _EXTRACT_DOCS_SCHEMA))
+
+
+_IBL_EXTRACT_DOCS_SQL = r"""
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       '/img/doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.png'
+           AS image_url,
+       trim(regexp_replace(substr(text, 1, 48), '\s+', ' ', 'g'))
+           AS caption,
+       CAST(doc_id % 90 + 10 AS VARCHAR) || '.50' AS price
+FROM documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return ibl_extract_docs(spark, SF_SMOKE)
 
+
+# --------------------------------------------------------------------------
+# crawl-frontier operators over a URL table derived from `orders`
+# --------------------------------------------------------------------------
+
+_SPARK_RAW_URL = (
+    "'http://H' || CAST(o_orderkey % 20 AS STRING) || '.Example.COM' || "
+    "CASE WHEN o_orderkey % 13 = 0 THEN '/private' ELSE '' END || "
+    "'/item/' || CAST(o_orderkey AS STRING) || "
+    "CASE WHEN o_orderkey % 5 = 0 THEN '?b=2&a=1' ELSE '' END || "
+    "CASE WHEN o_orderkey % 7 = 0 THEN '#frag' ELSE '' END")
+
+_DUCK_RAW_URL = _SPARK_RAW_URL.replace("AS STRING", "AS VARCHAR")
+
+# the canonical form the kernel must produce (the SQL-spec twin)
+_DUCK_CANON = (
+    "'http://h' || CAST(o_orderkey % 20 AS VARCHAR) || '.example.com' || "
+    "CASE WHEN o_orderkey % 13 = 0 THEN '/private' ELSE '' END || "
+    "'/item/' || CAST(o_orderkey AS VARCHAR) || "
+    "CASE WHEN o_orderkey % 5 = 0 THEN '?a=1&b=2' ELSE '' END")
+
+_DUCK_HOST = "'h' || CAST(o_orderkey % 20 AS VARCHAR) || '.example.com'"
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real canonicalization kernel vs an independent SQL spec."""
+    from scrapely_spark.frontier.canonical import canonicalize_df
+    raw = _t(spark, sf_dir, "orders").selectExpr(
+        "%s AS url" % _SPARK_RAW_URL)
+    return canonicalize_df(raw).select("url", "canonical_url", "host")
+
+
+def url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen membership as an anti-join (exact path of the frontier)."""
+    from scrapely_spark.frontier.canonical import canonicalize_df
+    orders = _t(spark, sf_dir, "orders")
+    frontier = canonicalize_df(
+        orders.selectExpr("%s AS url" % _SPARK_RAW_URL))
+    seen = canonicalize_df(
+        orders.where("o_orderkey % 3 = 0")
+        .selectExpr("%s AS url" % _SPARK_RAW_URL)) \
+        .select("canonical_url")
+    return (frontier.join(seen, "canonical_url", "left_anti")
+            .select("canonical_url", "host"))
+
+
+def politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness window rank (budget 2), total-order tie-break."""
+    from pyspark.sql import Window
+    from scrapely_spark.frontier.canonical import canonicalize_df
+    urls = canonicalize_df(
+        _t(spark, sf_dir, "orders")
+        .selectExpr("%s AS url" % _SPARK_RAW_URL,
+                    "CAST(o_orderkey % 5 AS INT) AS priority"))
+    w = Window.partitionBy("host").orderBy(
+        F.asc("priority"), F.asc("canonical_url"))
+    return (urls.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 2)
+            .select("host", "priority", "canonical_url",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def robots_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-rule robots gating over the derived URL table."""
+    from scrapely_spark.frontier.canonical import canonicalize_df
+    urls = canonicalize_df(
+        _t(spark, sf_dir, "orders").selectExpr("%s AS url" % _SPARK_RAW_URL))
+    path = F.parse_url(F.col("canonical_url"), F.lit("PATH"))
+    return (urls.where(~path.startswith("/private"))
+            .select("canonical_url", "host"))
+
+
+def frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enqueue dedup: union of two discovery waves, min-priority wins."""
+    from scrapely_spark.frontier.canonical import canonicalize_df
+    orders = _t(spark, sf_dir, "orders")
+    wave1 = canonicalize_df(orders.selectExpr(
+        "%s AS url" % _SPARK_RAW_URL, "CAST(1 AS INT) AS priority"))
+    wave2 = canonicalize_df(orders.where("o_orderkey % 2 = 0").selectExpr(
+        "%s AS url" % _SPARK_RAW_URL, "CAST(0 AS INT) AS priority"))
+    return (wave1.unionByName(wave2)
+            .groupBy("canonical_url")
+            .agg(F.min("priority").alias("priority"))
+            .select("canonical_url", "priority"))
+
+
+# --------------------------------------------------------------------------
+# scalar refinement functions as vectorized column kernels
+# --------------------------------------------------------------------------
+
+def _scalar_kernel_query(fn_name: str, input_expr: str,
+                         include_raw: bool = True):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import scrapely_spark.functions as fns
+        fn = getattr(fns, fn_name)
+
+        @F.pandas_udf("string")
+        def apply_fn(col: pd.Series) -> pd.Series:
+            return col.map(lambda s: fn(s) if s is not None else None)
+
+        li = _t(spark, sf_dir, "lineitem")
+        keep = (["l_orderkey", "l_linenumber", "raw"] if include_raw
+                else ["l_orderkey", "l_linenumber"])
+        return (li.selectExpr("l_orderkey", "l_linenumber",
+                              "%s AS raw" % input_expr)
+                .select(*keep, apply_fn("raw").alias("value")))
+    return q
+
+
+_PRICE_INPUT_SPARK = ("'USD ' || CAST(CAST(round(l_extendedprice, 2) "
+                      "AS DECIMAL(12,2)) AS STRING)")
+_PRICE_INPUT_DUCK = ("'USD ' || CAST(CAST(round(l_extendedprice, 2) "
+                     "AS DECIMAL(12,2)) AS VARCHAR)")
+
+
+def scalar_extract_price(spark, sf_dir):
+    return _scalar_kernel_query("extract_price", _PRICE_INPUT_SPARK)(
+        spark, sf_dir)
+
+
+_NUMBER_INPUT_SPARK = ("'&#163;' || CAST(l_orderkey AS STRING) || "
+                       "'&#46;' || CAST(l_linenumber AS STRING)")
+_NUMBER_INPUT_DUCK = ("'&#163;' || CAST(l_orderkey AS VARCHAR) || "
+                      "'&#46;' || CAST(l_linenumber AS VARCHAR)")
+
+
+def scalar_extract_number(spark, sf_dir):
+    return _scalar_kernel_query("extract_number", _NUMBER_INPUT_SPARK,
+                                include_raw=False)(spark, sf_dir)
+
+
+_IMG_INPUT_SPARK = ("'background-image : url(http://img.example.com/p/' || "
+                    "CAST(l_partkey AS STRING) || '.jpg)'")
+_IMG_INPUT_DUCK = _IMG_INPUT_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def scalar_image_url(spark, sf_dir):
+    def q(spark, sf_dir):
+        from scrapely_spark.functions import extract_image_url
+
+        @F.pandas_udf("string")
+        def apply_fn(col: pd.Series) -> pd.Series:
+            return col.map(extract_image_url)
+
+        li = _t(spark, sf_dir, "lineitem")
+        return (li.selectExpr("l_orderkey", "l_linenumber",
+                              "%s AS raw" % _IMG_INPUT_SPARK)
+                .select("l_orderkey", "l_linenumber",
+                        apply_fn("raw").alias("value")))
+    return q(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# the query registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from scrapely_spark.spark import dedup, simsearch, textstats
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_dedup_exact(spark, sf):
+        return dedup.exact(_t(spark, sf, "documents"))
+
+    def q_dedup_norm(spark, sf):
+        return dedup.normalized_exact(_t(spark, sf, "documents"))
+
+    def q_minhash_bands(spark, sf):
+        return dedup.minhash_bands(_t(spark, sf, "documents"))
+
+    def q_minhash_pairs(spark, sf):
+        return dedup.minhash_candidates(_t(spark, sf, "documents"))
+
+    def q_jaccard(spark, sf):
+        return dedup.jaccard_pairs(_t(spark, sf, "documents"), 0.2)
+
+    def q_simhash(spark, sf):
+        return dedup.simhash(_t(spark, sf, "documents"))
+
+    def q_simhash_pairs(spark, sf):
+        return dedup.simhash_near_pairs(_t(spark, sf, "documents"), 16)
+
+    def _query_vec(spark, sf):
+        row = (_t(spark, sf, "embeddings").where("vec_id = 0")
+               .select("embedding", "label").first())
+        return [float(x) for x in row.embedding], int(row.label)
+
+    def q_ann_brute(spark, sf):
+        vec, _ = _query_vec(spark, sf)
+        return simsearch.cosine_topk(_t(spark, sf, "embeddings"), vec, 10)
+
+    def q_ann_ivf(spark, sf):
+        vec, label = _query_vec(spark, sf)
+        return simsearch.ivf_topk(_t(spark, sf, "embeddings"), vec, label,
+                                  10)
+
+    def q_near_dups(spark, sf):
+        return simsearch.near_dup_pairs(_t(spark, sf, "embeddings"), 0.9)
+
+    def q_tokens(spark, sf):
+        return textstats.token_stats(_t(spark, sf, "documents"))
+
+    def q_quality(spark, sf):
+        return textstats.quality_scores(_t(spark, sf, "documents"))
+
+    def q_langid(spark, sf):
+        return textstats.language_id(_t(spark, sf, "documents"))
+
+    def q_fingerprint(spark, sf):
+        return textstats.fingerprints(_t(spark, sf, "documents"))
+
+    def q_tpch_pricing(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        return (li.where(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(d("l_quantity")).alias("sum_qty"),
+                     F.sum(d("l_extendedprice")).alias("sum_base_price"),
+                     F.count("*").alias("count_order")))
+
+    def q_top_nations(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        rev = (li.join(s, li.l_suppkey == s.s_suppkey)
+               .groupBy("s_nationkey")
+               .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .alias("revenue"),
+                    F.count("*").alias("n_items")))
+        return (rev.join(F.broadcast(n),
+                         rev.s_nationkey == n.n_nationkey)
+                .select(F.col("n_name").alias("nation"), "revenue",
+                        "n_items")
+                .orderBy(F.desc("revenue"), F.asc("nation")).limit(10))
+
+    def q_window_orders(spark, sf):
+        from pyspark.sql import Window
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (o.withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= 3)
+                .select("o_custkey", "o_orderkey",
+                        F.col("o_totalprice").cast("decimal(18,2)")
+                        .alias("total"),
+                        F.col("rnk").cast("int").alias("rnk")))
+
+    def q_events_hourly(spark, sf):
+        e = _t(spark, sf, "events")
+        return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                          "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     .alias("total_value")))
+
+    def q_events_sessions(spark, sf):
+        from pyspark.sql import Window
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # ts is TIMESTAMP_NTZ: route through TIMESTAMP for the epoch cast
+        secs = F.col("ts").cast("timestamp").cast("long")
+        gap = secs - F.lag(secs).over(w)
+        flagged = e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        return (flagged.groupBy("user_id")
+                .agg(F.sum("new_session").alias("n_sessions"),
+                     F.count("*").alias("n_events")))
+
+    return {
+        "ibl_extract_docs": ibl_extract_docs,
+        "url_canonicalize": url_canonicalize,
+        "url_seen_antijoin": url_seen_antijoin,
+        "politeness_topk": politeness_topk,
+        "robots_gate": robots_gate_q,
+        "frontier_merge": frontier_merge,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_norm,
+        "dedup_minhash_bands": q_minhash_bands,
+        "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_ngram_jaccard": q_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_brute,
+        "ann_ivf_topk": q_ann_ivf,
+        "embedding_near_dups": q_near_dups,
+        "text_token_stats": q_tokens,
+        "text_quality": q_quality,
+        "text_langid": q_langid,
+        "text_fingerprint": q_fingerprint,
+        "scalar_extract_price": scalar_extract_price,
+        "scalar_extract_number": scalar_extract_number,
+        "scalar_image_url": scalar_image_url,
+        "tpch_pricing_summary": q_tpch_pricing,
+        "join_top_nations": q_top_nations,
+        "window_top_orders": q_window_orders,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessions,
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_URLS_CTE = ("WITH urls AS (SELECT %s AS url, %s AS canonical_url, "
+             "%s AS host, o_orderkey FROM orders)"
+             % (_DUCK_RAW_URL, _DUCK_CANON, _DUCK_HOST))
+
+_SHINGLE_CTE = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_transform(
+      generate_series(0, greatest(len(words) - 3, 0)),
+      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]) AS shingles
+  FROM d
+)"""
+
+_SIG_EXPRS = ", ".join(
+    "list_min(list_transform(shingles, s -> md5(s || '#%d'))) AS sig_%d"
+    % (k, k) for k in range(8))
+
+_BANDS_SQL = _SHINGLE_CTE + """
+, sigs AS (SELECT doc_id, %s FROM sh)
+, bands AS (
+  SELECT doc_id, 0 AS band_id, md5(sig_0 || '|' || sig_1) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+)""" % _SIG_EXPRS
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ibl_extract_docs": _IBL_EXTRACT_DOCS_SQL,
+
+        "url_canonicalize": _URLS_CTE
+        + " SELECT url, canonical_url, host FROM urls",
+
+        "url_seen_antijoin": _URLS_CTE + """
+            SELECT canonical_url, host FROM urls
+            WHERE canonical_url NOT IN (
+              SELECT canonical_url FROM urls WHERE o_orderkey % 3 = 0)""",
+
+        "politeness_topk": _URLS_CTE + """
+            , ranked AS (
+              SELECT host, CAST(o_orderkey % 5 AS INT) AS priority,
+                     canonical_url,
+                     CAST(row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY o_orderkey % 5 ASC, canonical_url ASC)
+                     AS INT) AS rnk
+              FROM urls)
+            SELECT host, priority, canonical_url, rnk
+            FROM ranked WHERE rnk <= 2""",
+
+        "robots_gate": _URLS_CTE + """
+            SELECT canonical_url, host FROM urls
+            WHERE o_orderkey % 13 <> 0""",
+
+        "frontier_merge": _URLS_CTE + """
+            , waves AS (
+              SELECT canonical_url, 1 AS priority FROM urls
+              UNION ALL
+              SELECT canonical_url, 0 FROM urls WHERE o_orderkey % 2 = 0)
+            SELECT canonical_url, CAST(min(priority) AS INT) AS priority
+            FROM waves GROUP BY canonical_url""",
+
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)""",
+
+        "dedup_exact_normalized": r"""
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     AS content_hash,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_dups
+            FROM documents
+            GROUP BY 1""",
+
+        "dedup_minhash_bands": _BANDS_SQL
+        + " SELECT doc_id, band_id, band_key FROM bands",
+
+        "dedup_minhash_pairs": _BANDS_SQL + """
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id""",
+
+        "dedup_ngram_jaccard": _BANDS_SQL + r"""
+            , cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id)
+            , shset AS (
+              SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+              FROM sh)
+            , sizes AS (SELECT doc_id, count(*) AS n FROM shset GROUP BY 1)
+            , common AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_common
+              FROM cands c
+              JOIN shset sa ON sa.doc_id = c.doc_a
+              JOIN shset sb ON sb.doc_id = c.doc_b
+                           AND sb.shingle = sa.shingle
+              GROUP BY c.doc_a, c.doc_b)
+            SELECT m.doc_a, m.doc_b,
+                   round(CAST(m.n_common AS DOUBLE)
+                         / (za.n + zb.n - m.n_common), 6) AS jaccard
+            FROM common m
+            JOIN sizes za ON za.doc_id = m.doc_a
+            JOIN sizes zb ON zb.doc_id = m.doc_b
+            WHERE round(CAST(m.n_common AS DOUBLE)
+                        / (za.n + zb.n - m.n_common), 6) >= 0.2""",
+
+        # dedup_simhash / dedup_simhash_pairs: bit-voting fingerprints are
+        # not SQL-expressible — the driver records the rows-only check.
+
+        # embeddings are FLOAT[]: cast to DOUBLE lists so the cosine is
+        # computed (and rounded) in float64, matching the Spark kernel
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT vec_id, label,
+                   round(CAST(list_cosine_similarity(v, qv) AS DOUBLE), 6)
+                     AS score
+            FROM e, q
+            ORDER BY score DESC, vec_id ASC LIMIT 10""",
+
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings),
+            q AS (SELECT v AS qv, label AS ql FROM e WHERE vec_id = 0)
+            SELECT vec_id, label,
+                   round(CAST(list_cosine_similarity(v, qv) AS DOUBLE), 6)
+                     AS score
+            FROM e, q
+            WHERE label = ql
+            ORDER BY score DESC, vec_id ASC LIMIT 10""",
+
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                   round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
+                         6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label
+            WHERE a.vec_id < b.vec_id
+              AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
+                        6) >= 0.9""",
+
+        "text_token_stats": r"""
+            WITH d AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     string_split_regex(trim(text), '\s+') AS words,
+                     len(string_split_regex(text, '[.!?]')) AS n_sentences
+              FROM documents)
+            SELECT doc_id, n_chars,
+                   len(words) AS n_words,
+                   len(words) + CAST(coalesce(list_sum(list_transform(words,
+                       w -> CASE WHEN length(w) > 8
+                            THEN CAST(length(w) / 4 AS INT) ELSE 0 END)), 0)
+                     AS INT) AS n_tokens_est,
+                   n_sentences
+            FROM d""",
+
+        "text_quality": r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id, text, len(words) AS n_words,
+                     len(list_filter(words, w -> lower(w) IN
+                       ('the','a','of','to','and','in','is','it','for','on')))
+                       AS stop_hits,
+                     length(regexp_replace(text, '[^\.,;:!?]', '', 'g'))
+                       AS punct,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS alpha
+              FROM d)
+            SELECT doc_id, n_words,
+                   round(CAST(stop_hits AS DOUBLE) / n_words, 6)
+                     AS stopword_ratio,
+                   round(CAST(punct AS DOUBLE) / length(text), 6)
+                     AS punct_ratio,
+                   round(CAST(alpha AS DOUBLE) / length(text), 6)
+                     AS alpha_ratio,
+                   round(least(n_words / 100.0, 1.0) * 0.5
+                         + (CAST(stop_hits AS DOUBLE) / n_words) * 0.3
+                         + (CAST(alpha AS DOUBLE) / length(text)) * 0.2, 6)
+                     AS quality
+            FROM s""",
+
+        "text_langid": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     string_split_regex(lower(text), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id, lang,
+                len(list_filter(words, w -> w IN ('der','die','und','von','mit'))) AS score_de,
+                len(list_filter(words, w -> w IN ('the','and','of','to','in'))) AS score_en,
+                len(list_filter(words, w -> w IN ('el','la','de','que','en'))) AS score_es,
+                len(list_filter(words, w -> w IN ('le','la','et','les','des'))) AS score_fr,
+                len(list_filter(words, w -> w IN ('的','是','了','在','我'))) AS score_zh
+              FROM d)
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN score_de = greatest(score_de, score_en, score_es,
+                                              score_fr, score_zh) THEN 'de'
+                     WHEN score_en = greatest(score_de, score_en, score_es,
+                                              score_fr, score_zh) THEN 'en'
+                     WHEN score_es = greatest(score_de, score_en, score_es,
+                                              score_fr, score_zh) THEN 'es'
+                     WHEN score_fr = greatest(score_de, score_en, score_es,
+                                              score_fr, score_zh) THEN 'fr'
+                     ELSE 'zh'
+                   END AS predicted_lang,
+                   greatest(score_de, score_en, score_es, score_fr,
+                            score_zh) AS score
+            FROM s""",
+
+        "text_fingerprint": """
+            WITH h AS (
+              SELECT doc_id, list_transform(
+                  generate_series(0, greatest(length(text) - 16, 0)),
+                  i -> md5(substr(text, i + 1, 16))) AS hashes
+              FROM documents)
+            SELECT doc_id, list_min(hashes) AS fp_min,
+                   list_max(hashes) AS fp_max
+            FROM h""",
+
+        "scalar_extract_price": """
+            SELECT l_orderkey, l_linenumber,
+                   %s AS raw,
+                   CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(12,2))
+                        AS VARCHAR) AS value
+            FROM lineitem""" % _PRICE_INPUT_DUCK,
+
+        "scalar_extract_number": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_orderkey AS VARCHAR) || '.'
+                     || CAST(l_linenumber AS VARCHAR) AS value
+            FROM lineitem""",
+
+        "scalar_image_url": """
+            SELECT l_orderkey, l_linenumber,
+                   'http://img.example.com/p/' || CAST(l_partkey AS VARCHAR)
+                     || '.jpg' AS value
+            FROM lineitem""",
+
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+
+        "join_top_nations": """
+            SELECT n_name AS nation,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, nation ASC LIMIT 10""",
+
+        "window_top_orders": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+                     CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+                     AS INT) AS rnk
+              FROM orders)
+            SELECT * FROM ranked WHERE rnk <= 3""",
+
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+            FROM events GROUP BY 1, 2""",
+
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                             > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, sum(new_session) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id""",
+    }

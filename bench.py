@@ -1,0 +1,179 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Default mode prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {q: sec}, "sf": ...}
+
+``--scaling`` additionally runs the same fixed crawl+extract workload at
+local[8] and local[32] (4× cores on one box — the sandbox stand-in for
+N→4N executors) and writes BENCH/BASELINE.md with both throughputs and
+the scaling efficiency (target ≥ 0.8 per BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline queries: extraction engine, dedup, ANN, text, crawl ops, TPC-H
+HEADLINE = [
+    "ibl_extract_docs",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "embedding_near_dups",
+    "text_quality",
+    "text_langid",
+    "url_canonicalize",
+    "politeness_topk",
+    "tpch_pricing_summary",
+    "join_top_nations",
+    "events_sessionize",
+]
+
+# crawl sizing: enough host fan-out that per-round politeness budgets sum
+# to thousands of URLs — at toy host counts the metric measures fixed
+# per-round job latency, not engine throughput
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "60000"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
+CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "800"))
+EXTRACT_PAGES = int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES", "30000"))
+
+
+def _session(cpus: str, app: str):
+    from scrapely_spark.spark.session import get_spark
+    spark = get_spark(app, master="local[%s]" % cpus,
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_queries(spark) -> dict:
+    import __spark_entry__ as contract
+    qs = contract.queries()
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        timings.setdefault("_rows", {})[name] = n
+    return timings
+
+
+def run_crawl(spark, n_pages: int, max_rounds: int,
+              n_hosts: int = CRAWL_HOSTS) -> dict:
+    """Fixed crawl workload; returns throughput (URLs scheduled+extracted
+    per second of crawl wall time)."""
+    from scrapely_spark.frontier import rounds
+    from scrapely_spark.frontier.bloom import BloomSpec
+    from scrapely_spark.frontier.state import StateStore
+    from scrapely_spark.spark import datagen
+    from scrapely_spark.spark.extract import plan_from_templates
+
+    root = tempfile.mkdtemp(prefix="benchcrawl-")
+    try:
+        store = StateStore(root)
+        pages = datagen.pages_df(spark, n_pages, n_hosts).cache()
+        pages.count()  # materialize the replay store outside the timing
+        robots = datagen.robots_df(spark, n_hosts)
+        plan = plan_from_templates([datagen.template_body()])
+        seeds = datagen.seeds(n_pages, n_seeds=2048, n_hosts=n_hosts)
+        t0 = time.time()
+        rounds.crawl(spark, store, pages, robots, plan, seeds,
+                     max_rounds=max_rounds,
+                     spec=BloomSpec(n_blocks=4096, block_bytes=1024))
+        wall = time.time() - t0
+        metrics = store.round_metrics()
+        fetched = sum(m.get("fetched", 0) for m in metrics)
+        extracted = sum(m.get("hits", 0) for m in metrics)
+        pages.unpersist()
+        return {
+            "wall_sec": round(wall, 3),
+            "rounds": len(metrics) - 1,
+            "fetched": fetched,
+            "extracted": extracted,
+            "urls_per_sec": round((fetched + extracted) / wall, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_extract(spark, n_pages: int) -> dict:
+    """Pure extraction-stage throughput (the embarrassingly parallel path)."""
+    from scrapely_spark.spark import datagen
+    from scrapely_spark.spark.extract import extract_records, \
+        plan_from_templates
+
+    pages = datagen.pages_df(spark, n_pages).cache()
+    pages.count()  # materialize outside the timing
+    plan = plan_from_templates([datagen.template_body()])
+    t0 = time.time()
+    n = extract_records(pages, plan).count()
+    wall = time.time() - t0
+    pages.unpersist()
+    return {"pages": n, "wall_sec": round(wall, 3),
+            "pages_per_sec": round(n / wall, 1)}
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+
+    spark = _session(CPUS, "scrapely-spark-bench")
+    t_total = time.time()
+    timings = run_queries(spark)
+    rows = timings.pop("_rows", {})
+    crawl = run_crawl(spark, CRAWL_PAGES, CRAWL_ROUNDS)
+    extract = run_extract(spark, EXTRACT_PAGES)
+    total = round(time.time() - t_total, 3)
+    spark.stop()
+
+    result = {
+        "metric": "frontier URLs scheduled+extracted/sec "
+                  "(+ headline query wall times)",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": {k: v for k, v in timings.items()},
+        "crawl": crawl,
+        "extract": extract,
+        "rows": rows,
+        "total_sec": total,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "cpus": int(CPUS),
+    }
+
+    if scaling:
+        result["scaling"] = run_scaling()
+
+    print(json.dumps(result))
+
+
+def run_scaling() -> dict:
+    """Same job at local[8] vs local[32]: the N→4N scaling evidence."""
+    out = {}
+    for cpus in ("8", "32"):
+        spark = _session(cpus, "scrapely-spark-scaling-%s" % cpus)
+        crawl = run_crawl(spark, CRAWL_PAGES, CRAWL_ROUNDS)
+        extract = run_extract(spark, EXTRACT_PAGES)
+        spark.stop()
+        out["local[%s]" % cpus] = {
+            "crawl_urls_per_sec": crawl["urls_per_sec"],
+            "extract_pages_per_sec": extract["pages_per_sec"],
+        }
+    eff_crawl = (out["local[32]"]["crawl_urls_per_sec"]
+                 / out["local[8]"]["crawl_urls_per_sec"]) / 4.0
+    eff_extract = (out["local[32]"]["extract_pages_per_sec"]
+                   / out["local[8]"]["extract_pages_per_sec"]) / 4.0
+    out["crawl_scaling_efficiency"] = round(eff_crawl, 3)
+    out["extract_scaling_efficiency"] = round(eff_extract, 3)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -91,7 +91,7 @@ class OracleCrawl:
                 continue  # fetch miss (e.g. query-noise link)
             i, _rec = hit
             self.extracted += 1
-            for link in datagen.link_targets(i, self.n):
+            for link in datagen.link_targets(i, self.n, self.n_hosts):
                 self.enqueue(link, depth=prio + 1)
         return len(batch)
 

@@ -124,6 +124,30 @@ class FragmentedHtmlPageRegion(HtmlPageParsedRegion, HtmlPageRegion):
         return out
 
 
+def url_to_page(url: str, encoding=None,
+                default_encoding: str = "utf-8") -> HtmlPage:
+    """Fetch a URL into an HtmlPage (role parity: htmlpage.py:168-198).
+
+    Real crawling in the Spark engine replays from a fetch store
+    (`scrapely_spark.frontier.rounds`); this single-URL path exists for
+    API completeness and the CLI tool, and needs network access.
+    """
+    from urllib.request import urlopen
+
+    from scrapely_spark.html.entities import html_to_unicode
+
+    fh = urlopen(url)
+    raw = fh.read()
+    headers = dict(fh.headers.items())
+    if encoding is None:
+        encoding, body = html_to_unicode(
+            headers.get("Content-Type"), raw, default_encoding)
+    else:
+        body = raw.decode(encoding)
+    return HtmlPage(fh.geturl(), headers=headers, body=body,
+                    encoding=encoding)
+
+
 def dict_to_page(obj: dict, body_key: str = "body") -> HtmlPage:
     """Row/dict → HtmlPage (inverse of :func:`page_to_dict`)."""
     return HtmlPage(

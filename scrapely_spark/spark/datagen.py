@@ -80,12 +80,12 @@ def url_of(i: int, n: int, n_hosts: int = N_HOSTS_DEFAULT) -> str:
     return "http://%s%s" % (host_of(i, n_hosts), path % i)
 
 
-def link_targets(i: int, n: int) -> list[str]:
+def link_targets(i: int, n: int, n_hosts: int = N_HOSTS_DEFAULT) -> list[str]:
     """Deterministic outlinks of page i, with canonicalization noise."""
     out = []
     for k in range(1, 4):
         j = (i * 7 + k * 131) % n
-        url = url_of(j, n)
+        url = url_of(j, n, n_hosts)
         if (i + k) % 5 == 0:
             url += "#frag%d" % k
         if (i + k) % 7 == 0:
@@ -141,7 +141,7 @@ def template_body() -> str:
 
 def page_record(i: int, n: int, n_hosts: int = N_HOSTS_DEFAULT) -> dict:
     image_id, _w, _h, fmt = image_meta(i)
-    links = link_targets(i, n)
+    links = link_targets(i, n, n_hosts)
     body = _PAGE_LAYOUT % {
         "i": i,
         "image_id": image_id,
@@ -204,7 +204,7 @@ def links_df(spark, n: int, n_hosts: int = N_HOSTS_DEFAULT):
             rows = []
             for i in batch["id"]:
                 src = url_of(int(i), n, n_hosts)
-                for ordinal, dst in enumerate(link_targets(int(i), n)):
+                for ordinal, dst in enumerate(link_targets(int(i), n, n_hosts)):
                     rows.append(
                         {"src_url": src, "dst_url": dst, "ord": ordinal})
             yield pd.DataFrame(rows)

@@ -54,20 +54,25 @@ def _shingles(n: int = 3):
     """Word n-gram shingles of the text column (JVM array expr)."""
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    # F.get is null-safe out of bounds (element_at raises under ANSI mode)
     return F.transform(
-        idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + k + 1).cast("int"))
-                   for k in range(n)]))
+        idx, lambda i: F.concat(
+            *sum([[F.get(words, i + k)] + ([F.lit(" ")] if k < n - 1 else [])
+                  for k in range(n)], [])))
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
                        ) -> DataFrame:
     """Per-document MinHash signature: sig_k = min(md5(shingle||'#k'))."""
     sh = _shingles()
-    cols = [F.array_min(F.transform(
-        sh, lambda s, k=k: F.md5(F.concat(s, F.lit("#%d" % k)))))
-        .alias("sig_%d" % k) for k in range(n_hashes)]
-    return docs.select("doc_id", *cols)
+
+    def _sig(k):
+        # NB: a two-arg lambda would be read by F.transform as (elem, index)
+        return F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(s, F.lit("#%d" % k)))))
+
+    return docs.select("doc_id", *[_sig(k).alias("sig_%d" % k)
+                                   for k in range(n_hashes)])
 
 
 def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,

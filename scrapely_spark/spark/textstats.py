@@ -68,10 +68,14 @@ def language_id(docs: DataFrame) -> DataFrame:
     all-zero case) resolve to the alphabetically first language.
     """
     words = F.split(F.lower(F.col("text")), r"\s+")
+
+    def _hits(markers):
+        # NB: a two-arg lambda would be read by F.filter as (elem, index)
+        return F.size(F.filter(words, lambda w: w.isin(markers)))
+
     scored = docs.select(
         "doc_id", "lang",
-        *[F.size(F.filter(words, lambda w, m=markers: w.isin(m)))
-          .alias("score_%s" % lang)
+        *[_hits(markers).alias("score_%s" % lang)
           for lang, markers in sorted(LANG_MARKERS.items())])
     best = F.greatest(*[F.col("score_%s" % lang)
                         for lang in sorted(LANG_MARKERS)])

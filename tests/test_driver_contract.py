@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry through Spark and its ``oracle_sql()``
+twin through DuckDB on the same sf0.001 parquet tables and compares
+row count, column-name set, and an order-insensitive value hash —
+the same checks CORRECTNESS_r{N}.json records.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as contract
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return "%.6f" % v
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _value_hash(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x1f".join(_norm_cell(row[i]) for i in order) for row in rows)
+    digest = hashlib.sha256()
+    for line in lines:
+        digest.update(line.encode("utf-8"))
+        digest.update(b"\n")
+    return digest.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+            % (t, SF_DIR, t))
+    return con
+
+
+def test_entry_smoke(spark):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["doc_id", "title", "image_url", "caption",
+                          "price"]
+
+
+def test_every_query_has_callable():
+    qs = contract.queries()
+    assert len(qs) >= 25
+    oracles = contract.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize("name", sorted(contract.oracle_sql()))
+def test_query_matches_oracle(spark, duck, name):
+    q = contract.queries()[name]
+    sdf = q(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    cur = duck.execute(contract.oracle_sql()[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+
+    assert sorted(scols) == sorted(dcols), (
+        "column mismatch: %s vs %s" % (scols, dcols))
+    assert len(srows) == len(drows), (
+        "row count mismatch: %d vs %d" % (len(srows), len(drows)))
+    assert _value_hash(srows, scols) == _value_hash(drows, dcols), (
+        "value hash mismatch for %s\nspark: %s\nduck:  %s" % (
+            name, srows[:3], drows[:3]))
+
+
+@pytest.mark.parametrize("name", ["dedup_simhash", "dedup_simhash_pairs"])
+def test_rows_only_queries_run(spark, name):
+    df = contract.queries()[name](spark, SF_DIR)
+    assert df.count() > 0

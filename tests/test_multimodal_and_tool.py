@@ -1,0 +1,91 @@
+"""Multimodal operator plumbing + the CLI template-store tool."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from scrapely_spark.spark import codec, datagen, multimodal
+
+N = 48
+
+
+def test_decode_stats(spark):
+    images = datagen.images_df(spark, N)
+    rows = multimodal.decode_stats(images).collect()
+    assert len(rows) == N
+    for r in rows:
+        i = int(r.image_id.split("-")[1])
+        _id, w, h, fmt = datagen.image_meta(i)
+        assert (r.w, r.h, r.fmt) == (w, h, fmt)
+        assert 0 <= r.mean_luma <= 255
+        if r.fmt == "png":
+            assert r.phash_match  # lossless roundtrip keeps the phash
+
+
+def test_resize_roundtrip(spark):
+    images = datagen.images_df(spark, N)
+    rows = multimodal.resize(images, 12, 10).collect()
+    assert len(rows) == N
+    for r in rows[:5]:
+        pixels, w, h, _fmt = codec.decode_image(bytes(r.bytes))
+        assert (w, h) == (12, 10)
+        assert pixels.shape == (10, 12, 3)
+
+
+def test_phash_column_matches_table(spark):
+    images = datagen.images_df(spark, N)
+    recomputed = multimodal.phash_column(images).withColumnRenamed(
+        "phash", "phash2")
+    joined = images.select("image_id", "phash", "fmt").join(
+        recomputed, "image_id").collect()
+    for r in joined:
+        if r.fmt == "png":
+            assert r.phash == r.phash2, r.image_id
+
+
+def test_frame_sample_is_declared_stub(spark):
+    videos = spark.createDataFrame(
+        [("v1", bytearray(b"fake"))], "video_id string, data binary")
+    with pytest.raises(Exception) as err:
+        multimodal.frame_sample(videos).collect()
+    assert "NotImplementedError" in str(err.value) or \
+        isinstance(err.value, NotImplementedError)
+
+
+def test_cli_template_store(tmp_path):
+    page = tmp_path / "page.html"
+    page.write_text("<html><body><h1>Walnut Desk</h1>"
+                    "<p>solid walnut, oiled</p></body></html>")
+    page2 = tmp_path / "page2.html"
+    page2.write_text("<html><body><h1>Oak Table</h1>"
+                     "<p>solid oak, waxed</p></body></html>")
+    store = str(tmp_path / "store.json")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "scrapely_spark.tool", store, *args],
+            capture_output=True, text=True, cwd="/root/repo")
+
+    out = run("ta", str(page), "name=Walnut Desk", "blurb=solid walnut, oiled")
+    assert out.returncode == 0, out.stderr
+    assert "[0] template added" in out.stdout
+
+    out = run("tl")
+    assert "page.html" in out.stdout
+
+    out = run("s", str(page2))
+    assert out.returncode == 0, out.stderr
+    assert "Oak Table" in out.stdout and "solid oak, waxed" in out.stdout
+
+    with open(store) as fh:
+        assert len(json.load(fh)["templates"]) == 1
+
+    out = run("td", "0")
+    assert "deleted" in out.stdout
+    with open(store) as fh:
+        assert json.load(fh)["templates"] == []

@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions + streaming/batch agreement.
+
+The 100 TB questions, asked of the actual executed plans at test scale:
+does the scan prune columns and push filters, is the small side broadcast,
+does the embarrassingly-parallel stage stay shuffle-free, and does the
+streaming twin of an aggregation agree with its batch plan?
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_tpch_pricing_pushdown_and_pruning(spark):
+    df = contract.queries()["tpch_pricing_summary"](spark, SF_DIR)
+    plan = _physical(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"\
+        in plan.replace("\n", " "), plan
+    # column pruning: the 16-column table scans only what the query needs
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_comment" not in read_schema[0]
+    assert "l_partkey" not in read_schema[0]
+
+
+def test_join_top_nations_broadcasts_dimension(spark):
+    df = contract.queries()["join_top_nations"](spark, SF_DIR)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    df = contract.queries()["dedup_exact"](spark, SF_DIR)
+    plan = _physical(df)
+    # partial aggregation map-side, then exactly one exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_textstats_stay_jvm_side(spark):
+    df = contract.queries()["text_quality"](spark, SF_DIR)
+    plan = _physical(df)
+    # higher-order array functions aren't codegen'd, but the whole stage
+    # must remain a single JVM Project over a pruned scan — no Python eval
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # not even a pandas UDF
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_politeness_two_phase_shape(spark):
+    df = contract.queries()["politeness_topk"](spark, SF_DIR)
+    plan = _physical(df)
+    # phase 1 partitions by (host, salt)? — this query is the plain
+    # (unsalted) window; the salted variant lives in frontier.politeness
+    assert "Window" in plan
+    from scrapely_spark.frontier.politeness import select_fetch_batch
+    from scrapely_spark.frontier.canonical import canonicalize_df
+    urls = canonicalize_df(
+        spark.read.parquet(SF_DIR + "/orders.parquet")
+        .selectExpr("%s AS url" % contract._SPARK_RAW_URL,
+                    "CAST(o_orderkey % 5 AS INT) AS priority")) \
+        .withColumn("crawl_delay", F.lit(1.0))
+    salted_plan = _physical(select_fetch_batch(urls))
+    assert salted_plan.count("Window") >= 2  # two-phase top-k
+    assert "salt" in salted_plan
+
+
+def test_extract_stage_shuffle_free(spark):
+    from scrapely_spark.spark import datagen
+    from scrapely_spark.spark.extract import extract_records, \
+        plan_from_templates
+    df = extract_records(datagen.pages_df(spark, 8),
+                         plan_from_templates([datagen.template_body()]))
+    assert "Exchange" not in _physical(df)
+
+
+def test_streaming_hourly_agrees_with_batch(spark, tmp_path):
+    import os
+    from scrapely_spark.spark import streaming
+    # the file-stream source tails a directory (landing zone); stage the
+    # single-file table into one
+    events_dir = str(tmp_path / "events_zone")
+    os.makedirs(events_dir)
+    os.symlink(os.path.abspath(SF_DIR + "/events.parquet"),
+               os.path.join(events_dir, "part-0.parquet"))
+    stream = streaming.hourly_counts_stream(
+        streaming.read_events_stream(spark, events_dir))
+    q = streaming.run_available_now(stream, "hourly_stream",
+                                    str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {(r.hour, r.event_type): (r.n, str(r.total_value))
+           for r in spark.sql("select * from hourly_stream").collect()}
+    batch = {(r.hour.replace(tzinfo=None) if r.hour.tzinfo else r.hour,
+              r.event_type): (r.n, str(r.total_value))
+             for r in contract.queries()["events_hourly"](
+                 spark, SF_DIR).collect()}
+    # align tz-naive representations before comparing
+    got = {(k[0].replace(tzinfo=None), k[1]): v for k, v in got.items()}
+    assert got == batch
