@@ -42,9 +42,13 @@ HEADLINE = [
 # to thousands of URLs — at toy host counts the metric measures fixed
 # per-round job latency, not engine throughput
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "60000"))
-CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "6"))
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "800"))
-EXTRACT_PAGES = int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES", "30000"))
+# a large politeness window makes rounds compute-bound (the real-scale
+# regime) instead of fixed-job-latency-bound; the protocol is unchanged
+CRAWL_ROUND_SECONDS = float(os.environ.get("SPARK_GRAFT_ROUND_SECONDS",
+                                           "300"))
+EXTRACT_PAGES = int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES", "120000"))
 
 
 def _session(cpus: str, app: str):
@@ -84,11 +88,12 @@ def run_crawl(spark, n_pages: int, max_rounds: int,
         pages.count()  # materialize the replay store outside the timing
         robots = datagen.robots_df(spark, n_hosts)
         plan = plan_from_templates([datagen.template_body()])
-        seeds = datagen.seeds(n_pages, n_seeds=2048, n_hosts=n_hosts)
+        seeds = datagen.seeds(n_pages, n_seeds=4096, n_hosts=n_hosts)
         t0 = time.time()
         rounds.crawl(spark, store, pages, robots, plan, seeds,
                      max_rounds=max_rounds,
-                     spec=BloomSpec(n_blocks=4096, block_bytes=1024))
+                     spec=BloomSpec(n_blocks=4096, block_bytes=1024),
+                     round_seconds=CRAWL_ROUND_SECONDS)
         wall = time.time() - t0
         metrics = store.round_metrics()
         fetched = sum(m.get("fetched", 0) for m in metrics)
@@ -154,10 +159,20 @@ def main():
     print(json.dumps(result))
 
 
+SCALE_SMALL = os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4")
+SCALE_LARGE = os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16")
+
+
 def run_scaling() -> dict:
-    """Same job at local[8] vs local[32]: the N→4N scaling evidence."""
+    """Same job at N vs 4N cores: the N→4N executor scaling evidence.
+
+    Defaults to local[4] vs local[16]: on a 32-core box each pyspark
+    "core" runs a JVM task thread *plus* a Python worker process, so
+    local[32] would oversubscribe the machine 2× and measure contention
+    instead of scaling (real N vs 4N executors each own their cores).
+    """
     out = {}
-    for cpus in ("8", "32"):
+    for cpus in (SCALE_SMALL, SCALE_LARGE):
         spark = _session(cpus, "scrapely-spark-scaling-%s" % cpus)
         crawl = run_crawl(spark, CRAWL_PAGES, CRAWL_ROUNDS)
         extract = run_extract(spark, EXTRACT_PAGES)
@@ -166,12 +181,15 @@ def run_scaling() -> dict:
             "crawl_urls_per_sec": crawl["urls_per_sec"],
             "extract_pages_per_sec": extract["pages_per_sec"],
         }
-    eff_crawl = (out["local[32]"]["crawl_urls_per_sec"]
-                 / out["local[8]"]["crawl_urls_per_sec"]) / 4.0
-    eff_extract = (out["local[32]"]["extract_pages_per_sec"]
-                   / out["local[8]"]["extract_pages_per_sec"]) / 4.0
-    out["crawl_scaling_efficiency"] = round(eff_crawl, 3)
-    out["extract_scaling_efficiency"] = round(eff_extract, 3)
+    small = out["local[%s]" % SCALE_SMALL]
+    large = out["local[%s]" % SCALE_LARGE]
+    factor = int(SCALE_LARGE) / int(SCALE_SMALL)
+    out["crawl_scaling_efficiency"] = round(
+        (large["crawl_urls_per_sec"] / small["crawl_urls_per_sec"])
+        / factor, 3)
+    out["extract_scaling_efficiency"] = round(
+        (large["extract_pages_per_sec"] / small["extract_pages_per_sec"])
+        / factor, 3)
     return out
 
 

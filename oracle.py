@@ -38,9 +38,11 @@ from scrapely_spark.spark import datagen
 class OracleCrawl:
     def __init__(self, n_pages: int, seeds: list[str],
                  robots: dict[str, dict] | None = None,
-                 n_hosts: int = datagen.N_HOSTS_DEFAULT):
+                 n_hosts: int = datagen.N_HOSTS_DEFAULT,
+                 round_seconds: float = 10.0):
         self.n = n_pages
         self.n_hosts = n_hosts
+        self.round_seconds = round_seconds
         self.robots = robots if robots is not None else {
             r["host"]: r for r in
             (datagen.robots_record(h) for h in range(n_hosts))}
@@ -81,7 +83,7 @@ class OracleCrawl:
         batch = []
         for host, entries in by_host.items():
             entries.sort()
-            batch.extend(entries[:host_budget(self.crawl_delay(host))])
+            batch.extend(entries[:host_budget(self.crawl_delay(host), self.round_seconds)])
         batch.sort()  # the recorded fetch order
         for prio, canon in batch:
             self.fetch_log.append((round_id, prio, canon))

@@ -65,48 +65,78 @@ def key_bit_positions(keys: np.ndarray, spec: BloomSpec) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
-def _bitmap_from_positions(positions: np.ndarray, spec: BloomSpec) -> bytes:
-    bits = np.zeros(spec.block_bits, dtype=bool)
-    bits[positions.reshape(-1)] = True
-    return np.packbits(bits).tobytes()
+def _or_reduce_blocks(block_ids: np.ndarray, bitmaps: np.ndarray
+                      ) -> pd.DataFrame:
+    """OR together bitmaps sharing a block id (vectorized reduceat)."""
+    order = np.argsort(block_ids, kind="stable")
+    ids = block_ids[order]
+    stacked = bitmaps[order]
+    boundaries = np.flatnonzero(np.diff(ids)) + 1
+    starts = np.concatenate(([0], boundaries))
+    merged = np.bitwise_or.reduceat(stacked, starts, axis=0)
+    return pd.DataFrame({
+        "block_id": ids[starts].astype("int32"),
+        "bitmap": [row.tobytes() for row in merged],
+    })
 
 
 def build_delta(keys_df: DataFrame, spec: BloomSpec,
                 key_col: str = "url_key") -> DataFrame:
-    """Keys → per-block delta bitmaps: (block_id int, bitmap binary)."""
-    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = pdf[key_col].to_numpy()
-        positions = key_bit_positions(keys, spec)
-        return pd.DataFrame({
-            "block_id": [int(pdf["block_id"].iloc[0])],
-            "bitmap": [_bitmap_from_positions(positions, spec)],
-        })
+    """Keys → per-block delta bitmaps: (block_id int, bitmap binary).
 
-    with_block = keys_df.withColumn(
-        "block_id",
-        (F.col(key_col).cast("long") % spec.n_blocks).cast("int"))
-    return with_block.groupBy("block_id").applyInPandas(
-        per_block, "block_id int, bitmap binary")
+    Two partition-level kernels (NOT per-group applyInPandas — thousands
+    of tiny groups pay ~ms of Arrow overhead each): every partition emits
+    its partial block bitmaps (map-side combine), then partials are
+    shuffled on block_id and OR-merged within partitions.
+    """
+    def partials(batches):
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            if not len(keys):
+                continue
+            blocks = key_block_ids(keys, spec)
+            positions = key_bit_positions(keys, spec)
+            # allocate only the touched blocks (n_blocks can be 2^20+)
+            touched, inverse = np.unique(blocks, return_inverse=True)
+            bits = np.zeros((len(touched), spec.block_bits), dtype=bool)
+            bits[np.repeat(inverse, spec.k), positions.reshape(-1)] = True
+            packed = np.packbits(bits, axis=1)
+            yield pd.DataFrame({
+                "block_id": touched.astype("int32"),
+                "bitmap": [row.tobytes() for row in packed],
+            })
+
+    partial_df = keys_df.select(key_col).mapInPandas(
+        partials, "block_id int, bitmap binary")
+    return _merge_bitmap_rows(partial_df, spec)
+
+
+def _merge_bitmap_rows(blocks_df: DataFrame, spec: BloomSpec) -> DataFrame:
+    def merge(batches):
+        # accumulate across ALL Arrow batches of the partition first —
+        # a partition larger than the Arrow batch size arrives split,
+        # and emitting per batch would leave duplicate partial blocks
+        ids = []
+        maps = []
+        for pdf in batches:
+            if len(pdf):
+                ids.append(pdf["block_id"].to_numpy())
+                maps.append(np.stack([
+                    np.frombuffer(bytes(b), dtype=np.uint8)
+                    for b in pdf["bitmap"]]))
+        if ids:
+            yield _or_reduce_blocks(np.concatenate(ids),
+                                    np.concatenate(maps))
+
+    return blocks_df.repartition(F.col("block_id")).mapInPandas(
+        merge, "block_id int, bitmap binary")
 
 
 def merge_blocks(state_df: DataFrame | None, delta_df: DataFrame,
                  spec: BloomSpec) -> DataFrame:
     """OR-merge delta bitmaps into state (the MERGE INTO equivalent)."""
-    if state_df is None:
-        both = delta_df
-    else:
-        both = state_df.unionByName(delta_df)
-
-    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        for blob in pdf["bitmap"]:
-            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-            acc = arr if acc is None else (acc | arr)
-        return pd.DataFrame({"block_id": [int(pdf["block_id"].iloc[0])],
-                             "bitmap": [acc.tobytes()]})
-
-    return both.groupBy("block_id").applyInPandas(
-        or_merge, "block_id int, bitmap binary")
+    both = delta_df if state_df is None else state_df.unionByName(delta_df)
+    return _merge_bitmap_rows(both, spec)
 
 
 def might_contain(candidates: DataFrame, state_df: DataFrame,
@@ -115,30 +145,35 @@ def might_contain(candidates: DataFrame, state_df: DataFrame,
 
     False is definitive (the key was never added); True falls through to
     the exact check.  Keys whose block doesn't exist yet are definitively
-    unseen (left join → null bitmap → False).
+    unseen (left join → null bitmap → False).  The bit test is one
+    vectorized partition-level kernel after a broadcast block join.
     """
-    def check(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = np.zeros(len(pdf), dtype=bool)
-        have = pdf["bitmap"].notna().to_numpy()
-        if have.any():
-            keys = pdf[key_col].to_numpy()[have]
-            positions = key_bit_positions(keys, spec)
-            bitmaps = np.stack([
-                np.unpackbits(np.frombuffer(bytes(b), dtype=np.uint8))
-                for b in pdf["bitmap"][have]])
-            hit = np.take_along_axis(bitmaps, positions, axis=1).all(axis=1)
-            out[have] = hit
-        result = pdf.drop(columns=["bitmap", "block_id"])
-        result["maybe_seen"] = out
-        return result
-
+    # F.pmod, NOT %: the JVM remainder is negative for negative keys,
+    # while the build-side numpy kernel uses positive modulo
     with_block = candidates.withColumn(
         "block_id",
-        (F.col(key_col).cast("long") % spec.n_blocks).cast("int"))
+        F.pmod(F.col(key_col).cast("long"), F.lit(spec.n_blocks))
+        .cast("int"))
     joined = with_block.join(F.broadcast(state_df), "block_id", "left")
     out_schema = ", ".join(
         "%s %s" % (f.name, f.dataType.simpleString())
         for f in candidates.schema.fields) + ", maybe_seen boolean"
-    # group by block so each bitmap is unpacked once per batch
-    return joined.groupBy("block_id").applyInPandas(
-        lambda pdf: check(pdf), out_schema)
+    out_cols = [f.name for f in candidates.schema.fields] + ["maybe_seen"]
+
+    def check(batches):
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=bool)
+            have = pdf["bitmap"].notna().to_numpy()
+            if have.any():
+                keys = pdf[key_col].to_numpy()[have]
+                positions = key_bit_positions(keys, spec)
+                bitmaps = np.stack([
+                    np.unpackbits(np.frombuffer(bytes(b), dtype=np.uint8))
+                    for b in pdf["bitmap"][have]])
+                out[have] = np.take_along_axis(
+                    bitmaps, positions, axis=1).all(axis=1)
+            result = pdf.drop(columns=["bitmap", "block_id"])
+            result["maybe_seen"] = out
+            yield result[out_cols]
+
+    return joined.mapInPandas(check, out_schema)

@@ -28,19 +28,20 @@ ROUND_SECONDS = 10.0
 N_SALTS = 16
 
 
-def host_budget_expr():
+def host_budget_expr(round_seconds: float = ROUND_SECONDS):
     return F.greatest(
         F.lit(1),
-        F.floor(F.lit(ROUND_SECONDS) / F.col("crawl_delay"))).cast("int")
+        F.floor(F.lit(round_seconds) / F.col("crawl_delay"))).cast("int")
 
 
-def host_budget(crawl_delay: float) -> int:
+def host_budget(crawl_delay: float,
+                round_seconds: float = ROUND_SECONDS) -> int:
     """Pure-python twin for the oracle."""
-    return max(1, int(ROUND_SECONDS / crawl_delay))
+    return max(1, int(round_seconds / crawl_delay))
 
 
-def select_fetch_batch(candidates: DataFrame,
-                       n_salts: int = N_SALTS) -> DataFrame:
+def select_fetch_batch(candidates: DataFrame, n_salts: int = N_SALTS,
+                       round_seconds: float = ROUND_SECONDS) -> DataFrame:
     """Pick each host's politeness budget of URLs for this round.
 
     Requires columns: host, crawl_delay, priority, canonical_url, url_key.
@@ -49,18 +50,19 @@ def select_fetch_batch(candidates: DataFrame,
 
     salted = candidates.withColumn(
         "salt", F.pmod(F.col("url_key"), F.lit(n_salts)))
+    budget = host_budget_expr(round_seconds)
     phase1 = (
         salted.withColumn(
             "r1",
             F.row_number().over(
                 Window.partitionBy("host", "salt").orderBy(*order)))
-        .where(F.col("r1") <= host_budget_expr())
+        .where(F.col("r1") <= budget)
         .drop("salt", "r1"))
 
     phase2 = (
         phase1.withColumn(
             "r2",
             F.row_number().over(Window.partitionBy("host").orderBy(*order)))
-        .where(F.col("r2") <= host_budget_expr())
+        .where(F.col("r2") <= budget)
         .drop("r2"))
     return phase2

@@ -130,7 +130,8 @@ def seed_round(spark, store: StateStore, seed_urls: list, robots: DataFrame,
 
 
 def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
-              plan_bc, round_id: int, spec: BloomSpec) -> dict:
+              plan_bc, round_id: int, spec: BloomSpec,
+              round_seconds: float = 10.0) -> dict:
     """Execute one committed crawl round; returns its metrics."""
     frontier = store.read(spark, FRONTIER)
 
@@ -139,7 +140,8 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         "host", "crawl_delay")), "host", "left")
         .withColumn("crawl_delay", F.coalesce(
             F.col("crawl_delay"), F.lit(1.0))))
-    batch = select_fetch_batch(with_delay).drop("crawl_delay").cache()
+    batch = select_fetch_batch(with_delay, round_seconds=round_seconds) \
+        .drop("crawl_delay").cache()
     fetched = batch.count()
     if fetched == 0:
         store.commit_round(round_id, {}, {"fetched": 0, "drained": True})
@@ -219,7 +221,8 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
 
 def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
           plan, seed_urls: list, max_rounds: int = 50,
-          spec: BloomSpec | None = None) -> StateStore:
+          spec: BloomSpec | None = None,
+          round_seconds: float = 10.0) -> StateStore:
     """Run (or resume) a crawl to completion or ``max_rounds``.
 
     Resume: everything is derived from the store's ledger — a killed job
@@ -237,7 +240,7 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     while round_id < max_rounds:
         round_id += 1
         metrics = run_round(spark, store, pages, robots, plan_bc, round_id,
-                            spec)
+                            spec, round_seconds)
         if metrics.get("fetched", 0) == 0:
             break
     return store

@@ -110,8 +110,10 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Explode shingles once, join candidates to shingle sets, compute
     |A∩B| / |A∪B| with groupBy counts — no per-row Python anywhere.
     """
+    # the exploded shingle set feeds three consumers (sizes, both join
+    # sides); cache it so the regex tokenization runs once
     sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles()))
-                     .alias("shingle"))
+                     .alias("shingle")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cands = minhash_candidates(docs)
     # count common shingles by joining candidates through the shingle value
