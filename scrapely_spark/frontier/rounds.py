@@ -123,8 +123,12 @@ def seed_round(spark, store: StateStore, seed_urls: list, robots: DataFrame,
     delta = bloomlib.build_delta(seen, spec)
 
     staged = {}
-    for df, table in ((frontier, FRONTIER), (seen, SEEN), (delta, BLOOM)):
+    for df, table in ((frontier, FRONTIER), (delta, BLOOM)):
         _, staged[table] = store.stage(df, table)
+    # seen is append-only (per-round deltas): at 10^10 keys a full
+    # rewrite per round is O(n^2) cumulative I/O; deltas are the
+    # Iceberg-MERGE-shaped alternative
+    _, staged[SEEN] = store.stage_round(seen, SEEN, 0)
     store.commit_round(0, staged, {"seeded": len(seed_urls)})
     canon.unpersist()
 
@@ -165,7 +169,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
                        F.min("host").alias("host")))
 
     # URL-seen: bloom prefilter, exact string anti-join only on maybes
-    seen = store.read(spark, SEEN)
+    seen = store.read_rounds(spark, SEEN)  # union of per-round deltas
     bloom_state = store.read(spark, BLOOM)
     flagged = bloomlib.might_contain(candidates, bloom_state, spec)
     certain_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
@@ -183,8 +187,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
                            "canonical_url", "left_anti")
                      .select(*_FRONTIER_COLS)
                      .unionByName(enqueue))
-    next_seen = seen.unionByName(
-        new_urls.select("canonical_url", "url_key"))
+    seen_delta = new_urls.select("canonical_url", "url_key")
     next_bloom = bloomlib.merge_blocks(
         bloom_state, bloomlib.build_delta(new_urls, spec), spec)
 
@@ -206,10 +209,10 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     }
 
     staged = {}
-    for df, table in ((next_frontier, FRONTIER), (next_seen, SEEN),
-                      (next_bloom, BLOOM)):
+    for df, table in ((next_frontier, FRONTIER), (next_bloom, BLOOM)):
         _, staged[table] = store.stage(df, table)
-    for df, table in ((fetch_log, FETCH_LOG), (extracted, EXTRACTED)):
+    for df, table in ((seen_delta, SEEN), (fetch_log, FETCH_LOG),
+                      (extracted, EXTRACTED)):
         _, staged[table] = store.stage_round(df, table, round_id)
     store.commit_round(round_id, staged, metrics)
 

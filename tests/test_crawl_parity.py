@@ -50,11 +50,11 @@ def test_fetch_order_byte_identical(spark, oracle_run, spark_run):
 
 
 def test_seen_set_byte_identical(spark, oracle_run, spark_run):
-    seen = spark_run.read(spark, rounds.SEEN).collect()
+    seen = spark_run.read_rounds(spark, rounds.SEEN).collect()
     assert sorted(r.canonical_url for r in seen) == oracle_run.seen_urls()
     assert sorted(r.url_key for r in seen) == oracle_run.seen_keys()
     # and the keys really are Spark's murmur3: recompute JVM-side
-    recomputed = (spark_run.read(spark, rounds.SEEN)
+    recomputed = (spark_run.read_rounds(spark, rounds.SEEN)
                   .where(F.hash("canonical_url") != F.col("url_key"))
                   .count())
     assert recomputed == 0
@@ -129,7 +129,7 @@ def test_resume_after_kill(spark, tmp_path_factory, oracle_run):
     rounds.crawl(spark, resumed, pages, robots, plan, datagen.seeds(N),
                  max_rounds=MAX_ROUNDS, spec=spec)
 
-    seen = resumed.read(spark, rounds.SEEN).collect()
+    seen = resumed.read_rounds(spark, rounds.SEEN).collect()
     assert sorted(r.canonical_url for r in seen) == oracle_run.seen_urls()
     log = (resumed.read_rounds(spark, rounds.FETCH_LOG)
            .orderBy("round_id", "priority", "canonical_url").collect())
