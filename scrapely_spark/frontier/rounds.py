@@ -203,7 +203,8 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
             F.count("*").alias("n")).collect()]
     metrics = {
         "fetched": fetched,
-        "hits": ext.count(),
+        # hits derived from the lineage aggregation — one fewer job/round
+        "hits": sum(entry["output_rows"] for entry in lineage),
         "new_urls": new_urls.count(),
         "partition_lineage": lineage,
     }
