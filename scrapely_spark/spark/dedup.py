@@ -64,15 +64,19 @@ def _shingles(n: int = 3):
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
                        ) -> DataFrame:
     """Per-document MinHash signature: sig_k = min(md5(shingle||'#k'))."""
-    sh = _shingles()
+    # materialize the shingle array in its own projection: inlining the
+    # expression into all k signature columns would re-run the regex
+    # split + n-gram build k times per row
+    with_shingles = docs.select("doc_id", _shingles().alias("shingles"))
 
     def _sig(k):
         # NB: a two-arg lambda would be read by F.transform as (elem, index)
         return F.array_min(F.transform(
-            sh, lambda s: F.md5(F.concat(s, F.lit("#%d" % k)))))
+            F.col("shingles"),
+            lambda s: F.md5(F.concat(s, F.lit("#%d" % k)))))
 
-    return docs.select("doc_id", *[_sig(k).alias("sig_%d" % k)
-                                   for k in range(n_hashes)])
+    return with_shingles.select(
+        "doc_id", *[_sig(k).alias("sig_%d" % k) for k in range(n_hashes)])
 
 
 def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
@@ -94,7 +98,9 @@ def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
 
 def minhash_candidates(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any LSH band bucket."""
-    bands = minhash_bands(docs)
+    # cache: a self-join of an unmaterialized plan computes the whole
+    # signature pipeline once per side
+    bands = minhash_bands(docs).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, ["band_id", "band_key"])
