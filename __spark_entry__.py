@@ -120,7 +120,13 @@ def ibl_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "title", "image_url", "caption", "price"])
 
-    return (_t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # a small single-file table arrives as one partition; spread the
+    # CPU-bound kernel across the cluster (scale-invariant: at real
+    # sizes the scan already yields enough splits and this is a no-op
+    # cost relative to the work)
+    parallelism = spark.sparkContext.defaultParallelism
+    return (docs.repartition(parallelism)
             .mapInPandas(kernel, _EXTRACT_DOCS_SCHEMA))
 
 
