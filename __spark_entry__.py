@@ -462,6 +462,7 @@ WITH d AS (
       generate_series(0, greatest(len(words) - 3, 0)),
       i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]) AS shingles
   FROM d
+  WHERE len(words) >= 3
 )"""
 
 _SIG_EXPRS = ", ".join(

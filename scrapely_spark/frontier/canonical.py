@@ -23,14 +23,23 @@ _DEFAULT_PORTS = {"http": 80, "https": 443}
 
 
 def canonicalize_with_host(url: str) -> tuple[str, str]:
-    """(canonical form, lowercased host) in one parse."""
+    """(canonical form, lowercased host) in one parse.
+
+    Malformed authorities (out-of-range or non-numeric ports) degrade to
+    the raw lowercased netloc instead of raising — one bad href on one
+    page must never kill a crawl round's kernel.
+    """
     parts = urlsplit(url.strip())
     scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
-    port = parts.port
-    netloc = host
-    if port is not None and port != _DEFAULT_PORTS.get(scheme):
-        netloc = "%s:%d" % (host, port)
+    try:
+        host = (parts.hostname or "").lower()
+        port = parts.port
+        netloc = host
+        if port is not None and port != _DEFAULT_PORTS.get(scheme):
+            netloc = "%s:%d" % (host, port)
+    except ValueError:
+        netloc = parts.netloc.lower()
+        host = netloc.rsplit("@", 1)[-1].split(":", 1)[0]
     path = parts.path or "/"
     query = parts.query
     if query:

@@ -55,15 +55,26 @@ _EXTRACT_SCHEMA = ("canonical_url string, priority int, title string, "
                    "links array<string>, partition_id int")
 
 
-def discover_links(page: HtmlPage) -> list:
-    """hrefs of <a> open tags, in document order (the crawl expansion)."""
+def discover_links(page: HtmlPage, base_url: str | None = None) -> list:
+    """Crawlable hrefs of <a> open tags, in document order.
+
+    Relative hrefs resolve against the page URL (urljoin) and only
+    http(s) targets survive — mailto:/javascript:/fragment-only links
+    never reach the frontier.
+    """
+    from urllib.parse import urljoin
+
+    base = base_url if base_url is not None else page.url
     out = []
     for frag in page.parsed_body:
         if isinstance(frag, Tag) and frag.kind == TAG_OPEN \
                 and frag.name == "a":
             href = frag.attributes.get("href")
-            if href:
-                out.append(href)
+            if not href:
+                continue
+            resolved = urljoin(base, href.strip())
+            if resolved.startswith(("http://", "https://")):
+                out.append(resolved)
     return out
 
 

@@ -35,8 +35,7 @@ def exact(docs: DataFrame) -> DataFrame:
             .select("doc_id", F.md5("text").alias("content_hash"))
             .groupBy("content_hash")
             .agg(F.min("doc_id").alias("keeper_doc_id"),
-                 F.count("*").alias("n_dups"))
-            .where(F.col("n_dups") >= 1))
+                 F.count("*").alias("n_dups")))
 
 
 def normalized_exact(docs: DataFrame) -> DataFrame:
@@ -64,10 +63,15 @@ def _shingles(n: int = 3):
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
                        ) -> DataFrame:
     """Per-document MinHash signature: sig_k = min(md5(shingle||'#k'))."""
+    # docs shorter than one shingle would all hash to the same NULL-band
+    # bucket and quadratically blow up the candidate join — drop them
+    # (they can't be near-dups by n-gram similarity anyway)
+    long_enough = docs.where(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
     # materialize the shingle array in its own projection: inlining the
     # expression into all k signature columns would re-run the regex
     # split + n-gram build k times per row
-    with_shingles = docs.select("doc_id", _shingles().alias("shingles"))
+    with_shingles = long_enough.select("doc_id", _shingles().alias("shingles"))
 
     def _sig(k):
         # NB: a two-arg lambda would be read by F.transform as (elem, index)

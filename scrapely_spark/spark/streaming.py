@@ -27,8 +27,12 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
 def hourly_counts_stream(events: DataFrame,
                          watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling-window counts by event type (late data
-    beyond the watermark is dropped, state is bounded)."""
+    """Watermarked tumbling-window counts by event type.
+
+    In append output mode the watermark bounds state and drops late
+    rows; in complete mode (the drain-and-compare path) all windows are
+    retained — see :func:`run_available_now`.
+    """
     with_ts = events.withColumn("ets", F.col("ts").cast("timestamp"))
     return (with_ts
             .withWatermark("ets", watermark)
@@ -41,12 +45,19 @@ def hourly_counts_stream(events: DataFrame,
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,
-                      checkpoint_dir: str):
-    """Drain the stream into an in-memory sink; returns the query handle."""
+                      checkpoint_dir: str, output_mode: str = "complete"):
+    """Drain the stream into an in-memory sink; returns the query handle.
+
+    ``complete`` (default here) is the drain-everything-then-compare mode
+    used by the batch-parity test: note that under it the watermark does
+    NOT evict state or drop late rows.  A continuous production tail
+    should use ``append``, where only watermark-finalized windows emit
+    and state stays bounded.
+    """
     return (stream_df.writeStream
             .format("memory")
             .queryName(query_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())

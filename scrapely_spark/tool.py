@@ -84,6 +84,8 @@ def main(argv=None) -> int:
         _save_scraper(sc, ns.store)
         print("template deleted: %d" % index)
     elif ns.command == "s":
+        if not ns.args:
+            parser.error("s needs <url-or-file> to scrape")
         page = _load_page(ns.args[0], ns.encoding)
         records = sc.scrape_page(page)
         pprint.pprint(records)
