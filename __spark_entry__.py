@@ -413,8 +413,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.sum("new_session").alias("n_sessions"),
                      F.count("*").alias("n_events")))
 
+    def q_set_except(spark, sf):
+        o = _t(spark, sf, "orders")
+        high = o.where("o_totalprice > 150000") \
+            .select("o_custkey").distinct()
+        finished = o.where("o_orderstatus = 'F'") \
+            .select("o_custkey").distinct()
+        return high.subtract(finished)  # EXCEPT DISTINCT
+
+    def q_set_intersect(spark, sf):
+        o = _t(spark, sf, "orders")
+        high = o.where("o_totalprice > 150000") \
+            .select("o_custkey").distinct()
+        open_ = o.where("o_orderstatus = 'O'") \
+            .select("o_custkey").distinct()
+        return high.intersect(open_)
+
+    def q_rollup_events(spark, sf):
+        e = _t(spark, sf, "events")
+        return (e.rollup("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     .alias("total_value")))
+
     return {
         "ibl_extract_docs": ibl_extract_docs,
+        "set_except_customers": q_set_except,
+        "set_intersect_customers": q_set_intersect,
+        "agg_rollup_events": q_rollup_events,
         "url_canonicalize": url_canonicalize,
         "url_seen_antijoin": url_seen_antijoin,
         "politeness_topk": politeness_topk,
@@ -485,6 +511,25 @@ _BANDS_SQL = _SHINGLE_CTE + """
 def oracle_sql() -> dict[str, str]:
     return {
         "ibl_extract_docs": _IBL_EXTRACT_DOCS_SQL,
+
+        "set_except_customers": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_totalprice > 150000
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderstatus = 'F'""",
+
+        "set_intersect_customers": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_totalprice > 150000
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderstatus = 'O'""",
+
+        "agg_rollup_events": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+            FROM events GROUP BY ROLLUP(event_type)""",
 
         "url_canonicalize": _URLS_CTE
         + " SELECT url, canonical_url, host FROM urls",
