@@ -72,6 +72,19 @@ def test_decoded_pixel_fidelity(extracted):
     assert lossy > 0 and lossless > 0
 
 
+def test_non_utf8_pages_through_spark_stage(spark):
+    """Latin-1 bodies flow through the Arrow stage with entities intact."""
+    tpl = datagen.template_body()
+    body = datagen.page_record(7, 50)["body"].replace(
+        "item 7", "caf\xe9 n\xb07")
+    pages = spark.createDataFrame(
+        [("http://l1.example.com/item/7", body, "latin1")],
+        "url string, body string, encoding string")
+    plan = plan_from_templates([tpl])
+    row = extract_records(pages, plan).collect()[0]
+    assert row.caption.endswith("caf\xe9 n\xb07")
+
+
 def test_extraction_stage_has_no_shuffle(spark):
     """The extract stage must stay embarrassingly parallel (scan → UDF)."""
     pages = datagen.pages_df(spark, 16)
