@@ -129,6 +129,42 @@ def test_differential(seed):
     _run_case(seed)
 
 
+@pytest.mark.parametrize("seed", range(600, 700))
+def test_differential_with_descriptors(seed):
+    """Descriptors in the loop: scalar extractors + required rejection."""
+    import scrapely.descriptor as refd
+    import scrapely.extractors as refx
+
+    from scrapely_spark.functions import (
+        contains_any_numbers, extract_number, extract_price, notags)
+    from scrapely_spark.ibl.schema import FieldDescriptor, ItemDescriptor
+
+    rng = random.Random(seed)
+    template = make_template(rng)
+    page = mutate_to_page(rng, template)
+
+    pick = rng.randint(0, 3)
+    required = rng.random() < 0.4
+    ours_fns = [notags, extract_price, extract_number, contains_any_numbers]
+    ref_fns = [refx.notags, refx.extract_price, refx.extract_number,
+               refx.contains_any_numbers]
+    field = rng.choice(_FIELDS)
+
+    our_desc = ItemDescriptor("t", "", [
+        FieldDescriptor(field, "", ours_fns[pick], required)])
+    ref_desc = refd.ItemDescriptor("t", "", [
+        refd.FieldDescriptor(field, "", ref_fns[pick], required)])
+
+    ours = InstanceBasedLearningExtractor(
+        [(HtmlPage(None, {}, template), our_desc)])
+    ours_out, _ = ours.extract(HtmlPage(None, {}, page))
+    theirs = RefIBLE([(RefHtmlPage(None, {}, template), ref_desc)])
+    theirs_out, _ = theirs.extract(RefHtmlPage(None, {}, page))
+
+    assert ours_out == theirs_out, (seed, field, pick, required, template,
+                                    page, ours_out, theirs_out)
+
+
 @pytest.mark.parametrize("seed", range(500, 600))
 def test_differential_multi_template(seed):
     """Two templates: precedence (annotation count) + first-win trial."""
