@@ -154,7 +154,14 @@ def might_contain(candidates: DataFrame, state_df: DataFrame,
         "block_id",
         F.pmod(F.col(key_col).cast("long"), F.lit(spec.n_blocks))
         .cast("int"))
-    joined = with_block.join(F.broadcast(state_df), "block_id", "left")
+    # broadcast only while the whole filter is small; a production-sized
+    # filter (2^20 × 4 KiB ≈ 4 GiB) must shuffle-hash join instead
+    state_bytes = spec.n_blocks * spec.block_bytes
+    if state_bytes <= 64 * 1024 * 1024:
+        state_side = F.broadcast(state_df)
+    else:
+        state_side = state_df.hint("shuffle_hash")
+    joined = with_block.join(state_side, "block_id", "left")
     out_schema = ", ".join(
         "%s %s" % (f.name, f.dataType.simpleString())
         for f in candidates.schema.fields) + ", maybe_seen boolean"

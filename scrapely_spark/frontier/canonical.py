@@ -25,10 +25,12 @@ _DEFAULT_PORTS = {"http": 80, "https": 443}
 def canonicalize_with_host(url: str) -> tuple[str, str]:
     """(canonical form, lowercased host) in one parse.
 
-    Malformed authorities (out-of-range or non-numeric ports) degrade to
-    the raw lowercased netloc instead of raising — one bad href on one
-    page must never kill a crawl round's kernel.
+    Malformed input (None, out-of-range or non-numeric ports) degrades to
+    a deterministic result instead of raising — one bad href on one page
+    must never kill a crawl round's kernel.
     """
+    if not url:
+        return "", ""
     parts = urlsplit(url.strip())
     scheme = parts.scheme.lower()
     try:
@@ -39,7 +41,11 @@ def canonicalize_with_host(url: str) -> tuple[str, str]:
             netloc = "%s:%d" % (host, port)
     except ValueError:
         netloc = parts.netloc.lower()
-        host = netloc.rsplit("@", 1)[-1].split(":", 1)[0]
+        bare = netloc.rsplit("@", 1)[-1]
+        if bare.startswith("["):  # IPv6 literal, urlsplit-compatible host
+            host = bare[1:].split("]", 1)[0]
+        else:
+            host = bare.split(":", 1)[0]
     path = parts.path or "/"
     query = parts.query
     if query:
@@ -50,10 +56,6 @@ def canonicalize_with_host(url: str) -> tuple[str, str]:
 def canonicalize(url: str) -> str:
     """Deterministic canonical form of a URL."""
     return canonicalize_with_host(url)[0]
-
-
-def host_of(url: str) -> str:
-    return (urlsplit(url).hostname or "").lower()
 
 
 # --- Murmur3_x86_32, seed 42: bit-identical to Spark's F.hash ------------

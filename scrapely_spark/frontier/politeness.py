@@ -28,16 +28,19 @@ ROUND_SECONDS = 10.0
 N_SALTS = 16
 
 
+_MIN_DELAY = 0.001  # 'Crawl-delay: 0' is legal; clamp so both twins agree
+
+
 def host_budget_expr(round_seconds: float = ROUND_SECONDS):
+    delay = F.greatest(F.col("crawl_delay"), F.lit(_MIN_DELAY))
     return F.greatest(
-        F.lit(1),
-        F.floor(F.lit(round_seconds) / F.col("crawl_delay"))).cast("int")
+        F.lit(1), F.floor(F.lit(round_seconds) / delay)).cast("int")
 
 
 def host_budget(crawl_delay: float,
                 round_seconds: float = ROUND_SECONDS) -> int:
     """Pure-python twin for the oracle."""
-    return max(1, int(round_seconds / crawl_delay))
+    return max(1, int(round_seconds / max(crawl_delay, _MIN_DELAY)))
 
 
 def select_fetch_batch(candidates: DataFrame, n_salts: int = N_SALTS,

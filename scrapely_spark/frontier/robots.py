@@ -19,8 +19,16 @@ def gate(candidates: DataFrame, robots: DataFrame,
     """Filter robots-disallowed candidates; attach ``crawl_delay``.
 
     Disallowed iff any ``disallow`` entry is a prefix of the URL path.
+    The path comes from a pure string expression, NOT ``parse_url``:
+    the JVM URI parser returns NULL for URLs Python's urlsplit accepts
+    (e.g. spaces), and a NULL path would silently drop allowed rows
+    through three-valued ``exists`` — diverging from :func:`is_allowed`.
     """
-    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    path = F.coalesce(
+        F.regexp_extract(F.col(url_col),
+                         r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1),
+        F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     joined = candidates.join(F.broadcast(robots), "host", "left")
     blocked = F.exists(
         F.coalesce(F.col("disallow"), F.array()),

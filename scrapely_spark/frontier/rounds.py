@@ -37,7 +37,7 @@ from scrapely_spark.frontier import bloom as bloomlib
 from scrapely_spark.frontier.bloom import BloomSpec
 from scrapely_spark.frontier.canonical import canonicalize_df
 from scrapely_spark.frontier.politeness import select_fetch_batch
-from scrapely_spark.frontier.robots import gate
+from scrapely_spark.frontier.robots import DEFAULT_CRAWL_DELAY, gate
 from scrapely_spark.frontier.state import StateStore
 from scrapely_spark.html.lexer import Tag, TAG_OPEN
 from scrapely_spark.html.page import HtmlPage
@@ -144,17 +144,31 @@ def seed_round(spark, store: StateStore, seed_urls: list, robots: DataFrame,
     canon.unpersist()
 
 
+def prepare_replay_store(pages: DataFrame) -> DataFrame:
+    """Key the fetch store by canonical URL (the frontier's join key).
+
+    The synthetic corpus happens to emit pre-canonical URLs, but a real
+    store may hold any equivalent spelling (default ports, case,
+    unsorted queries) — the oracle keys by canonicalize(url), so must we.
+    """
+    canon = canonicalize_df(pages.select("url", "body"))
+    return canon.select(F.col("canonical_url").alias("page_url"), "body")
+
+
 def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
               plan_bc, round_id: int, spec: BloomSpec,
               round_seconds: float = 10.0) -> dict:
-    """Execute one committed crawl round; returns its metrics."""
+    """Execute one committed crawl round; returns its metrics.
+
+    ``pages`` must be keyed by canonical URL (see prepare_replay_store).
+    """
     frontier = store.read(spark, FRONTIER)
 
     # politeness selection (broadcast robots supplies crawl_delay)
     with_delay = (frontier.join(F.broadcast(robots.select(
         "host", "crawl_delay")), "host", "left")
         .withColumn("crawl_delay", F.coalesce(
-            F.col("crawl_delay"), F.lit(1.0))))
+            F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))))
     batch = select_fetch_batch(with_delay, round_seconds=round_seconds) \
         .drop("crawl_delay").cache()
     fetched = batch.count()
@@ -163,7 +177,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         return {"fetched": 0}
 
     # replay fetch: broadcast the (small) batch against the pages store
-    hits = (pages.select(F.col("url").alias("page_url"), "body")
+    hits = (pages.select("page_url", "body")
             .join(F.broadcast(batch),
                   F.col("page_url") == F.col("canonical_url"), "inner")
             .select("canonical_url", "priority", "body"))
@@ -174,6 +188,8 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     links = (ext.select(F.explode("links").alias("url"),
                         (F.col("priority") + 1).alias("depth")))
     candidates = (canonicalize_df(links)
+                  .where((F.col("canonical_url") != "")
+                         & (F.col("host") != ""))
                   .groupBy("canonical_url")
                   .agg(F.min("depth").alias("priority"),
                        F.min("url_key").alias("url_key"),
@@ -182,7 +198,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     # URL-seen: bloom prefilter, exact string anti-join only on maybes
     seen = store.read_rounds(spark, SEEN)  # union of per-round deltas
     bloom_state = store.read(spark, BLOOM)
-    flagged = bloomlib.might_contain(candidates, bloom_state, spec)
+    flagged = bloomlib.might_contain(candidates, bloom_state, spec).cache()
     certain_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen.select("canonical_url"),
@@ -230,6 +246,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
 
     batch.unpersist()
     ext.unpersist()
+    flagged.unpersist()
     new_urls.unpersist()
     return metrics
 
@@ -247,6 +264,7 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     spec = spec or BloomSpec()
     plan_bc = spark.sparkContext.broadcast(plan)
     robots = robots.cache()
+    replay = prepare_replay_store(pages).cache()
     seed_round(spark, store, seed_urls, robots, spec)
     rounds_so_far = store.round_metrics()
     if rounds_so_far and rounds_so_far[-1].get("drained"):
@@ -254,8 +272,8 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     round_id = store.last_round()
     while round_id < max_rounds:
         round_id += 1
-        metrics = run_round(spark, store, pages, robots, plan_bc, round_id,
-                            spec, round_seconds)
+        metrics = run_round(spark, store, replay, robots, plan_bc,
+                            round_id, spec, round_seconds)
         if metrics.get("fetched", 0) == 0:
             break
     return store
