@@ -358,10 +358,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_tpch_pricing(spark, sf):
         li = _t(spark, sf, "lineitem")
         d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        # Sum in DECIMAL (exact, order-independent), then render the
+        # compared value as round(DOUBLE, 6): Spark's DECIMAL(28,2) and
+        # DuckDB's DECIMAL(38,2) sums hash differently in the driver
+        # despite identical values.
+        dbl = lambda c: F.round(c.cast("double"), 6)  # noqa: E731
         return (li.where(F.col("l_shipdate") <= "1998-09-02")
                 .groupBy("l_returnflag", "l_linestatus")
-                .agg(F.sum(d("l_quantity")).alias("sum_qty"),
-                     F.sum(d("l_extendedprice")).alias("sum_base_price"),
+                .agg(dbl(F.sum(d("l_quantity"))).alias("sum_qty"),
+                     dbl(F.sum(d("l_extendedprice")))
+                     .alias("sum_base_price"),
                      F.count("*").alias("count_order")))
 
     def q_top_nations(spark, sf):
@@ -370,7 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = _t(spark, sf, "nation")
         rev = (li.join(s, li.l_suppkey == s.s_suppkey)
                .groupBy("s_nationkey")
-               .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+               .agg(F.round(
+                        F.sum(F.col("l_extendedprice")
+                              .cast("decimal(18,2)")).cast("double"), 6)
                     .alias("revenue"),
                     F.count("*").alias("n_items")))
         return (rev.join(F.broadcast(n),
@@ -387,16 +395,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (o.withColumn("rnk", F.row_number().over(w))
                 .where(F.col("rnk") <= 3)
                 .select("o_custkey", "o_orderkey",
-                        F.col("o_totalprice").cast("decimal(18,2)")
+                        F.round(F.col("o_totalprice")
+                                .cast("decimal(18,2)").cast("double"), 6)
                         .alias("total"),
                         F.col("rnk").cast("int").alias("rnk")))
 
     def q_events_hourly(spark, sf):
         e = _t(spark, sf, "events")
-        return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+        # `hour` is rendered as a canonical string (engine timestamp
+        # types hash differently in the driver), aggregates as
+        # round(DOUBLE, 6) — same rationale as q_tpch_pricing.
+        return (e.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                        "yyyy-MM-dd HH:mm:ss")
+                          .alias("hour"),
                           "event_type")
                 .agg(F.count("*").alias("n"),
-                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                             .cast("double"), 6)
                      .alias("total_value")))
 
     def q_events_sessions(spark, sf):
@@ -410,7 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "new_session",
             F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
         return (flagged.groupBy("user_id")
-                .agg(F.sum("new_session").alias("n_sessions"),
+                .agg(F.sum("new_session").cast("long")
+                     .alias("n_sessions"),
                      F.count("*").alias("n_events")))
 
     def q_set_except(spark, sf):
@@ -433,7 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "events")
         return (e.rollup("event_type")
                 .agg(F.count("*").alias("n"),
-                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                             .cast("double"), 6)
                      .alias("total_value")))
 
     return {
@@ -528,7 +545,8 @@ def oracle_sql() -> dict[str, str]:
 
         "agg_rollup_events": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS total_value
             FROM events GROUP BY ROLLUP(event_type)""",
 
         "url_canonicalize": _URLS_CTE
@@ -755,9 +773,10 @@ def oracle_sql() -> dict[str, str]:
 
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                     AS sum_base_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS sum_base_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -765,7 +784,8 @@ def oracle_sql() -> dict[str, str]:
 
         "join_top_nations": """
             SELECT n_name AS nation,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
@@ -776,7 +796,8 @@ def oracle_sql() -> dict[str, str]:
         "window_top_orders": """
             WITH ranked AS (
               SELECT o_custkey, o_orderkey,
-                     CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+                     round(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                AS DOUBLE), 6) AS total,
                      CAST(row_number() OVER (
                        PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey ASC)
@@ -785,9 +806,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ranked WHERE rnk <= 3""",
 
         "events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                    count(*) AS n,
-                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS total_value
             FROM events GROUP BY 1, 2""",
 
         "events_sessionize": """
@@ -800,7 +823,7 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-            SELECT user_id, sum(new_session) AS n_sessions,
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
     }

@@ -94,3 +94,38 @@ def test_query_matches_oracle(spark, duck, name):
 def test_rows_only_queries_run(spark, name):
     df = contract.queries()[name](spark, SF_DIR)
     assert df.count() > 0
+
+
+# The six queries below were value-identical but hash-mismatched in the
+# round-1 driver run: its compare goes through pandas, where DuckDB
+# renders DECIMAL sums / HUGEINT as float64 while Spark yields
+# decimal.Decimal / int64 objects — str() hashing hides that.  This
+# stricter twin hashes the *pandas* cell values with their type names so
+# any engine-side type divergence fails locally too.
+_TYPE_SENSITIVE = [
+    "agg_rollup_events", "tpch_pricing_summary", "join_top_nations",
+    "window_top_orders", "events_hourly", "events_sessionize",
+]
+
+
+def _typed_cell(v):
+    import numpy as np
+    if v is None or v != v:  # None / NaN
+        return "∅"
+    if isinstance(v, (float, np.floating)):
+        return "float:%.6f" % float(v)
+    if isinstance(v, (int, np.integer)):
+        return "int:%d" % int(v)
+    return "%s:%s" % (type(v).__name__, v)
+
+
+@pytest.mark.parametrize("name", _TYPE_SENSITIVE)
+def test_pandas_path_types_align(spark, duck, name):
+    sdf = contract.queries()[name](spark, SF_DIR).toPandas()
+    ddf = duck.execute(contract.oracle_sql()[name]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns)
+    norm = lambda df: sorted(  # noqa: E731
+        "\x1f".join(_typed_cell(row[c]) for c in cols)
+        for _, row in df.iterrows())
+    assert norm(sdf) == norm(ddf)
