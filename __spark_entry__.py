@@ -324,7 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash(_t(spark, sf, "documents"))
 
     def q_simhash_pairs(spark, sf):
-        return dedup.simhash_near_pairs(_t(spark, sf, "documents"), 16)
+        # 8 chunks of 8 bits guarantee full recall for hamming <= 7
+        return dedup.simhash_near_pairs(_t(spark, sf, "documents"),
+                                        max_hamming=7, n_chunks=8)
 
     def _query_vec(spark, sf):
         row = (_t(spark, sf, "embeddings").where("vec_id = 0")
@@ -342,6 +344,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_near_dups(spark, sf):
         return simsearch.near_dup_pairs(_t(spark, sf, "embeddings"), 0.9)
+
+    def q_lsh_near_dups(spark, sf):
+        # fixed-seed hyperplanes shared with the SQL oracle (see
+        # _LSH_NEAR_DUPS_SQL); threshold 0.4 is non-trivial on the
+        # synthetic embeddings (max pairwise cosine ≈ 0.51)
+        return simsearch.hyperplane_near_dups(
+            _t(spark, sf, "embeddings"), _LSH_THRESHOLD,
+            planes=simsearch.hyperplanes(_EMB_DIM, _LSH_PLANES))
 
     def q_tokens(spark, sf):
         return textstats.token_stats(_t(spark, sf, "documents"))
@@ -473,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_brute,
         "ann_ivf_topk": q_ann_ivf,
         "embedding_near_dups": q_near_dups,
+        "embedding_lsh_near_dups": q_lsh_near_dups,
         "text_token_stats": q_tokens,
         "text_quality": q_quality,
         "text_langid": q_langid,
@@ -508,12 +519,22 @@ WITH d AS (
   WHERE len(words) >= 3
 )"""
 
+# mirror of dedup.minhash_signatures: two md5s per distinct shingle,
+# the k-th 32-bit hash family is the k-th 8-hex-char slice of the digest
 _SIG_EXPRS = ", ".join(
-    "list_min(list_transform(shingles, s -> md5(s || '#%d'))) AS sig_%d"
-    % (k, k) for k in range(8))
+    "list_min(list_transform(hs, h -> substr(h, %d, 8))) AS sig_%d"
+    % (k * 8 + 1, k) for k in range(8))
 
+# `capped` mirrors dedup._cap_buckets(MAX_BUCKET=50): hot band buckets
+# are dropped before any pair join (bands itself stays uncapped — it is
+# the bucketing output, not a join input)
 _BANDS_SQL = _SHINGLE_CTE + """
-, sigs AS (SELECT doc_id, %s FROM sh)
+, hashed AS (
+  SELECT doc_id,
+         list_transform(list_distinct(shingles),
+                        s -> md5(s) || md5(s || '#')) AS hs
+  FROM sh)
+, sigs AS (SELECT doc_id, %s FROM hashed)
 , bands AS (
   SELECT doc_id, 0 AS band_id, md5(sig_0 || '|' || sig_1) AS band_key FROM sigs
   UNION ALL
@@ -522,7 +543,70 @@ _BANDS_SQL = _SHINGLE_CTE + """
   SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
   UNION ALL
   SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+)
+, capped AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT doc_id, band_id, band_key,
+           count(*) OVER (PARTITION BY band_id, band_key) AS _bn
+    FROM bands)
+  WHERE _bn <= 50
 )""" % _SIG_EXPRS
+
+
+_EMB_DIM = 64          # synthetic embeddings table dimension
+_LSH_PLANES = 16       # 4 bands × 4 hyperplanes
+_LSH_BAND = 4
+_LSH_THRESHOLD = 0.4
+_LSH_MAX_BUCKET = 200  # mirror of simsearch.MAX_BUCKET
+
+
+def _lsh_near_dups_sql() -> str:
+    """DuckDB twin of simsearch.hyperplane_near_dups.
+
+    The identical fixed-seed hyperplane coefficients are inlined as
+    literals (repr round-trips doubles exactly), so bucketing, capping
+    and the cosine threshold are engine-reproducible end to end.
+    """
+    from scrapely_spark.spark.simsearch import hyperplanes
+    planes = hyperplanes(_EMB_DIM, _LSH_PLANES)
+    bit = ("(CASE WHEN list_dot_product(v, [%s]) >= 0 "
+           "THEN '1' ELSE '0' END)")
+    band_exprs = []
+    for b in range(_LSH_PLANES // _LSH_BAND):
+        bits = " || ".join(
+            bit % ", ".join(repr(x) for x in planes[b * _LSH_BAND + j])
+            for j in range(_LSH_BAND))
+        band_exprs.append("(%s) AS band_%d" % (bits, b))
+    banded_union = "\n  UNION ALL\n".join(
+        "  SELECT vec_id, v, norm, %d AS band_id, band_%d AS band_key "
+        "FROM sgn" % (b, b) for b in range(_LSH_PLANES // _LSH_BAND))
+    return """
+        WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                   FROM embeddings),
+        sgn AS (SELECT vec_id, v,
+                       sqrt(list_dot_product(v, v)) AS norm,
+                       %s
+                FROM e),
+        banded AS (
+        %s),
+        capped AS (
+          SELECT vec_id, v, norm, band_id, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_key)
+                   AS _bn
+            FROM banded)
+          WHERE _bn <= %d)
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+                 AS cosine
+        FROM capped a
+        JOIN capped b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+              >= %s""" % (",\n                       ".join(band_exprs),
+                          banded_union, _LSH_MAX_BUCKET,
+                          repr(_LSH_THRESHOLD))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -600,14 +684,14 @@ def oracle_sql() -> dict[str, str]:
 
         "dedup_minhash_pairs": _BANDS_SQL + """
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
             WHERE a.doc_id < b.doc_id""",
 
         "dedup_ngram_jaccard": _BANDS_SQL + r"""
             , cands AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
+              FROM capped a JOIN capped b
                 ON a.band_id = b.band_id AND a.band_key = b.band_key
               WHERE a.doc_id < b.doc_id)
             , shset AS (
@@ -669,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
                         6) >= 0.9""",
+
+        "embedding_lsh_near_dups": _lsh_near_dups_sql(),
 
         "text_token_stats": r"""
             WITH d AS (

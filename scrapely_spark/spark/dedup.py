@@ -23,10 +23,46 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 N_HASHES = 8
 BAND_SIZE = 2  # hashes per band → N_HASHES/BAND_SIZE bands
+
+# LSH buckets above this size are dropped before any self-join: a
+# degenerate bucket (boilerplate pages, near-constant docs) otherwise
+# produces O(|bucket|²) candidate pairs — one hot band_key at 10^10 docs
+# is a cartesian bomb.  Dropped mega-buckets lose nothing that matters:
+# near-identical documents also collide in `exact`/`normalized_exact`,
+# which is the cheap recovery path for them.
+MAX_BUCKET = 50
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a too-narrow input before CPU-heavy per-row work.
+
+    A small single-file table arrives as one split and would serialize
+    the md5/fingerprint kernels on one core.  Only widens (never
+    coalesces): at real scale the scan already yields >= parallelism
+    splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _cap_buckets(df: DataFrame, key_cols: list, max_bucket: int
+                 ) -> DataFrame:
+    """Drop rows in over-sized buckets before a bucket self-join.
+
+    One window count over the bucket key; the hash partitioning it
+    introduces is the same one the following self-join needs, so AQE
+    reuses the exchange instead of adding a shuffle.
+    """
+    w = Window.partitionBy(*key_cols)
+    return (df.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn"))
 
 
 def exact(docs: DataFrame) -> DataFrame:
@@ -62,49 +98,69 @@ def _shingles(n: int = 3):
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
                        ) -> DataFrame:
-    """Per-document MinHash signature: sig_k = min(md5(shingle||'#k'))."""
+    """Per-document MinHash signature.
+
+    sig_k is the lexicographic min over distinct shingles of the k-th
+    8-hex-char slice of ``md5(s) || md5(s || '#')`` — two md5s per
+    shingle instead of one per (shingle, k), with the k independent
+    32-bit hash families carved out of the 256 digest bits.  md5 is the
+    hash because it is bit-identical in Spark and DuckDB, which lets the
+    correctness driver validate the whole signature pipeline against a
+    pure-SQL oracle.
+    """
+    if n_hashes > 16:
+        raise ValueError("n_hashes > 16 exceeds the 2-md5 digest budget")
     # docs shorter than one shingle would all hash to the same NULL-band
     # bucket and quadratically blow up the candidate join — drop them
     # (they can't be near-dups by n-gram similarity anyway)
     long_enough = docs.where(
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
-    # materialize the shingle array in its own projection: inlining the
-    # expression into all k signature columns would re-run the regex
-    # split + n-gram build k times per row
-    with_shingles = long_enough.select("doc_id", _shingles().alias("shingles"))
-
-    def _sig(k):
-        # NB: a two-arg lambda would be read by F.transform as (elem, index)
-        return F.array_min(F.transform(
-            F.col("shingles"),
-            lambda s: F.md5(F.concat(s, F.lit("#%d" % k)))))
-
-    return with_shingles.select(
-        "doc_id", *[_sig(k).alias("sig_%d" % k) for k in range(n_hashes)])
+    # explode distinct shingles so the md5 pair is computed exactly once
+    # per (doc, shingle) — array-expression variants get inlined by
+    # Catalyst's projection collapse into every sig_k column, re-running
+    # the digests k times.  The groupBy mins aggregate map-side (partial
+    # agg), so the shuffle carries n_hashes 8-char strings per doc.
+    digests = _spread(long_enough.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles())).alias("s")
+    ).select(
+        "doc_id",
+        F.concat(F.md5("s"), F.md5(F.concat("s", F.lit("#")))).alias("h"))
+    return digests.groupBy("doc_id").agg(
+        *[F.min(F.substring("h", k * 8 + 1, 8)).alias("sig_%d" % k)
+          for k in range(n_hashes)])
 
 
 def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
                   band_size: int = BAND_SIZE) -> DataFrame:
-    """(doc_id, band_id, band_key): LSH bucketing of the signatures."""
+    """(doc_id, band_id, band_key): LSH bucketing of the signatures.
+
+    One explode over a struct array instead of a per-band union: a
+    union re-runs the whole signature pipeline once per band.
+    """
     sigs = minhash_signatures(docs, n_hashes)
-    bands = []
-    for b in range(n_hashes // band_size):
-        key = F.md5(F.concat_ws(
-            "|", *[F.col("sig_%d" % (b * band_size + k))
-                   for k in range(band_size)]))
-        bands.append(sigs.select(
-            "doc_id", F.lit(b).alias("band_id"), key.alias("band_key")))
-    out = bands[0]
-    for df in bands[1:]:
-        out = out.unionByName(df)
-    return out
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws(
+                "|", *[F.col("sig_%d" % (b * band_size + k))
+                       for k in range(band_size)])).alias("band_key"))
+        for b in range(n_hashes // band_size)])
+    return (sigs.select("doc_id", F.explode(bands).alias("b"))
+            .select("doc_id", "b.band_id", "b.band_key"))
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs: documents sharing any LSH band bucket."""
+def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET
+                       ) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing any LSH band bucket.
+
+    Buckets larger than ``max_bucket`` are dropped before the self-join
+    (see MAX_BUCKET) — the standard LSH hot-bucket guard.
+    """
     # cache: a self-join of an unmaterialized plan computes the whole
     # signature pipeline once per side
-    bands = minhash_bands(docs).cache()
+    bands = _cap_buckets(minhash_bands(docs), ["band_id", "band_key"],
+                         max_bucket).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, ["band_id", "band_key"])
@@ -114,7 +170,8 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             .distinct())
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                  max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Exact n-gram Jaccard for banded candidates (verify stage).
 
     Explode shingles once, join candidates to shingle sets, compute
@@ -122,10 +179,11 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """
     # the exploded shingle set feeds three consumers (sizes, both join
     # sides); cache it so the regex tokenization runs once
-    sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles()))
-                     .alias("shingle")).cache()
+    sh = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.array_distinct(_shingles()))
+        .alias("shingle")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cands = minhash_candidates(docs)
+    cands = minhash_candidates(docs, max_bucket)
     # count common shingles by joining candidates through the shingle value
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
@@ -154,46 +212,119 @@ def simhash(docs: DataFrame) -> DataFrame:
     so the correctness driver records the rows-only check for this one.
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
         import zlib
         for batch in batches:
-            out = []
-            for doc_id, text in zip(batch["doc_id"], batch["text"]):
-                tokens = str(text).lower().split()
-                votes = np.zeros(64, dtype=np.int64)
-                for t in tokens:
-                    h = (zlib.crc32(t.encode()) << 32) | zlib.crc32(
-                        (t + "#").encode())
-                    bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)
-                            ) & np.uint64(1)
-                    votes += np.where(bits.astype(bool), 1, -1)
-                fp = np.uint64(0)
-                for i in np.flatnonzero(votes > 0):
-                    fp |= np.uint64(1) << np.uint64(i)
-                out.append({"doc_id": int(doc_id),
-                            "simhash": int(fp.astype(np.int64))})
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+            if len(batch) == 0:
+                continue
+            token_lists = [str(t).lower().split() for t in batch["text"]]
+            counts = np.fromiter((len(t) for t in token_lists),
+                                 dtype=np.int64, count=len(token_lists))
+            n_docs = len(counts)
+            flat = np.array(
+                [tok for toks in token_lists for tok in toks],
+                dtype=object)
+            if len(flat) == 0:
+                yield pd.DataFrame({
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "simhash": np.zeros(n_docs, dtype=np.int64)})
+                continue
+            # hash each DISTINCT token once (web text repeats tokens
+            # heavily), unpack its 64 bits once, and keep every bulk op
+            # in float64: this numpy build's integer ufuncs and any
+            # first-touch of a large fresh buffer are an order of
+            # magnitude slower than float kernels on warm pages, so the
+            # shape to avoid is a (n_tokens, 64) integer matrix.
+            uniq, inv = np.unique(flat, return_inverse=True)
+            h_u = np.fromiter(
+                ((zlib.crc32(t.encode()) << 32) | zlib.crc32(
+                    (t + "#").encode()) for t in uniq),
+                dtype=np.uint64, count=len(uniq))
+            if sys.byteorder != "little":  # pragma: no cover
+                h_u = h_u.byteswap()
+            signs_u = np.unpackbits(
+                h_u.view(np.uint8).reshape(-1, 8), axis=1,
+                bitorder="little").astype(np.float64) * 2.0 - 1.0
+            n_uniq = len(uniq)
+            if n_docs * n_uniq <= 4_000_000:
+                # dense (docs × vocab) count matrix @ (vocab × 64) signs
+                doc_idx = np.repeat(np.arange(n_docs), counts)
+                cm = np.bincount(
+                    doc_idx * n_uniq + inv,
+                    minlength=n_docs * n_uniq).astype(np.float64)
+                votes = cm.reshape(n_docs, n_uniq) @ signs_u
+            else:
+                # vocab too wide for a dense count matrix: chunked
+                # gather + segmented reduce, ~32 MB working set
+                votes = np.zeros((n_docs, 64))
+                ends = np.cumsum(counts)
+                starts = ends - counts
+                step = 1 << 16
+                for a in range(0, len(inv), step):
+                    b = min(a + step, len(inv))
+                    g = signs_u[inv[a:b]]
+                    d0 = int(np.searchsorted(ends, a, side="right"))
+                    d1 = int(np.searchsorted(starts, b, side="left"))
+                    offs = np.clip(starts[d0:d1], a, b - 1) - a
+                    part = np.add.reduceat(g, offs, axis=0)
+                    votes[d0:d1] += part
+                votes[counts == 0] = 0
+            # pack sign bits via two exact float dot products (powers of
+            # two < 2^53 are exact; a 64-bit int shift ufunc is not
+            # worth its cost here)
+            pow32 = 2.0 ** np.arange(32)
+            lo = ((votes[:, :32] > 0).astype(np.float64) @ pow32) \
+                .astype(np.uint64)
+            hi = ((votes[:, 32:] > 0).astype(np.float64) @ pow32) \
+                .astype(np.uint64)
+            fps = lo | (hi << np.uint64(32))
+            yield pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64"),
+                "simhash": fps.astype(np.int64)})
 
-    return docs.select("doc_id", "text").mapInPandas(kernel, _SIMHASH_SCHEMA)
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        kernel, _SIMHASH_SCHEMA)
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded by 16-bit chunks.
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       n_chunks: int = 4, best_effort: bool = False,
+                       max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, chunk-banded.
 
-    Two fingerprints within hamming k share at least one of 4 16-bit
-    chunks exactly (pigeonhole, k<=3 guarantees; larger k is best-effort),
-    so candidates meet in chunk buckets instead of all-pairs.
+    Pigeonhole: two fingerprints within hamming k share at least one of
+    ``n_chunks`` equal-width chunks exactly whenever ``k < n_chunks``,
+    so candidates meet in chunk buckets instead of all-pairs.  The
+    defaults (k=3, 4 chunks of 16 bits) are an *honest* pairing — full
+    recall, and 16-bit buckets keep sizes at n/65536.  Asking for a
+    larger k either needs more chunks (narrower buckets of 64/n_chunks
+    bits — mind the n/2^width bucket size at scale) or an explicit
+    ``best_effort=True`` acknowledging the missing recall guarantee.
+    Chunk buckets above ``max_bucket`` are dropped before the self-join
+    (same hot-bucket guard as the MinHash path).
     """
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    if max_hamming >= n_chunks and not best_effort:
+        raise ValueError(
+            "max_hamming=%d exceeds the recall guarantee of %d chunks "
+            "(guaranteed only for hamming < n_chunks); pass more chunks "
+            "or best_effort=True" % (max_hamming, n_chunks))
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     fps = simhash(docs)
-    chunks = []
-    for c in range(4):
-        chunk = (F.shiftright(F.col("simhash"), c * 16)
-                 .bitwiseAND(F.lit(0xFFFF)))
-        chunks.append(fps.select("doc_id", "simhash",
-                                 F.lit(c).alias("chunk_id"),
-                                 chunk.alias("chunk_val")))
-    banded = chunks[0]
-    for df in chunks[1:]:
-        banded = banded.unionByName(df)
+    # one explode, not a per-chunk union (a union would re-run the
+    # Python fingerprint kernel once per chunk); cache so the self-join
+    # sides share one kernel pass
+    chunk_arr = F.array(*[
+        F.struct(F.lit(c).alias("chunk_id"),
+                 F.shiftright(F.col("simhash"), c * width)
+                 .bitwiseAND(F.lit(mask)).alias("chunk_val"))
+        for c in range(n_chunks)])
+    banded = (fps.select("doc_id", "simhash",
+                         F.explode(chunk_arr).alias("c"))
+              .select("doc_id", "simhash", "c.chunk_id", "c.chunk_val"))
+    banded = _cap_buckets(banded, ["chunk_id", "chunk_val"],
+                          max_bucket).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, ["chunk_id", "chunk_val"])

@@ -19,7 +19,11 @@ engines (the DuckDB oracle uses list_cosine_similarity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+# hot-bucket guard for LSH self-joins — see dedup.MAX_BUCKET
+MAX_BUCKET = 200
 
 
 def _cosine(vec_col, query: list):
@@ -75,4 +79,79 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                     F.col("b.vec_id").alias("vec_b"), "label",
                     F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
                     .alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list:
+    """Deterministic signed-random-projection hyperplanes.
+
+    A fixed-seed Gaussian draw, returned as plain Python floats so the
+    exact same coefficients can be inlined as literals into both the
+    Spark plan and a SQL oracle (repr round-trips doubles exactly).
+    """
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row]
+            for row in rng.standard_normal((n_planes, dim))]
+
+
+def _band_keys(vec_col, planes: list, band_size: int):
+    """One '0'/'1'-string bucket key per band of ``band_size`` planes."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for p in planes:
+        q = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return [F.concat(*bits[b * band_size:(b + 1) * band_size])
+            for b in range(len(planes) // band_size)]
+
+
+def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
+                         n_planes: int = 16, band_size: int = 4,
+                         planes: list | None = None,
+                         max_bucket: int = MAX_BUCKET,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicates via signed-random-projection LSH.
+
+    The 100 TB shape for ``near_dup_pairs``: candidates meet only when
+    they agree on every sign bit of one band of random hyperplanes
+    (collision prob per band = (1 - θ/π)^band_size, OR-ed over
+    n_planes/band_size bands), so the all-pairs join never materializes
+    and no trusted ``label`` column is needed.  Buckets above
+    ``max_bucket`` are dropped before the self-join (hot-bucket guard).
+    Deterministic: planes come from ``hyperplanes(dim, n_planes)``
+    unless supplied, so a SQL oracle can reproduce the bucketing.
+    """
+    if planes is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = hyperplanes(dim, n_planes)
+    keys = _band_keys(vec_col, planes, band_size)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # one explode over a struct array, not a per-band union (a union
+    # re-runs the scan + plane dot products once per band)
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band_id"), k.alias("band_key"))
+        for i, k in enumerate(keys)])
+    banded = (embeddings.select(
+        "vec_id", v.alias("v"),
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                           lambda acc, x: acc + x)).alias("norm"),
+        F.explode(band_arr).alias("b"))
+        .select("vec_id", "v", "norm", "b.band_id", "b.band_key"))
+    w = Window.partitionBy("band_id", "band_key")
+    banded = (banded.withColumn("_bn", F.count("*").over(w))
+              .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, ["band_id", "band_key"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
+                    .alias("cosine"))
+            .distinct()
             .where(F.col("cosine") >= threshold))

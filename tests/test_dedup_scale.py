@@ -1,0 +1,152 @@
+"""Scale-safety and honesty tests for the dedup / simsearch LSH paths.
+
+Covers the round-2 hardening:
+
+* hot-bucket caps: a degenerate LSH bucket (1k identical docs) must not
+  produce a quadratic candidate explosion — the capped join returns
+  nothing and ``exact`` dedup is the recovery path for that mass;
+* simhash banding honesty: the default (max_hamming=3, 4 chunks) has a
+  pigeonhole *guarantee*, verified as full recall against a brute-force
+  all-pairs twin; asking beyond the guarantee raises unless explicitly
+  best-effort;
+* the vectorized simhash kernel is bit-identical to the per-token
+  scalar definition;
+* hyperplane LSH near-dups match a numpy twin of the same banding.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from scrapely_spark.spark import dedup, simsearch
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def _simhash_scalar(text: str) -> int:
+    """Per-token reference definition of the fingerprint."""
+    votes = np.zeros(64, dtype=np.int64)
+    for t in str(text).lower().split():
+        h = (zlib.crc32(t.encode()) << 32) | zlib.crc32((t + "#").encode())
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes += np.where(bits.astype(bool), 1, -1)
+    fp = np.uint64(0)
+    for i in np.flatnonzero(votes > 0):
+        fp |= np.uint64(1) << np.uint64(i)
+    return int(fp.astype(np.int64))
+
+
+def test_simhash_kernel_matches_scalar_definition(spark):
+    rows = [(i, "the quick brown fox %d jumps over %d lazy dogs"
+             % (i % 7, i % 3)) for i in range(40)]
+    rows += [(100, ""), (101, "   "), (102, "one"),
+             (103, "a b c d e f g h i j k l m n o p q r s t")]
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash(_docs(spark, rows)).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == _simhash_scalar(text), doc_id
+
+
+def test_simhash_default_banding_has_full_recall(spark):
+    # ~1k docs drawn from a small phrase pool => many low-hamming pairs
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    rows = [(i, " ".join(vocab[j] for j in rng.randint(0, 10, size=12)))
+            for i in range(1000)]
+    fps = {r.doc_id: np.uint64(r.simhash & 0xFFFFFFFFFFFFFFFF)
+           for r in dedup.simhash(_docs(spark, rows)).collect()}
+    ids = sorted(fps)
+    arr = np.array([fps[i] for i in ids], dtype=np.uint64)
+    xor = arr[:, None] ^ arr[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for b in range(64):
+        ham += ((xor >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    ii, jj = np.where(np.triu(ham <= 3, k=1))
+    expected = {(ids[a], ids[b]) for a, b in zip(ii, jj)}
+    # cap high enough that no bucket is dropped: recall must be total
+    got = {(r.doc_a, r.doc_b) for r in dedup.simhash_near_pairs(
+        _docs(spark, rows), max_bucket=10_000).collect()}
+    assert got == expected and expected
+
+
+def test_simhash_banding_guard():
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(None, max_hamming=4, n_chunks=4)
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(None, max_hamming=8, n_chunks=8)
+
+
+# --------------------------------------------------------- hot-bucket cap
+
+
+def test_hot_bucket_capped_no_quadratic_blowup(spark):
+    # 1000 identical docs: every band bucket has size 1000 >> MAX_BUCKET,
+    # so the candidate join must see nothing (not 499500 pairs) ...
+    text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    hot = _docs(spark, [(i, text) for i in range(1000)])
+    assert dedup.minhash_candidates(hot).count() == 0
+    assert dedup.simhash_near_pairs(hot).count() == 0
+    # ... while exact dedup still collapses the whole group
+    [grp] = dedup.exact(hot).collect()
+    assert grp.n_dups == 1000 and grp.keeper_doc_id == 0
+
+
+def test_cap_keeps_small_buckets(spark):
+    rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"),
+            (3, "zz yy xx ww vv")]
+    got = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_candidates(_docs(spark, rows)).collect()}
+    assert got == {(1, 2)}
+
+
+# -------------------------------------------------------- hyperplane LSH
+
+
+def test_hyperplane_near_dups_matches_numpy_twin(spark):
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 16))
+    # add near-duplicates of the first 10 rows
+    dups = base[:10] + 0.05 * rng.standard_normal((10, 16))
+    vecs = np.vstack([base, dups])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = simsearch.hyperplanes(16, 16)
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in simsearch.hyperplane_near_dups(
+               df, 0.9, planes=planes).collect()}
+
+    # numpy twin of the same banding + threshold — float32 first, like
+    # the parquet column the operator reads
+    v = vecs.astype(np.float32).astype(np.float64)
+    p = np.array(planes)
+    bits = (v @ p.T >= 0).astype(int)  # (n, 16)
+    keys = ["".join(map(str, row)) for row in bits]
+    expected = {}
+    n = len(v)
+    norms = np.sqrt((v * v).sum(axis=1))
+    for a in range(n):
+        for b in range(a + 1, n):
+            share = any(keys[a][4 * k:4 * k + 4] == keys[b][4 * k:4 * k + 4]
+                        for k in range(4))
+            if not share:
+                continue
+            cos = round(float(v[a] @ v[b] / (norms[a] * norms[b])), 6)
+            if cos >= 0.9:
+                expected[(a, b)] = cos
+    assert set(got) == set(expected) and expected
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+def test_hyperplane_planes_deterministic():
+    assert simsearch.hyperplanes(8, 4) == simsearch.hyperplanes(8, 4)
+    assert simsearch.hyperplanes(8, 4) != simsearch.hyperplanes(8, 4, seed=8)

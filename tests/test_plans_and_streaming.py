@@ -101,12 +101,13 @@ def test_streaming_hourly_agrees_with_batch(spark, tmp_path):
                                     str(tmp_path / "ckpt"))
     q.awaitTermination(120)
 
-    got = {(r.hour, r.event_type): (r.n, str(r.total_value))
+    # the batch twin renders hour as 'yyyy-MM-dd HH:mm:ss' and the sum
+    # as round(double, 6) for engine-stable driver hashing — normalize
+    # the stream side to the same representations
+    got = {(r.hour.replace(tzinfo=None).strftime("%Y-%m-%d %H:%M:%S"),
+            r.event_type): (r.n, "%.6f" % float(r.total_value))
            for r in spark.sql("select * from hourly_stream").collect()}
-    batch = {(r.hour.replace(tzinfo=None) if r.hour.tzinfo else r.hour,
-              r.event_type): (r.n, str(r.total_value))
+    batch = {(r.hour, r.event_type): (r.n, "%.6f" % float(r.total_value))
              for r in contract.queries()["events_hourly"](
                  spark, SF_DIR).collect()}
-    # align tz-naive representations before comparing
-    got = {(k[0].replace(tzinfo=None), k[1]): v for k, v in got.items()}
     assert got == batch
