@@ -154,6 +154,18 @@ class Scraper:
         self._templates.append(template)
         self._ex = None
 
+    def train(self, url: str, data: dict, encoding=None):
+        """Fetch ``url`` and train on it (reference:
+        scrapely/__init__.py:46-48).  ``file://`` URLs work offline."""
+        from scrapely_spark.html.page import url_to_page
+        self.train_from_htmlpage(url_to_page(url, encoding), data)
+
+    def scrape(self, url: str, encoding=None):
+        """Fetch ``url`` and scrape it (reference:
+        scrapely/__init__.py:50-52)."""
+        from scrapely_spark.html.page import url_to_page
+        return self.scrape_page(url_to_page(url, encoding))
+
     def train_from_htmlpage(self, htmlpage: HtmlPage, data: dict):
         if not data:
             raise ValueError("Cannot train with empty data")

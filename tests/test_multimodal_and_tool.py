@@ -89,3 +89,67 @@ def test_cli_template_store(tmp_path):
     assert "deleted" in out.stdout
     with open(store) as fh:
         assert json.load(fh)["templates"] == []
+
+
+def test_cli_annotate_and_ls_annotations(tmp_path):
+    """Parity with reference IblTool do_annotate / do_ls_annotations
+    (scrapely/tool.py:55-93): `a` without --field tests a criteria,
+    with --field it annotates and saves; `al` lists annotations."""
+    page = tmp_path / "page.html"
+    page.write_text("<html><body><h1>Walnut Desk</h1>"
+                    "<p>solid walnut, oiled</p>"
+                    "<span>USD 129</span></body></html>")
+    store = str(tmp_path / "store.json")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "scrapely_spark.tool", store, *args],
+            capture_output=True, text=True, cwd="/root/repo")
+
+    out = run("ta", str(page), "name=Walnut Desk")
+    assert out.returncode == 0, out.stderr
+
+    # test mode: shows what would be annotated, does not modify store
+    out = run("a", "0", "USD 129")
+    assert out.returncode == 0, out.stderr
+    assert "USD 129" in out.stdout and out.stdout.startswith("[0]")
+    before = open(store).read()
+
+    out = run("al", "0")
+    assert out.returncode == 0, out.stderr
+    assert "(name)" in out.stdout and "Walnut Desk" in out.stdout
+    assert "price" not in out.stdout
+    assert open(store).read() == before  # read-only commands
+
+    # annotate mode: adds the annotation and persists it
+    out = run("a", "0", "USD 129", "--field", "price")
+    assert out.returncode == 0, out.stderr
+    assert "[new] (price)" in out.stdout
+
+    out = run("al", "0")
+    assert "(price)" in out.stdout and "(name)" in out.stdout
+    # the template now extracts both fields from a sibling page
+    page2 = tmp_path / "page2.html"
+    page2.write_text("<html><body><h1>Oak Table</h1>"
+                     "<p>solid oak, waxed</p>"
+                     "<span>USD 240</span></body></html>")
+    out = run("s", str(page2))
+    assert "Oak Table" in out.stdout and "USD 240" in out.stdout
+
+
+def test_scraper_train_and_scrape_url(tmp_path):
+    """Reference Scraper.train/scrape URL conveniences
+    (scrapely/__init__.py:46-52) through the file:// path."""
+    from scrapely_spark.scraper import Scraper
+    page = tmp_path / "train.html"
+    page.write_text("<html><body><h1>Nice Chair</h1>"
+                    "<p>beech, natural</p></body></html>")
+    other = tmp_path / "other.html"
+    other.write_text("<html><body><h1>Red Sofa</h1>"
+                     "<p>velvet, crimson</p></body></html>")
+    s = Scraper()
+    s.train("file://%s" % page, {"name": "Nice Chair",
+                                 "desc": "beech, natural"})
+    [rec] = s.scrape("file://%s" % other)
+    assert rec["name"] == [u"Red Sofa"]
+    assert rec["desc"] == [u"velvet, crimson"]
