@@ -28,10 +28,11 @@ a killed job resumes from the last committed round (test_crawl_resume).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from scrapely_spark.frontier import bloom as bloomlib
 from scrapely_spark.frontier.bloom import BloomSpec
@@ -133,13 +134,19 @@ def seed_round(spark, store: StateStore, seed_urls: list, robots: DataFrame,
     seen = canon.select("canonical_url", "url_key")
     delta = bloomlib.build_delta(seen, spec)
 
+    canon.count()  # materialize once; the three writes below share it
     staged = {}
-    for df, table in ((frontier, FRONTIER), (delta, BLOOM)):
-        _, staged[table] = store.stage(df, table)
-    # seen is append-only (per-round deltas): at 10^10 keys a full
-    # rewrite per round is O(n^2) cumulative I/O; deltas are the
-    # Iceberg-MERGE-shaped alternative
-    _, staged[SEEN] = store.stage_round(seen, SEEN, 0)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = {
+            FRONTIER: pool.submit(store.stage, frontier, FRONTIER),
+            BLOOM: pool.submit(store.stage, delta, BLOOM),
+            # seen is append-only (per-round deltas): at 10^10 keys a
+            # full rewrite per round is O(n^2) cumulative I/O; deltas
+            # are the Iceberg-MERGE-shaped alternative
+            SEEN: pool.submit(store.stage_round, seen, SEEN, 0),
+        }
+        for table, fut in futures.items():
+            _, staged[table] = fut.result()
     store.commit_round(0, staged, {"seeded": len(seed_urls)})
     canon.unpersist()
 
@@ -171,9 +178,22 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
             F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))))
     batch = select_fetch_batch(with_delay, round_seconds=round_seconds) \
         .drop("crawl_delay").cache()
-    fetched = batch.count()
+
+    # Wave 1: stage the fetch log — its write job materializes the
+    # politeness batch AND carries the fetched count (no separate
+    # count() job).  A drained round leaves the staged file as an
+    # uncommitted orphan (overwritten if the crawl ever resumes here).
+    fetch_log = batch.select(
+        F.lit(round_id).alias("round_id"), "priority", "canonical_url")
+    obs_fetched = Observation()
+    staged = {}
+    _, staged[FETCH_LOG] = store.stage_round(
+        fetch_log.observe(obs_fetched, F.count(F.lit(1)).alias("n")),
+        FETCH_LOG, round_id)
+    fetched = int(obs_fetched.get["n"])
     if fetched == 0:
         store.commit_round(round_id, {}, {"fetched": 0, "drained": True})
+        batch.unpersist()
         return {"fetched": 0}
 
     # replay fetch: broadcast the (small) batch against the pages store
@@ -218,30 +238,46 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     next_bloom = bloomlib.merge_blocks(
         bloom_state, bloomlib.build_delta(new_urls, spec), spec)
 
-    fetch_log = batch.select(
-        F.lit(round_id).alias("round_id"), "priority", "canonical_url")
     extracted = ext.select(
         F.lit(round_id).alias("round_id"), "canonical_url", "priority",
         "title", "image_url", "caption", "price")
 
-    lineage = [
-        {"partition_id": int(r["partition_id"]), "output_rows": int(r["n"])}
-        for r in ext.groupBy("partition_id").agg(
-            F.count("*").alias("n")).collect()]
+    # Wave 2: stage the seen delta.  This single write job drives the
+    # whole fetch→extract→discover→dedup pipeline, populating the ext
+    # and new_urls caches for wave 3, and its Observation yields the
+    # new-URL count for free — no separate count() job.
+    obs_new = Observation()
+    _, staged[SEEN] = store.stage_round(
+        seen_delta.observe(obs_new, F.count(F.lit(1)).alias("n")),
+        SEEN, round_id)
+
+    # Wave 3: everything left reads only cached inputs — the remaining
+    # three state writes and the per-partition lineage aggregation run
+    # concurrently so their fixed per-job costs overlap instead of
+    # summing (~the round's whole fixed budget at sandbox round sizes).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = {
+            table: pool.submit(store.stage, df, table)
+            for df, table in ((next_frontier, FRONTIER),
+                              (next_bloom, BLOOM))}
+        futures[EXTRACTED] = pool.submit(
+            store.stage_round, extracted, EXTRACTED, round_id)
+        lineage_fut = pool.submit(
+            lambda: ext.groupBy("partition_id").agg(
+                F.count("*").alias("n")).collect())
+        for table, fut in futures.items():
+            _, staged[table] = fut.result()
+        lineage = [
+            {"partition_id": int(r["partition_id"]),
+             "output_rows": int(r["n"])} for r in lineage_fut.result()]
+
     metrics = {
         "fetched": fetched,
         # hits derived from the lineage aggregation — one fewer job/round
         "hits": sum(entry["output_rows"] for entry in lineage),
-        "new_urls": new_urls.count(),
+        "new_urls": int(obs_new.get["n"]),
         "partition_lineage": lineage,
     }
-
-    staged = {}
-    for df, table in ((next_frontier, FRONTIER), (next_bloom, BLOOM)):
-        _, staged[table] = store.stage(df, table)
-    for df, table in ((seen_delta, SEEN), (fetch_log, FETCH_LOG),
-                      (extracted, EXTRACTED)):
-        _, staged[table] = store.stage_round(df, table, round_id)
     store.commit_round(round_id, staged, metrics)
 
     batch.unpersist()
