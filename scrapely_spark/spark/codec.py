@@ -78,6 +78,67 @@ def decode_image(data: bytes) -> tuple[np.ndarray, int, int, str]:
     return pixels, w, h, fmt
 
 
+MAGIC_VIDEO = b"SGVD"
+
+
+def frames_for(video_id: str, w: int, h: int, n_frames: int) -> list:
+    """Deterministic ground-truth frames for a synthetic video id."""
+    return [pixels_for("%s#f%d" % (video_id, i), w, h)
+            for i in range(n_frames)]
+
+
+def encode_video(frames: list, fmt: str) -> bytes:
+    """Encode frames into the MJPEG-shaped deterministic container.
+
+    Every frame is an independently decodable :func:`encode_image`
+    payload behind a length index — the defining MJPEG property — so a
+    sampler can seek to frame k without decoding the k-1 before it.
+    """
+    if not frames:
+        raise ValueError("cannot encode an empty video")
+    h, w, _ = frames[0].shape
+    parts = [MAGIC_VIDEO, fmt[:1].encode(),
+             w.to_bytes(4, "big"), h.to_bytes(4, "big"),
+             len(frames).to_bytes(4, "big")]
+    for frame in frames:
+        blob = encode_image(frame, fmt)
+        parts.append(len(blob).to_bytes(4, "big"))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def video_meta(data: bytes) -> tuple:
+    """Container bytes → (w, h, n_frames, fmt) without decoding frames."""
+    if not data.startswith(MAGIC_VIDEO):
+        raise NotImplementedError(
+            "unknown video container; real decode needs ffmpeg/pyav which "
+            "is not available in this environment")
+    fmt = "jpeg" if data[4:5] == b"j" else "png"
+    w = int.from_bytes(data[5:9], "big")
+    h = int.from_bytes(data[9:13], "big")
+    n = int.from_bytes(data[13:17], "big")
+    return w, h, n, fmt
+
+
+def iter_video_frames(data: bytes, indices) -> list:
+    """Seek out the frames at ``indices``; returns (index, image_bytes).
+
+    Only the length index is scanned; non-sampled frames are never
+    decompressed (the point of frame-level sampling at pipeline scale).
+    """
+    w, h, n, fmt = video_meta(data)
+    wanted = {i for i in indices if 0 <= i < n}
+    out = []
+    pos = 17
+    for i in range(n):
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4
+        if i in wanted:
+            out.append((i, data[pos:pos + size]))
+        pos += size
+    return out
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB (inf for identical images)."""
     diff = a.astype(np.float64) - b.astype(np.float64)
