@@ -72,7 +72,8 @@ def run_queries(spark) -> dict:
 
 
 def run_crawl(spark, n_pages: int, max_rounds: int,
-              n_hosts: int = CRAWL_HOSTS) -> dict:
+              n_hosts: int = CRAWL_HOSTS, n_seeds: int = 4096,
+              round_seconds: float = None) -> dict:
     """Fixed crawl workload; returns throughput (URLs scheduled+extracted
     per second of crawl wall time)."""
     from scrapely_spark.frontier import rounds
@@ -88,12 +89,12 @@ def run_crawl(spark, n_pages: int, max_rounds: int,
         pages.count()  # materialize the replay store outside the timing
         robots = datagen.robots_df(spark, n_hosts)
         plan = plan_from_templates([datagen.template_body()])
-        seeds = datagen.seeds(n_pages, n_seeds=4096, n_hosts=n_hosts)
+        seeds = datagen.seeds(n_pages, n_seeds=n_seeds, n_hosts=n_hosts)
         t0 = time.time()
         rounds.crawl(spark, store, pages, robots, plan, seeds,
                      max_rounds=max_rounds,
                      spec=BloomSpec(n_blocks=4096, block_bytes=1024),
-                     round_seconds=CRAWL_ROUND_SECONDS)
+                     round_seconds=round_seconds or CRAWL_ROUND_SECONDS)
         wall = time.time() - t0
         metrics = store.round_metrics()
         fetched = sum(m.get("fetched", 0) for m in metrics)
@@ -161,32 +162,58 @@ def main():
 
 SCALE_SMALL = os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4")
 SCALE_LARGE = os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16")
+# 10× corpus for the compute-dominant crawl point: a large seed list
+# (the north metric's own "seed-list replay" regime) makes rounds few
+# and huge, so per-round extraction compute dwarfs the ~4s fixed round
+# cost at BOTH parallelism levels — the regime a real 10^10 frontier
+# lives in, where round batches are millions of URLs
+SCALE_CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_CRAWL_PAGES",
+                                       "600000"))
+SCALE_CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALE_CRAWL_HOSTS",
+                                       "8000"))
 
 
-def run_scaling() -> dict:
+def run_scaling(include_large: bool = True) -> dict:
     """Same job at N vs 4N cores: the N→4N executor scaling evidence.
 
     Defaults to local[4] vs local[16]: on a 32-core box each pyspark
     "core" runs a JVM task thread *plus* a Python worker process, so
     local[32] would oversubscribe the machine 2× and measure contention
     instead of scaling (real N vs 4N executors each own their cores).
+
+    Two crawl points per level: the sandbox corpus (fixed-cost-visible)
+    and the 10× seed-list-replay corpus (compute-dominant — the
+    design-point regime).
     """
     out = {}
     for cpus in (SCALE_SMALL, SCALE_LARGE):
         spark = _session(cpus, "scrapely-spark-scaling-%s" % cpus)
         crawl = run_crawl(spark, CRAWL_PAGES, CRAWL_ROUNDS)
-        extract = run_extract(spark, EXTRACT_PAGES)
-        spark.stop()
-        out["local[%s]" % cpus] = {
+        entry = {
             "crawl_urls_per_sec": crawl["urls_per_sec"],
-            "extract_pages_per_sec": extract["pages_per_sec"],
         }
+        if include_large:
+            big = run_crawl(
+                spark, SCALE_CRAWL_PAGES, max_rounds=8,
+                n_hosts=SCALE_CRAWL_HOSTS,
+                n_seeds=SCALE_CRAWL_PAGES // 3,
+                round_seconds=900.0)
+            entry["large_crawl_urls_per_sec"] = big["urls_per_sec"]
+            entry["large_crawl"] = big
+        extract = run_extract(spark, EXTRACT_PAGES)
+        entry["extract_pages_per_sec"] = extract["pages_per_sec"]
+        out["local[%s]" % cpus] = entry
+        spark.stop()
     small = out["local[%s]" % SCALE_SMALL]
     large = out["local[%s]" % SCALE_LARGE]
     factor = int(SCALE_LARGE) / int(SCALE_SMALL)
     out["crawl_scaling_efficiency"] = round(
         (large["crawl_urls_per_sec"] / small["crawl_urls_per_sec"])
         / factor, 3)
+    if include_large:
+        out["large_crawl_scaling_efficiency"] = round(
+            (large["large_crawl_urls_per_sec"]
+             / small["large_crawl_urls_per_sec"]) / factor, 3)
     out["extract_scaling_efficiency"] = round(
         (large["extract_pages_per_sec"] / small["extract_pages_per_sec"])
         / factor, 3)

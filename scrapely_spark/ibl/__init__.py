@@ -50,7 +50,9 @@ def build_tree(template, descriptor) -> TemplateExtractor:
 class ExtractionPlan:
     """Broadcastable, picklable compiled state for the extraction stage."""
 
-    def __init__(self, template_descriptor_pairs, apply_extrarequired=True):
+    def __init__(self, template_descriptor_pairs, apply_extrarequired=True,
+                 trace=False):
+        self.trace = trace
         vocab = Vocab()
         compiled = []
         for template_page, descriptor in template_descriptor_pairs:
@@ -74,16 +76,28 @@ class ExtractionPlan:
             t.id: (d.validated if d else _keep_not_none) for t, d in compiled}
 
     def extract_page(self, page: HtmlPage, pref_template_id=None):
-        """Try trees in precedence order; first validated non-empty wins."""
+        """Try trees in precedence order; first validated non-empty wins.
+
+        With ``trace=True`` every returned record carries a ``trace``
+        key listing per-slot execution events (role parity with the
+        reference's TraceExtractor debug strings; not a byte-parity
+        surface).
+        """
         tokenized = tokenize_page(page, self.vocab)
         trees = self.trees
         if pref_template_id is not None:
             trees = sorted(trees,
                            key=lambda t: t.template.id != pref_template_id)
         for tree in trees:
-            records = tree.extract(tokenized)
+            events = [] if self.trace else None
+            kw = {"trace": events} if self.trace else {}
+            records = tree.extract(tokenized, **kw)
             valid = self.validators[tree.template.id](records)
             if len(valid) > 0:
+                if events is not None:
+                    for record in valid:
+                        if isinstance(record, dict):
+                            record["trace"] = list(events)
                 return valid, tree.template
         return None, None
 
@@ -92,7 +106,8 @@ class InstanceBasedLearningExtractor:
     """Drop-in equivalent of the reference extractor class."""
 
     def __init__(self, td_pairs, trace=False, apply_extrarequired=True):
-        self.plan = ExtractionPlan(list(td_pairs), apply_extrarequired)
+        self.plan = ExtractionPlan(list(td_pairs), apply_extrarequired,
+                                   trace=trace)
         self.extraction_trees = self.plan.trees
 
     def extract(self, html_page: HtmlPage, pref_template_id=None):

@@ -313,6 +313,23 @@ class RepeatExtractor:
         return "Repeat(%r)" % self.extractor
 
 
+def _trace_event(page, extractor, start, end, pairs) -> str:
+    """One execution-trace entry (role parity: the reference's
+    TraceExtractor.summarize_trace, regionextract.py:490-529 — a debug
+    aid, not a byte-parity surface)."""
+    body = page.page.body
+    frags = page.page.parsed_body
+    text_start = frags[page.tok2frag[int(start)]].start
+    text_end = frags[page.tok2frag[int(end if end is not None else -1)]].end
+    snippet = "(...%s)%s(%s...)" % (
+        body[max(text_start - 50, 0):text_start].replace("\n", " "),
+        body[text_start:text_end],
+        body[text_end:text_end + 50].replace("\n", " "))
+    return ("%s page[%s:%s]\n\nhtml\n%s\n\nextracted\n%r" % (
+        type(extractor).__name__, start, end, snippet,
+        [(k, v) for k, v in pairs if k != "trace"]))
+
+
 class RecordExtractor:
     """Recursive ordered similar-region search with backtracking."""
 
@@ -397,6 +414,9 @@ class RecordExtractor:
                                         **kw)
                 if pairs and current.slot.variant:
                     pairs = [(current.slot.variant, pairs)]
+                if kw.get("trace") is not None:
+                    kw["trace"].append(_trace_event(
+                        page, current, found_start, found_end, pairs))
 
             if nested_regions:
                 _, _, inner = self._walk(page, nested_regions, found_start,
@@ -468,10 +488,11 @@ class TemplateExtractor:
         self.template = template
         self.extractors = extractors
 
-    def extract(self, page, start=0, end=None):
+    def extract(self, page, start=0, end=None, **kw):
         items = []
         for ex in self.extractors:
-            items.extend(ex.extract(page, start, end, self.template.ignored))
+            items.extend(ex.extract(page, start, end, self.template.ignored,
+                                    **kw))
         merged = {}
         for d in items:
             merged.update(d)

@@ -97,3 +97,28 @@ def test_templatemaker_trained_template_extracts():
     out = sc.scrape_page(HtmlPage(
         body=PAGE.replace("Some title", "Another title")))
     assert out == [{"title": ["Another title"]}]
+
+
+def test_trace_mode_attaches_execution_trace():
+    """IBL extractor trace=True (reference extraction/__init__.py:39,55-57
+    + TraceExtractor): records gain a 'trace' list of execution events;
+    default stays trace-free byte-identical."""
+    from scrapely_spark.ibl import InstanceBasedLearningExtractor
+
+    tm = TemplateMaker(HtmlPage(body=PAGE))
+    tm.annotate("title", best_match("Some title"))
+    template = tm.get_template()
+    page = HtmlPage(body=PAGE.replace("Some title", "Another title"))
+
+    plain = InstanceBasedLearningExtractor([(template, None)])
+    records, _ = plain.extract(page)
+    assert records == [{"title": ["Another title"]}]  # no trace key
+
+    traced = InstanceBasedLearningExtractor([(template, None)], trace=True)
+    records, _ = traced.extract(page)
+    [record] = records
+    assert record["title"] == ["Another title"]
+    assert isinstance(record["trace"], list) and record["trace"]
+    joined = "\n".join(record["trace"])
+    assert "SlotExtractor" in joined
+    assert "Another title" in joined  # page snippet + extracted pairs
