@@ -88,9 +88,12 @@ class ExtractionPlan:
         if pref_template_id is not None:
             trees = sorted(trees,
                            key=lambda t: t.template.id != pref_template_id)
+        # getattr: a broadcast plan may have been pickled by an older
+        # driver than the worker code unpickling it (rolling upgrade)
+        want_trace = getattr(self, "trace", False)
         for tree in trees:
-            events = [] if self.trace else None
-            kw = {"trace": events} if self.trace else {}
+            events = [] if want_trace else None
+            kw = {"trace": events} if want_trace else {}
             records = tree.extract(tokenized, **kw)
             valid = self.validators[tree.template.id](records)
             if len(valid) > 0:
