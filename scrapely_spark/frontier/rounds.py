@@ -196,10 +196,13 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         batch.unpersist()
         return {"fetched": 0}
 
-    # replay fetch: broadcast the (small) batch against the pages store
+    # replay fetch: probe the pages store with the batch.  No broadcast
+    # hint: a politeness batch is usually small (AQE broadcasts it
+    # anyway) but a seed-list-replay round can carry 10^5..10^8 URLs,
+    # where a forced broadcast serializes on the driver — let AQE pick.
     hits = (pages.select("page_url", "body")
-            .join(F.broadcast(batch),
-                  F.col("page_url") == F.col("canonical_url"), "inner")
+            .join(batch, F.col("page_url") == F.col("canonical_url"),
+                  "inner")
             .select("canonical_url", "priority", "body"))
 
     ext = hits.mapInPandas(_extract_kernel(plan_bc), _EXTRACT_SCHEMA).cache()
