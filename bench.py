@@ -73,9 +73,13 @@ def run_queries(spark) -> dict:
 
 def run_crawl(spark, n_pages: int, max_rounds: int,
               n_hosts: int = CRAWL_HOSTS, n_seeds: int = 4096,
-              round_seconds: float = None) -> dict:
+              round_seconds: float = None, pages_path: str = None) -> dict:
     """Fixed crawl workload; returns throughput (URLs scheduled+extracted
-    per second of crawl wall time)."""
+    per second of crawl wall time).
+
+    ``pages_path``: reuse a pre-materialized corpus (scaling runs share
+    one corpus across parallelism levels instead of regenerating it).
+    """
     from scrapely_spark.frontier import rounds
     from scrapely_spark.frontier.bloom import BloomSpec
     from scrapely_spark.frontier.state import StateStore
@@ -85,11 +89,22 @@ def run_crawl(spark, n_pages: int, max_rounds: int,
     root = tempfile.mkdtemp(prefix="benchcrawl-")
     try:
         store = StateStore(root)
-        pages = datagen.pages_df(spark, n_pages, n_hosts).cache()
-        pages.count()  # materialize the replay store outside the timing
+        # materialize the synthetic corpus to parquet outside the timing
+        # (the timed crawl then reads it like any real page store)
+        if pages_path is None:
+            pages_path = os.path.join(root, "_pages")
+        if not os.path.exists(pages_path):
+            datagen.pages_df(spark, n_pages, n_hosts) \
+                .write.parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
         robots = datagen.robots_df(spark, n_hosts)
         plan = plan_from_templates([datagen.template_body()])
-        seeds = datagen.seeds(n_pages, n_seeds=n_seeds, n_hosts=n_hosts)
+        # seed lists beyond driver size flow in as a DataFrame (a table,
+        # as a 10^10-frontier seed list would)
+        seeds = (datagen.seeds_df(spark, n_pages, n_seeds, n_hosts)
+                 if n_seeds > 100000
+                 else datagen.seeds(n_pages, n_seeds=n_seeds,
+                                    n_hosts=n_hosts))
         t0 = time.time()
         rounds.crawl(spark, store, pages, robots, plan, seeds,
                      max_rounds=max_rounds,
@@ -99,7 +114,6 @@ def run_crawl(spark, n_pages: int, max_rounds: int,
         metrics = store.round_metrics()
         fetched = sum(m.get("fetched", 0) for m in metrics)
         extracted = sum(m.get("hits", 0) for m in metrics)
-        pages.unpersist()
         return {
             "wall_sec": round(wall, 3),
             "rounds": len(metrics) - 1,
@@ -185,25 +199,43 @@ def run_scaling(include_large: bool = True) -> dict:
     and the 10× seed-list-replay corpus (compute-dominant — the
     design-point regime).
     """
+    from scrapely_spark.spark import datagen
+
     out = {}
-    for cpus in (SCALE_SMALL, SCALE_LARGE):
-        spark = _session(cpus, "scrapely-spark-scaling-%s" % cpus)
-        crawl = run_crawl(spark, CRAWL_PAGES, CRAWL_ROUNDS)
-        entry = {
-            "crawl_urls_per_sec": crawl["urls_per_sec"],
-        }
-        if include_large:
-            big = run_crawl(
-                spark, SCALE_CRAWL_PAGES, max_rounds=8,
-                n_hosts=SCALE_CRAWL_HOSTS,
-                n_seeds=SCALE_CRAWL_PAGES // 3,
-                round_seconds=900.0)
-            entry["large_crawl_urls_per_sec"] = big["urls_per_sec"]
-            entry["large_crawl"] = big
-        extract = run_extract(spark, EXTRACT_PAGES)
-        entry["extract_pages_per_sec"] = extract["pages_per_sec"]
-        out["local[%s]" % cpus] = entry
-        spark.stop()
+    # generate the corpora once; both parallelism levels crawl the same
+    # on-disk page store (identical input, as N vs 4N executors would)
+    shared = tempfile.mkdtemp(prefix="benchscaling-")
+    boot = _session(SCALE_LARGE, "scrapely-spark-scaling-datagen")
+    small_corpus = os.path.join(shared, "pages_small")
+    datagen.pages_df(boot, CRAWL_PAGES, CRAWL_HOSTS) \
+        .write.parquet(small_corpus)
+    large_corpus = os.path.join(shared, "pages_large")
+    if include_large:
+        datagen.pages_df(boot, SCALE_CRAWL_PAGES, SCALE_CRAWL_HOSTS) \
+            .write.parquet(large_corpus)
+    boot.stop()
+    try:
+        for cpus in (SCALE_SMALL, SCALE_LARGE):
+            spark = _session(cpus, "scrapely-spark-scaling-%s" % cpus)
+            crawl = run_crawl(spark, CRAWL_PAGES, CRAWL_ROUNDS,
+                              pages_path=small_corpus)
+            entry = {
+                "crawl_urls_per_sec": crawl["urls_per_sec"],
+            }
+            if include_large:
+                big = run_crawl(
+                    spark, SCALE_CRAWL_PAGES, max_rounds=8,
+                    n_hosts=SCALE_CRAWL_HOSTS,
+                    n_seeds=SCALE_CRAWL_PAGES // 3,
+                    round_seconds=900.0, pages_path=large_corpus)
+                entry["large_crawl_urls_per_sec"] = big["urls_per_sec"]
+                entry["large_crawl"] = big
+            extract = run_extract(spark, EXTRACT_PAGES)
+            entry["extract_pages_per_sec"] = extract["pages_per_sec"]
+            out["local[%s]" % cpus] = entry
+            spark.stop()
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
     small = out["local[%s]" % SCALE_SMALL]
     large = out["local[%s]" % SCALE_LARGE]
     factor = int(SCALE_LARGE) / int(SCALE_SMALL)

@@ -2,23 +2,33 @@
 
 One round = one batch-synchronous Spark job over the state store:
 
-    frontier ──broadcast-join robots──► politeness top-k (salted windows)
-       │                                        │ fetch batch
-       │                     broadcast(batch) ⋈ pages store (replay fetch)
-       │                                        │ hits
-       │                    extraction kernel (broadcast plan, Arrow)
-       │                                        │ records + outlinks
-       │        canonicalize ─ min-depth dedup ─ bloom prefilter ─ exact
-       │        anti-join vs seen ─ robots gate ─ new frontier entries
-       └────────anti-join fetched ──────────────► next frontier
+    frontier view (Σ enqueued − Σ fetched)
+       ──broadcast-join robots──► politeness top-k (salted windows)
+                                            │ fetch batch
+                            batch ⋈ pages store (replay fetch, AQE join)
+                                            │ hits
+                           extraction kernel (broadcast plan, Arrow)
+                                            │ records + outlinks
+               canonicalize ─ min-depth dedup ─ bloom prefilter ─ exact
+               anti-join vs seen ─ robots gate ─► enqueued delta rN
 
 Every ordered decision is made on an explicit total key
 ``(priority, canonical_url)`` — never on partition arrival order — which
 is what makes the fetch order and the final URL-seen set byte-identical
 to the single-threaded oracle (oracle.py) under any parallelism.
 
-Scale notes: the fetch batch is bounded by Σ host budgets, so it
-broadcasts; the pages store and the seen set are the big sides and are
+State is **append-only per-round deltas** (the Iceberg MERGE shape): the
+frontier is never rewritten — it is the view ``union(enqueued deltas)
+anti-join union(fetch_log deltas)``, exact because the seen set
+guarantees a URL is enqueued at most once and fetched URLs are a subset
+of enqueued.  The bloom filter is likewise per-round delta bitmaps,
+OR-merged at read time (4096·rounds tiny rows).  At 10^10 URLs a full
+frontier/bloom rewrite per round is O(state) cumulative I/O — deltas
+make each round's writes O(new URLs); a long-running crawl compacts the
+delta chains periodically (an Iceberg ``rewrite_data_files``), which
+changes no reader.
+
+Scale notes: the pages store and the seen set are the big sides and are
 only ever probed with joins that shuffle on their keys; the bloom filter
 short-circuits the seen anti-join for definitively-new URLs; politeness
 selection is salted two-phase top-k (politeness.py) so a mega-host cannot
@@ -28,6 +38,9 @@ a killed job resumes from the last committed round (test_crawl_resume).
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
@@ -43,13 +56,25 @@ from scrapely_spark.frontier.state import StateStore
 from scrapely_spark.html.lexer import Tag, TAG_OPEN
 from scrapely_spark.html.page import HtmlPage
 
-FRONTIER = "frontier"
+ENQUEUED = "enqueued"   # per-round frontier additions (gated, never-seen)
 SEEN = "seen"
 BLOOM = "bloom"
 FETCH_LOG = "fetch_log"
 EXTRACTED = "extracted"
+REPLAY = "replay"
 
 _FRONTIER_COLS = ["canonical_url", "url_key", "host", "priority"]
+
+# opt-in per-wave wall-clock trace (stderr), for locating fixed round cost
+_TRACE = bool(os.environ.get("SPARK_GRAFT_TRACE_ROUNDS"))
+
+
+def _trace(round_id: int, label: str, t0: float) -> float:
+    now = time.time()
+    if _TRACE:
+        print("[round %d] %-18s %6.2fs" % (round_id, label, now - t0),
+              file=sys.stderr, flush=True)
+    return now
 
 _EXTRACT_SCHEMA = ("canonical_url string, priority int, title string, "
                    "image_url string, caption string, price string, "
@@ -117,38 +142,65 @@ def _extract_kernel(plan_bc):
     return kernel
 
 
-def seed_round(spark, store: StateStore, seed_urls: list, robots: DataFrame,
+def seed_round(spark, store: StateStore, seed_urls, robots: DataFrame,
                spec: BloomSpec) -> None:
-    """Round 0: enqueue the seed list (idempotent if already committed)."""
+    """Round 0: enqueue the seed list (idempotent if already committed).
+
+    ``seed_urls`` is a Python list or a DataFrame with a ``url`` column —
+    the DataFrame path keeps a multi-million seed list distributed
+    instead of shipping it through the driver.
+    """
     if store.ledger()["rounds"]:
         return
-    seeds = spark.createDataFrame([(u,) for u in seed_urls], "url string")
+    if isinstance(seed_urls, DataFrame):
+        seeds, n_seeded = seed_urls.select("url"), None
+    else:
+        seeds = spark.createDataFrame([(u,) for u in seed_urls],
+                                      "url string")
+        n_seeded = len(seed_urls)
     canon = (canonicalize_df(seeds)
              .groupBy("canonical_url")
              .agg(F.min("url_key").alias("url_key"),
                   F.min("host").alias("host"))
              .withColumn("priority", F.lit(0)))
     canon = canon.cache()
-    frontier = gate(canon, robots).drop("crawl_delay") \
+    enqueued = gate(canon, robots).drop("crawl_delay") \
         .select(*_FRONTIER_COLS)
     seen = canon.select("canonical_url", "url_key")
     delta = bloomlib.build_delta(seen, spec)
 
-    canon.count()  # materialize once; the three writes below share it
+    n_canon = canon.count()  # materialize once; the writes below share it
+    if n_seeded is None:
+        n_seeded = n_canon  # DataFrame path: distinct canonical seeds
     staged = {}
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = {
-            FRONTIER: pool.submit(store.stage, frontier, FRONTIER),
-            BLOOM: pool.submit(store.stage, delta, BLOOM),
-            # seen is append-only (per-round deltas): at 10^10 keys a
-            # full rewrite per round is O(n^2) cumulative I/O; deltas
-            # are the Iceberg-MERGE-shaped alternative
+            ENQUEUED: pool.submit(store.stage_round, enqueued, ENQUEUED, 0),
+            BLOOM: pool.submit(store.stage_round, delta, BLOOM, 0),
             SEEN: pool.submit(store.stage_round, seen, SEEN, 0),
         }
         for table, fut in futures.items():
             _, staged[table] = fut.result()
-    store.commit_round(0, staged, {"seeded": len(seed_urls)})
+    store.commit_round(0, staged, {"seeded": n_seeded})
     canon.unpersist()
+
+
+def frontier_view(spark, store: StateStore) -> DataFrame:
+    """The current frontier: Σ enqueued deltas − Σ fetched deltas.
+
+    Exact (not approximate): the seen set guarantees every canonical URL
+    is enqueued at most once across all rounds, and only frontier URLs
+    are ever fetched, so the anti-join reconstructs precisely the state
+    a full per-round rewrite would have produced — without the O(state)
+    write each round.
+    """
+    enqueued = store.read_rounds(spark, ENQUEUED)
+    fetched = store.read_rounds(spark, FETCH_LOG)
+    if fetched is None:
+        return enqueued.select(*_FRONTIER_COLS)
+    return (enqueued.join(fetched.select("canonical_url"),
+                          "canonical_url", "left_anti")
+            .select(*_FRONTIER_COLS))
 
 
 def prepare_replay_store(pages: DataFrame) -> DataFrame:
@@ -169,7 +221,8 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
 
     ``pages`` must be keyed by canonical URL (see prepare_replay_store).
     """
-    frontier = store.read(spark, FRONTIER)
+    t = time.time()
+    frontier = frontier_view(spark, store)
 
     # politeness selection (broadcast robots supplies crawl_delay)
     with_delay = (frontier.join(F.broadcast(robots.select(
@@ -191,6 +244,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         fetch_log.observe(obs_fetched, F.count(F.lit(1)).alias("n")),
         FETCH_LOG, round_id)
     fetched = int(obs_fetched.get["n"])
+    t = _trace(round_id, "wave1 fetch_log", t)
     if fetched == 0:
         store.commit_round(round_id, {}, {"fetched": 0, "drained": True})
         batch.unpersist()
@@ -220,7 +274,10 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
 
     # URL-seen: bloom prefilter, exact string anti-join only on maybes
     seen = store.read_rounds(spark, SEEN)  # union of per-round deltas
-    bloom_state = store.read(spark, BLOOM)
+    # bloom = OR-merge of per-round delta bitmaps (n_blocks·rounds tiny
+    # rows); the merged filter then broadcasts into might_contain
+    bloom_state = bloomlib.merge_blocks(
+        None, store.read_rounds(spark, BLOOM), spec)
     flagged = bloomlib.might_contain(candidates, bloom_state, spec).cache()
     certain_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
@@ -232,14 +289,8 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     enqueue = gate(new_urls, robots).drop("crawl_delay") \
         .select(*_FRONTIER_COLS)
 
-    next_frontier = (frontier
-                     .join(batch.select("canonical_url"),
-                           "canonical_url", "left_anti")
-                     .select(*_FRONTIER_COLS)
-                     .unionByName(enqueue))
     seen_delta = new_urls.select("canonical_url", "url_key")
-    next_bloom = bloomlib.merge_blocks(
-        bloom_state, bloomlib.build_delta(new_urls, spec), spec)
+    bloom_delta = bloomlib.build_delta(new_urls, spec)
 
     extracted = ext.select(
         F.lit(round_id).alias("round_id"), "canonical_url", "priority",
@@ -253,16 +304,18 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     _, staged[SEEN] = store.stage_round(
         seen_delta.observe(obs_new, F.count(F.lit(1)).alias("n")),
         SEEN, round_id)
+    t = _trace(round_id, "wave2 seen+extract", t)
 
     # Wave 3: everything left reads only cached inputs — the remaining
-    # three state writes and the per-partition lineage aggregation run
+    # three delta writes and the per-partition lineage aggregation run
     # concurrently so their fixed per-job costs overlap instead of
     # summing (~the round's whole fixed budget at sandbox round sizes).
+    # All three are O(new URLs this round), never O(total state).
     with ThreadPoolExecutor(max_workers=4) as pool:
         futures = {
-            table: pool.submit(store.stage, df, table)
-            for df, table in ((next_frontier, FRONTIER),
-                              (next_bloom, BLOOM))}
+            table: pool.submit(store.stage_round, df, table, round_id)
+            for df, table in ((enqueue, ENQUEUED),
+                              (bloom_delta, BLOOM))}
         futures[EXTRACTED] = pool.submit(
             store.stage_round, extracted, EXTRACTED, round_id)
         lineage_fut = pool.submit(
@@ -273,6 +326,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         lineage = [
             {"partition_id": int(r["partition_id"]),
              "output_rows": int(r["n"])} for r in lineage_fut.result()]
+    t = _trace(round_id, "wave3 state writes", t)
 
     metrics = {
         "fetched": fetched,
@@ -291,7 +345,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
 
 
 def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
-          plan, seed_urls: list, max_rounds: int = 50,
+          plan, seed_urls, max_rounds: int = 50,
           spec: BloomSpec | None = None,
           round_seconds: float = 10.0) -> StateStore:
     """Run (or resume) a crawl to completion or ``max_rounds``.
@@ -303,7 +357,17 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     spec = spec or BloomSpec()
     plan_bc = spark.sparkContext.broadcast(plan)
     robots = robots.cache()
-    replay = prepare_replay_store(pages).cache()
+    # The replay page store is a *table*, not a cache: at 10^10 URLs it
+    # can never live in executor memory (two body-heavy deserialized
+    # caches also thrash a local heap into eviction/recompute), so it is
+    # canonicalized once, written to the state store, and scanned per
+    # round like every other state table.  Idempotent across resumes.
+    if store.exists(REPLAY):
+        replay = store.read(spark, REPLAY)
+    else:
+        _, v = store.stage(prepare_replay_store(pages), REPLAY)
+        store.publish(REPLAY, v)
+        replay = store.read(spark, REPLAY)
     seed_round(spark, store, seed_urls, robots, spec)
     rounds_so_far = store.round_metrics()
     if rounds_so_far and rounds_so_far[-1].get("drained"):

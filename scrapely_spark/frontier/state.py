@@ -75,6 +75,16 @@ class StateStore:
         df.write.mode("overwrite").parquet(path)
         return path, v
 
+    def publish(self, table: str, version: int):
+        """Commit a staged table version outside the round protocol.
+
+        Used for one-time reference tables (e.g. the replay page store)
+        that rounds read but never rewrite.
+        """
+        ledger = self.ledger()
+        ledger["tables"][table] = {"version": version}
+        self._commit_ledger(ledger)
+
     def stage_round(self, df, table: str, round_id: int) -> tuple[str, str]:
         """Write a per-round append partition (committed via the ledger)."""
         tag = "r%d" % round_id

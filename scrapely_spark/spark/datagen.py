@@ -228,3 +228,25 @@ def seeds(n: int, n_seeds: int = 8, n_hosts: int = N_HOSTS_DEFAULT):
             out.append(url_of(i, n, n_hosts))
         i += 3
     return out
+
+
+def seeds_df(spark, n: int, n_seeds: int, n_hosts: int = N_HOSTS_DEFAULT):
+    """Distributed twin of :func:`seeds` — same URLs, generated as a
+    DataFrame so a multi-million seed list never round-trips through the
+    driver (at 10^10-frontier scale the seed list is itself a table).
+    """
+    from pyspark.sql import functions as F
+
+    # i = 3k; i % 13 == 0 ⇔ k % 13 == 0 (gcd(3,13)=1), so 12 of every 13
+    # k survive — over-generate slightly, keep the first n_seeds in order
+    k_max = min((n_seeds * 13) // 12 + 13, (n + 2) // 3)
+    cand = (spark.range(k_max).withColumn("i", F.col("id") * 3)
+            .where((F.col("i") % 13 != 0) & (F.col("i") < n))
+            .orderBy("id").limit(n_seeds))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {"url": [url_of(int(i), n, n_hosts) for i in batch["i"]]})
+
+    return cand.mapInPandas(gen, "url string")

@@ -61,7 +61,7 @@ def test_seen_set_byte_identical(spark, oracle_run, spark_run):
 
 
 def test_frontier_drained(spark, oracle_run, spark_run):
-    assert spark_run.read(spark, rounds.FRONTIER).count() == \
+    assert rounds.frontier_view(spark, spark_run).count() == \
         len(oracle_run.frontier)
 
 
@@ -104,6 +104,34 @@ def test_lineage_and_metrics_recorded(spark_run):
     assert all(m["fetched"] >= m["hits"] for m in fetch_rounds)
 
 
+def test_seeds_df_matches_list(spark):
+    """The distributed seed generator is value- and order-identical to
+    the python list twin the oracle consumes."""
+    for n, k, h in ((N, 8, 50), (60000, 4096, 800)):
+        want = datagen.seeds(n, n_seeds=k, n_hosts=h)
+        got = [r.url for r in datagen.seeds_df(spark, n, k, h).collect()]
+        assert got == want
+
+
+def test_dataframe_seed_path_byte_identical(spark, tmp_path_factory,
+                                            oracle_run):
+    """Seeding from a DataFrame (the 10^10-scale path) produces the same
+    crawl as seeding from the oracle's list."""
+    root = str(tmp_path_factory.mktemp("dfseeds"))
+    store = StateStore(root)
+    pages = datagen.pages_df(spark, N).cache()
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    seeds_df = datagen.seeds_df(spark, N, 8)
+    rounds.crawl(spark, store, pages, robots, plan, seeds_df,
+                 max_rounds=MAX_ROUNDS, spec=BloomSpec(n_blocks=64))
+    log = (store.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    assert [(r.round_id, r.priority, r.canonical_url) for r in log] == \
+        oracle_run.fetch_order()
+    shutil.rmtree(root)
+
+
 def test_resume_after_kill(spark, tmp_path_factory, oracle_run):
     """Kill after round 2; a restarted job must converge identically."""
     root = str(tmp_path_factory.mktemp("resume"))
@@ -117,9 +145,9 @@ def test_resume_after_kill(spark, tmp_path_factory, oracle_run):
     # around, as a crash mid-write would)
     rounds.crawl(spark, store, pages, robots, plan, datagen.seeds(N),
                  max_rounds=2, spec=spec)
-    orphan = store.path_of(rounds.FRONTIER,
-                           store.version_of(rounds.FRONTIER) + 1)
     import os
+    orphan = os.path.join(root, rounds.ENQUEUED,
+                          "r%d" % (store.last_round() + 1))
     os.makedirs(orphan, exist_ok=True)
     with open(os.path.join(orphan, "garbage.parquet"), "w") as fh:
         fh.write("not parquet")
