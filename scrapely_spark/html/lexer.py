@@ -116,8 +116,9 @@ class Tag(Frag):
         )
 
 
-def _tag_from_match(m) -> Tag:
-    groups = m.groups()
+def _tag_from_match(m, groups=None) -> Tag:
+    if groups is None:
+        groups = m.groups()
     closing, name, attr_src = groups[4:7]
     if name is None:  # comment alternative matched
         return None
@@ -175,7 +176,7 @@ def lex(text: str):
             for piece in _lex_script(m):
                 yield piece
         else:
-            yield _tag_from_match(m)
+            yield _tag_from_match(m, g)
         prev_end = m.end()
     if prev_end < len(text):
         yield Frag(prev_end, len(text), True)

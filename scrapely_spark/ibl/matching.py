@@ -120,6 +120,16 @@ def match_candidates(to_search, subsequence, range_start=0, range_end=None):
         return _EMPTY_I64, _EMPTY_I64
     if len(pat) == 1:
         return cand, np.ones(cand.size, dtype=np.int64)
+    if cand.size == 1:
+        # single candidate (the common case after the first-token
+        # prefilter): one straight prefix compare beats the windowed
+        # multi-candidate kernel's fixed numpy-op overhead
+        s = int(cand[0])
+        n = min(len(hay) - s, len(pat))
+        neq = hay[s:s + n] != pat[:n]
+        first = int(neq.argmax())  # 0 when all-equal — disambiguate below
+        length = first if neq[first] else n
+        return cand, np.array([length], dtype=np.int64)
     return cand, _prefix_lengths(hay, pat, cand)
 
 
