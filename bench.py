@@ -187,17 +187,56 @@ SCALE_CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALE_CRAWL_HOSTS",
                                        "8000"))
 
 
+def _pinned_level(cpus: str, kind: str, corpus: str) -> dict:
+    """Run one parallelism level in a subprocess pinned to exactly
+    ``cpus`` physical cores (``taskset``), so the whole process tree —
+    JVM task threads AND Python workers — owns N cores, the way N real
+    executors would.  Unpinned local[N] under-counts the small level:
+    a stage chaining two Python operators runs 2N Python workers, so
+    "local[4]" borrows up to 8 idle cores of a 32-core box.
+    """
+    import subprocess
+
+    code = (
+        "import json, os, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "spark = bench._session(%r, 'scaling-%%s' %% %r)\n"
+        "if %r == 'crawl':\n"
+        "    r = bench.run_crawl(spark, bench.CRAWL_PAGES,\n"
+        "        bench.CRAWL_ROUNDS, pages_path=%r)\n"
+        "elif %r == 'large_crawl':\n"
+        "    r = bench.run_crawl(spark, bench.SCALE_CRAWL_PAGES,\n"
+        "        max_rounds=8, n_hosts=bench.SCALE_CRAWL_HOSTS,\n"
+        "        n_seeds=bench.SCALE_CRAWL_PAGES // 3,\n"
+        "        round_seconds=900.0, pages_path=%r)\n"
+        "else:\n"
+        "    r = bench.run_extract(spark, bench.EXTRACT_PAGES)\n"
+        "spark.stop()\n"
+        "print('RESULT ' + json.dumps(r))\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), cpus, cpus,
+         kind, corpus, kind, corpus)
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", "0-%d" % (int(cpus) - 1)] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError("pinned level failed: %s\n%s"
+                       % (proc.stdout[-2000:], proc.stderr[-2000:]))
+
+
 def run_scaling(include_large: bool = True) -> dict:
     """Same job at N vs 4N cores: the N→4N executor scaling evidence.
 
-    Defaults to local[4] vs local[16]: on a 32-core box each pyspark
-    "core" runs a JVM task thread *plus* a Python worker process, so
-    local[32] would oversubscribe the machine 2× and measure contention
-    instead of scaling (real N vs 4N executors each own their cores).
+    Each level runs in its own subprocess pinned (``taskset``) to
+    exactly N physical cores — the faithful stand-in for N executors
+    that each own their cores.  Defaults to 4 vs 16 of the 32-core box.
 
     Two crawl points per level: the sandbox corpus (fixed-cost-visible)
-    and the 10× seed-list-replay corpus (compute-dominant — the
-    design-point regime).
+    and the large seed-list-replay corpus (compute-dominant — the
+    design-point regime), plus the pure extraction stage.
     """
     from scrapely_spark.spark import datagen
 
@@ -216,24 +255,17 @@ def run_scaling(include_large: bool = True) -> dict:
     boot.stop()
     try:
         for cpus in (SCALE_SMALL, SCALE_LARGE):
-            spark = _session(cpus, "scrapely-spark-scaling-%s" % cpus)
-            crawl = run_crawl(spark, CRAWL_PAGES, CRAWL_ROUNDS,
-                              pages_path=small_corpus)
+            crawl = _pinned_level(cpus, "crawl", small_corpus)
             entry = {
                 "crawl_urls_per_sec": crawl["urls_per_sec"],
             }
             if include_large:
-                big = run_crawl(
-                    spark, SCALE_CRAWL_PAGES, max_rounds=8,
-                    n_hosts=SCALE_CRAWL_HOSTS,
-                    n_seeds=SCALE_CRAWL_PAGES // 3,
-                    round_seconds=900.0, pages_path=large_corpus)
+                big = _pinned_level(cpus, "large_crawl", large_corpus)
                 entry["large_crawl_urls_per_sec"] = big["urls_per_sec"]
                 entry["large_crawl"] = big
-            extract = run_extract(spark, EXTRACT_PAGES)
+            extract = _pinned_level(cpus, "extract", "")
             entry["extract_pages_per_sec"] = extract["pages_per_sec"]
             out["local[%s]" % cpus] = entry
-            spark.stop()
     finally:
         shutil.rmtree(shared, ignore_errors=True)
     small = out["local[%s]" % SCALE_SMALL]

@@ -238,11 +238,22 @@ def seeds_df(spark, n: int, n_seeds: int, n_hosts: int = N_HOSTS_DEFAULT):
     from pyspark.sql import functions as F
 
     # i = 3k; i % 13 == 0 ⇔ k % 13 == 0 (gcd(3,13)=1), so 12 of every 13
-    # k survive — over-generate slightly, keep the first n_seeds in order
-    k_max = min((n_seeds * 13) // 12 + 13, (n + 2) // 3)
+    # k survive.  The k-cutoff for exactly n_seeds survivors is closed
+    # form (binary search on the driver, no data) — a global LIMIT would
+    # funnel millions of rows through a single task instead.
+    def survivors(k):  # |{j in [0,k) : j % 13 != 0}|
+        return k - (k + 12) // 13
+
+    lo, hi = 0, 13 * n_seeds // 12 + 13
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if survivors(mid) >= n_seeds:
+            hi = mid
+        else:
+            lo = mid + 1
+    k_max = min(lo, (n + 2) // 3)
     cand = (spark.range(k_max).withColumn("i", F.col("id") * 3)
-            .where((F.col("i") % 13 != 0) & (F.col("i") < n))
-            .orderBy("id").limit(n_seeds))
+            .where((F.col("i") % 13 != 0) & (F.col("i") < n)))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -69,6 +69,12 @@ def get_spark(app_name: str = "scrapely-spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # scan split size is overridable for experiments; the 128 MB
+        # default measured best end-to-end here (finer splits pay more
+        # per-task overhead than the extra scan parallelism returns —
+        # the CPU-heavy kernels all sit behind a shuffle anyway)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
