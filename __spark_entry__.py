@@ -240,10 +240,16 @@ def _scalar_kernel_query(fn_name: str, input_expr: str,
                          include_raw: bool = True):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         import scrapely_spark.functions as fns
+        from scrapely_spark.functions.vectorized import SERIES_KERNELS
         fn = getattr(fns, fn_name)
+        series_fn = SERIES_KERNELS.get(fn_name)
 
         @F.pandas_udf("string")
         def apply_fn(col: pd.Series) -> pd.Series:
+            # vectorized batch kernel where one exists (differentially
+            # tested against the scalar twin); per-value fallback else
+            if series_fn is not None:
+                return series_fn(col)
             return col.map(lambda s: fn(s) if s is not None else None)
 
         li = _t(spark, sf_dir, "lineitem")

@@ -1,0 +1,104 @@
+"""Vectorized batch twins of the scalar refinement functions.
+
+The per-value reference semantics live in ``functions.scalars`` (bit-exact
+with scrapely's ``extractors.py`` doctests — see the citations there).
+These twins process a whole Arrow batch with Arrow compute kernels
+(RE2 + SIMD string passes in C++) instead of one Python call per value —
+the shape a pandas UDF wants, and measured faster than the per-value map
+at 60k-row batches.
+
+The only per-value remnant is numeric-entity decoding (``&#NNN;`` →
+``chr(NNN)`` needs a computed replacement RE2 cannot express); it runs
+only on rows that literally contain ``&#``, which real columns rarely do.
+
+Equality with the scalar twins is enforced differentially
+(tests/test_vectorized_scalars.py: fixed doctest corpus + hypothesis
+random strings), so the scalar function stays the single source of truth
+for semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from scrapely_spark.functions.scalars import (
+    _decode_numeric_entities)
+
+# RE2 spellings of scalars._DECIMAL_RE / _NUMBER_RE (same languages;
+# the differential fuzz in tests/test_vectorized_scalars.py pins them
+# to the Python-re originals)
+_DECIMAL_RE2 = r"(?P<v>-?\d[\d,.]*)"
+_NUMBER_RE2 = r"(?P<v>-?\d+(?:\.\d+)?)"
+
+
+def _decode_entities(s: pd.Series) -> pd.Series:
+    """Series twin of ``_decode_numeric_entities`` (&#NNN; → chr(NNN))."""
+    has_ent = s.str.contains("&#", regex=False).eq(True)  # NaN → False
+    if not has_ent.any():
+        return s
+    out = s.copy()
+    out[has_ent] = s[has_ent].map(_decode_numeric_entities)
+    return out
+
+
+def _empty(s: pd.Series) -> pd.Series:
+    return pd.Series([], index=s.index, dtype=object)
+
+
+def _last_index_of(arr, sub: str, n):
+    """Vectorized str.rfind: -1 when absent, else last occurrence index."""
+    rev_pos = pc.find_substring(pc.utf8_reverse(arr), sub)
+    return pc.if_else(pc.greater_equal(rev_pos, 0),
+                      pc.subtract(pc.subtract(n, 1), rev_pos),
+                      pa.scalar(-1, pa.int32()))
+
+
+def extract_price_series(s: pd.Series) -> pd.Series:
+    """Vectorized ``extract_price``: last-separator-wins normalization."""
+    if len(s) == 0:
+        return _empty(s)
+    arr = pa.Array.from_pandas(_decode_entities(s))
+    clean = pc.replace_substring(arr, " ", "")
+    v = pc.struct_field(pc.extract_regex(clean, _DECIMAL_RE2), "v")
+
+    n = pc.utf8_length(v)
+    last_dot = _last_index_of(v, ".", n)
+    last_comma = _last_index_of(v, ",", n)
+    first_comma = pc.find_substring(v, ",")
+
+    # mirrors the scalar branch structure exactly: when both separators
+    # appear (at index > 0), the later one is the decimal point; a lone
+    # comma is decimal iff it is the only comma with <= 2 digits after it
+    both = pc.and_(pc.greater(last_dot, 0), pc.greater(last_comma, 0))
+    lone_comma_decimal = pc.and_(
+        pc.and_(pc.greater(last_comma, 0),
+                pc.equal(first_comma, last_comma)),
+        pc.less_equal(pc.subtract(n, last_comma), 3))
+    comma_is_decimal = pc.if_else(
+        both, pc.greater(last_comma, last_dot), lone_comma_decimal)
+
+    comma_as_decimal = pc.replace_substring(
+        pc.replace_substring(v, ".", ""), ",", ".")
+    comma_as_grouping = pc.replace_substring(v, ",", "")
+    out = pc.if_else(comma_is_decimal, comma_as_decimal, comma_as_grouping)
+    return out.to_pandas().astype(object).where(lambda x: x.notna(), None)
+
+
+def extract_number_series(s: pd.Series) -> pd.Series:
+    """Vectorized ``extract_number``: the single number in the text."""
+    if len(s) == 0:
+        return _empty(s)
+    arr = pa.Array.from_pandas(_decode_entities(s))
+    counts = pc.count_substring_regex(arr, _NUMBER_RE2)
+    first = pc.struct_field(pc.extract_regex(arr, _NUMBER_RE2), "v")
+    out = pc.if_else(pc.equal(counts, 1), first, pa.scalar(None, pa.string()))
+    return out.to_pandas().astype(object).where(lambda x: x.notna(), None)
+
+
+# pandas-UDF dispatch: scalar function name → series kernel
+SERIES_KERNELS = {
+    "extract_price": extract_price_series,
+    "extract_number": extract_number_series,
+}

@@ -1,0 +1,82 @@
+"""Differential tests: vectorized series kernels == per-value scalars.
+
+The scalar functions in functions.scalars are the semantic source of
+truth (doctest-pinned against the reference's extractors.py).  The
+series kernels must agree element-for-element on anything a column can
+carry — fixed doctest corpus, adversarial separators, random fuzz.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from scrapely_spark.functions import scalars
+from scrapely_spark.functions.vectorized import (
+    extract_number_series, extract_price_series)
+
+FIXED = [
+    "asdf 234,234.45sdf ",
+    "234,23",
+    "234,230",
+    "1,000,000.00",
+    "1000,00",
+    "500.000,00",
+    "500 000,00",
+    "&#163;129&#46;99",
+    "adsfg",
+    "",
+    "  -45.3",
+    "  +45.3",
+    "  45.3, 7",
+    ",100",
+    ".100",
+    "-1.",
+    "1,",
+    "1.",
+    "0,0,0.1",
+    "12.34.56",
+    "12,34,5",
+    "&#163;129&#46;99 and &#8364;5",
+    "&#65 space-terminated",
+    "price: USD 1 234,56",
+    None,
+]
+
+
+def _compare(series_fn, scalar_fn, values):
+    got = series_fn(pd.Series(values, dtype=object))
+    want = [None if v is None else scalar_fn(v) for v in values]
+    assert list(got) == want, (list(got), want)
+
+
+def test_price_fixed_corpus():
+    _compare(extract_price_series, scalars.extract_price, FIXED)
+
+
+def test_number_fixed_corpus():
+    _compare(extract_number_series, scalars.extract_number, FIXED)
+
+
+# strings biased toward digits/separators/entities — the structure the
+# branchy normalization logic actually discriminates on
+_alphabet = st.sampled_from(list("0123456789.,- ;&#ab$£\n"))
+_txt = st.text(alphabet=_alphabet, max_size=24)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_txt, min_size=1, max_size=16))
+def test_price_differential_fuzz(values):
+    _compare(extract_price_series, scalars.extract_price, values)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_txt, min_size=1, max_size=16))
+def test_number_differential_fuzz(values):
+    _compare(extract_number_series, scalars.extract_number, values)
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_degenerate_batches(n):
+    vals = ["1,23"] * n
+    assert list(extract_price_series(pd.Series(vals, dtype=object))) \
+        == [scalars.extract_price(v) for v in vals]
