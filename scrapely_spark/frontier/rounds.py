@@ -25,7 +25,8 @@ of enqueued.  The bloom filter is likewise per-round delta bitmaps,
 OR-merged at read time (4096·rounds tiny rows).  At 10^10 URLs a full
 frontier/bloom rewrite per round is O(state) cumulative I/O — deltas
 make each round's writes O(new URLs); a long-running crawl compacts the
-delta chains periodically (an Iceberg ``rewrite_data_files``), which
+delta chains periodically (``crawl(..., compact_every=N)`` →
+StateStore.compact_rounds, the Iceberg ``rewrite_data_files``), which
 changes no reader.
 
 Scale notes: the pages store and the seen set are the big sides and are
@@ -347,12 +348,19 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
 def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
           plan, seed_urls, max_rounds: int = 50,
           spec: BloomSpec | None = None,
-          round_seconds: float = 10.0) -> StateStore:
+          round_seconds: float = 10.0,
+          compact_every: int | None = None) -> StateStore:
     """Run (or resume) a crawl to completion or ``max_rounds``.
 
     Resume: everything is derived from the store's ledger — a killed job
     restarted with the same arguments continues from the last committed
     round and produces the identical final state.
+
+    ``compact_every``: fold each state table's delta chain into one base
+    snapshot after every N committed rounds (StateStore.compact_rounds).
+    Row-set-invariant, so fetch order and the seen set are unchanged; it
+    bounds the per-round union chain a months-long crawl would otherwise
+    accumulate.
     """
     spec = spec or BloomSpec()
     plan_bc = spark.sparkContext.broadcast(plan)
@@ -379,4 +387,7 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
                             round_id, spec, round_seconds)
         if metrics.get("fetched", 0) == 0:
             break
+        if compact_every and round_id % compact_every == 0:
+            for table in (ENQUEUED, SEEN, FETCH_LOG, BLOOM, EXTRACTED):
+                store.compact_rounds(spark, table)
     return store

@@ -95,15 +95,50 @@ class StateStore:
         return path, tag
 
     def read_rounds(self, spark, table: str):
-        """Union of all *committed* per-round partitions of a table."""
+        """All committed rows of a per-round table: compacted base (if
+        one exists) plus the deltas of every round after it."""
+        ledger = self.ledger()
+        base = ledger.get("compacted", {}).get(table)
         paths = []
-        for entry in self.ledger()["rounds"]:
+        if base is not None:
+            paths.append(self.path_of(table, base["version"]))
+        for entry in ledger["rounds"]:
+            if base is not None \
+                    and entry["round_id"] <= base["through_round"]:
+                continue
             tag = entry["tables"].get(table)
             if isinstance(tag, str):
                 paths.append(os.path.join(self.root, table, tag))
         if not paths:
             return None
         return spark.read.parquet(*paths)
+
+    def compact_rounds(self, spark, table: str):
+        """Fold the table's delta chain into one base snapshot.
+
+        The Iceberg ``rewrite_data_files`` analogue: ``read_rounds``
+        unions one file group per round, so a months-long crawl pays
+        O(rounds) listing/scan setup every round — compaction rewrites
+        the chain (prior base + all committed deltas) as a single
+        versioned snapshot and records ``through_round`` in the ledger,
+        after which readers see base ∪ later-deltas.  The visible row
+        set is identical, so no reader changes.  Crash-safe like every
+        write here: an interrupted compaction leaves an orphan version
+        directory the ledger never references.  Old delta directories
+        are kept (immutable history — expiring them is the operator's
+        Iceberg ``expire_snapshots`` decision), so a killed job still
+        resumes from any committed round.
+        """
+        df = self.read_rounds(spark, table)
+        if df is None:
+            return None
+        _, v = self.stage(df, table)
+        ledger = self.ledger()
+        ledger["tables"][table] = {"version": v}
+        ledger.setdefault("compacted", {})[table] = {
+            "version": v, "through_round": self.last_round()}
+        self._commit_ledger(ledger)
+        return v
 
     # -- round protocol ------------------------------------------------------
 
