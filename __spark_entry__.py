@@ -351,6 +351,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_near_dups(spark, sf):
         return simsearch.near_dup_pairs(_t(spark, sf, "embeddings"), 0.9)
 
+    def q_phash_near_dups(spark, sf):
+        # the image near-dup operator (banded hamming over an int64
+        # perceptual hash, multimodal.phash_near_dups) applied to a
+        # phash column both engines derive identically in closed form:
+        # doc pairs sharing doc_id//2 mod 509 get the same hash base,
+        # odd rows flip bit 5 → planted hamming-1 twins the banding must
+        # recover.  Pure JVM bit ops, so it carries a full SQL oracle.
+        from scrapely_spark.spark import multimodal
+        b = F.expr("CAST((doc_id - doc_id % 2) / 2 AS BIGINT) % 509")
+        ph = (F.shiftleft(b, 49)
+              .bitwiseXOR(F.shiftleft(b, 33))
+              .bitwiseXOR(F.shiftleft(b, 17))
+              .bitwiseXOR(b)
+              .bitwiseXOR(F.when(F.col("doc_id") % 2 == 1, F.lit(32))
+                          .otherwise(F.lit(0)).cast("long")))
+        imgs = (_t(spark, sf, "documents")
+                .select(F.col("doc_id").alias("image_id"),
+                        ph.cast("long").alias("phash")))
+        out = multimodal.phash_near_dups(imgs, max_hamming=3)
+        return out.select(F.col("id_a").alias("doc_a"),
+                          F.col("id_b").alias("doc_b"), "hamming")
+
     def q_lsh_near_dups(spark, sf):
         # fixed-seed hyperplanes shared with the SQL oracle (see
         # _LSH_NEAR_DUPS_SQL); threshold 0.4 is non-trivial on the
@@ -490,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "embedding_near_dups": q_near_dups,
         "embedding_lsh_near_dups": q_lsh_near_dups,
+        "image_phash_near_dups": q_phash_near_dups,
         "text_token_stats": q_tokens,
         "text_quality": q_quality,
         "text_langid": q_langid,
@@ -761,6 +784,36 @@ def oracle_sql() -> dict[str, str]:
                         6) >= 0.9""",
 
         "embedding_lsh_near_dups": _lsh_near_dups_sql(),
+
+        # mirror of multimodal.phash_near_dups: same closed-form phash,
+        # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
+        # match Spark's bitwise ops on non-negative BIGINT)
+        "image_phash_near_dups": """
+            WITH ph AS (
+              SELECT doc_id,
+                     xor(xor(xor(xor(b << 49, b << 33), b << 17), b),
+                         CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 0 END)
+                       AS phash
+              FROM (SELECT doc_id,
+                           CAST((doc_id - doc_id % 2) / 2 AS BIGINT) % 509
+                             AS b
+                    FROM documents)
+            ), bands AS (
+              SELECT doc_id, phash, chunk_idx,
+                     (phash >> (16 * chunk_idx)) & 65535 AS chunk_val
+              FROM ph, (VALUES (0), (1), (2), (3)) AS c(chunk_idx)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.phash AS pa, b.phash AS pb
+              FROM bands a
+              JOIN bands b ON a.chunk_idx = b.chunk_idx
+                          AND a.chunk_val = b.chunk_val
+                          AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+            FROM pairs
+            WHERE bit_count(xor(pa, pb)) <= 3""",
 
         "text_token_stats": r"""
             WITH d AS (

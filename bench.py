@@ -59,6 +59,23 @@ def _session(cpus: str, app: str):
     return spark
 
 
+def warmup(spark):
+    """Spin up the session's Python workers before timing anything.
+
+    The first pandas-UDF stage of a Spark session pays worker fork +
+    Arrow serializer init once per core (measured 6-7s at local[32]);
+    without a warmup that whole cost lands on whichever query happens to
+    run first and gets misread as that operator's cost.  One tiny
+    pandas-UDF job moves it outside the timed region; every measurement
+    after this is steady-state."""
+    from pyspark.sql import functions as F
+
+    # no type hints: `from __future__ import annotations` turns them into
+    # strings pyspark's hint inference can't resolve here
+    _noop = F.pandas_udf(lambda s: s, "long")
+    spark.range(1024, numPartitions=int(CPUS)).select(_noop("id")).count()
+
+
 def run_queries(spark) -> dict:
     import __spark_entry__ as contract
     qs = contract.queries()
@@ -146,6 +163,7 @@ def main():
     scaling = "--scaling" in sys.argv
 
     spark = _session(CPUS, "scrapely-spark-bench")
+    warmup(spark)
     t_total = time.time()
     timings = run_queries(spark)
     rows = timings.pop("_rows", {})
@@ -202,6 +220,7 @@ def _pinned_level(cpus: str, kind: str, corpus: str) -> dict:
         "sys.path.insert(0, %r)\n"
         "import bench\n"
         "spark = bench._session(%r, 'scaling-%%s' %% %r)\n"
+        "bench.warmup(spark)\n"
         "if %r == 'crawl':\n"
         "    r = bench.run_crawl(spark, bench.CRAWL_PAGES,\n"
         "        bench.CRAWL_ROUNDS, pages_path=%r)\n"

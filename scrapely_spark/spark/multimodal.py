@@ -23,7 +23,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from scrapely_spark.spark import codec
 
@@ -111,6 +111,68 @@ def phash_column(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes").mapInPandas(
         kernel, _PHASH_SCHEMA)
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 3,
+                    n_chunks: int = 4, max_bucket: int = 4096,
+                    id_col: str = "image_id", hash_col: str = "phash"
+                    ) -> DataFrame:
+    """Near-duplicate images by perceptual-hash hamming distance.
+
+    Banding by pigeonhole: split the 64-bit phash into ``n_chunks``
+    equal bit-chunks; two hashes within hamming distance ``n_chunks - 1``
+    must agree on at least one whole chunk, so the candidate set is
+    exactly the pairs sharing any ``(chunk_idx, chunk_value)`` bucket —
+    never an all-pairs product.  Each candidate is then verified with
+    the exact distance ``bit_count(a XOR b)``.
+
+    Entirely JVM-side (shifts, masks, ``bit_count`` — whole-stage
+    codegen, no Python), which is why this operator also carries a SQL
+    oracle in the correctness driver, unlike the token-voting simhash.
+    Hot buckets (a constant-phash column — e.g. one logo mirrored across
+    the crawl) are dropped above ``max_bucket`` before the self-join,
+    the same guard the text-LSH paths use.
+
+    Full recall is guaranteed only when ``max_hamming <= n_chunks - 1``
+    (the pigeonhole bound); a looser threshold raises rather than
+    silently under-recalling.
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            "banding with %d chunks guarantees recall only for "
+            "hamming <= %d; got max_hamming=%d"
+            % (n_chunks, n_chunks - 1, max_hamming))
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftrightunsigned(F.col(hash_col), i * width)
+            .bitwiseAND(F.lit(mask)).alias("chunk_val"))
+        for i in range(n_chunks)])
+    bands = (images.select(F.col(id_col).alias("_id"),
+                           F.col(hash_col).alias("_ph"),
+                           F.explode(chunks).alias("c"))
+             .select("_id", "_ph", "c.chunk_idx", "c.chunk_val"))
+    from scrapely_spark.spark.dedup import _cap_buckets
+    bands = _cap_buckets(bands, ["chunk_idx", "chunk_val"], max_bucket)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, ["chunk_idx", "chunk_val"])
+             .where(F.col("a._id") < F.col("b._id"))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a._ph").alias("ph_a"),
+                     F.col("b._ph").alias("ph_b"))
+             .distinct())
+    return (pairs.withColumn(
+                "hamming",
+                F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+                .cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 _FRAME_SCHEMA = ("video_id string, frame_index int, frame_bytes binary")

@@ -183,3 +183,47 @@ def test_scraper_train_and_scrape_url(tmp_path):
     [rec] = s.scrape("file://%s" % other)
     assert rec["name"] == [u"Red Sofa"]
     assert rec["desc"] == [u"velvet, crimson"]
+
+
+def test_phash_near_dups_vs_brute_force(spark):
+    """Banded candidates + bit_count verify == brute-force hamming pairs."""
+    from pyspark.sql import functions as F
+    from itertools import combinations
+
+    base = datagen.images_df(spark, 24).select("image_id", "phash")
+    # planted near-duplicates: copies with 1-3 phash bits flipped
+    twins = base.select(
+        F.concat(F.col("image_id"), F.lit("~dup")).alias("image_id"),
+        F.col("phash").bitwiseXOR(
+            F.when(F.col("phash") % 3 == 0, F.lit(1))
+            .when(F.col("phash") % 3 == 1, F.lit(1 + 4))
+            .otherwise(F.lit(1 + 4 + 16))).alias("phash"))
+    images = base.unionByName(twins)
+
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.phash_near_dups(images, max_hamming=3).collect())
+
+    rows = {r.image_id: r.phash for r in images.collect()}
+    want = sorted(
+        (a, b, bin(rows[a] ^ rows[b]).count("1"))
+        for a, b in combinations(sorted(rows), 2)
+        if bin(rows[a] ^ rows[b]).count("1") <= 3)
+    assert got == want
+    assert len(got) >= 24  # every planted twin found
+
+
+def test_phash_near_dups_recall_guard(spark):
+    images = datagen.images_df(spark, 4).select("image_id", "phash")
+    with pytest.raises(ValueError):
+        multimodal.phash_near_dups(images, max_hamming=4, n_chunks=4)
+
+
+def test_phash_near_dups_hot_bucket_capped(spark):
+    """A constant-phash column (mirrored logo) must not go quadratic."""
+    from pyspark.sql import functions as F
+    clones = spark.range(500).select(
+        F.concat(F.lit("img-"), F.col("id")).alias("image_id"),
+        F.lit(1234567).cast("long").alias("phash"))
+    out = multimodal.phash_near_dups(clones, max_bucket=100)
+    assert out.count() == 0  # dropped by the cap, not O(n^2) verified
