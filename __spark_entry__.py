@@ -467,6 +467,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_sessions"),
                      F.count("*").alias("n_events")))
 
+    def q_session_windows(spark, sf):
+        # Spark's native session_window operator (the streaming
+        # sessionizer's batch twin — streaming.sessionize_stream runs
+        # this same expression over readStream with a watermark); the
+        # oracle recomputes it as lag/gaps-and-islands SQL.  Timestamps
+        # render as strings for engine-stable hashing.
+        from scrapely_spark.spark.streaming import sessionize_stream
+        out = sessionize_stream(_t(spark, sf, "events"))
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events")
+
     def q_set_except(spark, sf):
         o = _t(spark, sf, "orders")
         high = o.where("o_totalprice > 150000") \
@@ -525,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_orders,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessions,
+        "events_session_windows": q_session_windows,
     }
 
 
@@ -971,4 +988,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
+
+        # gaps-and-islands twin of Spark's session_window(ts, 30 min):
+        # events strictly closer than the gap merge (diff == gap starts
+        # a new session — session_window's [start, last+gap) is
+        # end-exclusive); session end = last event + gap
+        "events_session_windows": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('microsecond', lag(ts) OVER w, ts)
+                             >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM flagged)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_id""",
     }

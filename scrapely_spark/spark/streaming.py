@@ -17,11 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Tail a parquet landing zone of events (schema inferred from data)."""
+def read_events_stream(spark: SparkSession, events_dir: str,
+                       max_files_per_trigger: int = 8) -> DataFrame:
+    """Tail a parquet landing zone of events (schema inferred from data).
+
+    ``max_files_per_trigger=1`` gives one micro-batch per file in
+    arrival (mtime) order — the session-window parity test uses that to
+    drive watermark advancement deterministically.
+    """
     schema = spark.read.parquet(events_dir).schema
     return (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 8)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(events_dir))
 
 
@@ -42,6 +48,33 @@ def hourly_counts_stream(events: DataFrame,
                  .alias("total_value"))
             .select(F.col("win.start").alias("hour"), "event_type", "n",
                     "total_value"))
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Per-user session rows via Spark's native session windows.
+
+    Sessionization is stateful streaming Spark already expresses —
+    ``F.session_window`` merges events closer than ``gap`` into one
+    growing window per key, and the watermark both bounds the state
+    store and decides when a session is final (append mode emits a
+    session only once no on-time event can extend it).  No custom
+    state handler needed: the built-in operator is the 100 TB shape
+    (state is per open session, sharded by the grouping key).
+
+    The same expression runs on a static DataFrame (no watermark
+    needed) — the batch twin the parity test compares against.
+    """
+    with_ts = events.withColumn("ets", F.col("ts").cast("timestamp"))
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("ets", watermark)
+    return (with_ts
+            .groupBy(F.session_window("ets", gap).alias("win"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events"))
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,

@@ -111,3 +111,67 @@ def test_streaming_hourly_agrees_with_batch(spark, tmp_path):
              for r in contract.queries()["events_hourly"](
                  spark, SF_DIR).collect()}
     assert got == batch
+
+
+def test_streaming_session_windows_agree_with_batch(spark, tmp_path):
+    """Native session_window over a watermarked stream == batch twin.
+
+    Append mode only emits a session once the watermark proves no
+    on-time event can extend it, so the zone is fed as one file per
+    micro-batch (mtime order) followed by two far-future sentinel
+    events: the first advances the watermark past every real session,
+    the second's batch flushes them.  The sentinels' own sessions never
+    finalize and are filtered from the comparison.
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapely_spark.spark import streaming
+
+    zone = str(tmp_path / "sessions_zone")
+    os.makedirs(zone)
+    src = SF_DIR + "/events.parquet"
+    shutil.copy(src, os.path.join(zone, "part-0.parquet"))
+    schema = pq.read_schema(src)
+
+    import datetime as dt
+
+    def sentinel(name, uid, when, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([10**9 - uid], pa.int64()),
+            "ts": pa.array([when], pa.timestamp("us")),
+            "user_id": pa.array([uid], pa.int64()),
+            "event_type": pa.array(["sentinel"]),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        })
+        path = os.path.join(zone, name)
+        pq.write_table(tbl.cast(schema), path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = os.path.getmtime(os.path.join(zone, "part-0.parquet"))
+    sentinel("part-1.parquet", -1, dt.datetime(2024, 3, 1), t0 + 10)
+    sentinel("part-2.parquet", -2, dt.datetime(2024, 3, 2), t0 + 20)
+
+    stream = streaming.sessionize_stream(
+        streaming.read_events_stream(spark, zone, max_files_per_trigger=1))
+    q = streaming.run_available_now(stream, "session_stream",
+                                    str(tmp_path / "ckpt_sessions"),
+                                    output_mode="append")
+    q.awaitTermination(180)
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    got = {(r.user_id,
+            r.session_start.replace(tzinfo=None).strftime(fmt),
+            r.session_end.replace(tzinfo=None).strftime(fmt),
+            r.n_events)
+           for r in spark.sql("select * from session_stream"
+                              " where user_id >= 0").collect()}
+    batch = {(r.user_id, r.session_start, r.session_end, r.n_events)
+             for r in contract.queries()["events_session_windows"](
+                 spark, SF_DIR).collect()}
+    assert got == batch
+    assert len(got) > 100  # real sessions, not a vacuous comparison
