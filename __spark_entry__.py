@@ -348,6 +348,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simsearch.ivf_topk(_t(spark, sf, "embeddings"), vec, label,
                                   10)
 
+    def q_ann_ivf_kmeans(spark, sf):
+        # IVF over a LEARNED coarse quantizer (spherical kmeans on a
+        # deterministic sample, distributed Arrow-batch assignment) —
+        # the real version of ann_ivf_topk's label-cell stand-in.
+        # Iterative training is not SQL-expressible, so the driver
+        # records the rows-only check here (like dedup_simhash); the
+        # recall bound vs brute force is pinned in test_dedup_scale.
+        vec, _ = _query_vec(spark, sf)
+        return simsearch.ivf_kmeans_topk(
+            _t(spark, sf, "embeddings"), vec, 10, n_cells=8, n_probe=6)
+
     def q_near_dups(spark, sf):
         return simsearch.near_dup_pairs(_t(spark, sf, "embeddings"), 0.9)
 
@@ -526,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_brute,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "embedding_near_dups": q_near_dups,
         "embedding_lsh_near_dups": q_lsh_near_dups,
         "image_phash_near_dups": q_phash_near_dups,

@@ -28,7 +28,10 @@ HEADLINE = [
     "dedup_minhash_bands",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "ann_ivf_kmeans_topk",
     "embedding_near_dups",
+    "image_phash_near_dups",
+    "events_session_windows",
     "text_quality",
     "text_langid",
     "url_canonicalize",

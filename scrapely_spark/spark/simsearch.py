@@ -20,6 +20,7 @@ engines (the DuckDB oracle uses list_cosine_similarity).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 # hot-bucket guard for LSH self-joins — see dedup.MAX_BUCKET
@@ -53,6 +54,82 @@ def ivf_topk(embeddings: DataFrame, query: list, query_label: int,
     """IVF-style: probe only the query's coarse cell (label column)."""
     return cosine_topk(
         embeddings.where(F.col("label") == query_label), query, k, vec_col)
+
+
+def kmeans_cells(embeddings: DataFrame, n_cells: int = 16,
+                 sample: int = 4096, iters: int = 5, seed: int = 7,
+                 vec_col: str = "embedding") -> list:
+    """Fit IVF coarse-quantizer centroids (spherical k-means on a sample).
+
+    The standard IVF trainer shape: training runs on a bounded,
+    deterministic sample (lowest ``vec_id``s — at 10^10 rows a
+    quantizer is always fit on a sample, never the table), assignment
+    runs distributed (:func:`assign_cells`).  Lloyd's iterations with
+    cosine assignment (rows and centroids L2-normalized); fixed seed +
+    deterministic sample → identical centroids every run.  Returns
+    plain float lists so centroids can be broadcast into plans or
+    persisted next to the index.
+    """
+    rows = (embeddings.select(vec_col).orderBy("vec_id").limit(sample)
+            .collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        owner = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[owner == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return [[float(x) for x in c] for c in C]
+
+
+def assign_cells(embeddings: DataFrame, centroids: list,
+                 vec_col: str = "embedding") -> DataFrame:
+    """Add each row's nearest-centroid ``cell`` id (cosine argmax).
+
+    Vectorized Arrow batches: one ``X @ C.T`` matmul per batch, no
+    per-row Python.  Row norms don't change the argmax, so vectors are
+    used as-is against the normalized centroids.
+    """
+    C = np.array(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def nearest(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.array([np.asarray(v, dtype=np.float64) for v in col])
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype("int32"))
+
+    return embeddings.withColumn("cell", nearest(vec_col))
+
+
+def ivf_kmeans_topk(embeddings: DataFrame, query: list, k: int = 10,
+                    n_cells: int = 16, n_probe: int = 2,
+                    centroids: list | None = None,
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k over learned k-means cells (the real coarse quantizer).
+
+    Probes the ``n_probe`` cells whose centroids are closest to the
+    query, so only ~n_probe/n_cells of the table is scored — the same
+    shape as :func:`ivf_topk` but with cells learned from the data
+    instead of the trusted ``label`` column.  Approximate by design
+    (recall grows with n_probe); the recall test pins it against
+    :func:`cosine_topk`.  In production the ``cell`` column is
+    materialized once by :func:`assign_cells` and the table is
+    partitioned by it; here assignment runs inline.
+    """
+    if centroids is None:
+        centroids = kmeans_cells(embeddings, n_cells, vec_col=vec_col)
+    C = np.array(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(C @ q))[:n_probe].tolist()
+    cells = assign_cells(embeddings, centroids, vec_col)
+    return cosine_topk(cells.where(F.col("cell").isin(probes)),
+                       query, k, vec_col)
 
 
 def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
