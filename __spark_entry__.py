@@ -494,6 +494,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("session_end"),
             "n_events")
 
+    def q_events_json(spark, sf):
+        # JSON column surface: from_json with an explicit schema (never
+        # schema_of_json over the data — a 100 TB scan to infer 'k INT'),
+        # then filter + aggregate on the extracted field.  sum cast to
+        # long on both sides (DuckDB sums INT into HUGEINT).
+        e = _t(spark, sf, "events")
+        k = F.from_json("props", "k INT").getField("k")
+        return (e.withColumn("k", k)
+                .where(F.col("k") >= 10)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("k").cast("long").alias("sum_k"),
+                     F.round(F.avg("k"), 6).alias("avg_k")))
+
     def q_set_except(spark, sf):
         o = _t(spark, sf, "orders")
         high = o.where("o_totalprice > 150000") \
@@ -554,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessions,
         "events_session_windows": q_session_windows,
+        "events_json_extract": q_events_json,
     }
 
 
@@ -1000,6 +1015,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
+
+        # JSON field extraction twin (json_extract + cast; sum cast to
+        # BIGINT because DuckDB sums INT into HUGEINT)
+        "events_json_extract": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS INT) AS k
+              FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   round(avg(k), 6) AS avg_k
+            FROM e WHERE k >= 10 GROUP BY event_type""",
 
         # gaps-and-islands twin of Spark's session_window(ts, 30 min):
         # events strictly closer than the gap merge (diff == gap starts
