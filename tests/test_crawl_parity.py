@@ -199,3 +199,41 @@ def test_compaction_preserves_crawl(spark, tmp_path_factory, oracle_run):
     base = resumed.ledger()["compacted"][rounds.SEEN]
     assert base["through_round"] >= 2
     shutil.rmtree(root)
+
+
+def test_canonicalize_fast_path_matches_slow_path(spark):
+    """The plain-URL regex fast path must agree with the urlsplit path
+    on every URL shape, including the adversarial ones."""
+    from scrapely_spark.frontier.canonical import (canonicalize_df,
+                                                   canonicalize_with_host)
+
+    urls = [
+        "http://h1.example.com/item/1",           # plain — fast path
+        "http://h1.example.com/item/1?b=2&a=1",   # query → sort
+        "http://h1.example.com/item/1#frag",      # fragment → strip
+        "HTTP://H1.Example.COM/Item/1",           # case folding
+        "http://h1.example.com:80/x",             # default port
+        "https://h1.example.com:8443/x",          # explicit port
+        "http://h1.example.com",                  # empty path → '/'
+        "http://h1.example.com/",                 # plain with bare slash
+        "http://user:pw@h1.example.com/x",        # userinfo
+        "http://h1.example.com/UPPER/Case.html",  # uppercase path (kept)
+        "http://h1.example.com/x%20y",            # percent-encoding kept
+        "http://h1.example.com/x y",              # raw space → slow path
+        " http://h1.example.com/x ",              # surrounding whitespace
+        "http://h1.example.com/#",                # lone fragment
+        "http://h1.example.com/x?",               # lone query
+        "http://[::1]:8080/x",                    # IPv6 literal
+        "http://h1.example.com:99999/x",          # out-of-range port
+        "http://h1.example.com:not-a-port/x",     # non-numeric port
+        "ftp://h1.example.com/x",                 # non-http scheme
+        "",                                       # empty
+        None,                                     # null
+        "http://h1.example.com/item/%d" % 7,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: (r.canonical_url, r.host)
+           for r in canonicalize_df(df).collect()}
+    for u in urls:
+        want = canonicalize_with_host(u)
+        assert got[u] == want, (u, got[u], want)
