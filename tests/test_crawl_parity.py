@@ -237,3 +237,35 @@ def test_canonicalize_fast_path_matches_slow_path(spark):
     for u in urls:
         want = canonicalize_with_host(u)
         assert got[u] == want, (u, got[u], want)
+
+
+def test_crawl_emits_image_bytes_and_captions_end_to_end(spark, spark_run):
+    """The north-star acceptance sentence, as one pipeline: crawl →
+    extracted records → join the image store on the extracted image URL
+    → decode the joined bytes → decoded pixels hit PSNR ≥ 40 dB vs the
+    regenerable ground truth (exact for lossless) AND the caption
+    equals the ground truth, for every fetched page."""
+    from pyspark.sql import functions as F
+
+    from scrapely_spark.spark import codec
+
+    ext = (spark_run.read_rounds(spark, rounds.EXTRACTED)
+           .withColumn("image_id",
+                       F.regexp_extract("image_url", r"(img-\d+)", 1)))
+    images = datagen.images_df(spark, N).select("image_id", "bytes", "fmt")
+    joined = ext.join(F.broadcast(images), "image_id", "inner")
+
+    rows = joined.select("image_id", "caption", "bytes", "fmt").collect()
+    assert len(rows) == ext.count()  # every extracted page found its image
+    assert len(rows) > 300
+    page_of = {}  # image_id -> page index (image_meta is 1:1 with pages)
+    for i in range(N):
+        page_of[datagen.image_meta(i)[0]] = i
+    for r in rows:
+        pixels, w, h, fmt = codec.decode_image(bytes(r.bytes))
+        truth = codec.pixels_for(r.image_id, w, h)
+        if fmt == "png":
+            assert (pixels == truth).all(), r.image_id
+        else:
+            assert codec.psnr(pixels, truth) >= 40.0, r.image_id
+        assert r.caption == datagen.caption_for(page_of[r.image_id])
