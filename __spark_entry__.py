@@ -360,7 +360,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), vec, 10, n_cells=8, n_probe=6)
 
     def q_near_dups(spark, sf):
-        return simsearch.near_dup_pairs(_t(spark, sf, "embeddings"), 0.9)
+        # 0.4 is non-trivial on the synthetic embeddings (max pairwise
+        # cosine ~0.51): a 0.9 threshold returned zero rows in every
+        # engine, a vacuous check
+        return simsearch.near_dup_pairs(_t(spark, sf, "embeddings"),
+                                        _LSH_THRESHOLD)
 
     def q_phash_near_dups(spark, sf):
         # the image near-dup operator (banded hamming over an int64
@@ -825,7 +829,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.label = b.label
             WHERE a.vec_id < b.vec_id
               AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
-                        6) >= 0.9""",
+                        6) >= 0.4""",
 
         "embedding_lsh_near_dups": _lsh_near_dups_sql(),
 
