@@ -44,3 +44,85 @@ def gate(candidates: DataFrame, robots: DataFrame,
 def is_allowed(path: str, disallow: list) -> bool:
     """Pure-python twin of :func:`gate` for the oracle scheduler."""
     return not any(path.startswith(rule) for rule in (disallow or []))
+
+
+def parse_robots_body(body: str, agent: str = "*") -> dict:
+    """One robots.txt body → {allow, disallow, crawl_delay}.
+
+    The group whose ``User-agent`` line best matches ``agent`` wins
+    (exact match beats ``*``; a group can name several agents).  Keys
+    are case-insensitive, ``#`` starts a comment, empty rule values are
+    ignored (an empty ``Disallow:`` means allow-all, per the original
+    spec).  Deliberately the same prefix semantics :func:`gate`
+    enforces — no %-decoding, no wildcard rules.
+    """
+    groups = []  # (agents, allow, disallow, crawl_delay)
+    current = None
+    saw_rule = True  # a UA line after rules starts a NEW group
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if current is None or saw_rule:
+                current = ([], [], [], [None])
+                groups.append(current)
+                saw_rule = False
+            current[0].append(val.lower())
+        elif current is not None and key in ("allow", "disallow",
+                                             "crawl-delay"):
+            saw_rule = True
+            if key == "allow" and val:
+                current[1].append(val)
+            elif key == "disallow" and val:
+                current[2].append(val)
+            elif key == "crawl-delay":
+                try:
+                    current[3][0] = float(val)
+                except ValueError:
+                    pass
+    agent = agent.lower()
+    chosen = None
+    for agents, allow, disallow, delay in groups:
+        if agent != "*" and agent in agents:
+            chosen = (allow, disallow, delay[0])
+            break
+    if chosen is None:
+        for agents, allow, disallow, delay in groups:
+            if "*" in agents:
+                chosen = (allow, disallow, delay[0])
+                break
+    allow, disallow, delay = chosen or ([], [], None)
+    return {"allow": allow, "disallow": disallow,
+            "crawl_delay": delay if delay is not None
+            else DEFAULT_CRAWL_DELAY}
+
+
+def parse_robots_df(bodies: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, body) rows of fetched robots.txt files → the rules table.
+
+    The batch kernel parses each body once per Arrow batch; the output
+    is exactly the broadcast table :func:`gate` consumes, so the full
+    path raw-text → rules → gate is covered by the round-trip test
+    (datagen renders robots.txt text from its records; parsing it back
+    reproduces the records).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for host, body in zip(batch["host"], batch["body"]):
+                rec = parse_robots_body(body, agent)
+                rec["host"] = host
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=["host", "allow", "disallow", "crawl_delay"])
+
+    return bodies.mapInPandas(
+        kernel, "host string, allow array<string>, "
+                "disallow array<string>, crawl_delay double")

@@ -170,6 +170,24 @@ def robots_record(hid: int) -> dict:
     }
 
 
+def robots_txt(hid: int) -> str:
+    """The robots.txt text a fetch of host hid would return.
+
+    Rendered from :func:`robots_record` (plus realistic noise: comments,
+    case variance, a bot-specific group, blank lines) so parsing it back
+    must reproduce the record exactly — the round-trip property test.
+    """
+    rec = robots_record(hid)
+    lines = ["# robots for %s" % rec["host"], ""]
+    if hid % 3 == 0:  # a more specific group our agent must NOT take
+        lines += ["User-agent: evilbot", "Disallow: /", ""]
+    lines += ["User-Agent: *"]
+    lines += ["Allow: %s" % p for p in rec["allow"]]
+    lines += ["disallow: %s" % p for p in rec["disallow"]]
+    lines += ["Crawl-delay: %s  # seconds" % rec["crawl_delay"]]
+    return "\n".join(lines) + "\n"
+
+
 # --------------------------------------------------------------------------
 # Spark generators (distributed; pure function of the row id)
 # --------------------------------------------------------------------------

@@ -269,3 +269,43 @@ def test_crawl_emits_image_bytes_and_captions_end_to_end(spark, spark_run):
         else:
             assert codec.psnr(pixels, truth) >= 40.0, r.image_id
         assert r.caption == datagen.caption_for(page_of[r.image_id])
+
+
+def test_robots_txt_roundtrip_and_parser_semantics(spark):
+    """Raw robots.txt text → parse_robots_df → exactly the rules table
+    the gate consumes; plus parser group/edge semantics."""
+    from scrapely_spark.frontier.robots import (parse_robots_body,
+                                                parse_robots_df)
+
+    n = 40
+    bodies = spark.createDataFrame(
+        [(datagen.robots_record(h)["host"], datagen.robots_txt(h))
+         for h in range(n)], "host string, body string")
+    got = {r.host: (list(r.allow), list(r.disallow), r.crawl_delay)
+           for r in parse_robots_df(bodies).collect()}
+    for h in range(n):
+        rec = datagen.robots_record(h)
+        assert got[rec["host"]] == (rec["allow"], rec["disallow"],
+                                    rec["crawl_delay"]), h
+
+    # group selection: exact agent beats *, * beats nothing
+    body = ("User-agent: goodbot\nDisallow: /only-good\n\n"
+            "User-agent: *\nDisallow: /everyone\nCrawl-delay: 5\n")
+    assert parse_robots_body(body, "goodbot")["disallow"] == ["/only-good"]
+    assert parse_robots_body(body)["disallow"] == ["/everyone"]
+    assert parse_robots_body(body)["crawl_delay"] == 5.0
+    assert parse_robots_body(body, "otherbot")["disallow"] == ["/everyone"]
+
+    # multi-agent group header; empty Disallow means allow-all;
+    # junk crawl-delay falls back to the default
+    body2 = ("User-agent: a\nUser-agent: b\nDisallow:\n"
+             "Crawl-delay: soon\n")
+    parsed = parse_robots_body(body2, "b")
+    assert parsed["disallow"] == []
+    assert parsed["crawl_delay"] == 1.0
+    # no matching group at all → allow everything
+    assert parse_robots_body("User-agent: x\nDisallow: /\n", "y") == {
+        "allow": [], "disallow": [], "crawl_delay": 1.0}
+    # empty / None bodies
+    assert parse_robots_body("")["disallow"] == []
+    assert parse_robots_body(None)["disallow"] == []
