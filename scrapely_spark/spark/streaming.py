@@ -77,6 +77,25 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
                     "n_events"))
 
 
+def dedup_stream(events: DataFrame, keys=("user_id", "event_type"),
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    evicts it once the watermark passes — the bounded-state streaming
+    twin of the batch ``dedup.exact`` family.  Within the watermark the
+    guarantee is exact; a duplicate arriving after its key's state was
+    evicted re-emits (the deliberate state/completeness trade — at
+    frontier scale an unbounded key set cannot live in the state store,
+    and the downstream exact batch dedup catches stragglers).
+    """
+    with_ts = events.withColumn("ets", F.col("ts").cast("timestamp"))
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("ets", watermark)
+        return with_ts.dropDuplicatesWithinWatermark(list(keys))
+    return with_ts.dropDuplicates(list(keys))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       checkpoint_dir: str, output_mode: str = "complete"):
     """Drain the stream into an in-memory sink; returns the query handle.

@@ -175,3 +175,31 @@ def test_streaming_session_windows_agree_with_batch(spark, tmp_path):
                  spark, SF_DIR).collect()}
     assert got == batch
     assert len(got) > 100  # real sessions, not a vacuous comparison
+
+
+def test_streaming_dedup_agrees_with_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark == batch dropDuplicates when every
+    duplicate arrives inside the watermark (here: watermark > corpus
+    span, so the guarantee is total and the comparison exact)."""
+    import os
+
+    from scrapely_spark.spark import streaming
+
+    zone = str(tmp_path / "dedup_zone")
+    os.makedirs(zone)
+    os.symlink(os.path.abspath(SF_DIR + "/events.parquet"),
+               os.path.join(zone, "part-0.parquet"))
+
+    stream = streaming.dedup_stream(
+        streaming.read_events_stream(spark, zone), watermark="40 days")
+    q = streaming.run_available_now(stream, "dedup_stream_q",
+                                    str(tmp_path / "ckpt_dedup"),
+                                    output_mode="append")
+    q.awaitTermination(120)
+
+    got = spark.sql("select user_id, event_type from dedup_stream_q")
+    got_keys = sorted((r.user_id, r.event_type) for r in got.collect())
+    batch = spark.read.parquet(SF_DIR + "/events.parquet") \
+        .select("user_id", "event_type").distinct()
+    want_keys = sorted((r.user_id, r.event_type) for r in batch.collect())
+    assert got_keys == want_keys  # one emission per key, set-identical
