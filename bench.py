@@ -73,10 +73,20 @@ def warmup(spark):
     after this is steady-state."""
     from pyspark.sql import functions as F
 
+    def _warm(s):
+        # engine imports inside the worker: module import (~0.5s of
+        # numpy/pandas/engine code) is session setup, not operator cost
+        import scrapely_spark.functions.vectorized  # noqa: F401
+        import scrapely_spark.spark.extract  # noqa: F401
+        return s
+
     # no type hints: `from __future__ import annotations` turns them into
     # strings pyspark's hint inference can't resolve here
-    _noop = F.pandas_udf(lambda s: s, "long")
-    spark.range(1024, numPartitions=int(CPUS)).select(_noop("id")).count()
+    _noop = F.pandas_udf(_warm, "long")
+    # 4× partitions so with high probability every reused worker
+    # process runs at least one task and imports the modules
+    spark.range(4096, numPartitions=4 * int(CPUS)) \
+        .select(_noop("id")).count()
 
 
 def run_queries(spark) -> dict:
