@@ -33,7 +33,14 @@ def canonicalize_with_host(url: str) -> tuple[str, str]:
     """
     if not url:
         return "", ""
-    parts = urlsplit(url.strip())
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        # urlsplit itself rejects some inputs (e.g. an unbalanced IPv6
+        # bracket 'http://['): an unparseable href never reaches the
+        # frontier — empty canonical form is dropped by the candidate
+        # filter, deterministically in both the kernel and the oracle
+        return "", ""
     scheme = parts.scheme.lower()
     try:
         host = (parts.hostname or "").lower()

@@ -309,3 +309,41 @@ def test_robots_txt_roundtrip_and_parser_semantics(spark):
     # empty / None bodies
     assert parse_robots_body("")["disallow"] == []
     assert parse_robots_body(None)["disallow"] == []
+
+
+def test_canonicalize_fast_path_fuzz():
+    """Hypothesis fuzz: the batch kernel's regex split must agree with
+    the urlsplit twin on arbitrary URL-ish strings (no Spark needed —
+    this drives the same code the kernel body runs per batch)."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from scrapely_spark.frontier import canonical
+
+    def kernel_twin(urls):
+        col = pd.Series(urls, dtype=object)
+        ext = col.str.extract(canonical._PLAIN_RE)
+        out = col.to_numpy(dtype=object, copy=True)
+        host = ext[1].to_numpy(dtype=object)
+        for i in np.flatnonzero(ext[1].isna().to_numpy()):
+            out[i], host[i] = canonical.canonicalize_with_host(out[i])
+        return list(zip(out, host))
+
+    alphabet = st.sampled_from(list("abAB019./:?#@&=%~ _-[]\t"))
+    frag = st.text(alphabet=alphabet, max_size=12)
+    url = st.one_of(
+        frag,
+        st.tuples(st.sampled_from(["http", "https", "HTTP", "ftp"]),
+                  frag).map(lambda t: "%s://%s" % t),
+        st.tuples(frag, frag, frag).map(
+            lambda t: "http://%s/%s?%s" % t))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(url, min_size=1, max_size=8))
+    def check(urls):
+        got = kernel_twin(urls)
+        want = [canonical.canonicalize_with_host(u) for u in urls]
+        assert got == want, (urls, got, want)
+
+    check()
