@@ -108,7 +108,11 @@ def discover_links(page: HtmlPage, base_url: str | None = None) -> list:
             if href.startswith(("http://", "https://")):
                 out.append(href)
                 continue
-            resolved = urljoin(base, href)
+            try:
+                resolved = urljoin(base, href)
+            except ValueError:
+                continue  # e.g. '//[' — urljoin's parser rejects it;
+                #           one bad href must never kill the kernel
             if resolved.startswith(("http://", "https://")):
                 out.append(resolved)
     return out

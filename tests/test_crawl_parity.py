@@ -347,3 +347,26 @@ def test_canonicalize_fast_path_fuzz():
         assert got == want, (urls, got, want)
 
     check()
+
+
+def test_discover_links_survives_hostile_hrefs():
+    """No href shape may crash the extraction kernel."""
+    from scrapely_spark.html.page import HtmlPage
+    from scrapely_spark.frontier.rounds import discover_links
+
+    body = "".join('<a href="%s">x</a>' % h for h in [
+        "http://ok.example.com/a",
+        "//[",                       # urljoin raises ValueError on this
+        "http://[",                  # unparseable but absolute — kept,
+                                     # canonicalization drops it later
+        "relative/path",
+        "mailto:x@example.com",
+        "javascript:void(0)",
+        "#frag-only",
+        "",
+    ])
+    page = HtmlPage(url="http://base.example.com/dir/", body=body)
+    links = discover_links(page)
+    assert "http://ok.example.com/a" in links
+    assert "http://base.example.com/dir/relative/path" in links
+    assert not any(l.startswith(("mailto", "javascript")) for l in links)
