@@ -423,6 +423,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("sum_base_price"),
                      F.count("*").alias("count_order")))
 
+    def q_tpch_q5_region_volume(spark, sf):
+        # TPC-H Q5 shape: 6-table join tree — the three dim tables
+        # (region→nation, customer, supplier) broadcast down the chain,
+        # the date filter pushes to the orders scan, and the only real
+        # shuffles are the two fact-side joins + the final aggregation.
+        # Revenue sums in DECIMAL (order-independent) per the
+        # tpch_pricing pattern; rendered as round(double, 6).
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01"))
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+        rev = (F.col("l_extendedprice")
+               * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .join(F.broadcast(s),
+                      (li.l_suppkey == s.s_suppkey)
+                      & (c.c_nationkey == s.s_nationkey))
+                .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("n_name")
+                .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
+                     F.count("*").alias("n_items")))
+
     def q_top_nations(spark, sf):
         li = _t(spark, sf, "lineitem")
         s = _t(spark, sf, "supplier")
@@ -567,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_extract_number": scalar_extract_number,
         "scalar_image_url": scalar_image_url,
         "tpch_pricing_summary": q_tpch_pricing,
+        "tpch_q5_region_volume": q_tpch_q5_region_volume,
         "join_top_nations": q_top_nations,
         "window_top_orders": q_window_orders,
         "events_hourly": q_events_hourly,
@@ -974,6 +1003,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
+
+        "tpch_q5_region_volume": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 6)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name""",
 
         "join_top_nations": """
             SELECT n_name AS nation,
