@@ -451,6 +451,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
                      F.count("*").alias("n_items")))
 
+    def q_tpch_q14_promo_share(spark, sf):
+        # TPC-H Q14 shape: conditional aggregation over a fact ⋈ dim
+        # join (broadcast part), ship-month filter on the fact scan.
+        # The share is a ratio of two DECIMAL sums, rendered as
+        # round(double, 6) for the cross-engine hash.
+        li = _t(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-07-01"))
+        p = _t(spark, sf, "part")
+        rev = (F.col("l_extendedprice")
+               * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+        promo = F.when(F.col("p_type") == "PROMO", rev)             .otherwise(F.lit(0).cast("decimal(18,4)"))
+        return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                .agg(F.round((F.sum(promo).cast("double") * 100.0
+                              / F.sum(rev).cast("double")), 6)
+                     .alias("promo_share_pct"),
+                     F.round(F.sum(rev).cast("double"), 6)
+                     .alias("total_revenue"),
+                     F.count("*").alias("n_items")))
+
     def q_top_nations(spark, sf):
         li = _t(spark, sf, "lineitem")
         s = _t(spark, sf, "supplier")
@@ -596,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_image_url": scalar_image_url,
         "tpch_pricing_summary": q_tpch_pricing,
         "tpch_q5_region_volume": q_tpch_q5_region_volume,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "join_top_nations": q_top_nations,
         "window_top_orders": q_window_orders,
         "events_hourly": q_events_hourly,
@@ -1021,6 +1042,24 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY n_name""",
+
+        "tpch_q14_promo_share": """
+            SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     * 100.0
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,4))) AS DOUBLE), 6)
+                     AS promo_share_pct,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 6)
+                     AS total_revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""",
 
         "join_top_nations": """
             SELECT n_name AS nation,
