@@ -37,6 +37,8 @@ HEADLINE = [
     "url_canonicalize",
     "politeness_topk",
     "tpch_pricing_summary",
+    "tpch_q5_region_volume",
+    "tpch_q14_promo_share",
     "join_top_nations",
     "events_sessionize",
 ]
