@@ -1,28 +1,32 @@
 """Output-side schema: field and item descriptors.
 
-Parity target: ``scrapely/descriptor.py``.  A field descriptor names a
-field, attaches its refinement/validation extractor (default: the ``text``
-scalar) and a required flag; an item descriptor validates whole records
-(every required field present directly or in any variant).
+Parity target: ``scrapely/descriptor.py`` — this is a 4-slot API
+contract (name / description / extractor / required) plus the
+required-field record validation rule, so the public surface must match
+the reference name-for-name; everything inside is free and original.
+
+A field descriptor names a field, attaches its refinement/validation
+extractor (default: the ``text`` scalar) and a required flag; an item
+descriptor validates whole records (every required field present at the
+top level or inside any variant).
 """
 
 from __future__ import annotations
 
-from itertools import chain
+from dataclasses import dataclass
+from typing import Any, Callable
 
 from scrapely_spark.functions.scalars import text
 
 
+@dataclass(eq=False, repr=False, slots=True)
 class FieldDescriptor:
-    __slots__ = ("name", "description", "extractor", "required")
+    name: str
+    description: str
+    extractor: Callable[[str], Any] = text
+    required: bool = False
 
-    def __init__(self, name, description, extractor=text, required=False):
-        self.name = name
-        self.description = description
-        self.extractor = extractor
-        self.required = required
-
-    def __repr__(self):
+    def __repr__(self) -> str:
         return "FieldDescriptor(%s)" % self.name
 
 
@@ -30,29 +34,43 @@ class ItemDescriptor:
     def __init__(self, name, description, attribute_descriptors):
         self.name = name
         self.description = description
-        self.attribute_map = {d.name: d for d in attribute_descriptors}
-        self._required_attributes = [
-            d.name for d in attribute_descriptors if d.required]
-
-    def validated(self, data):
-        """Keep only records with every required field present."""
-        return [d for d in data if self._record_ok(d)]
-
-    def _record_ok(self, record) -> bool:
-        variant_fields = set(chain(
-            *[v.keys() for v in record.get("variants", [])]))
-        return bool(record) and all(
-            name in record or name in variant_fields
-            for name in self._required_attributes)
+        self.attribute_map = {}
+        required = []
+        for descriptor in attribute_descriptors:
+            self.attribute_map[descriptor.name] = descriptor
+            if descriptor.required:
+                required.append(descriptor.name)
+        self._required_attributes = required
 
     def get_required_attributes(self):
         return self._required_attributes
 
     def copy(self) -> "ItemDescriptor":
-        return ItemDescriptor(self.name, self.description, [
-            FieldDescriptor(d.name, d.description, d.extractor, d.required)
-            for d in self.attribute_map.values()
-        ])
+        clones = [FieldDescriptor(d.name, d.description, d.extractor,
+                                  d.required)
+                  for d in self.attribute_map.values()]
+        return ItemDescriptor(self.name, self.description, clones)
 
-    def __repr__(self):
+    def validated(self, data):
+        """Drop records missing any required field.
+
+        A field counts as present when it appears at the record's top
+        level or inside any of its ``variants``; empty records never
+        validate.
+        """
+        required = self._required_attributes
+        if not required:
+            return [record for record in data if record]
+        keep = []
+        for record in data:
+            if not record:
+                continue
+            in_variants: set = set()
+            for variant in record.get("variants", []):
+                in_variants.update(variant)
+            if all(f in record or f in in_variants for f in required):
+                keep.append(record)
+        return keep
+
+    def __repr__(self) -> str:
         return "ItemDescriptor(%s)" % self.name
