@@ -327,6 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.jaccard_pairs(_t(spark, sf, "documents"), 0.2)
 
     def q_simhash(spark, sf):
+        # md5-slice token hash => the bit-voting fingerprint has a full
+        # DuckDB oracle (see oracle_sql) instead of a rows-only check
         return dedup.simhash(_t(spark, sf, "documents"))
 
     def q_simhash_pairs(spark, sf):
@@ -882,6 +884,84 @@ def oracle_sql() -> dict[str, str]:
                         6) >= 0.4""",
 
         "embedding_lsh_near_dups": _lsh_near_dups_sql(),
+
+        # full oracle of the md5-slice SimHash: unnest tokens,
+        # nibble-decode each of the 64 vote bits, sum votes per bit,
+        # sign-pack into a signed BIGINT (bit 63 via the two's
+        # complement constant)
+        "dedup_simhash": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+), tk AS (
+  SELECT doc_id, substr(md5(tok), 1, 16) AS h
+  FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, g.b,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(h, 16 - (g.b // 4), 1)) - 1)
+                    >> (g.b % 4)) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM tk, generate_series(0, 63) AS g(b)
+), v AS (
+  SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN
+                    CASE WHEN b = 63 THEN -9223372036854775808
+                         ELSE (CAST(1 AS BIGINT) << b) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id""",
+
+        # banding + exact hamming verify over the same fingerprints
+        # (8 chunks of 8 bits, hot buckets dropped above 50 rows via
+        # QUALIFY — mirrors dedup.simhash_near_pairs exactly)
+        "dedup_simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+), tk AS (
+  SELECT doc_id, substr(md5(tok), 1, 16) AS h
+  FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, g.b,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(h, 16 - (g.b // 4), 1)) - 1)
+                    >> (g.b % 4)) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM tk, generate_series(0, 63) AS g(b)
+), v AS (
+  SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN
+                    CASE WHEN b = 63 THEN -9223372036854775808
+                         ELSE (CAST(1 AS BIGINT) << b) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM v GROUP BY doc_id
+), fpz AS (
+  SELECT d.doc_id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+), bands AS (
+  SELECT doc_id, simhash, c.chunk_id,
+         (simhash >> (8 * c.chunk_id)) & 255 AS chunk_val
+  FROM fpz, generate_series(0, 7) AS c(chunk_id)
+  QUALIFY count(*) OVER (PARTITION BY c.chunk_id,
+                         (simhash >> (8 * c.chunk_id)) & 255) <= 50
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS fa, b.simhash AS fb
+  FROM bands a JOIN bands b ON a.chunk_id = b.chunk_id
+                           AND a.chunk_val = b.chunk_val
+                           AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
 
         # mirror of multimodal.phash_near_dups: same closed-form phash,
         # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&

@@ -208,12 +208,16 @@ def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document (vectorized numpy batch kernel).
 
     Each token votes its 64 hash bits weighted ±1; the sign pattern of
-    the vote vector is the fingerprint.  Not SQL-expressible (bit voting),
-    so the correctness driver records the rows-only check for this one.
+    the vote vector is the fingerprint.  The token hash is the first 16
+    hex chars of md5(token) — the same engine-portable md5-slice
+    convention the MinHash families use, which is what lets the
+    correctness driver check this operator against a full DuckDB oracle
+    (unnest tokens → nibble-decode vote bits → per-bit sums → sign
+    pack), not just a row count.
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import sys
-        import zlib
         for batch in batches:
             if len(batch) == 0:
                 continue
@@ -236,9 +240,11 @@ def simhash(docs: DataFrame) -> DataFrame:
             # magnitude slower than float kernels on warm pages, so the
             # shape to avoid is a (n_tokens, 64) integer matrix.
             uniq, inv = np.unique(flat, return_inverse=True)
+            # one md5 per DISTINCT token (engine-portable slice; the
+            # repeated-token mass still hits the vectorized path below)
             h_u = np.fromiter(
-                ((zlib.crc32(t.encode()) << 32) | zlib.crc32(
-                    (t + "#").encode()) for t in uniq),
+                (int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                 for t in uniq),
                 dtype=np.uint64, count=len(uniq))
             if sys.byteorder != "little":  # pragma: no cover
                 h_u = h_u.byteswap()

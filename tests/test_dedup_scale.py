@@ -16,7 +16,6 @@ Covers the round-2 hardening:
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pytest
@@ -33,9 +32,11 @@ def _docs(spark, rows):
 
 def _simhash_scalar(text: str) -> int:
     """Per-token reference definition of the fingerprint."""
+    import hashlib
+
     votes = np.zeros(64, dtype=np.int64)
     for t in str(text).lower().split():
-        h = (zlib.crc32(t.encode()) << 32) | zlib.crc32((t + "#").encode())
+        h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
         bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         votes += np.where(bits.astype(bool), 1, -1)
     fp = np.uint64(0)

@@ -90,8 +90,7 @@ def test_query_matches_oracle(spark, duck, name):
             name, srows[:3], drows[:3]))
 
 
-@pytest.mark.parametrize("name", ["dedup_simhash", "dedup_simhash_pairs",
-                                  "ann_ivf_kmeans_topk"])
+@pytest.mark.parametrize("name", ["ann_ivf_kmeans_topk"])
 def test_rows_only_queries_run(spark, name):
     df = contract.queries()[name](spark, SF_DIR)
     assert df.count() > 0
