@@ -980,6 +980,8 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
               SELECT doc_id, phash, chunk_idx,
                      (phash >> (16 * chunk_idx)) & 65535 AS chunk_val
               FROM ph, (VALUES (0), (1), (2), (3)) AS c(chunk_idx)
+              QUALIFY count(*) OVER (PARTITION BY chunk_idx,
+                       (phash >> (16 * chunk_idx)) & 65535) <= 4096
             ), pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                               a.phash AS pa, b.phash AS pb

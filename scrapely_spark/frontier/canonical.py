@@ -127,7 +127,11 @@ def url_key(url: str) -> int:
 # userinfo/port/uppercase), a present path, no query (nothing to sort),
 # no fragment (nothing to strip), no whitespace.  Everything else takes
 # the exact urlsplit path.
-_PLAIN_RE = re.compile(r"^(https?)://([a-z0-9.\-]+)(/[^?#\s]*)$")
+# NB: anchored with \Z, not $ — Python's $ also matches just before a
+# trailing newline, which would let 'http://a.com/x\n' take the fast
+# path verbatim while the slow path strips the newline (fast/slow
+# divergence pinned by the trailing-whitespace differential tests).
+_PLAIN_RE = re.compile(r"^(https?)://([a-z0-9.\-]+)(/[^?#\s]*)\Z")
 
 
 def canonicalize_df(urls_df, url_col: str = "url"):

@@ -7,9 +7,13 @@ These twins process a whole Arrow batch with Arrow compute kernels
 the shape a pandas UDF wants, and measured faster than the per-value map
 at 60k-row batches.
 
-The only per-value remnant is numeric-entity decoding (``&#NNN;`` →
-``chr(NNN)`` needs a computed replacement RE2 cannot express); it runs
-only on rows that literally contain ``&#``, which real columns rarely do.
+The only per-value remnants are numeric-entity decoding (``&#NNN;`` →
+``chr(NNN)`` needs a computed replacement RE2 cannot express), which runs
+only on rows that literally contain ``&#``, and rows containing non-ASCII
+Unicode digits (RE2's ``\d`` is ASCII-only while the scalar twins'
+Python ``\d`` matches any Nd codepoint — e.g. ``'٣٤'``), which are
+routed whole to the scalar source of truth.  Real columns rarely hit
+either pre-filter.
 
 Equality with the scalar twins is enforced differentially
 (tests/test_vectorized_scalars.py: fixed doctest corpus + hypothesis
@@ -23,8 +27,15 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import re
+
 from scrapely_spark.functions.scalars import (
-    _decode_numeric_entities)
+    _decode_numeric_entities, extract_number, extract_price)
+
+# a digit by Python-re's Unicode \d that is NOT ASCII 0-9 — rows
+# containing one diverge between RE2 (ASCII \d) and the scalar twins,
+# so they fall back to the scalar path
+_NON_ASCII_DIGIT_RE = re.compile(r"(?![0-9])\d")
 
 # RE2 spellings of scalars._DECIMAL_RE / _NUMBER_RE (same languages;
 # the differential fuzz in tests/test_vectorized_scalars.py pins them
@@ -47,6 +58,18 @@ def _empty(s: pd.Series) -> pd.Series:
     return pd.Series([], index=s.index, dtype=object)
 
 
+def _apply_scalar_fallback(out: pd.Series, original: pd.Series,
+                           decoded: pd.Series, scalar_fn) -> pd.Series:
+    """Overwrite rows whose decoded text contains a non-ASCII Unicode
+    digit with the scalar twin's answer (checked post-entity-decode so
+    ``&#NNN;``-produced digits are caught too)."""
+    mask = decoded.str.contains(_NON_ASCII_DIGIT_RE).eq(True)  # NaN→False
+    if mask.any():
+        out = out.copy()
+        out[mask] = original[mask].map(scalar_fn)
+    return out
+
+
 def _last_index_of(arr, sub: str, n):
     """Vectorized str.rfind: -1 when absent, else last occurrence index."""
     rev_pos = pc.find_substring(pc.utf8_reverse(arr), sub)
@@ -59,7 +82,8 @@ def extract_price_series(s: pd.Series) -> pd.Series:
     """Vectorized ``extract_price``: last-separator-wins normalization."""
     if len(s) == 0:
         return _empty(s)
-    arr = pa.Array.from_pandas(_decode_entities(s))
+    decoded = _decode_entities(s)
+    arr = pa.Array.from_pandas(decoded)
     clean = pc.replace_substring(arr, " ", "")
     v = pc.struct_field(pc.extract_regex(clean, _DECIMAL_RE2), "v")
 
@@ -83,18 +107,23 @@ def extract_price_series(s: pd.Series) -> pd.Series:
         pc.replace_substring(v, ".", ""), ",", ".")
     comma_as_grouping = pc.replace_substring(v, ",", "")
     out = pc.if_else(comma_is_decimal, comma_as_decimal, comma_as_grouping)
-    return out.to_pandas().astype(object).where(lambda x: x.notna(), None)
+    res = out.to_pandas().astype(object).where(lambda x: x.notna(), None)
+    res.index = s.index
+    return _apply_scalar_fallback(res, s, decoded, extract_price)
 
 
 def extract_number_series(s: pd.Series) -> pd.Series:
     """Vectorized ``extract_number``: the single number in the text."""
     if len(s) == 0:
         return _empty(s)
-    arr = pa.Array.from_pandas(_decode_entities(s))
+    decoded = _decode_entities(s)
+    arr = pa.Array.from_pandas(decoded)
     counts = pc.count_substring_regex(arr, _NUMBER_RE2)
     first = pc.struct_field(pc.extract_regex(arr, _NUMBER_RE2), "v")
     out = pc.if_else(pc.equal(counts, 1), first, pa.scalar(None, pa.string()))
-    return out.to_pandas().astype(object).where(lambda x: x.notna(), None)
+    res = out.to_pandas().astype(object).where(lambda x: x.notna(), None)
+    res.index = s.index
+    return _apply_scalar_fallback(res, s, decoded, extract_number)
 
 
 # pandas-UDF dispatch: scalar function name → series kernel

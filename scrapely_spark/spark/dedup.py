@@ -19,6 +19,8 @@ driver validate the whole signature pipeline against a pure-SQL oracle.
 
 from __future__ import annotations
 
+import re
+import weakref
 from typing import Iterator
 
 import numpy as np
@@ -43,12 +45,41 @@ def _spread(df: DataFrame) -> DataFrame:
     A small single-file table arrives as one split and would serialize
     the md5/fingerprint kernels on one core.  Only widens (never
     coalesces): at real scale the scan already yields >= parallelism
-    splits and this is a no-op.
+    splits and this is a no-op.  The width probe is ``inputFiles()``
+    (a driver-side file listing — each parquet file is at least one
+    split) rather than ``df.rdd.getNumPartitions()``, which forces a
+    full plan→RDD conversion on the driver per call.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
+
+
+def _unpersist_on_gc(result: DataFrame, cached: list) -> DataFrame:
+    """Free cached intermediates when the result DataFrame is dropped.
+
+    The LSH functions cache shared intermediates (band buckets, shingle
+    sets) so self-join sides compute them once.  The returned DataFrame
+    is lazy, so the cache must outlive this call — but a long session
+    issuing many dedup calls must not accumulate cached plans forever.
+    Tying ``unpersist`` to the result's garbage collection frees each
+    cache exactly when no caller can evaluate a plan that reuses it
+    (CPython refcounting makes this deterministic; pinned by
+    test_dedup_scale's long-session cache test).
+    """
+    def _free(caches=cached):
+        for c in caches:
+            try:
+                c.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+    weakref.finalize(result, _free)
+    return result
 
 
 def _cap_buckets(df: DataFrame, key_cols: list, max_bucket: int
@@ -150,6 +181,22 @@ def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
             .select("doc_id", "b.band_id", "b.band_key"))
 
 
+def _candidates_impl(docs: DataFrame, max_bucket: int):
+    """(candidate pairs, [cached intermediates]) — see minhash_candidates."""
+    # cache: a self-join of an unmaterialized plan computes the whole
+    # signature pipeline once per side
+    bands = _cap_buckets(minhash_bands(docs), ["band_id", "band_key"],
+                         max_bucket).cache()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, ["band_id", "band_key"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs, [bands]
+
+
 def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET
                        ) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any LSH band bucket.
@@ -157,17 +204,8 @@ def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET
     Buckets larger than ``max_bucket`` are dropped before the self-join
     (see MAX_BUCKET) — the standard LSH hot-bucket guard.
     """
-    # cache: a self-join of an unmaterialized plan computes the whole
-    # signature pipeline once per side
-    bands = _cap_buckets(minhash_bands(docs), ["band_id", "band_key"],
-                         max_bucket).cache()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (a.join(b, ["band_id", "band_key"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    pairs, cached = _candidates_impl(docs, max_bucket)
+    return _unpersist_on_gc(pairs, cached)
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
@@ -183,25 +221,69 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         "doc_id", F.explode(F.array_distinct(_shingles()))
         .alias("shingle")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cands = minhash_candidates(docs, max_bucket)
+    cands, cached = _candidates_impl(docs, max_bucket)
     # count common shingles by joining candidates through the shingle value
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
     common = (cands.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
               .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
-    return (common
-            .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                  .withColumnRenamed("n", "n_a"), "doc_a")
-            .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                  .withColumnRenamed("n", "n_b"), "doc_b")
-            .select("doc_a", "doc_b",
-                    F.round(F.col("n_common")
-                            / (F.col("n_a") + F.col("n_b")
-                               - F.col("n_common")), 6).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    out = (common
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n", "n_a"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n", "n_b"), "doc_b")
+           .select("doc_a", "doc_b",
+                   F.round(F.col("n_common")
+                           / (F.col("n_a") + F.col("n_b")
+                              - F.col("n_common")), 6).alias("jaccard"))
+           .where(F.col("jaccard") >= threshold))
+    return _unpersist_on_gc(out, cached + [sh])
 
 
 _SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+# the token class is exactly RE2's \s complement ([\t\n\f\r ]) so the
+# kernel splits identically to the DuckDB oracle's
+# string_split_regex(text, '\s+'); Python's unicode-aware str.split()
+# would diverge on non-ASCII whitespace
+_TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
+
+# per-process lazily-created DuckDB connection for vectorized token
+# hashing (False once probing failed — fall back to hashlib)
+_DUCK = None
+
+
+def _md5_u64(uniq: np.ndarray) -> np.ndarray:
+    """``int(md5(token).hexdigest()[:16], 16)`` for a token array.
+
+    The engine-portable md5-slice convention every dedup family uses —
+    but hashed as one vectorized batch: DuckDB's multithreaded
+    ``md5_number_upper`` (the first 8 digest bytes read little-endian;
+    byteswap yields the big-endian hexdigest-slice value) is ~6× faster
+    than a per-token ``hashlib`` loop at a 1M-distinct-token batch.
+    Falls back to ``hashlib`` when DuckDB is absent in the worker
+    environment; bit-identity of the two paths is pinned by
+    test_dedup_scale's differential test.
+    """
+    global _DUCK
+    if _DUCK is None:
+        try:
+            import duckdb
+            _DUCK = duckdb.connect()
+            # the Spark python worker already runs one task per core —
+            # don't let every worker fan out to all cores again
+            _DUCK.execute("SET threads=2")
+        except Exception:  # pragma: no cover - duckdb always in sandbox
+            _DUCK = False
+    if _DUCK is not False and len(uniq) >= 4096:
+        import pyarrow as pa
+        tok_tbl = pa.table({"t": pa.array(uniq, pa.string())})
+        got = _DUCK.execute(
+            "SELECT md5_number_upper(t) AS h FROM tok_tbl").arrow()
+        return got["h"].to_numpy().astype(np.uint64).byteswap()
+    import hashlib
+    buf = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in uniq)
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -213,15 +295,19 @@ def simhash(docs: DataFrame) -> DataFrame:
     convention the MinHash families use, which is what lets the
     correctness driver check this operator against a full DuckDB oracle
     (unnest tokens → nibble-decode vote bits → per-bit sums → sign
-    pack), not just a row count.
+    pack), not just a row count.  NULL/NaN text fingerprints to 0
+    (matching the oracle's LEFT JOIN + coalesce), and tokenization
+    splits on exactly RE2's ``\\s`` class — see ``_TOKEN_RE``.
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
         import sys
         for batch in batches:
             if len(batch) == 0:
                 continue
-            token_lists = [str(t).lower().split() for t in batch["text"]]
+            token_lists = [
+                [] if t is None or (isinstance(t, float) and t != t)
+                else _TOKEN_RE.findall(str(t).lower())
+                for t in batch["text"]]
             counts = np.fromiter((len(t) for t in token_lists),
                                  dtype=np.int64, count=len(token_lists))
             n_docs = len(counts)
@@ -240,12 +326,9 @@ def simhash(docs: DataFrame) -> DataFrame:
             # magnitude slower than float kernels on warm pages, so the
             # shape to avoid is a (n_tokens, 64) integer matrix.
             uniq, inv = np.unique(flat, return_inverse=True)
-            # one md5 per DISTINCT token (engine-portable slice; the
+            # one vectorized md5 batch over the DISTINCT tokens (the
             # repeated-token mass still hits the vectorized path below)
-            h_u = np.fromiter(
-                (int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
-                 for t in uniq),
-                dtype=np.uint64, count=len(uniq))
+            h_u = _md5_u64(uniq)
             if sys.byteorder != "little":  # pragma: no cover
                 h_u = h_u.byteswap()
             signs_u = np.unpackbits(
@@ -341,6 +424,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                      F.col("b.simhash").alias("fp_b"))
              .distinct())
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.select("doc_a", "doc_b",
-                        hamming.alias("hamming")) \
+    out = pairs.select("doc_a", "doc_b",
+                       hamming.alias("hamming")) \
         .where(F.col("hamming") <= max_hamming)
+    return _unpersist_on_gc(out, [banded])

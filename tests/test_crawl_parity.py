@@ -230,6 +230,10 @@ def test_canonicalize_fast_path_matches_slow_path(spark):
         "",                                       # empty
         None,                                     # null
         "http://h1.example.com/item/%d" % 7,
+        "http://h1.example.com/x\n",              # trailing newline (re '$' trap)
+        "http://h1.example.com/x\r\n",            # CRLF tail
+        "http://h1.example.com/a\nb",             # embedded newline
+        "\nhttp://h1.example.com/x",              # leading newline
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {r.url: (r.canonical_url, r.host)
@@ -330,7 +334,7 @@ def test_canonicalize_fast_path_fuzz():
             out[i], host[i] = canonical.canonicalize_with_host(out[i])
         return list(zip(out, host))
 
-    alphabet = st.sampled_from(list("abAB019./:?#@&=%~ _-[]\t"))
+    alphabet = st.sampled_from(list("abAB019./:?#@&=%~ _-[]\t\n\r"))
     frag = st.text(alphabet=alphabet, max_size=12)
     url = st.one_of(
         frag,

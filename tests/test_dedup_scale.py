@@ -30,12 +30,11 @@ def _docs(spark, rows):
 # ---------------------------------------------------------------- simhash
 
 
-def _simhash_scalar(text: str) -> int:
-    """Per-token reference definition of the fingerprint."""
+def _simhash_tokens(tokens) -> int:
     import hashlib
 
     votes = np.zeros(64, dtype=np.int64)
-    for t in str(text).lower().split():
+    for t in tokens:
         h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
         bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         votes += np.where(bits.astype(bool), 1, -1)
@@ -43,6 +42,17 @@ def _simhash_scalar(text: str) -> int:
     for i in np.flatnonzero(votes > 0):
         fp |= np.uint64(1) << np.uint64(i)
     return int(fp.astype(np.int64))
+
+
+def _simhash_scalar(text) -> int:
+    """Per-token reference definition of the fingerprint.
+
+    NULL fingerprints to 0 and tokens are maximal runs outside RE2's
+    ``\\s`` class — the exact semantics the DuckDB oracle implements.
+    """
+    if text is None:
+        return 0
+    return _simhash_tokens(dedup._TOKEN_RE.findall(str(text).lower()))
 
 
 def test_simhash_kernel_matches_scalar_definition(spark):
@@ -54,6 +64,56 @@ def test_simhash_kernel_matches_scalar_definition(spark):
            for r in dedup.simhash(_docs(spark, rows)).collect()}
     for doc_id, text in rows:
         assert got[doc_id] == _simhash_scalar(text), doc_id
+
+
+def test_simhash_null_and_unicode_whitespace(spark):
+    # NULL text fingerprints to 0 (parity with the oracle's LEFT JOIN +
+    # coalesce — NOT str(None) -> the token 'none'), and the tokenizer
+    # splits on RE2's \s class only, so a unicode NBSP stays inside the
+    # token exactly as DuckDB's string_split_regex would keep it
+    rows = [(1, None), (2, "a b"), (3, "a b"), (4, "a b c")]
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash(_docs(spark, rows)).collect()}
+    assert got[1] == 0
+    assert got[2] == _simhash_tokens(["a b"])
+    assert got[3] == _simhash_tokens(["a", "b"])
+    assert got[4] == _simhash_tokens(["a b", "c"])
+
+
+def test_md5_u64_batch_paths_bit_identical():
+    # the >=4096-token threshold routes big batches through DuckDB's
+    # vectorized md5; both paths must produce int(hexdigest[:16], 16)
+    import hashlib
+
+    toks = np.array(["tok%d" % i for i in range(5000)]
+                    + ["naïve", "héllo", "日本語", "x" * 200],
+                    dtype=object)
+    want = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks),
+        dtype=np.uint64, count=len(toks))
+    assert np.array_equal(dedup._md5_u64(toks), want)           # duckdb
+    assert np.array_equal(dedup._md5_u64(toks[:64]), want[:64])  # hashlib
+
+
+def test_lsh_caches_freed_after_use(spark):
+    # long sessions issue many dedup calls; each call's cached
+    # intermediates (band buckets, shingle sets) must be freed once the
+    # caller drops the result — no cached-plan accumulation
+    import gc
+
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    rows = [(i, "w%d x%d y%d z%d q%d" % (i % 5, i % 7, i % 3, i % 2,
+                                         i % 11)) for i in range(60)]
+    for fn in (dedup.minhash_candidates,
+               lambda d: dedup.jaccard_pairs(d, threshold=0.1),
+               dedup.simhash_near_pairs):
+        res = fn(_docs(spark, rows))
+        res.collect()
+        assert not cache_mgr.isEmpty()  # cache was actually used
+        del res
+        gc.collect()
+        assert cache_mgr.isEmpty(), "cached intermediates leaked"
 
 
 def test_simhash_default_banding_has_full_recall(spark):

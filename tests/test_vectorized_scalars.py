@@ -39,6 +39,11 @@ FIXED = [
     "&#163;129&#46;99 and &#8364;5",
     "&#65 space-terminated",
     "price: USD 1 234,56",
+    "٣٤",                      # Arabic-Indic digits: Python \d hit, RE2 miss
+    "price ٣٤,٥",              # mixed Unicode-digit price
+    "١ and 2",                 # Unicode digit changes the match count
+    "&#1635;4",                # entity decodes TO a Unicode digit
+    "१२३.४५",                  # Devanagari digits
     None,
 ]
 
@@ -59,7 +64,7 @@ def test_number_fixed_corpus():
 
 # strings biased toward digits/separators/entities — the structure the
 # branchy normalization logic actually discriminates on
-_alphabet = st.sampled_from(list("0123456789.,- ;&#ab$£\n"))
+_alphabet = st.sampled_from(list("0123456789.,- ;&#ab$£\n٣٤١٥१२"))
 _txt = st.text(alphabet=_alphabet, max_size=24)
 
 
