@@ -289,19 +289,10 @@ _IMG_INPUT_DUCK = _IMG_INPUT_SPARK.replace("AS STRING", "AS VARCHAR")
 
 
 def scalar_image_url(spark, sf_dir):
-    def q(spark, sf_dir):
-        from scrapely_spark.functions import extract_image_url
-
-        @F.pandas_udf("string")
-        def apply_fn(col: pd.Series) -> pd.Series:
-            return col.map(extract_image_url)
-
-        li = _t(spark, sf_dir, "lineitem")
-        return (li.selectExpr("l_orderkey", "l_linenumber",
-                              "%s AS raw" % _IMG_INPUT_SPARK)
-                .select("l_orderkey", "l_linenumber",
-                        apply_fn("raw").alias("value")))
-    return q(spark, sf_dir)
+    # routed through the Arrow/RE2 series kernel (SERIES_KERNELS), like
+    # price/number — no per-value Python in the hot path
+    return _scalar_kernel_query("extract_image_url", _IMG_INPUT_SPARK,
+                                include_raw=False)(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -354,19 +345,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF over a LEARNED coarse quantizer (spherical kmeans on a
         # deterministic sample, distributed Arrow-batch assignment) —
         # the real version of ann_ivf_topk's label-cell stand-in.
-        # Iterative training is not SQL-expressible, so the driver
-        # records the rows-only check here (like dedup_simhash); the
-        # recall bound vs brute force is pinned in test_dedup_scale.
+        # Training is deterministic end to end (md5-keyed init, fixed
+        # iteration count), so the DuckDB oracle re-runs the whole
+        # trainer in SQL (_ivf_kmeans_sql: five unrolled Lloyd
+        # iterations as chained CTEs) — a full hash check, not
+        # rows-only.  The recall bound vs brute force is pinned in
+        # test_dedup_scale.
         vec, _ = _query_vec(spark, sf)
         return simsearch.ivf_kmeans_topk(
-            _t(spark, sf, "embeddings"), vec, 10, n_cells=8, n_probe=6)
+            _t(spark, sf, "embeddings"), vec, 10,
+            n_cells=_IVF_N_CELLS, n_probe=_IVF_N_PROBE)
 
     def q_near_dups(spark, sf):
         # 0.4 is non-trivial on the synthetic embeddings (max pairwise
         # cosine ~0.51): a 0.9 threshold returned zero rows in every
-        # engine, a vacuous check
+        # engine, a vacuous check.  The label hot-bucket cap is lifted
+        # to _NEAR_DUP_MAX_BUCKET so the ~500-row sf0.1 label buckets
+        # survive (the guard stays structural; the oracle mirrors it)
         return simsearch.near_dup_pairs(_t(spark, sf, "embeddings"),
-                                        _LSH_THRESHOLD)
+                                        _LSH_THRESHOLD,
+                                        max_bucket=_NEAR_DUP_MAX_BUCKET)
 
     def q_phash_near_dups(spark, sf):
         # the image near-dup operator (banded hamming over an int64
@@ -683,10 +681,16 @@ _BANDS_SQL = _SHINGLE_CTE + """
 
 
 _EMB_DIM = 64          # synthetic embeddings table dimension
+_IVF_N_CELLS = 8       # learned-quantizer cells in q_ann_ivf_kmeans
+_IVF_N_PROBE = 6
+_IVF_SAMPLE = 4096     # mirror of simsearch.kmeans_cells defaults
+_IVF_ITERS = 5
+_IVF_SEED = 7
 _LSH_PLANES = 16       # 4 bands × 4 hyperplanes
 _LSH_BAND = 4
 _LSH_THRESHOLD = 0.4
 _LSH_MAX_BUCKET = 200  # mirror of simsearch.MAX_BUCKET
+_NEAR_DUP_MAX_BUCKET = 1000  # label-bucket cap in q_near_dups
 
 
 def _lsh_near_dups_sql() -> str:
@@ -736,6 +740,85 @@ def _lsh_near_dups_sql() -> str:
               >= %s""" % (",\n                       ".join(band_exprs),
                           banded_union, _LSH_MAX_BUCKET,
                           repr(_LSH_THRESHOLD))
+
+
+def _ivf_kmeans_sql() -> str:
+    """DuckDB twin of simsearch.ivf_kmeans_topk — including training.
+
+    The trainer is deterministic and engine-portable by construction
+    (bounded lowest-vec_id sample, md5(seed:vec_id)-ranked init, a fixed
+    number of Lloyd iterations, lowest-cell tie-breaks), so the oracle
+    does not inline learned centroids — it re-derives them: the five
+    iterations are unrolled as chained CTEs (assign by dot-product
+    argmax → per-cell vector mean via generate_subscripts/unnest →
+    L2-normalize, empty cells keeping the previous centroid), then the
+    probe fan-out, full-table assignment and cosine top-k run on the
+    learned c5.  Bit-agreement with the numpy trainer is safe at
+    6-decimal rounding: a divergence needs two dot products within
+    ~1e-13 of each other (pinned by the driver hash check and
+    test_query_matches_oracle).
+    """
+    it_tpl = """
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.v, c.c) DESC,
+                                       c.cell ASC) AS rn
+    FROM sampn s CROSS JOIN c{p} c) WHERE rn = 1),
+sums{i} AS (
+  SELECT a.cell, u.i, sum(u.x) AS sx
+  FROM a{i} a JOIN (
+    SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+    FROM sampn) u ON a.vec_id = u.vec_id
+  GROUP BY a.cell, u.i),
+newc{i} AS (
+  SELECT cell, list(sx ORDER BY i) AS raw FROM sums{i} GROUP BY cell),
+c{i} AS (
+  SELECT p.cell,
+         CASE WHEN n.raw IS NULL THEN p.c
+              ELSE list_transform(n.raw, x -> x /
+                     greatest(sqrt(list_dot_product(n.raw, n.raw)), 1e-12))
+         END AS c
+  FROM c{p} p LEFT JOIN newc{i} n ON p.cell = n.cell)"""
+    iters = ",".join(it_tpl.format(i=i, p=i - 1)
+                     for i in range(1, _IVF_ITERS + 1))
+    init_rank = ("row_number() OVER (ORDER BY md5(CAST(%d AS VARCHAR) "
+                 "|| ':' || CAST(vec_id AS VARCHAR)), vec_id)"
+                 % _IVF_SEED)
+    return """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {sample}),
+sampn AS (
+  SELECT vec_id,
+         list_transform(v, x -> x /
+           greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS v
+  FROM samp),
+c0 AS (
+  SELECT {rank} - 1 AS cell, v AS c
+  FROM sampn
+  QUALIFY {rank} <= {cells}),
+{iters},
+q AS (SELECT v FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT c.cell FROM c{last} c, q
+  ORDER BY list_dot_product(c.c, q.v) DESC, c.cell ASC
+  LIMIT {probe}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.c) DESC,
+                                       c.cell ASC) AS rn
+    FROM e CROSS JOIN c{last} c) WHERE rn = 1)
+SELECT e.vec_id, e.label,
+       round(CAST(list_cosine_similarity(e.v, q.v) AS DOUBLE), 6) AS score
+FROM e JOIN assigned a ON e.vec_id = a.vec_id, q
+WHERE a.cell IN (SELECT cell FROM probes)
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10""".format(sample=_IVF_SAMPLE, rank=init_rank, cells=_IVF_N_CELLS,
+                   iters=iters, last=_IVF_ITERS, probe=_IVF_N_PROBE)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -874,7 +957,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id, label,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-                       FROM embeddings)
+                       FROM embeddings
+                       QUALIFY count(*) OVER (PARTITION BY label) <= 1000)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
                    round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
                          6) AS cosine
@@ -884,6 +968,8 @@ def oracle_sql() -> dict[str, str]:
                         6) >= 0.4""",
 
         "embedding_lsh_near_dups": _lsh_near_dups_sql(),
+
+        "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
 
         # full oracle of the md5-slice SimHash: unnest tokens,
         # nibble-decode each of the 64 vote bits, sum votes per bit,

@@ -23,14 +23,16 @@ for semantics.
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import re
-
 from scrapely_spark.functions.scalars import (
-    _decode_numeric_entities, extract_number, extract_price)
+    _IMAGE_EXTS, _decode_numeric_entities, extract_image_url,
+    extract_number, extract_price)
 
 # a digit by Python-re's Unicode \d that is NOT ASCII 0-9 — rows
 # containing one diverge between RE2 (ASCII \d) and the scalar twins,
@@ -126,8 +128,109 @@ def extract_number_series(s: pd.Series) -> pd.Series:
     return _apply_scalar_fallback(res, s, decoded, extract_number)
 
 
+# --- image_url ------------------------------------------------------------
+#
+# RE2 spellings of the scalar pipeline's pieces (scalars.extract_image_url):
+# trim → CSS url(...) extract → urlparse → image-extension path search →
+# urlunparse rebuild.  The urlparse/urlunparse pair is replaced by one
+# RFC-3986 decomposition regex plus a conditional rebuild; rows where the
+# stdlib parser's extra rules would kick in (listed at _image_fallback_mask)
+# route to the scalar source of truth.
+
+_CSS_RE2 = r"(?i)background(?:-image)?\s*:\s*url\((?P<u>.*?)\)"
+# RFC 3986 appendix-B shape with the netloc marker captured separately so
+# "//"-present-but-empty netloc is detectable
+_SPLIT_RE2 = (r"^(?:(?P<sch>[^:/?#]+):)?(?:(?P<sl>//)(?P<net>[^/?#]*))?"
+              r"(?P<path>[^?#]*)(?:\?(?P<q>[^#]*))?(?:#(?P<frag>.*))?$")
+_VALID_SCHEME_RE2 = r"^[A-Za-z][A-Za-z0-9+.\-]*$"
+_IMG_PATH_RE2 = (r"(?i)(?P<m>/?(?:[^/]+/)*(?:.+\.(?:%s)))"
+                 % "|".join(_IMAGE_EXTS))
+_ANY_PATH_RE2 = r"(?i)(?P<m>/?(?:[^/]+/)*(?:.+))"
+
+
+def _s(v) -> "pa.StringScalar":
+    return pa.scalar(v, pa.string())
+
+
+def _cat(*arrs):
+    """Element-wise concat (inputs must be null-free)."""
+    return pc.binary_join_element_wise(*arrs, _s(""))
+
+
+def _mask(a) -> np.ndarray:
+    return pc.fill_null(a, False).to_numpy(zero_copy_only=False)
+
+
+def extract_image_url_series(s: pd.Series) -> pd.Series:
+    """Vectorized ``extract_image_url``; hard rows → scalar fallback."""
+    if len(s) == 0:
+        return _empty(s)
+    arr = pa.Array.from_pandas(s)
+    t = pc.utf8_trim(arr, "\t\r\n '\"")
+    css = pc.struct_field(pc.extract_regex(t, _CSS_RE2), "u")
+    t2 = pc.if_else(pc.is_valid(css), css, t)
+    parts = pc.extract_regex(t2, _SPLIT_RE2)
+    sch = pc.struct_field(parts, "sch")
+    sl = pc.struct_field(parts, "sl")
+    net = pc.struct_field(parts, "net")
+    path = pc.struct_field(parts, "path")
+    q = pc.struct_field(parts, "q")
+    frag = pc.struct_field(parts, "frag")
+
+    img = pc.struct_field(pc.extract_regex(path, _IMG_PATH_RE2), "m")
+    anyp = pc.struct_field(pc.extract_regex(path, _ANY_PATH_RE2), "m")
+    has_q = pc.and_kleene(pc.is_valid(q), pc.not_equal(q, _s("")))
+    newpath = pc.if_else(
+        pc.is_valid(img), img,
+        pc.if_else(pc.fill_null(has_q, False), anyp, _s(None)))
+
+    sch_part = pc.if_else(
+        pc.is_valid(sch), _cat(pc.fill_null(pc.utf8_lower(sch), ""),
+                               _s(":")), _s(""))
+    net_part = pc.if_else(
+        pc.is_valid(sl), _cat(_s("//"), pc.fill_null(net, "")), _s(""))
+    q_part = pc.if_else(pc.fill_null(has_q, False),
+                        _cat(_s("?"), pc.fill_null(q, "")), _s(""))
+    has_f = pc.and_kleene(pc.is_valid(frag), pc.not_equal(frag, _s("")))
+    f_part = pc.if_else(pc.fill_null(has_f, False),
+                        _cat(_s("#"), pc.fill_null(frag, "")), _s(""))
+    rebuilt = _cat(sch_part, net_part, pc.fill_null(newpath, ""),
+                   q_part, f_part)
+    value = pc.if_else(pc.is_valid(newpath), rebuilt, t2)
+
+    res = value.to_pandas().astype(object)
+    res = res.where(res.notna(), None)
+    res.index = s.index
+    # url(): empty after trim → None
+    res[_mask(pc.equal(pc.utf8_length(t), 0))] = None
+
+    # rows the stdlib parser treats differently — recompute with the
+    # scalar source of truth:
+    def srch(a, pat):
+        return _mask(pc.match_substring_regex(a, pat))
+    fb = (
+        # non-ASCII anywhere: Python \s / urlparse are unicode-aware
+        srch(t, r"[^\x00-\x7F]")
+        # decomposition regex didn't span the string (e.g. \n placement)
+        | (_mask(pc.is_valid(t2)) & ~_mask(pc.is_valid(parts)))
+        # ':' present but not a urlparse-valid scheme
+        | (_mask(pc.is_valid(sch))
+           & ~_mask(pc.match_substring_regex(sch, _VALID_SCHEME_RE2)))
+        # '//' with empty netloc (urlunparse re-slashing rules)
+        | (_mask(pc.is_valid(sl)) & _mask(pc.equal(net, _s(""))))
+        # ';' → urlparse path-params splitting
+        | srch(path, ";")
+        # matched path starting '//' → urlunparse prepends another '//'
+        | _mask(pc.starts_with(newpath, "//")))
+    fb &= s.notna().to_numpy()
+    if fb.any():
+        res[fb] = s[fb].map(extract_image_url)
+    return res
+
+
 # pandas-UDF dispatch: scalar function name → series kernel
 SERIES_KERNELS = {
     "extract_price": extract_price_series,
     "extract_number": extract_number_series,
+    "extract_image_url": extract_image_url_series,
 }

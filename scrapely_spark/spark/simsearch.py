@@ -65,17 +65,28 @@ def kmeans_cells(embeddings: DataFrame, n_cells: int = 16,
     deterministic sample (lowest ``vec_id``s — at 10^10 rows a
     quantizer is always fit on a sample, never the table), assignment
     runs distributed (:func:`assign_cells`).  Lloyd's iterations with
-    cosine assignment (rows and centroids L2-normalized); fixed seed +
-    deterministic sample → identical centroids every run.  Returns
-    plain float lists so centroids can be broadcast into plans or
-    persisted next to the index.
+    cosine assignment (rows and centroids L2-normalized); deterministic
+    sample + init → identical centroids every run.  The init picks the
+    ``n_cells`` sample rows ranking lowest by ``md5(seed:vec_id)`` — a
+    seed-keyed pseudo-random draw chosen over ``RandomState.choice``
+    because it is *engine-portable*: the correctness driver's DuckDB
+    oracle re-runs this whole trainer (init, five unrolled Lloyd
+    iterations, assignment, probe fan-out, top-k) in pure SQL, the same
+    way the hyperplane-LSH oracle re-derives its plane bucketing.
+    Returns plain float lists so centroids can be broadcast into plans
+    or persisted next to the index.
     """
-    rows = (embeddings.select(vec_col).orderBy("vec_id").limit(sample)
-            .collect())
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    import hashlib
+
+    rows = (embeddings.select("vec_id", vec_col).orderBy("vec_id")
+            .limit(sample).collect())
+    vec_ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    keys = [hashlib.md5(("%d:%d" % (seed, v)).encode()).hexdigest()
+            for v in vec_ids]
+    order = sorted(range(len(keys)), key=lambda i: (keys[i], vec_ids[i]))
+    C = X[order[:min(n_cells, len(X))]].copy()
     for _ in range(iters):
         owner = np.argmax(X @ C.T, axis=1)
         for j in range(len(C)):
@@ -126,25 +137,33 @@ def ivf_kmeans_topk(embeddings: DataFrame, query: list, k: int = 10,
     C = np.array(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(C @ q))[:n_probe].tolist()
+    # stable sort: ties break toward the lower cell id, matching the
+    # oracle's ORDER BY dot DESC, cell ASC
+    probes = np.argsort(-(C @ q), kind="stable")[:n_probe].tolist()
     cells = assign_cells(embeddings, centroids, vec_col)
     return cosine_topk(cells.where(F.col("cell").isin(probes)),
                        query, k, vec_col)
 
 
 def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                   max_bucket: int = MAX_BUCKET,
                    vec_col: str = "embedding") -> DataFrame:
     """Embedding near-duplicates: cosine ≥ threshold within label buckets.
 
     The label bucket is the blocking key (the all-pairs join never
-    materializes across buckets); at scale replace with LSH hyperplane
-    buckets over the same shape.
+    materializes across buckets), and — like every LSH sibling — label
+    buckets above ``max_bucket`` are dropped before the self-join: one
+    hot label is otherwise O(|bucket|²).  This remains the trusted-label
+    baseline; :func:`hyperplane_near_dups` is the label-free scale path.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     slim = embeddings.select(
         "vec_id", "label", v.alias("v"),
         F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
                            lambda acc, x: acc + x)).alias("norm"))
+    w = Window.partitionBy("label")
+    slim = (slim.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket).drop("_bn"))
     a = slim.alias("a")
     b = slim.alias("b")
     dot = F.aggregate(

@@ -172,6 +172,20 @@ def test_cap_keeps_small_buckets(spark):
 # -------------------------------------------------------- hyperplane LSH
 
 
+def test_near_dup_pairs_hot_label_capped(spark):
+    # one degenerate label holding 300 identical vectors must not
+    # produce 300²/2 pairs — the bucket is dropped (hyperplane LSH is
+    # the label-free recovery path); a small label still matches
+    rows = [(i, [1.0, 0.0, 0.0], 1) for i in range(300)]
+    rows += [(1000, [0.0, 1.0, 0.0], 2), (1001, [0.0, 1.0, 0.0], 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.vec_a, r.vec_b)
+           for r in simsearch.near_dup_pairs(df, 0.9,
+                                             max_bucket=200).collect()}
+    assert got == {(1000, 1001)}
+
+
 def test_hyperplane_near_dups_matches_numpy_twin(spark):
     rng = np.random.RandomState(3)
     base = rng.standard_normal((40, 16))

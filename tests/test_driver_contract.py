@@ -90,10 +90,11 @@ def test_query_matches_oracle(spark, duck, name):
             name, srows[:3], drows[:3]))
 
 
-@pytest.mark.parametrize("name", ["ann_ivf_kmeans_topk"])
-def test_rows_only_queries_run(spark, name):
-    df = contract.queries()[name](spark, SF_DIR)
-    assert df.count() > 0
+def test_no_rows_only_queries_remain():
+    # every queries() entry has a full DuckDB oracle — the driver's
+    # weaker rows-only fallback path is unused since round 3 (the last
+    # holdout, ann_ivf_kmeans_topk, gained a trainer-recomputing oracle)
+    assert set(contract.oracle_sql()) == set(contract.queries())
 
 
 # The six queries below were value-identical but hash-mismatched in the

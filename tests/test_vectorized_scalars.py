@@ -12,7 +12,7 @@ from hypothesis import given, settings, strategies as st
 
 from scrapely_spark.functions import scalars
 from scrapely_spark.functions.vectorized import (
-    extract_number_series, extract_price_series)
+    extract_image_url_series, extract_number_series, extract_price_series)
 
 FIXED = [
     "asdf 234,234.45sdf ",
@@ -85,3 +85,51 @@ def test_degenerate_batches(n):
     vals = ["1,23"] * n
     assert list(extract_price_series(pd.Series(vals, dtype=object))) \
         == [scalars.extract_price(v) for v in vals]
+
+
+IMG_FIXED = [
+    # the scalar's doctest corpus
+    "", "foo-bar.jpg", "/images/main_logo12.gif",
+    "http://www.image.com/image.jpg",
+    "background-image : url('http://www.site.com/path1/path2/image.jpg')",
+    "/getimage.php?image=totalgardens/outbbq2_400.jpg&type=prod&resizeto=350",
+    "../image.aspx?thumb=true&amp;boxSize=175&amp;img=Unknoportrait[1].jpg",
+    "http://www.site.com/image.php",
+    # adversarial: fallback-path triggers and urlparse corner shapes
+    "HTTP://Host/IMG.JPG",          # uppercase scheme → lowercased
+    "1:2.jpg",                      # invalid scheme → ':' kept in path
+    "http:///x.jpg",                # '//' with empty netloc
+    "//host/x.jpg",                 # scheme-relative
+    "a;b/x.jpg?q=1",                # ';' → urlparse path params
+    "x.jpg#frag", "x.jpg?#", "mailto:",
+    " \t\"quoted.png\" ",           # url() trim
+    "http://h/a//b.jpg", "//x.jpg?y=1",
+    "naïve/ümage.jpg?x=1",          # non-ASCII
+    "a\nb.jpg?x=1",                 # newline inside
+    "c:\\windows\\img.bmp",
+    "background:url(a.png) no-repeat",
+    "background-image:url()",       # empty css url
+    None,
+]
+
+
+def test_image_url_fixed_corpus():
+    _compare(extract_image_url_series, scalars.extract_image_url, IMG_FIXED)
+
+
+# URL-shaped fragments biased toward the branchy structure: schemes,
+# slashes, extensions, css wrappers, separators, quotes, whitespace
+_img_alphabet = st.sampled_from(list("ab1./:?#;&=%~ _-'\"\t\n()\u00a0é"))
+_img_frag = st.text(alphabet=_img_alphabet, max_size=16)
+_img_url = st.one_of(
+    _img_frag,
+    _img_frag.map(lambda f: f + ".jpg"),
+    _img_frag.map(lambda f: "http://" + f),
+    _img_frag.map(lambda f: "background-image: url(%s)" % f),
+    st.tuples(_img_frag, _img_frag).map(lambda t: "%s/%s.png?%s" % (t[0], t[1], t[0])))
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_img_url, min_size=1, max_size=16))
+def test_image_url_differential_fuzz(values):
+    _compare(extract_image_url_series, scalars.extract_image_url, values)
