@@ -228,41 +228,92 @@ def prepare_replay_store(pages: DataFrame) -> DataFrame:
     return canon.select(F.col("canonical_url").alias("page_url"), "body")
 
 
-def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
-              plan_bc, round_id: int, spec: BloomSpec,
-              round_seconds: float = 10.0) -> dict:
-    """Execute one committed crawl round; returns its metrics.
+def _politeness_wave(spark, store: StateStore, frontier: DataFrame,
+                     robots: DataFrame, round_id: int,
+                     round_seconds: float) -> dict:
+    """Wave 1: select and stage ``round_id``'s fetch batch.
 
-    ``pages`` must be keyed by canonical URL (see prepare_replay_store).
+    ``frontier`` is the round's frontier view — either the store-derived
+    plan (sequential path / first round) or the previous round's
+    incremental plan (pipelined path, see ``crawl``).  Both produce the
+    same row *set*, and every downstream decision orders on the explicit
+    total key, so the staged batch is identical either way.
+
+    The staging write job materializes the politeness batch AND carries
+    the fetched count via an Observation (no separate count() job).  A
+    drained round leaves the staged file as an uncommitted orphan
+    (overwritten if the crawl ever resumes here).
+
+    The returned ``batch`` is the staged file READ BACK, not the
+    selection plan: downstream plans (the replay join, the next round's
+    frontier increment) then hang off a plain file scan — constant plan
+    depth across pipelined rounds (a cached plan keeps its whole
+    lineage, so chaining increments through caches grows the logical
+    plan by one round-pipeline per round until plan stringification
+    itself OOMs), and the planner sees the batch's true on-disk size.
     """
     t = time.time()
-    frontier = frontier_view(spark, store)
-
     # politeness selection (broadcast robots supplies crawl_delay)
     with_delay = (frontier.join(F.broadcast(robots.select(
         "host", "crawl_delay")), "host", "left")
         .withColumn("crawl_delay", F.coalesce(
             F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))))
     batch = select_fetch_batch(with_delay, round_seconds=round_seconds) \
-        .drop("crawl_delay").cache()
-
-    # Wave 1: stage the fetch log — its write job materializes the
-    # politeness batch AND carries the fetched count (no separate
-    # count() job).  A drained round leaves the staged file as an
-    # uncommitted orphan (overwritten if the crawl ever resumes here).
+        .drop("crawl_delay")
     fetch_log = batch.select(
         F.lit(round_id).alias("round_id"), "priority", "canonical_url")
     obs_fetched = Observation()
-    staged = {}
-    _, staged[FETCH_LOG] = store.stage_round(
+    path, staged_fl = store.stage_round(
         fetch_log.observe(obs_fetched, F.count(F.lit(1)).alias("n")),
         FETCH_LOG, round_id)
     fetched = int(obs_fetched.get["n"])
-    t = _trace(round_id, "wave1 fetch_log", t)
-    if fetched == 0:
-        store.commit_round(round_id, {}, {"fetched": 0, "drained": True})
-        batch.unpersist()
-        return {"fetched": 0}
+    batch_scan = (spark.read.parquet(path)
+                  .select("priority", "canonical_url"))
+    _trace(round_id, "wave1 fetch_log", t)
+    return {"batch": batch_scan, "staged_fetch_log": staged_fl,
+            "fetched": fetched}
+
+
+def _commit_drained(store: StateStore, round_id: int, w1: dict) -> dict:
+    store.commit_round(round_id, {}, {"fetched": 0, "drained": True})
+    return {"fetched": 0}
+
+
+def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
+              plan_bc, round_id: int, spec: BloomSpec,
+              round_seconds: float = 10.0) -> dict:
+    """Execute one committed crawl round; returns its metrics.
+
+    ``pages`` must be keyed by canonical URL (see prepare_replay_store).
+    (The crawl loop pipelines rounds instead of calling this directly —
+    same waves, with round k+1's wave 1 overlapped into round k's wave 3;
+    this sequential form is the parity/teaching shape.)
+    """
+    frontier = frontier_view(spark, store)
+    w1 = _politeness_wave(spark, store, frontier, robots, round_id,
+                          round_seconds)
+    if w1["fetched"] == 0:
+        return _commit_drained(store, round_id, w1)
+    finish, _enqueue = _round_body(spark, store, pages, robots, plan_bc,
+                                   round_id, spec, w1)
+    return finish()
+
+
+def _round_body(spark, store: StateStore, pages: DataFrame,
+                robots: DataFrame, plan_bc, round_id: int, spec: BloomSpec,
+                w1: dict):
+    """Waves 2-3 of a round whose fetch batch is non-empty.
+
+    Returns ``(finish, enqueue)``: ``enqueue`` is the round's
+    frontier-additions plan (it reads only caches wave 2 materialized,
+    so the pipelined crawl can fold it into the next round's frontier
+    without waiting for the wave-3 writes), and ``finish()`` blocks on
+    the wave-3 writes, commits the round, frees the round's caches and
+    returns its metrics.
+    """
+    t = time.time()
+    batch, fetched = w1["batch"], w1["fetched"]
+    staged = {FETCH_LOG: w1["staged_fetch_log"]}
 
     # replay fetch: probe the pages store with the batch.  No broadcast
     # hint: a politeness batch is usually small (AQE broadcasts it
@@ -324,38 +375,46 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     # three delta writes and the per-partition lineage aggregation run
     # concurrently so their fixed per-job costs overlap instead of
     # summing (~the round's whole fixed budget at sandbox round sizes).
-    # All three are O(new URLs this round), never O(total state).
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        futures = {
-            table: pool.submit(store.stage_round, df, table, round_id)
-            for df, table in ((enqueue, ENQUEUED),
-                              (bloom_delta, BLOOM))}
-        futures[EXTRACTED] = pool.submit(
-            store.stage_round, extracted, EXTRACTED, round_id)
-        lineage_fut = pool.submit(
-            lambda: ext.groupBy("partition_id").agg(
-                F.count("*").alias("n")).collect())
-        for table, fut in futures.items():
-            _, staged[table] = fut.result()
-        lineage = [
-            {"partition_id": int(r["partition_id"]),
-             "output_rows": int(r["n"])} for r in lineage_fut.result()]
-    t = _trace(round_id, "wave3 state writes", t)
+    # All three are O(new URLs this round), never O(total state).  The
+    # futures are submitted here and awaited in finish(), so the caller
+    # can run the NEXT round's wave 1 while these writes drain.
+    pool = ThreadPoolExecutor(max_workers=4)
+    futures = {
+        table: pool.submit(store.stage_round, df, table, round_id)
+        for df, table in ((enqueue, ENQUEUED),
+                          (bloom_delta, BLOOM))}
+    futures[EXTRACTED] = pool.submit(
+        store.stage_round, extracted, EXTRACTED, round_id)
+    lineage_fut = pool.submit(
+        lambda: ext.groupBy("partition_id").agg(
+            F.count("*").alias("n")).collect())
 
-    metrics = {
-        "fetched": fetched,
-        # hits derived from the lineage aggregation — one fewer job/round
-        "hits": sum(entry["output_rows"] for entry in lineage),
-        "new_urls": int(obs_new.get["n"]),
-        "partition_lineage": lineage,
-    }
-    store.commit_round(round_id, staged, metrics)
+    def finish() -> dict:
+        try:
+            for table, fut in futures.items():
+                _, staged[table] = fut.result()
+            lineage = [
+                {"partition_id": int(r["partition_id"]),
+                 "output_rows": int(r["n"])} for r in lineage_fut.result()]
+        finally:
+            pool.shutdown(wait=False)
+        _trace(round_id, "wave3 state writes", t)
 
-    batch.unpersist()
-    ext.unpersist()
-    flagged.unpersist()
-    new_urls.unpersist()
-    return metrics
+        metrics = {
+            "fetched": fetched,
+            # hits derived from the lineage agg — one fewer job/round
+            "hits": sum(entry["output_rows"] for entry in lineage),
+            "new_urls": int(obs_new.get["n"]),
+            "partition_lineage": lineage,
+        }
+        store.commit_round(round_id, staged, metrics)
+
+        ext.unpersist()
+        flagged.unpersist()
+        new_urls.unpersist()
+        return metrics
+
+    return finish, enqueue
 
 
 def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
@@ -394,13 +453,52 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     if rounds_so_far and rounds_so_far[-1].get("drained"):
         return store  # previous run already drained the frontier
     round_id = store.last_round()
+    # Pipelined rounds: round k+1's wave 1 (frontier increment +
+    # politeness + fetch-log staging) runs on the driver thread while
+    # round k's wave-3 delta writes drain in the background pool, so the
+    # two constant-ish control-plane costs overlap instead of summing.
+    # The ledger commit barrier is preserved — round k commits before
+    # round k+1 does; the overlapped wave 1 only STAGES its fetch log
+    # (per-round-tagged, overwritten on resume).  The incremental
+    # frontier (view_k ∖ batch_k ∪ enqueue_k) equals the store-derived
+    # view as a row set, and the politeness batch orders on the explicit
+    # total key (priority, canonical_url), so the staged batch is
+    # byte-identical to the sequential schedule's — pinned by the
+    # oracle fetch-order/seen-set parity tests.
+    next_w1 = None
+    frontier = None
     while round_id < max_rounds:
         round_id += 1
-        metrics = run_round(spark, store, replay, robots, plan_bc,
-                            round_id, spec, round_seconds)
-        if metrics.get("fetched", 0) == 0:
+        if next_w1 is None:
+            frontier = frontier_view(spark, store)
+            w1 = _politeness_wave(spark, store, frontier, robots,
+                                  round_id, round_seconds)
+        else:
+            # frontier was rebuilt from the store after the previous
+            # round committed (constant plan depth — increments never
+            # chain across rounds)
+            w1, next_w1 = next_w1, None
+        if w1["fetched"] == 0:
+            _commit_drained(store, round_id, w1)
             break
-        if compact_every and round_id % compact_every == 0:
+        finish, enqueue = _round_body(spark, store, replay, robots,
+                                      plan_bc, round_id, spec, w1)
+        will_compact = bool(compact_every
+                            and round_id % compact_every == 0)
+        if round_id < max_rounds and not will_compact:
+            # compaction rewrites state files, so an already-planned
+            # increment must not straddle it — those rounds fall back
+            # to the sequential schedule
+            incr = (frontier.join(w1["batch"].select("canonical_url"),
+                                  "canonical_url", "left_anti")
+                    .select(*_FRONTIER_COLS)
+                    .unionByName(enqueue))
+            next_w1 = _politeness_wave(spark, store, incr, robots,
+                                       round_id + 1, round_seconds)
+        finish()
+        if will_compact:
             for table in (ENQUEUED, SEEN, FETCH_LOG, BLOOM, EXTRACTED):
                 store.compact_rounds(spark, table)
+        if next_w1 is not None:
+            frontier = frontier_view(spark, store)
     return store
