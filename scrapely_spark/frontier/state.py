@@ -22,13 +22,95 @@ snapshot ids; the round protocol does not change.
 
 from __future__ import annotations
 
+import abc
 import json
 import os
 import shutil
 import time
 
 
-class StateStore:
+class CatalogStateStore(abc.ABC):
+    """The state-catalog contract the crawl rounds rely on.
+
+    Each operation maps 1:1 onto an Iceberg catalog, so an Iceberg-backed
+    store is a drop-in behind this interface:
+
+    =================  ====================================================
+    this contract      Iceberg equivalent
+    =================  ====================================================
+    stage(df, t)       write new data files (no snapshot commit yet)
+    publish(t, v)      snapshot commit (``writeTo(...).createOrReplace``)
+    stage_round(...)   write the data files of an append partition
+    commit_round(...)  one atomic multi-table commit of the round's
+                       staged tables + round metadata (an Iceberg
+                       transaction / REST-catalog multi-table commit)
+    read/read_rounds   snapshot-isolated reads (versions = time travel)
+    compact_rounds(t)  ``rewrite_data_files`` + metadata pointer update
+    last_round() &c.   snapshot-history inspection
+    =================  ====================================================
+
+    Invariants every implementation must satisfy — pinned by
+    tests/test_state_contract.py, which is written against this ABC so
+    an Iceberg-backed implementation runs the identical suite:
+
+    * **Staged is invisible**: rows written by ``stage``/``stage_round``
+      appear in no read until published/committed — a reader never sees
+      a half-written round.
+    * **Commit is atomic**: after ``commit_round`` returns, all of the
+      round's tables are visible together; a kill at any earlier point
+      (including mid-ledger-write) leaves exactly the previous committed
+      state.
+    * **Idempotent replay**: re-committing a committed round is a no-op;
+      re-staging over a killed run's orphan files succeeds.
+    * **Compaction changes no reader**: the visible row set of
+      ``read_rounds`` is identical before and after ``compact_rounds``.
+    """
+
+    @abc.abstractmethod
+    def stage(self, df, table: str) -> tuple:
+        """Write an uncommitted full-table version; return (path, version)."""
+
+    @abc.abstractmethod
+    def publish(self, table: str, version) -> None:
+        """Commit a staged version outside the round protocol."""
+
+    @abc.abstractmethod
+    def read(self, spark, table: str):
+        """The committed snapshot of a published table."""
+
+    @abc.abstractmethod
+    def exists(self, table: str) -> bool:
+        """Whether the table has a committed version."""
+
+    @abc.abstractmethod
+    def stage_round(self, df, table: str, round_id: int) -> tuple:
+        """Write an uncommitted per-round append; return (path, tag)."""
+
+    @abc.abstractmethod
+    def commit_round(self, round_id: int, staged: dict,
+                     metrics: dict) -> None:
+        """Atomically publish a round's staged tables + metadata."""
+
+    @abc.abstractmethod
+    def read_rounds(self, spark, table: str):
+        """All committed rows of a per-round table (None if empty)."""
+
+    @abc.abstractmethod
+    def compact_rounds(self, spark, table: str):
+        """Fold the delta chain into one base snapshot (reader-invisible)."""
+
+    @abc.abstractmethod
+    def last_round(self) -> int:
+        """Highest committed round id (0 before any round)."""
+
+    @abc.abstractmethod
+    def round_metrics(self) -> list:
+        """Committed rounds' metadata, in commit order."""
+
+
+class StateStore(CatalogStateStore):
+    """Parquet + atomic-JSON-ledger implementation of the contract."""
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)

@@ -1,7 +1,19 @@
 """Command-line template-store tool.
 
-Role parity with the reference's interactive ``scrapely/tool.py`` (IblTool)
-as a plain argparse CLI over the JSON template store:
+Full parity with the reference's ``scrapely/tool.py`` (IblTool) in both
+of its modes:
+
+* **Interactive REPL** — ``python -m scrapely_spark.tool STORE.json``
+  with no command starts a ``cmd.Cmd`` shell (the reference's
+  ``scrapely>`` loop, tool.py:10-111): ``add_template``/``ta``,
+  ``ls_templates``/``ls``/``tl``, ``del_template``/``td``,
+  ``annotate``/``a``/``t`` (with ``-f FIELD`` / ``-n NUMBER`` criteria,
+  test mode when ``-f`` is omitted), ``ls_annotations``/``al``,
+  ``scrape``/``s``, EOF/Ctrl-D to exit.  The template store is reloaded
+  from disk on every command and saved after each mutation, exactly as
+  the reference's ``_load_templates``/``_save_templates`` do.
+
+* **One-shot argparse CLI** over the same JSON template store:
 
     python -m scrapely_spark.tool STORE.json ta <url-or-file> key=value ...
     python -m scrapely_spark.tool STORE.json tl
@@ -25,10 +37,12 @@ exercised in this offline sandbox).
 from __future__ import annotations
 
 import argparse
+import cmd
 import json
 import os
 import pprint
 import re
+import shlex
 import sys
 
 from scrapely_spark.html.page import HtmlPage
@@ -61,7 +75,181 @@ def _save_scraper(sc: Scraper, store: str):
         sc.tofile(fh)
 
 
+def _parse_criteria(line: str):
+    """``<text> [-f FIELD] [-n NUMBER]`` → (text, field, number).
+
+    The reference parses annotate criteria with optparse over
+    ``shlex.split`` (tool.py:150-160); this is the same grammar.
+    """
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("-f", "--field", default=None)
+    p.add_argument("-n", "--number", type=int, default=None)
+    ns, rest = p.parse_known_args(shlex.split(line))
+    return " ".join(rest), ns.field, ns.number
+
+
+def _apply_criteria(tm: TemplateMaker, text: str, number):
+    """Reference apply_criteria (tool.py:169-177): best_match selection,
+    optionally narrowed to the number-th hit."""
+    sel = tm.select(best_match(text)) if text else []
+    if number is not None:
+        sel = [sel[number]] if number < len(sel) else []
+    return sel
+
+
+class IblShell(cmd.Cmd):
+    """Interactive template-store shell — the reference IblTool REPL.
+
+    Every command reloads the store from disk and mutations save it
+    back immediately (reference ``_load_templates``/``_save_templates``,
+    tool.py:126-146), so concurrent one-shot invocations and the shell
+    always agree.
+    """
+
+    prompt = "scrapely> "
+
+    def __init__(self, filename: str, **kw):
+        self.filename = filename
+        cmd.Cmd.__init__(self, **kw)
+
+    # -- helpers ----------------------------------------------------------
+
+    def fix_url(self, url: str) -> str:
+        if not url.startswith("http") and not os.path.exists(url) \
+                and not url.startswith("file://"):
+            url = "http://" + url
+        return url
+
+    def _scraper(self) -> Scraper:
+        return _load_scraper(self.filename)
+
+    def _save(self, sc: Scraper):
+        _save_scraper(sc, self.filename)
+
+    def _template(self, sc: Scraper, template_id: str):
+        try:
+            return sc._templates[int(template_id)]
+        except (IndexError, ValueError):
+            print("Could not load template: %s" % template_id,
+                  file=self.stdout)
+
+    # -- commands ---------------------------------------------------------
+
+    def do_add_template(self, line):
+        """add_template <url> [--encoding ENCODING] - (alias: ta)"""
+        if not line:
+            print("You must provide an URL", file=self.stdout)
+            print(IblShell.do_add_template.__doc__, file=self.stdout)
+            return
+        p = argparse.ArgumentParser(add_help=False)
+        p.add_argument("-e", "--encoding", default="utf-8")
+        ns, rest = p.parse_known_args(shlex.split(line))
+        page = _load_page(self.fix_url(rest[0]), ns.encoding)
+        sc = self._scraper()
+        sc._templates.append(page)
+        self._save(sc)
+        print("[%d] %s" % (len(sc._templates) - 1, page.url),
+              file=self.stdout)
+    do_ta = do_add_template
+
+    def do_ls_templates(self, line):
+        """ls_templates - list templates (aliases: ls, tl)"""
+        for n, t in enumerate(self._scraper()._templates):
+            print("[%d] %s" % (n, t.url), file=self.stdout)
+    do_ls, do_tl = do_ls_templates, do_ls_templates
+
+    def do_del_template(self, template_id):
+        """del_template <template_id> - delete template (alias: td)"""
+        sc = self._scraper()
+        try:
+            del sc._templates[int(template_id)]
+            self._save(sc)
+            print("template deleted: %s" % template_id, file=self.stdout)
+        except IndexError:
+            print("template not found: %s" % template_id,
+                  file=self.stdout)
+    do_td = do_del_template
+
+    def do_annotate(self, line):
+        """annotate <template_id> <data> [-n number] [-f field] - add or test annotation (aliases: a, t)
+
+        Add a new annotation (if -f is passed) or test what would be
+        annotated otherwise
+        """
+        if line.find(" ") < 0:
+            print("You must provide a valid template identifier "
+                  "(check output of ls_templates)", file=self.stdout)
+            print(IblShell.do_annotate.__doc__, file=self.stdout)
+            return
+        template_id, criteria = line.split(" ", 1)
+        sc = self._scraper()
+        t = self._template(sc, template_id)
+        if not t:
+            return
+        text, field, number = _parse_criteria(criteria)
+        tm = TemplateMaker(t)
+        selection = _apply_criteria(tm, text, number)
+        if field:
+            for index in selection:
+                index = selection[0]
+                tm.annotate_fragment(index, field)
+                sc._templates[int(template_id)] = tm.get_template()
+                sc._ex = None
+                self._save(sc)
+                print("[new] (%s) %r"
+                      % (field,
+                         _remove_annotation(tm.selected_data(index))),
+                      file=self.stdout)
+        else:
+            for n, i in enumerate(selection):
+                print("[%d] %r"
+                      % (n, _remove_annotation(tm.selected_data(i))),
+                      file=self.stdout)
+    do_a, do_t = do_annotate, do_annotate
+
+    def do_ls_annotations(self, template_id):
+        """ls_annotations <template> - list annotations (alias: al)"""
+        if not template_id:
+            sys.stderr.write("missing template id" + os.linesep)
+            return
+        sc = self._scraper()
+        t = self._template(sc, template_id)
+        if not t:
+            return
+        tm = TemplateMaker(t)
+        for n, (payload, i) in enumerate(tm.annotations()):
+            print("[%s-%d] (%s) %r"
+                  % (template_id, n, payload["annotations"]["content"],
+                     _remove_annotation(tm.selected_data(i))),
+                  file=self.stdout)
+    do_al = do_ls_annotations
+
+    def do_scrape(self, url):
+        """scrape <url> - scrape url (alias: s)"""
+        sc = self._scraper()
+        if not sc._templates:
+            sys.stderr.write("no templates available" + os.linesep)
+            return
+        encoding = getattr(sc._templates[0], "encoding", "utf-8") or "utf-8"
+        page = _load_page(self.fix_url(url.strip()), encoding)
+        pprint.pprint(sc.scrape_page(page), stream=self.stdout)
+    do_s = do_scrape
+
+    def default(self, line):
+        if line == "EOF":
+            if self.use_rawinput:
+                print("", file=self.stdout)
+            return True
+        elif line:
+            return cmd.Cmd.default(self, line)
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) == 1 and not argv[0].startswith("-"):
+        # no command → the interactive shell (reference main, tool.py:199-211)
+        IblShell(argv[0]).cmdloop()
+        return 0
     parser = argparse.ArgumentParser(
         prog="scrapely_spark.tool", description=__doc__)
     parser.add_argument("store", help="JSON template store path")

@@ -227,3 +227,66 @@ def test_phash_near_dups_hot_bucket_capped(spark):
         F.lit(1234567).cast("long").alias("phash"))
     out = multimodal.phash_near_dups(clones, max_bucket=100)
     assert out.count() == 0  # dropped by the cap, not O(n^2) verified
+
+
+def test_cli_interactive_repl(tmp_path):
+    """The cmd.Cmd shell mirrors a reference IblTool session
+    (scrapely/tool.py:10-111): add_template -> ls -> annotate test ->
+    annotate -f -> al -> scrape -> del_template -> EOF, with the store
+    reloaded per command and saved after each mutation."""
+    page = tmp_path / "page.html"
+    page.write_text("<html><body><h1>Walnut Desk</h1>"
+                    "<p>solid walnut, oiled</p>"
+                    "<span>USD 129</span></body></html>")
+    page2 = tmp_path / "page2.html"
+    page2.write_text("<html><body><h1>Oak Table</h1>"
+                     "<p>solid oak, waxed</p>"
+                     "<span>USD 240</span></body></html>")
+    store = str(tmp_path / "store.json")
+
+    script = "\n".join([
+        "add_template %s" % page,
+        "ls",
+        "a 0 Walnut Desk",            # test mode: show the match
+        "a 0 Walnut Desk -f name",    # annotate
+        "a 0 USD 129 -f price",
+        "al 0",
+        "s %s" % page2,
+        "td 1",                        # not found
+        "ls_templates",
+    ]) + "\n"
+    out = subprocess.run(
+        [sys.executable, "-m", "scrapely_spark.tool", store],
+        input=script, capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    stdout = out.stdout
+    assert "scrapely> " in stdout                      # the REPL prompt
+    assert "[0] file://%s" % page in stdout            # add_template echo
+    assert "[0] '<h1>Walnut Desk</h1>'" in stdout      # annotate test mode
+    assert "[new] (name) '<h1>Walnut Desk</h1>'" in stdout
+    assert "[new] (price) '<span>USD 129</span>'" in stdout
+    assert "[0-0] (name) '<h1>Walnut Desk</h1>'" in stdout   # ls_annotations
+    assert "[0-1] (price) '<span>USD 129</span>'" in stdout
+    assert "Oak Table" in stdout and "USD 240" in stdout  # scrape result
+    assert "template not found: 1" in stdout
+
+    # mutations persisted through the shared store format
+    with open(store) as fh:
+        tpls = json.load(fh)["templates"]
+    assert len(tpls) == 1 and "data-scrapy-annotate" in tpls[0]["body"]
+
+    # one-shot CLI and the shell interoperate on the same store
+    out = subprocess.run(
+        [sys.executable, "-m", "scrapely_spark.tool", store, "al", "0"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert "(name)" in out.stdout and "(price)" in out.stdout
+
+
+def test_cli_repl_eof_and_empty_store(tmp_path):
+    store = str(tmp_path / "empty.json")
+    out = subprocess.run(
+        [sys.executable, "-m", "scrapely_spark.tool", store],
+        input="ls\ns http://x/\n", capture_output=True, text=True,
+        cwd="/root/repo")
+    assert out.returncode == 0
+    assert "no templates available" in out.stderr      # reference wording
