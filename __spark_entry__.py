@@ -926,9 +926,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(m.n_common AS DOUBLE)
                         / (za.n + zb.n - m.n_common), 6) >= 0.2""",
 
-        # dedup_simhash / dedup_simhash_pairs: bit-voting fingerprints are
-        # not SQL-expressible — the driver records the rows-only check.
-
         # embeddings are FLOAT[]: cast to DOUBLE lists so the cosine is
         # computed (and rounded) in float64, matching the Spark kernel
         "ann_cosine_topk": """

@@ -35,6 +35,14 @@ short-circuits the seen anti-join for definitively-new URLs; politeness
 selection is salted two-phase top-k (politeness.py) so a mega-host cannot
 serialize a stage.  State commits are atomic per round via the ledger —
 a killed job resumes from the last committed round (test_crawl_resume).
+
+Rounds are **pipelined**: round k+1's wave 1 (frontier increment +
+politeness selection + fetch-log staging — the control plane whose cost
+is roughly constant in executor count) runs while round k's wave-3 delta
+writes drain, so the per-round floor is max(w1, w3), not w1+w3.  The
+ledger commit barrier is untouched, and the politeness batch is staged
+then read back as a plain file scan so plan depth stays constant across
+rounds — see ``crawl`` and ``_politeness_wave``.
 """
 
 from __future__ import annotations
