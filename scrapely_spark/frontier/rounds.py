@@ -312,11 +312,15 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
                 w1: dict):
     """Waves 2-3 of a round whose fetch batch is non-empty.
 
-    Returns ``(finish, enqueue)``: ``enqueue`` is the round's
-    frontier-additions plan (it reads only caches wave 2 materialized,
-    so the pipelined crawl can fold it into the next round's frontier
-    without waiting for the wave-3 writes), and ``finish()`` blocks on
-    the wave-3 writes, commits the round, frees the round's caches and
+    Returns ``(finish, enqueue_ready)``: ``enqueue_ready()`` waits for
+    the round's ENQUEUED delta write alone (one of the four concurrent
+    wave-3 jobs) and returns that staged file as a plain scan, so the
+    pipelined crawl can fold the round's frontier additions into the
+    next round's view without waiting for the other writes — and
+    without re-evaluating the candidate pipeline if the executor
+    storage pool evicted its caches (the scan is also what keeps the
+    incremental frontier's plan depth constant).  ``finish()`` blocks on
+    all wave-3 writes, commits the round, frees the round's caches and
     returns its metrics.
     """
     t = time.time()
@@ -397,6 +401,10 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
         lambda: ext.groupBy("partition_id").agg(
             F.count("*").alias("n")).collect())
 
+    def enqueue_ready() -> DataFrame:
+        path, _tag = futures[ENQUEUED].result()
+        return spark.read.parquet(path).select(*_FRONTIER_COLS)
+
     def finish() -> dict:
         try:
             for table, fut in futures.items():
@@ -422,7 +430,7 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
         new_urls.unpersist()
         return metrics
 
-    return finish, enqueue
+    return finish, enqueue_ready
 
 
 def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
@@ -489,8 +497,8 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         if w1["fetched"] == 0:
             _commit_drained(store, round_id, w1)
             break
-        finish, enqueue = _round_body(spark, store, replay, robots,
-                                      plan_bc, round_id, spec, w1)
+        finish, enqueue_ready = _round_body(spark, store, replay, robots,
+                                            plan_bc, round_id, spec, w1)
         will_compact = bool(compact_every
                             and round_id % compact_every == 0)
         if round_id < max_rounds and not will_compact:
@@ -500,7 +508,7 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
             incr = (frontier.join(w1["batch"].select("canonical_url"),
                                   "canonical_url", "left_anti")
                     .select(*_FRONTIER_COLS)
-                    .unionByName(enqueue))
+                    .unionByName(enqueue_ready()))
             next_w1 = _politeness_wave(spark, store, incr, robots,
                                        round_id + 1, round_seconds)
         finish()
