@@ -307,42 +307,9 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     return finish()
 
 
-def _stage_extract(spark, store: StateStore, pages: DataFrame, plan_bc,
-                   round_id: int, w1: dict) -> dict:
-    """Wave 2a: run the extraction kernel once, stage its full output.
-
-    The staged EXTRACTED delta carries records + links + partition_id;
-    every downstream consumer (link discovery, lineage, the committed
-    extracted state itself) scans the staged file.  A cached ext
-    DataFrame is the wrong shape at scale AND locally: the multi-GB
-    deserialized cache is eviction-prone under the local storage pool,
-    and any consumer arriving after eviction silently re-runs the
-    extraction of millions of pages (measured as a 130→320s wave-3
-    swing at the 24M-page scaling point) — the same tables-not-caches
-    lesson the round-2 replay store learned, applied to the round's own
-    output.  In the pipelined crawl this (the round's heavy compute)
-    runs while the PREVIOUS round's delta writes drain.
-
-    No broadcast hint on the replay join: a politeness batch is usually
-    small (AQE broadcasts it anyway) but a seed-list-replay round can
-    carry 10^5..10^8 URLs, where a forced broadcast serializes on the
-    driver — let AQE pick.
-    """
-    t = time.time()
-    hits = (pages.select("page_url", "body")
-            .join(w1["batch"],
-                  F.col("page_url") == F.col("canonical_url"), "inner")
-            .select("canonical_url", "priority", "body"))
-    ext_out = (hits.mapInPandas(_extract_kernel(plan_bc), _EXTRACT_SCHEMA)
-               .select(F.lit(round_id).alias("round_id"), "*"))
-    ext_path, tag = store.stage_round(ext_out, EXTRACTED, round_id)
-    _trace(round_id, "wave2a extract", t)
-    return {"ext_path": ext_path, "staged_extracted": tag}
-
-
 def _round_body(spark, store: StateStore, pages: DataFrame,
                 robots: DataFrame, plan_bc, round_id: int, spec: BloomSpec,
-                w1: dict, ext_staged: dict | None = None):
+                w1: dict):
     """Waves 2-3 of a round whose fetch batch is non-empty.
 
     Returns ``(finish, enqueue_ready)``: ``enqueue_ready()`` waits for
@@ -357,14 +324,19 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
     returns its metrics.
     """
     t = time.time()
-    fetched = w1["fetched"]
+    batch, fetched = w1["batch"], w1["fetched"]
     staged = {FETCH_LOG: w1["staged_fetch_log"]}
 
-    if ext_staged is None:
-        ext_staged = _stage_extract(spark, store, pages, plan_bc,
-                                    round_id, w1)
-    staged[EXTRACTED] = ext_staged["staged_extracted"]
-    ext = spark.read.parquet(ext_staged["ext_path"])
+    # replay fetch: probe the pages store with the batch.  No broadcast
+    # hint: a politeness batch is usually small (AQE broadcasts it
+    # anyway) but a seed-list-replay round can carry 10^5..10^8 URLs,
+    # where a forced broadcast serializes on the driver — let AQE pick.
+    hits = (pages.select("page_url", "body")
+            .join(batch, F.col("page_url") == F.col("canonical_url"),
+                  "inner")
+            .select("canonical_url", "priority", "body"))
+
+    ext = hits.mapInPandas(_extract_kernel(plan_bc), _EXTRACT_SCHEMA).cache()
 
     # discovered links → new frontier candidates (min-depth dedup)
     links = (ext.select(F.explode("links").alias("url"),
@@ -397,28 +369,34 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
     seen_delta = new_urls.select("canonical_url", "url_key")
     bloom_delta = bloomlib.build_delta(new_urls, spec)
 
-    # Wave 2b: stage the seen delta.  This single write job drives the
-    # discover→dedup pipeline over the staged extraction output,
-    # populating the new_urls cache for wave 3, and its Observation
-    # yields the new-URL count for free — no separate count() job.
+    extracted = ext.select(
+        F.lit(round_id).alias("round_id"), "canonical_url", "priority",
+        "title", "image_url", "caption", "price")
+
+    # Wave 2: stage the seen delta.  This single write job drives the
+    # whole fetch→extract→discover→dedup pipeline, populating the ext
+    # and new_urls caches for wave 3, and its Observation yields the
+    # new-URL count for free — no separate count() job.
     obs_new = Observation()
     _, staged[SEEN] = store.stage_round(
         seen_delta.observe(obs_new, F.count(F.lit(1)).alias("n")),
         SEEN, round_id)
-    t = _trace(round_id, "wave2b seen", t)
+    t = _trace(round_id, "wave2 seen+extract", t)
 
-    # Wave 3: the two remaining delta writes read only the (small)
-    # new_urls cache, and the per-partition lineage aggregation is a
-    # two-column scan of the staged extraction file; all run
+    # Wave 3: everything left reads only cached inputs — the remaining
+    # three delta writes and the per-partition lineage aggregation run
     # concurrently so their fixed per-job costs overlap instead of
-    # summing.  All are O(this round's output), never O(total state).
-    # The futures are submitted here and awaited in finish(), so the
-    # caller can run the NEXT round's wave 1 while these writes drain.
-    pool = ThreadPoolExecutor(max_workers=3)
+    # summing (~the round's whole fixed budget at sandbox round sizes).
+    # All three are O(new URLs this round), never O(total state).  The
+    # futures are submitted here and awaited in finish(), so the caller
+    # can run the NEXT round's wave 1 while these writes drain.
+    pool = ThreadPoolExecutor(max_workers=4)
     futures = {
         table: pool.submit(store.stage_round, df, table, round_id)
         for df, table in ((enqueue, ENQUEUED),
                           (bloom_delta, BLOOM))}
+    futures[EXTRACTED] = pool.submit(
+        store.stage_round, extracted, EXTRACTED, round_id)
     lineage_fut = pool.submit(
         lambda: ext.groupBy("partition_id").agg(
             F.count("*").alias("n")).collect())
@@ -447,6 +425,7 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
         }
         store.commit_round(round_id, staged, metrics)
 
+        ext.unpersist()
         flagged.unpersist()
         new_urls.unpersist()
         return metrics
@@ -503,7 +482,6 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     # byte-identical to the sequential schedule's — pinned by the
     # oracle fetch-order/seen-set parity tests.
     next_w1 = None
-    next_ext = None
     frontier = None
     while round_id < max_rounds:
         round_id += 1
@@ -511,19 +489,16 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
             frontier = frontier_view(spark, store)
             w1 = _politeness_wave(spark, store, frontier, robots,
                                   round_id, round_seconds)
-            pre = None
         else:
             # frontier was rebuilt from the store after the previous
             # round committed (constant plan depth — increments never
             # chain across rounds)
             w1, next_w1 = next_w1, None
-            pre, next_ext = next_ext, None
         if w1["fetched"] == 0:
             _commit_drained(store, round_id, w1)
             break
         finish, enqueue_ready = _round_body(spark, store, replay, robots,
-                                            plan_bc, round_id, spec, w1,
-                                            ext_staged=pre)
+                                            plan_bc, round_id, spec, w1)
         will_compact = bool(compact_every
                             and round_id % compact_every == 0)
         if round_id < max_rounds and not will_compact:
@@ -536,11 +511,6 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
                     .unionByName(enqueue_ready()))
             next_w1 = _politeness_wave(spark, store, incr, robots,
                                        round_id + 1, round_seconds)
-            if next_w1["fetched"] > 0:
-                # round k+1's heavy compute (replay join + extraction)
-                # staged while round k's remaining writes drain
-                next_ext = _stage_extract(spark, store, replay, plan_bc,
-                                          round_id + 1, next_w1)
         finish()
         if will_compact:
             for table in (ENQUEUED, SEEN, FETCH_LOG, BLOOM, EXTRACTED):
