@@ -218,6 +218,14 @@ SCALE_CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_CRAWL_PAGES",
                                        "600000"))
 SCALE_CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALE_CRAWL_HOSTS",
                                        "8000"))
+# seed-list size for the large point.  The north metric names "seed-list
+# replay": at a 10^10 frontier the seed list IS the bulk of the work and
+# every round is millions of URLs.  Defaults to pages/3 (the round-2
+# shape); scaling runs can push it toward the full corpus so tail
+# (BFS-drain) rounds don't dilute the big-round regime being measured.
+SCALE_CRAWL_SEEDS = int(os.environ.get(
+    "SPARK_GRAFT_SCALE_SEEDS", str(SCALE_CRAWL_PAGES // 3)))
+SCALE_CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "8"))
 
 
 def _pinned_level(cpus: str, kind: str, corpus: str) -> dict:
@@ -241,8 +249,9 @@ def _pinned_level(cpus: str, kind: str, corpus: str) -> dict:
         "        bench.CRAWL_ROUNDS, pages_path=%r)\n"
         "elif %r == 'large_crawl':\n"
         "    r = bench.run_crawl(spark, bench.SCALE_CRAWL_PAGES,\n"
-        "        max_rounds=8, n_hosts=bench.SCALE_CRAWL_HOSTS,\n"
-        "        n_seeds=bench.SCALE_CRAWL_PAGES // 3,\n"
+        "        max_rounds=bench.SCALE_CRAWL_ROUNDS,\n"
+        "        n_hosts=bench.SCALE_CRAWL_HOSTS,\n"
+        "        n_seeds=bench.SCALE_CRAWL_SEEDS,\n"
         "        round_seconds=900.0, pages_path=%r)\n"
         "else:\n"
         "    r = bench.run_extract(spark, bench.EXTRACT_PAGES)\n"
@@ -256,7 +265,12 @@ def _pinned_level(cpus: str, kind: str, corpus: str) -> dict:
     proc = subprocess.run(cmd, capture_output=True, text=True)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            out = json.loads(line[len("RESULT "):])
+            if os.environ.get("SPARK_GRAFT_TRACE_ROUNDS"):
+                out["wave_trace"] = [ln.strip() for ln in
+                                     proc.stderr.splitlines()
+                                     if ln.startswith("[round ")]
+            return out
     raise RuntimeError("pinned level failed: %s\n%s"
                        % (proc.stdout[-2000:], proc.stderr[-2000:]))
 

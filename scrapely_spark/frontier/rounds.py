@@ -458,13 +458,16 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     # caches also thrash a local heap into eviction/recompute), so it is
     # canonicalized once, written to the state store, and scanned per
     # round like every other state table.  Idempotent across resumes.
+    t = time.time()
     if store.exists(REPLAY):
         replay = store.read(spark, REPLAY)
     else:
         _, v = store.stage(prepare_replay_store(pages), REPLAY)
         store.publish(REPLAY, v)
         replay = store.read(spark, REPLAY)
+    t = _trace(0, "replay store prep", t)
     seed_round(spark, store, seed_urls, robots, spec)
+    _trace(0, "seed round", t)
     rounds_so_far = store.round_metrics()
     if rounds_so_far and rounds_so_far[-1].get("drained"):
         return store  # previous run already drained the frontier
