@@ -242,6 +242,27 @@ def _pinned_level(cpus: str, kind: str, corpus: str) -> dict:
         "import json, os, sys\n"
         "sys.path.insert(0, %r)\n"
         "import bench\n"
+        "def _disk():\n"
+        "    rd = wr = 0\n"
+        "    try:\n"
+        "        for ln in open('/proc/diskstats'):\n"
+        "            f = ln.split()\n"
+        "            dev = f[2]\n"
+        "            if dev[-1].isdigit() and not dev.startswith('nvme'):\n"
+        "                continue  # partition rows double-count the disk\n"
+        "            if dev[:2] in ('vd', 'sd') or dev.startswith('nvme'):\n"
+        "                rd += int(f[5]); wr += int(f[9])\n"
+        "    except Exception:\n"
+        "        pass\n"
+        "    return rd, wr  # sectors\n"
+        "def _cpu():\n"
+        "    # box-wide jiffies (exclusive box => attributable to this\n"
+        "    # level): (busy, iowait)\n"
+        "    f = open('/proc/stat').readline().split()[1:]\n"
+        "    v = [int(x) for x in f[:8]]\n"
+        "    busy = v[0] + v[1] + v[2] + v[5] + v[6] + v[7]\n"
+        "    return busy, v[4]\n"
+        "d0, c0 = _disk(), _cpu()\n"
         "spark = bench._session(%r, 'scaling-%%s' %% %r)\n"
         "bench.warmup(spark)\n"
         "if %r == 'crawl':\n"
@@ -256,13 +277,26 @@ def _pinned_level(cpus: str, kind: str, corpus: str) -> dict:
         "else:\n"
         "    r = bench.run_extract(spark, bench.EXTRACT_PAGES)\n"
         "spark.stop()\n"
+        "d1, c1 = _disk(), _cpu()\n"
+        "hz = os.sysconf('SC_CLK_TCK')\n"
+        "r['cpu_busy_sec'] = round((c1[0] - c0[0]) / hz, 1)\n"
+        "r['cpu_iowait_sec'] = round((c1[1] - c0[1]) / hz, 1)\n"
+        "r['disk_read_mb'] = round((d1[0] - d0[0]) * 512 / 1e6, 1)\n"
+        "r['disk_write_mb'] = round((d1[1] - d0[1]) * 512 / 1e6, 1)\n"
         "print('RESULT ' + json.dumps(r))\n"
     ) % (os.path.dirname(os.path.abspath(__file__)), cpus, cpus,
          kind, corpus, kind, corpus)
     cmd = [sys.executable, "-c", code]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", "0-%d" % (int(cpus) - 1)] + cmd
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    env = dict(os.environ)
+    # memory scales WITH the simulated cluster: N executors own N× the
+    # RAM, so a pinned level gets a per-core-constant heap.  A fixed
+    # total heap would model a cluster whose per-node memory shrinks as
+    # it grows — the larger level then measures GC/spill pressure the
+    # real 4N-executor cluster does not have.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "%dg" % (2 * int(cpus)))
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             out = json.loads(line[len("RESULT "):])
