@@ -166,6 +166,41 @@ def test_resume_after_kill(spark, tmp_path_factory, oracle_run):
     shutil.rmtree(root)
 
 
+def test_resume_reregisters_bucketed_replay_table(spark, tmp_path_factory,
+                                                  oracle_run):
+    """A resume in a *fresh session* re-registers the bucketed replay
+    table from the files at the store's committed path (parquet carries
+    no bucket metadata, so the catalog entry must be rebuilt via CREATE
+    TABLE ... CLUSTERED BY ... LOCATION) and still converges to the
+    oracle's seen set.  A fresh session is simulated by dropping the
+    catalog entry between runs — exactly what a new SparkSession's empty
+    in-memory catalog looks like to the resume path."""
+    import hashlib
+    root = str(tmp_path_factory.mktemp("rereg"))
+    store = StateStore(root)
+    pages = datagen.pages_df(spark, N).cache()
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    spec = BloomSpec(n_blocks=64)
+
+    rounds.crawl(spark, store, pages, robots, plan, datagen.seeds(N),
+                 max_rounds=2, spec=spec)
+    tbl = "replay_pages_" + hashlib.md5(root.encode()).hexdigest()[:10]
+    assert spark.catalog.tableExists(tbl)
+    spark.sql("DROP TABLE %s" % tbl)  # external table: files survive
+
+    resumed = StateStore(root)
+    rounds.crawl(spark, resumed, pages, robots, plan, datagen.seeds(N),
+                 max_rounds=MAX_ROUNDS, spec=spec)
+    # re-registered with bucket metadata intact (not a plain scan)
+    assert spark.catalog.tableExists(tbl)
+    ddl = spark.sql("SHOW CREATE TABLE %s" % tbl).first()[0]
+    assert "CLUSTERED BY" in ddl and "64 BUCKETS" in ddl
+    seen = resumed.read_rounds(spark, rounds.SEEN).collect()
+    assert sorted(r.canonical_url for r in seen) == oracle_run.seen_urls()
+    shutil.rmtree(root)
+
+
 def test_compaction_preserves_crawl(spark, tmp_path_factory, oracle_run):
     """Folding delta chains into base snapshots every 2 rounds changes
     neither the fetch order nor the seen set, and a kill after a
