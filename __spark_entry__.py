@@ -317,6 +317,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_jaccard(spark, sf):
         return dedup.jaccard_pairs(_t(spark, sf, "documents"), 0.2)
 
+    def q_dedup_clusters(spark, sf):
+        # the step after pair generation: connected components over the
+        # capped LSH candidate graph → keeper (min doc_id) per cluster.
+        # Min-label propagation + pointer jumping (dedup.dup_clusters);
+        # the oracle recomputes the components with a recursive CTE.
+        docs = _t(spark, sf, "documents")
+        return dedup.dup_clusters(docs, dedup.minhash_candidates(docs))
+
     def q_simhash(spark, sf):
         # md5-slice token hash => the bit-voting fingerprint has a full
         # DuckDB oracle (see oracle_sql) instead of a rows-only check
@@ -598,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_normalized": q_dedup_norm,
         "dedup_minhash_bands": q_minhash_bands,
         "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_ngram_jaccard": q_jaccard,
         "dedup_simhash": q_simhash,
         "dedup_simhash_pairs": q_simhash_pairs,
@@ -899,6 +908,36 @@ def oracle_sql() -> dict[str, str]:
             FROM capped a JOIN capped b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
             WHERE a.doc_id < b.doc_id""",
+
+        # connected components of the capped candidate graph via a
+        # recursive CTE (min reachable label per node; edges are made
+        # symmetric so reachability is an equivalence).  UNION (not
+        # UNION ALL) dedups (node, lab) states, so the fixpoint
+        # terminates on any finite graph.  The Spark side converges to
+        # the same fixpoint by min-label propagation + pointer jumping.
+        "dedup_cluster_canonical":
+        _BANDS_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
+            , cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM capped a JOIN capped b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id)
+            , cedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cands
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM cands)
+            , reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.src, r.lab
+                FROM reach r JOIN cedges e ON e.dst = r.node)
+            , comp AS (
+              SELECT node AS doc_id, min(lab) AS canonical_doc_id
+              FROM reach GROUP BY node)
+            SELECT doc_id, canonical_doc_id,
+                   count(*) OVER (PARTITION BY canonical_doc_id)
+                     AS cluster_size
+            FROM comp""",
 
         "dedup_ngram_jaccard": _BANDS_SQL + r"""
             , cands AS (

@@ -27,6 +27,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
     "embedding_near_dups",

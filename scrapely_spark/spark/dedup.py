@@ -375,6 +375,86 @@ def simhash(docs: DataFrame) -> DataFrame:
         kernel, _SIMHASH_SCHEMA)
 
 
+def dup_clusters(docs: DataFrame, pairs: DataFrame,
+                 max_iter: int = 25) -> DataFrame:
+    """(doc_id, canonical_doc_id, cluster_size): duplicate clusters.
+
+    The step after pair generation every dedup pipeline needs: candidate
+    pairs (from any of the families above) form a graph; connected
+    components of that graph are the duplicate clusters, and the keeper
+    per cluster is its minimum doc_id.  Docs in no pair are their own
+    canonical with cluster_size 1.
+
+    Algorithm: distributed min-label propagation with pointer jumping.
+    Each round every node takes the min label over itself and its
+    neighbors (one edges⋈labels shuffle + a map-side-combining groupBy),
+    then compresses paths by looking its own label up in the new mapping
+    (label(u) ← label(label(u)), a self-join).  The jump step makes long
+    chains converge in O(log diameter) rounds instead of O(diameter) —
+    the large-star/small-star result (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") in its simplest shape.  Labels
+    are monotone non-increasing, so the fixpoint is exact, detected by a
+    changed-row count (one bounded driver action per round).
+
+    Scale shape: edges are materialized once, symmetric, pre-partitioned
+    on the probe key; every round ``localCheckpoint``s the label table so
+    round k's plan does not embed rounds 1..k-1 (lineage truncation —
+    without it the plan tree doubles per round).  Near-dup graphs from
+    capped LSH buckets have tiny diameter (bucket co-membership is a
+    clique), so rounds ≈ 2-4 in practice; ``max_iter`` is a guard, and
+    hitting it raises rather than returning a half-converged clustering.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .distinct()
+             .repartition("dst")
+             .cache())
+    labels = (edges.select(F.col("src").alias("node"))
+              .union(edges.select(F.col("dst").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    converged = labels.isEmpty()  # no pairs → nothing to propagate
+    for _ in range(max_iter):
+        if converged:
+            break
+        prop = (edges.join(labels, edges["dst"] == labels["node"])
+                .select(F.col("src").alias("node"), "label"))
+        merged = (labels.unionByName(prop)
+                  .groupBy("node").agg(F.min("label").alias("label")))
+        # pointer jump: every label value is itself a node key in
+        # `merged` (labels are node ids and merged covers all nodes),
+        # so the lookup always hits; coalesce guards the empty frame
+        jumped = (merged.join(
+            merged.select(F.col("node").alias("label"),
+                          F.col("label").alias("_l2")),
+            "label", "left")
+            .select("node", F.coalesce("_l2", "label").alias("label")))
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (new_labels
+                   .join(labels.withColumnRenamed("label", "_old"), "node")
+                   .where(F.col("label") < F.col("_old"))
+                   .count())
+        labels = new_labels
+        converged = changed == 0
+    if not converged:
+        raise RuntimeError(
+            "dup_clusters did not converge in %d rounds — pathological "
+            "graph diameter; raise max_iter" % max_iter)
+    out = (docs.select("doc_id")
+           .join(labels.withColumnRenamed("node", "doc_id"), "doc_id",
+                 "left")
+           .select("doc_id",
+                   F.coalesce("label", F.col("doc_id"))
+                   .alias("canonical_doc_id")))
+    out = out.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("canonical_doc_id")))
+    return _unpersist_on_gc(out, [edges])
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        n_chunks: int = 4, best_effort: bool = False,
                        max_bucket: int = MAX_BUCKET) -> DataFrame:

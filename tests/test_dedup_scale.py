@@ -286,3 +286,52 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     one_cell = simsearch.assign_cells(emb, cents).where("cell = 0").count()
     assert 0 < one_cell < emb.count()
     emb.unpersist()
+
+
+# ----------------------------------------------------- duplicate clusters
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_dup_clusters_components_and_sizes(spark):
+    # a 6-node path (worst diameter per edge count), a triangle, and
+    # isolated docs — canonical is the component min, singletons keep
+    # their own id
+    pairs = _pairs(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+                           (20, 21), (21, 22), (20, 22)])
+    docs = _docs(spark, [(i, "d") for i in
+                         [0, 1, 2, 3, 4, 5, 20, 21, 22, 100, 101]])
+    got = {r.doc_id: (r.canonical_doc_id, r.cluster_size)
+           for r in dedup.dup_clusters(docs, pairs).collect()}
+    assert got == {
+        0: (0, 6), 1: (0, 6), 2: (0, 6), 3: (0, 6), 4: (0, 6), 5: (0, 6),
+        20: (20, 3), 21: (20, 3), 22: (20, 3),
+        100: (100, 1), 101: (101, 1)}
+
+
+def test_dup_clusters_empty_pairs_is_identity(spark):
+    docs = _docs(spark, [(1, "a"), (2, "b")])
+    pairs = _pairs(spark, [])
+    got = {r.doc_id: (r.canonical_doc_id, r.cluster_size)
+           for r in dedup.dup_clusters(docs, pairs).collect()}
+    assert got == {1: (1, 1), 2: (2, 1)}
+
+
+def test_dup_clusters_long_chain_converges_in_log_rounds(spark):
+    # pointer jumping: a 64-node path must converge well inside
+    # O(log diameter) rounds, not the O(diameter) of plain propagation
+    n = 64
+    pairs = _pairs(spark, [(i, i + 1) for i in range(n - 1)])
+    docs = _docs(spark, [(i, "d") for i in range(n)])
+    out = dedup.dup_clusters(docs, pairs, max_iter=10).collect()
+    assert all(r.canonical_doc_id == 0 and r.cluster_size == n
+               for r in out)
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    pairs = _pairs(spark, [(i, i + 1) for i in range(16)])
+    docs = _docs(spark, [(i, "d") for i in range(17)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(docs, pairs, max_iter=1)
