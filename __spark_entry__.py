@@ -300,7 +300,7 @@ def scalar_image_url(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from scrapely_spark.spark import dedup, simsearch, textstats
+    from scrapely_spark.spark import corpus, dedup, simsearch, textstats
 
     def q_dedup_exact(spark, sf):
         return dedup.exact(_t(spark, sf, "documents"))
@@ -415,6 +415,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_fingerprint(spark, sf):
         return textstats.fingerprints(_t(spark, sf, "documents"))
+
+    def q_pack_chunks(spark, sf):
+        # GPT-style concat-and-chunk sequence packing: one window cumsum
+        # per shard, whole-stage codegen, zero Python
+        return corpus.pack_chunks(_t(spark, sf, "documents"))
+
+    def q_pack_greedy(spark, sf):
+        # first-fit-sequential packing; kernel loops over pack
+        # boundaries (searchsorted on the token cumsum), oracle replays
+        # the same rule as a per-shard recursive CTE
+        return corpus.pack_greedy(_t(spark, sf, "documents"))
+
+    def q_contamination(spark, sf):
+        # held-out-split n-gram leakage vs train, df-capped join
+        return corpus.contamination(_t(spark, sf, "documents"))
+
+    def q_strat_sample(spark, sf):
+        # md5-ticket stratified sampling — thresholds are literals the
+        # oracle shares (corpus.sample_threshold)
+        return corpus.stratified_sample(
+            _t(spark, sf, "documents"), _SAMPLE_RATES, seed=_SAMPLE_SEED)
+
+    def q_top_ngrams(spark, sf):
+        return corpus.top_ngrams(_t(spark, sf, "documents"))
+
+    def q_length_quantiles(spark, sf):
+        return corpus.length_quantiles(_t(spark, sf, "documents"))
 
     def q_tpch_pricing(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -620,6 +647,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "text_langid": q_langid,
         "text_fingerprint": q_fingerprint,
+        "corpus_pack_chunks": q_pack_chunks,
+        "corpus_pack_greedy": q_pack_greedy,
+        "corpus_contamination": q_contamination,
+        "corpus_stratified_sample": q_strat_sample,
+        "corpus_top_ngrams": q_top_ngrams,
+        "corpus_length_quantiles": q_length_quantiles,
         "scalar_extract_price": scalar_extract_price,
         "scalar_extract_number": scalar_extract_number,
         "scalar_image_url": scalar_image_url,
@@ -698,6 +731,22 @@ _IVF_SEED = 7
 _LSH_PLANES = 16       # 4 bands × 4 hyperplanes
 _LSH_BAND = 4
 _LSH_THRESHOLD = 0.4
+
+# corpus-assembly knobs shared by the Spark queries and their oracles
+_SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.2, "fr": 0.2, "zh": 0.1}
+_SAMPLE_SEED = 42
+
+# the corpus module's tokenization, as a DuckDB fragment
+_CORPUS_WORDS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _sample_rate_case() -> str:
+    """CASE expr mapping lang → md5-ticket keep threshold literal."""
+    from scrapely_spark.spark.corpus import sample_threshold
+    whens = " ".join("WHEN '%s' THEN '%s'" % (lang, sample_threshold(r))
+                     for lang, r in sorted(_SAMPLE_RATES.items()))
+    return ("CASE lang %s ELSE '%s' END"
+            % (whens, sample_threshold(0.0)))
 _LSH_MAX_BUCKET = 200  # mirror of simsearch.MAX_BUCKET
 _NEAR_DUP_MAX_BUCKET = 1000  # label-bucket cap in q_near_dups
 
@@ -1198,6 +1247,122 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             SELECT doc_id, list_min(hashes) AS fp_min,
                    list_max(hashes) AS fp_max
             FROM h""",
+
+        # concat-and-chunk packing: identical window cumsum per shard
+        # (corpus.pack_chunks — shard = doc_id % 8, seq_len = 256)
+        "corpus_pack_chunks": f"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len({_CORPUS_WORDS}) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_off
+              FROM d)
+            SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+                   start_off,
+                   CAST(floor(start_off / 256.0) AS BIGINT) AS begin_seq,
+                   CAST(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT)
+                     AS end_seq
+            FROM o""",
+
+        # first-fit-sequential packing: the kernel's boundary rule (a doc
+        # joins the open pack iff the running total stays <= 256) replayed
+        # row-by-row as a per-shard recursive CTE — engine-independent
+        # check of an inherently sequential scan (corpus.pack_greedy)
+        "corpus_pack_greedy": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len({_CORPUS_WORDS}) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, shard, n_tokens,
+                     row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                       AS rn
+              FROM d),
+            g AS (
+              SELECT doc_id, shard, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+                     CASE WHEN g.acc + o.n_tokens > 256 THEN g.pack_id + 1
+                          ELSE g.pack_id END,
+                     CASE WHEN g.acc + o.n_tokens > 256 THEN o.n_tokens
+                          ELSE g.acc + o.n_tokens END
+              FROM g JOIN o ON o.shard = g.shard AND o.rn = g.rn + 1)
+            SELECT doc_id, shard, pack_id, CAST(n_tokens AS INT) AS n_tokens
+            FROM g""",
+
+        # held-out (doc_id % 29 = 0) 3-gram leakage vs train, train-side
+        # df cap 100 mirrored from corpus.MAX_NGRAM_DF
+        "corpus_contamination": f"""
+            WITH w AS (SELECT doc_id, {_CORPUS_WORDS} AS words
+                       FROM documents),
+            gr AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(0, len(words) - 3),
+                       i -> words[i+1] || ' ' || words[i+2] || ' '
+                            || words[i+3]))) AS ngram
+              FROM w WHERE len(words) >= 3),
+            test AS (SELECT * FROM gr WHERE doc_id % 29 = 0),
+            train0 AS (SELECT * FROM gr WHERE doc_id % 29 <> 0),
+            rare AS (SELECT ngram FROM train0 GROUP BY ngram
+                     HAVING count(*) <= 100),
+            train AS (SELECT train0.doc_id AS train_doc, train0.ngram
+                      FROM train0 JOIN rare USING (ngram)),
+            sizes AS (SELECT doc_id, count(*) AS n_test_ngrams
+                      FROM test GROUP BY doc_id),
+            hits AS (
+              SELECT test.doc_id,
+                     count(DISTINCT train_doc) AS n_train_docs,
+                     count(DISTINCT test.ngram) AS n_shared
+              FROM test JOIN train USING (ngram) GROUP BY test.doc_id)
+            SELECT s.doc_id, s.n_test_ngrams,
+                   coalesce(n_train_docs, 0) AS n_train_docs,
+                   coalesce(n_shared, 0) AS n_shared,
+                   round(coalesce(n_shared, 0)
+                         / CAST(s.n_test_ngrams AS DOUBLE), 6)
+                     AS contamination
+            FROM sizes s LEFT JOIN hits USING (doc_id)""",
+
+        # md5-ticket stratified sampling: thresholds are shared literals
+        # (corpus.sample_threshold of the rates in _SAMPLE_RATES)
+        "corpus_stratified_sample": """
+            SELECT doc_id, lang, ticket FROM (
+              SELECT doc_id, lang,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':%d'), 1, 8)
+                       AS ticket
+              FROM documents)
+            WHERE ticket < %s""" % (_SAMPLE_SEED, _sample_rate_case()),
+
+        "corpus_top_ngrams": f"""
+            WITH w AS (SELECT {_CORPUS_WORDS} AS words FROM documents),
+            gr AS (SELECT unnest(list_transform(
+                     generate_series(0, len(words) - 2),
+                     i -> words[i+1] || ' ' || words[i+2])) AS ngram
+                   FROM w WHERE len(words) >= 2)
+            SELECT ngram, count(*) AS n_occurrences
+            FROM gr GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 50""",
+
+        # Spark's exact `percentile` and DuckDB's quantile_cont share the
+        # linear-interpolation definition; round(., 6) guards the hash
+        "corpus_length_quantiles": f"""
+            WITH d AS (SELECT lang,
+                              CAST(len({_CORPUS_WORDS}) AS DOUBLE)
+                                AS n_tokens
+                       FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+                   round(quantile_cont(n_tokens, 0.50), 6) AS p50,
+                   round(quantile_cont(n_tokens, 0.75), 6) AS p75,
+                   round(quantile_cont(n_tokens, 0.90), 6) AS p90,
+                   round(quantile_cont(n_tokens, 0.99), 6) AS p99
+            FROM d GROUP BY lang ORDER BY lang""",
 
         "scalar_extract_price": """
             SELECT l_orderkey, l_linenumber,

@@ -35,6 +35,9 @@ HEADLINE = [
     "events_session_windows",
     "text_quality",
     "text_langid",
+    "corpus_pack_chunks",
+    "corpus_pack_greedy",
+    "corpus_contamination",
     "url_canonicalize",
     "politeness_topk",
     "tpch_pricing_summary",

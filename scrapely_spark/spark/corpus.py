@@ -1,0 +1,224 @@
+"""Training-corpus assembly operators over a documents table.
+
+The step after filtering/dedup in an LLM data pipeline: turn a cleaned
+document set into model-ready training shards.  Four families:
+
+* **sequence packing** — ``pack_chunks`` (GPT-style concat-and-chunk:
+  documents are laid end to end per shard and split every ``seq_len``
+  tokens; pure window cumsum, whole-stage codegen, zero Python) and
+  ``pack_greedy`` (first-fit-sequential: a pack closes when the next
+  document would overflow ``max_tokens``; inherently a sequential scan
+  per shard, so it runs as ``applyInPandas`` with an O(#packs·log n)
+  ``searchsorted`` boundary kernel, never a per-row Python loop).
+* **contamination check** — distinct word n-gram overlap of a held-out
+  test split against the train split, with a train-side document-
+  frequency cap so ubiquitous n-grams ("of the and") neither count as
+  contamination nor blow up the join (the hot-key guard every self/cross
+  join in this repo carries).
+* **stratified sampling** — deterministic per-language keep/drop from
+  ``md5(doc_id:seed)``: reproducible across engines and runs, no RNG
+  state, rebalances a multilingual corpus to target rates.
+* **corpus statistics** — occurrence-counted top-k n-grams (map-side
+  partial agg + TakeOrderedAndProject) and exact per-language token
+  length quantiles (at 100 TB swap ``percentile`` for
+  ``approx_percentile`` — same call shape, sketch-mergeable).
+
+Scale notes: packing shards are independent (``doc_id % n_shards``), so
+the sequential scan parallelizes embarrassingly; contamination joins on
+the n-gram after the df-cap, bounding any build side; sampling and
+stats are single-pass aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# drop n-grams present in more than this many train documents before the
+# contamination join: they are boilerplate, not leakage, and each one
+# would contribute O(df) join rows per test occurrence
+MAX_NGRAM_DF = 100
+
+
+def _words(col: str = "text"):
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+def _ngrams(words, n: int):
+    """All n-word shingles (space-joined) of an already-split column."""
+    starts = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(F.size(words) >= n, F.transform(
+        starts, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k + 1) for k in range(n)])))
+
+
+def pack_chunks(docs: DataFrame, seq_len: int = 256,
+                n_shards: int = 8) -> DataFrame:
+    """Concat-and-chunk packing: global token offsets per shard.
+
+    Documents are ordered by ``doc_id`` inside ``doc_id % n_shards``
+    shards, laid end to end, and cut every ``seq_len`` tokens (documents
+    may straddle a cut — the GPT pretraining layout).  Emits per
+    document its shard, starting token offset, and the first/last
+    sequence index it lands in.  One window cumsum per shard; no Python.
+    """
+    shard = (F.col("doc_id") % n_shards).alias("shard")
+    tok = F.size(_words())
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = docs.select("doc_id", shard, tok.alias("n_tokens"))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (base
+            .select("doc_id", "shard", "n_tokens",
+                    start.alias("start_off"))
+            .select("doc_id", "shard", "n_tokens", "start_off",
+                    F.floor(F.col("start_off") / seq_len)
+                    .cast("long").alias("begin_seq"),
+                    F.floor((F.col("start_off") + F.col("n_tokens") - 1)
+                            / seq_len).cast("long").alias("end_seq")))
+
+
+def pack_greedy(docs: DataFrame, max_tokens: int = 256,
+                n_shards: int = 8) -> DataFrame:
+    """First-fit-sequential packing: a pack never exceeds ``max_tokens``.
+
+    Scanning each shard in ``doc_id`` order, a document joins the open
+    pack iff the pack total stays ≤ ``max_tokens``; otherwise it opens
+    the next pack (an oversized document therefore sits alone).  The
+    scan is sequential by definition, so the kernel loops over *pack
+    boundaries* (``np.searchsorted`` on the token cumsum — O(#packs ·
+    log n) per shard), not rows, inside ``applyInPandas``; shards run in
+    parallel.  DuckDB oracle: per-shard recursive CTE (one row per
+    step) — same rule, engine-independent.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        cs = pdf["n_tokens"].to_numpy(dtype="int64").cumsum()
+        n = len(cs)
+        pack = np.zeros(n, dtype="int64")
+        start, pid = 0, 0
+        while start < n:
+            base = cs[start - 1] if start else 0
+            nxt = int(np.searchsorted(cs, base + max_tokens, side="right"))
+            nxt = max(nxt, start + 1)  # oversized doc: alone in its pack
+            pack[start:nxt] = pid
+            start, pid = nxt, pid + 1
+        pdf["pack_id"] = pack
+        return pdf
+
+    base = docs.select(
+        "doc_id", (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(_words()).alias("n_tokens"))
+    return (base.groupBy("shard")
+            .applyInPandas(kernel,
+                           "doc_id long, shard long, n_tokens int, "
+                           "pack_id long")
+            .select("doc_id", "shard", "pack_id", "n_tokens"))
+
+
+def contamination(docs: DataFrame, n: int = 3, test_mod: int = 29,
+                  max_df: int = MAX_NGRAM_DF) -> DataFrame:
+    """Test-split n-gram overlap against the train split.
+
+    The held-out split is ``doc_id % test_mod == 0`` (deterministic, no
+    stored split table needed).  For each test document: how many train
+    documents share a distinct word ``n``-gram with it, how many of its
+    distinct n-grams appear anywhere in train, and that count as a
+    fraction of its n-gram vocabulary.  Train n-grams with document
+    frequency > ``max_df`` are dropped before the join (boilerplate
+    phrases are not leakage and would each fan out O(df) rows).
+    """
+    grams = F.explode(_ngrams(_words(), n)).alias("ngram")
+    test = (docs.where(F.col("doc_id") % test_mod == 0)
+            .select("doc_id", grams).distinct())
+    train_grams = (docs.where(F.col("doc_id") % test_mod != 0)
+                   .select("doc_id", grams).distinct())
+    rare = (train_grams.groupBy("ngram")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("ngram"))
+    train = train_grams.join(rare, "ngram")
+
+    test_sizes = test.groupBy("doc_id").agg(
+        F.count("*").alias("n_test_ngrams"))
+    hits = (test.join(train.withColumnRenamed("doc_id", "train_doc"),
+                      "ngram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("train_doc").alias("n_train_docs"),
+                 F.countDistinct("ngram").alias("n_shared")))
+    return (test_sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_test_ngrams",
+                    F.coalesce("n_train_docs", F.lit(0))
+                    .alias("n_train_docs"),
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                    F.round(F.coalesce("n_shared", F.lit(0))
+                            / F.col("n_test_ngrams"), 6)
+                    .alias("contamination")))
+
+
+def sample_threshold(rate: float) -> str:
+    """8-hex-char keep threshold for ``stratified_sample`` at ``rate``.
+
+    Comparing the first 8 md5 hex chars lexicographically equals
+    comparing the top 32 digest bits numerically, so the literal is
+    engine-portable (same trick as the MinHash signature slices).
+    """
+    return format(min(int(rate * 2 ** 32), 2 ** 32 - 1), "08x")
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      seed: int = 0,
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-language downsampling to target keep rates.
+
+    Keeps a document iff ``md5(doc_id || ':' || seed)``'s first 8 hex
+    chars fall below the language's rate threshold — a reproducible,
+    state-free coin flip that any engine can replay exactly.  Changing
+    ``seed`` draws an independent sample; a document's fate never
+    depends on partitioning or row order.
+    """
+    key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                         F.lit(":" + str(seed))))
+    ticket = F.substring(key, 1, 8)
+    thr = F.lit(sample_threshold(default_rate))
+    for lang, rate in sorted(rates.items()):
+        thr = F.when(F.col("lang") == lang,
+                     F.lit(sample_threshold(rate))).otherwise(thr)
+    return (docs.where(ticket < thr)
+            .select("doc_id", "lang", ticket.alias("ticket")))
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count.
+
+    Partial aggregation map-side, then a global top-k
+    (TakeOrderedAndProject — no full sort); ties broken by the n-gram
+    string so the cut is deterministic.
+    """
+    grams = F.explode(_ngrams(_words(), n)).alias("ngram")
+    return (docs.select(grams)
+            .groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k))
+
+
+def length_quantiles(docs: DataFrame,
+                     qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+                     ) -> DataFrame:
+    """Exact per-language token-length quantiles (linear interpolation).
+
+    ``percentile`` here is exact (sort-based within each language) to
+    stay hash-checkable against DuckDB's ``quantile_cont``; the 100 TB
+    variant is ``approx_percentile`` with the same call shape — a
+    mergeable KLL-style sketch, no per-group sort.
+    """
+    tok = F.size(_words()).cast("double")
+    base = docs.select("lang", tok.alias("n_tokens"))
+    aggs = [F.count("*").alias("n_docs")]
+    for q in qs:
+        name = "p%02d" % int(round(q * 100))
+        aggs.append(F.round(F.percentile("n_tokens", F.lit(q)), 6)
+                    .alias(name))
+    return base.groupBy("lang").agg(*aggs).orderBy("lang")

@@ -1,0 +1,173 @@
+"""Unit tests for the training-corpus assembly operators.
+
+The DuckDB hash parity for each driver query lives in
+test_driver_contract; these pin the kernel semantics on hand-built
+inputs — pack-boundary rules, straddle math, leakage accounting,
+sampling determinism, quantile interpolation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from scrapely_spark.spark import corpus
+
+
+def _docs(spark, texts, langs=None):
+    rows = [(i, t, (langs[i] if langs else "en"), "src0", len(t))
+            for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_greedy_boundary_rules(spark):
+    # shard 0 only (doc_ids all multiples of 8 via n_shards=1)
+    texts = [
+        "a b c",            # 3 tokens -> pack 0 (acc 3)
+        "d e",              # acc 5 <= 6 -> pack 0
+        "f",                # acc 6 == max -> stays in pack 0 (<=, not <)
+        "g h i j k l m",    # 7 tokens > 6 -> oversized, alone in pack 1
+        "n o p q r s",      # 6 tokens -> exactly max, pack 2
+        "t",                # would be 7 -> pack 3
+    ]
+    out = corpus.pack_greedy(_docs(spark, texts), max_tokens=6,
+                             n_shards=1).collect()
+    packs = {r.doc_id: r.pack_id for r in out}
+    assert packs == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+    # no pack except the oversized singleton exceeds max_tokens
+    totals = {}
+    for r in out:
+        totals.setdefault(r.pack_id, []).append(r.n_tokens)
+    for pid, toks in totals.items():
+        assert sum(toks) <= 6 or len(toks) == 1
+
+
+def test_pack_greedy_shards_are_independent(spark):
+    texts = ["w x y z"] * 8                      # 4 tokens each
+    out = corpus.pack_greedy(_docs(spark, texts), max_tokens=8,
+                             n_shards=2).collect()
+    # shard = doc_id % 2 -> 4 docs per shard, 2 per pack
+    for r in out:
+        assert r.shard == r.doc_id % 2
+        assert r.pack_id == (r.doc_id // 2) // 2
+
+
+def test_pack_chunks_straddle_math(spark):
+    texts = ["a b c d", "e f g", "h i j k l"]    # 4, 3, 5 tokens
+    out = {r.doc_id: r for r in
+           corpus.pack_chunks(_docs(spark, texts), seq_len=4,
+                              n_shards=1).collect()}
+    # offsets 0, 4, 7; seq cut every 4 tokens
+    assert (out[0].start_off, out[0].begin_seq, out[0].end_seq) == (0, 0, 0)
+    assert (out[1].start_off, out[1].begin_seq, out[1].end_seq) == (4, 1, 1)
+    # doc 2 spans tokens 7..11 -> sequences 1 and 2
+    assert (out[2].start_off, out[2].begin_seq, out[2].end_seq) == (7, 1, 2)
+
+
+def test_pack_chunks_offsets_are_contiguous_per_shard(spark):
+    texts = ["one two three"] * 12
+    rows = corpus.pack_chunks(_docs(spark, texts), seq_len=10,
+                              n_shards=3).collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        off = 0
+        for r in docs:
+            assert r.start_off == off
+            off += r.n_tokens
+
+
+# ---------------------------------------------------------- contamination
+
+def test_contamination_full_and_zero_overlap(spark):
+    leaked = "the quick brown fox jumps over the lazy dog"
+    clean = "unique held out words never seen in train"
+    texts = [""] * 59
+    texts[0] = leaked                 # doc 0 -> test split (0 % 29 == 0)
+    texts[29] = clean                 # doc 29 -> test split
+    texts[1] = leaked                 # train copy of the leaked doc
+    texts[2] = "totally different train text goes right here"
+    docs = _docs(spark, texts).where("text <> ''")
+    out = {r.doc_id: r for r in corpus.contamination(docs).collect()}
+    assert out[0].contamination == 1.0
+    assert out[0].n_train_docs == 1
+    assert out[29].contamination == 0.0
+    assert out[29].n_shared == 0
+    # test docs never appear as train hits (split is disjoint)
+    assert set(out) == {0, 29}
+
+
+def test_contamination_df_cap_drops_boilerplate(spark):
+    # "of the and" appears in every train doc -> df above the cap -> not
+    # counted as leakage for the test doc that also contains it
+    texts = ["of the and"] * 8
+    docs = _docs(spark, texts)       # doc 0 is test, 1..7 train
+    out = corpus.contamination(docs, max_df=3).collect()
+    assert len(out) == 1
+    assert out[0].n_shared == 0 and out[0].contamination == 0.0
+
+
+# --------------------------------------------------------------- sampling
+
+def test_stratified_sample_matches_md5_rule(spark):
+    texts = ["doc %d body" % i for i in range(64)]
+    langs = ["en" if i % 2 else "de" for i in range(64)]
+    rates = {"en": 0.7, "de": 0.2}
+    out = corpus.stratified_sample(_docs(spark, texts, langs), rates,
+                                   seed=7).collect()
+    kept = {r.doc_id for r in out}
+    for i in range(64):
+        ticket = hashlib.md5(("%d:7" % i).encode()).hexdigest()[:8]
+        expect = ticket < corpus.sample_threshold(rates[langs[i]])
+        assert (i in kept) == expect
+    # tickets surfaced verbatim for auditability
+    for r in out:
+        assert r.ticket == hashlib.md5(
+            ("%d:7" % r.doc_id).encode()).hexdigest()[:8]
+
+
+def test_stratified_sample_is_seed_sensitive_and_deterministic(spark):
+    texts = ["word " * 3] * 50
+    df = _docs(spark, texts)
+    a = {r.doc_id for r in
+         corpus.stratified_sample(df, {"en": 0.5}, seed=1).collect()}
+    b = {r.doc_id for r in
+         corpus.stratified_sample(df, {"en": 0.5}, seed=2).collect()}
+    a2 = {r.doc_id for r in
+          corpus.stratified_sample(df, {"en": 0.5}, seed=1).collect()}
+    assert a == a2
+    assert a != b
+
+
+def test_sample_threshold_endpoints():
+    assert corpus.sample_threshold(0.0) == "00000000"
+    assert corpus.sample_threshold(1.0) == "ffffffff"
+    assert corpus.sample_threshold(0.5) == "80000000"
+
+
+# ------------------------------------------------------------ corpus stats
+
+def test_top_ngrams_counts_occurrences_and_breaks_ties(spark):
+    texts = ["b b b b", "a a a a"]    # "b b" x3, "a a" x3
+    out = corpus.top_ngrams(_docs(spark, texts), n=2, k=2).collect()
+    assert [(r.ngram, r.n_occurrences) for r in out] == [
+        ("a a", 3), ("b b", 3)]      # tie -> lexicographic
+
+
+def test_length_quantiles_linear_interpolation(spark):
+    texts = ["w " * n for n in (1, 2, 3, 4)]    # 1..4 tokens... plus ''
+    # "w " * n strip -> n tokens
+    out = corpus.length_quantiles(_docs(spark, texts),
+                                  qs=(0.5,)).collect()
+    assert len(out) == 1
+    lens = np.array([1, 2, 3, 4], dtype=float)
+    assert out[0].p50 == pytest.approx(
+        float(np.percentile(lens, 50)), abs=1e-9)
+    assert out[0].n_docs == 4
