@@ -135,11 +135,14 @@ def contamination(docs: DataFrame, n: int = 3, test_mod: int = 29,
             .select("doc_id", grams).distinct())
     train_grams = (docs.where(F.col("doc_id") % test_mod != 0)
                    .select("doc_id", grams).distinct())
-    rare = (train_grams.groupBy("ngram")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("ngram"))
-    train = train_grams.join(rare, "ngram")
+    # df cap as a window count (the `_cap_buckets` pattern): one lineage,
+    # one shuffle on ngram, and the join below reuses that partitioning —
+    # a groupBy+join formulation would explode the train side twice
+    train = (train_grams
+             .withColumn("df", F.count("*").over(
+                 Window.partitionBy("ngram")))
+             .where(F.col("df") <= max_df)
+             .drop("df"))
 
     test_sizes = test.groupBy("doc_id").agg(
         F.count("*").alias("n_test_ngrams"))
