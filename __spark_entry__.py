@@ -374,14 +374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         _LSH_THRESHOLD,
                                         max_bucket=_NEAR_DUP_MAX_BUCKET)
 
-    def q_phash_near_dups(spark, sf):
-        # the image near-dup operator (banded hamming over an int64
-        # perceptual hash, multimodal.phash_near_dups) applied to a
-        # phash column both engines derive identically in closed form:
+    def _synth_images(spark, sf):
+        # a phash column both engines derive identically in closed form:
         # doc pairs sharing doc_id//2 mod 509 get the same hash base,
         # odd rows flip bit 5 → planted hamming-1 twins the banding must
-        # recover.  Pure JVM bit ops, so it carries a full SQL oracle.
-        from scrapely_spark.spark import multimodal
+        # recover (the oracle's ph CTE mirrors this expression)
         b = F.expr("CAST((doc_id - doc_id % 2) / 2 AS BIGINT) % 509")
         ph = (F.shiftleft(b, 49)
               .bitwiseXOR(F.shiftleft(b, 33))
@@ -389,12 +386,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .bitwiseXOR(b)
               .bitwiseXOR(F.when(F.col("doc_id") % 2 == 1, F.lit(32))
                           .otherwise(F.lit(0)).cast("long")))
-        imgs = (_t(spark, sf, "documents")
+        return (_t(spark, sf, "documents")
                 .select(F.col("doc_id").alias("image_id"),
                         ph.cast("long").alias("phash")))
-        out = multimodal.phash_near_dups(imgs, max_hamming=3)
+
+    def q_phash_near_dups(spark, sf):
+        # the image near-dup operator (banded hamming over an int64
+        # perceptual hash, multimodal.phash_near_dups): pure JVM bit
+        # ops, so it carries a full SQL oracle
+        from scrapely_spark.spark import multimodal
+        out = multimodal.phash_near_dups(_synth_images(spark, sf),
+                                         max_hamming=3)
         return out.select(F.col("id_a").alias("doc_a"),
                           F.col("id_b").alias("doc_b"), "hamming")
+
+    def q_image_clusters(spark, sf):
+        # the image-dedup endgame: connected components over the
+        # verified phash near-dup pairs → canonical image per cluster.
+        # dedup.dup_clusters is payload-agnostic — the same min-label
+        # propagation that clusters text MinHash pairs clusters image
+        # phash pairs; the oracle recomputes reachability recursively
+        from scrapely_spark.spark import multimodal
+        pairs = (multimodal.phash_near_dups(_synth_images(spark, sf),
+                                            max_hamming=3)
+                 .select(F.col("id_a").alias("doc_a"),
+                         F.col("id_b").alias("doc_b")))
+        return dedup.dup_clusters(_t(spark, sf, "documents"), pairs)
+
+    def q_clean_pipeline(spark, sf):
+        # the composed selection filter a pretraining corpus runs:
+        # exact-dup keeper ∧ langid agreement ∧ quality ≥ 0.4 — one
+        # declarative plan, not three materialized passes
+        return corpus.clean_corpus(_t(spark, sf, "documents"))
 
     def q_lsh_near_dups(spark, sf):
         # fixed-seed hyperplanes shared with the SQL oracle (see
@@ -643,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_near_dups,
         "embedding_lsh_near_dups": q_lsh_near_dups,
         "image_phash_near_dups": q_phash_near_dups,
+        "image_dup_clusters": q_image_clusters,
         "text_token_stats": q_tokens,
         "text_quality": q_quality,
         "text_langid": q_langid,
@@ -653,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_strat_sample,
         "corpus_top_ngrams": q_top_ngrams,
         "corpus_length_quantiles": q_length_quantiles,
+        "corpus_clean_pipeline": q_clean_pipeline,
         "scalar_extract_price": scalar_extract_price,
         "scalar_extract_number": scalar_extract_number,
         "scalar_image_url": scalar_image_url,
@@ -738,6 +763,94 @@ _SAMPLE_SEED = 42
 
 # the corpus module's tokenization, as a DuckDB fragment
 _CORPUS_WORDS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+# quality / langid oracle bodies, shared verbatim with the composed
+# corpus_clean_pipeline oracle
+_QUALITY_SQL = r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id, text, len(words) AS n_words,
+                     len(list_filter(words, w -> lower(w) IN
+                       ('the','a','of','to','and','in','is','it','for','on')))
+                       AS stop_hits,
+                     length(regexp_replace(text, '[^\.,;:!?]', '', 'g'))
+                       AS punct,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS alpha
+              FROM d)
+            SELECT doc_id, n_words,
+                   round(CAST(stop_hits AS DOUBLE) / n_words, 6)
+                     AS stopword_ratio,
+                   round(CAST(punct AS DOUBLE) / length(text), 6)
+                     AS punct_ratio,
+                   round(CAST(alpha AS DOUBLE) / length(text), 6)
+                     AS alpha_ratio,
+                   round(least(n_words / 100.0, 1.0) * 0.5
+                         + (CAST(stop_hits AS DOUBLE) / n_words) * 0.3
+                         + (CAST(alpha AS DOUBLE) / length(text)) * 0.2, 6)
+                     AS quality
+            FROM s"""
+
+_LANGID_SQL = r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     string_split_regex(lower(text), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id, lang,
+                len(list_filter(words, w -> w IN ('der','die','und','von','mit'))) AS score_de,
+                len(list_filter(words, w -> w IN ('the','and','of','to','in'))) AS score_en,
+                len(list_filter(words, w -> w IN ('el','la','de','que','en'))) AS score_es,
+                len(list_filter(words, w -> w IN ('le','la','et','les','des'))) AS score_fr,
+                len(list_filter(words, w -> w IN ('的','是','了','在','我'))) AS score_zh
+              FROM d)
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN score_de = greatest(score_de, score_en, score_es,
+                                              score_fr, score_zh) THEN 'de'
+                     WHEN score_en = greatest(score_de, score_en, score_es,
+                                              score_fr, score_zh) THEN 'en'
+                     WHEN score_es = greatest(score_de, score_en, score_es,
+                                              score_fr, score_zh) THEN 'es'
+                     WHEN score_fr = greatest(score_de, score_en, score_es,
+                                              score_fr, score_zh) THEN 'fr'
+                     ELSE 'zh'
+                   END AS predicted_lang,
+                   greatest(score_de, score_en, score_es, score_fr,
+                            score_zh) AS score
+            FROM s"""
+
+
+# the synthetic phash pair graph (mirrors queries()._synth_images +
+# multimodal.phash_near_dups banding); shared by the near-dup pairs
+# oracle and the image cluster oracle
+_PHASH_CTES = """ph AS (
+              SELECT doc_id,
+                     xor(xor(xor(xor(b << 49, b << 33), b << 17), b),
+                         CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 0 END)
+                       AS phash
+              FROM (SELECT doc_id,
+                           CAST((doc_id - doc_id % 2) / 2 AS BIGINT) % 509
+                             AS b
+                    FROM documents)
+            ), bands AS (
+              SELECT doc_id, phash, chunk_idx,
+                     (phash >> (16 * chunk_idx)) & 65535 AS chunk_val
+              FROM ph, (VALUES (0), (1), (2), (3)) AS c(chunk_idx)
+              QUALIFY count(*) OVER (PARTITION BY chunk_idx,
+                       (phash >> (16 * chunk_idx)) & 65535) <= 4096
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.phash AS pa, b.phash AS pb
+              FROM bands a
+              JOIN bands b ON a.chunk_idx = b.chunk_idx
+                          AND a.chunk_val = b.chunk_val
+                          AND a.doc_id < b.doc_id
+            )"""
 
 
 def _sample_rate_case() -> str:
@@ -1137,34 +1250,35 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # mirror of multimodal.phash_near_dups: same closed-form phash,
         # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
         # match Spark's bitwise ops on non-negative BIGINT)
-        "image_phash_near_dups": """
-            WITH ph AS (
-              SELECT doc_id,
-                     xor(xor(xor(xor(b << 49, b << 33), b << 17), b),
-                         CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 0 END)
-                       AS phash
-              FROM (SELECT doc_id,
-                           CAST((doc_id - doc_id % 2) / 2 AS BIGINT) % 509
-                             AS b
-                    FROM documents)
-            ), bands AS (
-              SELECT doc_id, phash, chunk_idx,
-                     (phash >> (16 * chunk_idx)) & 65535 AS chunk_val
-              FROM ph, (VALUES (0), (1), (2), (3)) AS c(chunk_idx)
-              QUALIFY count(*) OVER (PARTITION BY chunk_idx,
-                       (phash >> (16 * chunk_idx)) & 65535) <= 4096
-            ), pairs AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                              a.phash AS pa, b.phash AS pb
-              FROM bands a
-              JOIN bands b ON a.chunk_idx = b.chunk_idx
-                          AND a.chunk_val = b.chunk_val
-                          AND a.doc_id < b.doc_id
-            )
+        "image_phash_near_dups": "WITH " + _PHASH_CTES + """
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
             FROM pairs
             WHERE bit_count(xor(pa, pb)) <= 3""",
+
+        # connected components over the VERIFIED phash pairs (hamming
+        # gate applied before edges — dup_clusters consumes the
+        # operator's output, not its candidate set)
+        "image_dup_clusters": "WITH RECURSIVE " + _PHASH_CTES + """
+            , vpairs AS (
+              SELECT doc_a, doc_b FROM pairs
+              WHERE bit_count(xor(pa, pb)) <= 3)
+            , cedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM vpairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM vpairs)
+            , reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.src, r.lab
+                FROM reach r JOIN cedges e ON e.dst = r.node)
+            , comp AS (
+              SELECT node AS doc_id, min(lab) AS canonical_doc_id
+              FROM reach GROUP BY node)
+            SELECT doc_id, canonical_doc_id,
+                   count(*) OVER (PARTITION BY canonical_doc_id)
+                     AS cluster_size
+            FROM comp""",
 
         "text_token_stats": r"""
             WITH d AS (
@@ -1181,62 +1295,27 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    n_sentences
             FROM d""",
 
-        "text_quality": r"""
-            WITH d AS (
-              SELECT doc_id, text,
-                     string_split_regex(trim(text), '\s+') AS words
-              FROM documents),
-            s AS (
-              SELECT doc_id, text, len(words) AS n_words,
-                     len(list_filter(words, w -> lower(w) IN
-                       ('the','a','of','to','and','in','is','it','for','on')))
-                       AS stop_hits,
-                     length(regexp_replace(text, '[^\.,;:!?]', '', 'g'))
-                       AS punct,
-                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                       AS alpha
-              FROM d)
-            SELECT doc_id, n_words,
-                   round(CAST(stop_hits AS DOUBLE) / n_words, 6)
-                     AS stopword_ratio,
-                   round(CAST(punct AS DOUBLE) / length(text), 6)
-                     AS punct_ratio,
-                   round(CAST(alpha AS DOUBLE) / length(text), 6)
-                     AS alpha_ratio,
-                   round(least(n_words / 100.0, 1.0) * 0.5
-                         + (CAST(stop_hits AS DOUBLE) / n_words) * 0.3
-                         + (CAST(alpha AS DOUBLE) / length(text)) * 0.2, 6)
-                     AS quality
-            FROM s""",
+        "text_quality": _QUALITY_SQL,
 
-        "text_langid": r"""
-            WITH d AS (
-              SELECT doc_id, lang,
-                     string_split_regex(lower(text), '\s+') AS words
-              FROM documents),
-            s AS (
-              SELECT doc_id, lang,
-                len(list_filter(words, w -> w IN ('der','die','und','von','mit'))) AS score_de,
-                len(list_filter(words, w -> w IN ('the','and','of','to','in'))) AS score_en,
-                len(list_filter(words, w -> w IN ('el','la','de','que','en'))) AS score_es,
-                len(list_filter(words, w -> w IN ('le','la','et','les','des'))) AS score_fr,
-                len(list_filter(words, w -> w IN ('的','是','了','在','我'))) AS score_zh
-              FROM d)
-            SELECT doc_id, lang,
-                   CASE
-                     WHEN score_de = greatest(score_de, score_en, score_es,
-                                              score_fr, score_zh) THEN 'de'
-                     WHEN score_en = greatest(score_de, score_en, score_es,
-                                              score_fr, score_zh) THEN 'en'
-                     WHEN score_es = greatest(score_de, score_en, score_es,
-                                              score_fr, score_zh) THEN 'es'
-                     WHEN score_fr = greatest(score_de, score_en, score_es,
-                                              score_fr, score_zh) THEN 'fr'
-                     ELSE 'zh'
-                   END AS predicted_lang,
-                   greatest(score_de, score_en, score_es, score_fr,
-                            score_zh) AS score
-            FROM s""",
+        "text_langid": _LANGID_SQL,
+
+        # the composed corpus filter: exact-dup keeper (md5 window min)
+        # ∧ langid agreement ∧ quality ≥ 0.4 — built from the same SQL
+        # the individual text_quality / text_langid oracles run
+        "corpus_clean_pipeline": f"""
+            WITH q AS ({_QUALITY_SQL}),
+            l AS ({_LANGID_SQL}),
+            k AS (SELECT doc_id FROM (
+                    SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY md5(text))
+                             AS keeper
+                    FROM documents)
+                  WHERE doc_id = keeper)
+            SELECT q.doc_id, l.lang, q.quality
+            FROM k
+            JOIN q ON q.doc_id = k.doc_id
+            JOIN l ON l.doc_id = k.doc_id
+            WHERE q.quality >= 0.4 AND l.predicted_lang = l.lang""",
 
         "text_fingerprint": """
             WITH h AS (

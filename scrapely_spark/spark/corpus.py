@@ -193,6 +193,37 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
             .select("doc_id", "lang", ticket.alias("ticket")))
 
 
+def clean_corpus(docs: DataFrame, min_quality: float = 0.4) -> DataFrame:
+    """End-to-end cleaned-training-set selection.
+
+    The composition every pretraining corpus goes through, as one
+    declarative plan: exact-duplicate keeper election (min doc_id per
+    ``md5(text)``, a window over the hash), language agreement (the
+    marker-word heuristic must confirm the labeled language), and a
+    quality floor.  Survivors emit ``(doc_id, lang, quality)``.
+
+    All three stages join on ``doc_id``, so Catalyst plans one scan per
+    stage and co-partitioned joins; nothing here is a new primitive —
+    the point is that the filter stack stays a single optimizable plan
+    rather than three materialized passes.
+    """
+    from scrapely_spark.spark import textstats
+
+    quality = textstats.quality_scores(docs).select("doc_id", "quality")
+    lang = textstats.language_id(docs).select(
+        "doc_id", "lang", "predicted_lang")
+    keepers = (docs
+               .select("doc_id", F.md5("text").alias("content_hash"))
+               .withColumn("keeper", F.min("doc_id").over(
+                   Window.partitionBy("content_hash")))
+               .where(F.col("doc_id") == F.col("keeper"))
+               .select("doc_id"))
+    return (keepers.join(quality, "doc_id").join(lang, "doc_id")
+            .where((F.col("quality") >= min_quality)
+                   & (F.col("predicted_lang") == F.col("lang")))
+            .select("doc_id", "lang", "quality"))
+
+
 def top_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
     """Corpus-wide top-k word n-grams by occurrence count.
 

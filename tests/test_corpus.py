@@ -152,6 +152,27 @@ def test_sample_threshold_endpoints():
     assert corpus.sample_threshold(0.5) == "80000000"
 
 
+# ------------------------------------------------------------- composition
+
+def test_clean_corpus_applies_all_three_filters(spark):
+    good = ("the quick brown fox and the lazy dog walk to the market "
+            "in the morning and buy a basket of fresh bread for the "
+            "family to share at noon " * 3)
+    rows = [
+        (0, good, "en"),          # keeper, en-agreeing, high quality
+        (1, good, "en"),          # exact dup of 0 -> dropped (non-keeper)
+        (2, "x", "en"),           # quality floor drops it
+        (3, good, "zh"),          # langid says en, labeled zh -> dropped
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = corpus.clean_corpus(df, min_quality=0.4).collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].lang == "en" and out[0].quality >= 0.4
+
+
 # ------------------------------------------------------------ corpus stats
 
 def test_top_ngrams_counts_occurrences_and_breaks_ties(spark):
