@@ -642,6 +642,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .cast("double"), 6)
                      .alias("total_value")))
 
+    def q_asof_purchase_view(spark, sf):
+        # as-of join (joins.asof_join): for each purchase, the same
+        # user's latest view at-or-before it — single-shuffle
+        # union+window plan, no inequality theta-join.  The oracle is
+        # DuckDB's NATIVE `ASOF LEFT JOIN` (an independent
+        # implementation of the semantics, not a re-encoding of ours);
+        # tie-break among equal view timestamps = max view_id on both
+        # sides.  gap_s is floor-of-epoch-seconds arithmetic in both
+        # engines (Spark long cast == date_diff('second')).
+        from scrapely_spark.spark.joins import asof_join
+        e = _t(spark, sf, "events")
+        purchases = e.where("event_type = 'purchase'").select(
+            "event_id", "user_id", "ts")
+        views = (e.where("event_type = 'view'")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("view_id"),
+                         F.col("ts").alias("view_ts")))
+        out = asof_join(purchases, views, key="user_id", ts="ts",
+                        right_cols=["view_id", "view_ts"],
+                        order_col="view_id")
+        secs = F.col("ts").cast("timestamp").cast("long")
+        vsecs = F.col("view_ts").cast("timestamp").cast("long")
+        return out.select(
+            "event_id", "user_id",
+            F.date_format(F.col("ts").cast("timestamp"),
+                          "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "view_id", (secs - vsecs).alias("gap_s"))
+
+    def q_knn_join(spark, sf):
+        # many-query KNN join: 16 query vectors × whole corpus, top-5
+        # each — broadcast-Q mapInPandas matmul with exact per-batch
+        # partial top-k (see simsearch.knn_join).
+        emb = _t(spark, sf, "embeddings")
+        return simsearch.knn_join(emb.where("vec_id < 16"), emb, k=5)
+
+    def q_ann_sq8(spark, sf):
+        # compressed-scan ANN: scalar-quantized (SQ8) cosine top-k.
+        # Quantization is a closed-form rule from one min/max aggregate,
+        # so the oracle re-derives codes + dequantized scores in SQL.
+        vec, _ = _query_vec(spark, sf)
+        return simsearch.sq8_topk(_t(spark, sf, "embeddings"), vec, 10)
+
+    def q_running_totals(spark, sf):
+        # batch twin of streaming.running_totals (the
+        # applyInPandasWithState custom stateful operator); the
+        # stream-vs-batch equivalence is pinned file-by-file in
+        # tests/test_plans_and_streaming.py.
+        from scrapely_spark.spark.streaming import running_totals
+        out = running_totals(_t(spark, sf, "events"))
+        return out.select(
+            "user_id", "n_events",
+            F.round("total_value", 4).alias("total_value"),
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("last_ts"))
+
     return {
         "ibl_extract_docs": ibl_extract_docs,
         "set_except_customers": q_set_except,
@@ -690,6 +745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessions,
         "events_session_windows": q_session_windows,
         "events_json_extract": q_events_json,
+        "asof_purchase_view": q_asof_purchase_view,
+        "knn_join_topk": q_knn_join,
+        "ann_sq8_topk": q_ann_sq8,
+        "events_running_totals": q_running_totals,
     }
 
 
@@ -1592,4 +1651,74 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                             '%Y-%m-%d %H:%M:%S') AS session_end,
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, session_id""",
+
+        # DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation
+        # of the as-of semantics joins.asof_join encodes as
+        # union+window.  The right side is deduped to max view_id per
+        # (user_id, ts) because DuckDB leaves same-timestamp ties
+        # unspecified; the Spark side resolves the same ties via the
+        # window's _ord ordering.
+        "asof_purchase_view": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, ts, event_id AS view_id
+                  FROM events WHERE event_type = 'view'
+                  QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   v.view_id,
+                   CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+        "knn_join_topk": """
+            WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id < 16),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(CAST(list_cosine_similarity(e.v, q.qv)
+                                    AS DOUBLE), 6) AS score
+                  FROM e, q)
+            SELECT query_id, vec_id, score FROM s
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, vec_id ASC) <= 5""",
+
+        # re-derives the SQ8 rule end to end: per-dim min/max over the
+        # table, half-up quantize to [0,255], dequantize, asymmetric
+        # cosine vs the RAW query vector (vec_id 0) — the identical
+        # closed form simsearch.sq8_topk evaluates in JVM transforms.
+        "ann_sq8_topk": """
+            WITH ex AS (SELECT vec_id, label,
+                          generate_subscripts(embedding, 1) AS i,
+                          unnest(CAST(embedding AS DOUBLE[])) AS x
+                        FROM embeddings),
+            mm AS (SELECT i, min(x) AS lo, max(x) AS hi
+                   FROM ex GROUP BY i),
+            dq AS (SELECT vec_id, label, i,
+                     CASE WHEN hi > lo THEN
+                       lo + least(255.0, greatest(0.0,
+                              floor((x - lo) * 255.0 / (hi - lo) + 0.5)))
+                            * (hi - lo) / 255.0
+                     ELSE lo END AS xhat
+                   FROM ex JOIN mm USING (i)),
+            q0 AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+            s AS (SELECT d.vec_id, d.label,
+                         sum(d.xhat * q0.qx) AS dot,
+                         sqrt(sum(d.xhat * d.xhat)) AS nx
+                  FROM dq d JOIN q0 USING (i)
+                  GROUP BY d.vec_id, d.label),
+            qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM q0)
+            SELECT vec_id, label, round(dot / (nx * nq), 6) AS score
+            FROM s, qn
+            ORDER BY score DESC, vec_id ASC LIMIT 10""",
+
+        "events_running_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM events GROUP BY user_id""",
     }

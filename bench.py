@@ -30,6 +30,9 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
+    "ann_sq8_topk",
+    "knn_join_topk",
+    "asof_purchase_view",
     "embedding_near_dups",
     "image_phash_near_dups",
     "events_session_windows",

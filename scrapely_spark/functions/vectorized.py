@@ -211,6 +211,9 @@ def extract_image_url_series(s: pd.Series) -> pd.Series:
     fb = (
         # non-ASCII anywhere: Python \s / urlparse are unicode-aware
         srch(t, r"[^\x00-\x7F]")
+        # interior tab/CR/LF: urlparse removes these bytes ANYWHERE in
+        # the url (bpo-43882) — the RE2 decomposition would keep them
+        | srch(t, r"[\t\r\n]")
         # decomposition regex didn't span the string (e.g. \n placement)
         | (_mask(pc.is_valid(t2)) & ~_mask(pc.is_valid(parts)))
         # ':' present but not a urlparse-valid scheme

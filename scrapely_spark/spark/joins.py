@@ -1,0 +1,81 @@
+"""Temporal join operators the built-in DataFrame API lacks.
+
+As-of joins ("for each left row, the latest right row at-or-before its
+timestamp, per key") are a staple of event analytics that Spark has no
+native operator for.  The naive encoding — an inequality theta-join plus
+a per-left-row max — materializes O(|L|·|R|/keys) intermediate rows; at
+a 10^10-row frontier's event volume that join never finishes.
+
+The implementation here is the single-shuffle union trick:
+
+1. tag left rows side=1 and right rows side=0 over a common
+   ``(key, ts)`` spine (one ``unionByName`` — no join node at all);
+2. one window per key ordered by ``(ts, side, order_col)`` carrying
+   ``last(right_payload, ignorenulls=True)`` — a streaming frame, so
+   each partition is a single forward pass with O(1) state;
+3. keep the left rows and unpack the carried payload struct.
+
+Cost: ONE hash exchange of |L|+|R| rows on the key — the same price as
+a co-partitioned equi-join — and no intermediate blow-up.  Skewed keys
+behave like any window skew (a hot key serializes its partition); the
+politeness family's two-phase salting applies unchanged if a key is hot
+enough to matter, and AQE's skew handling sees a plain exchange.
+
+Semantics are pinned to DuckDB's native ``ASOF LEFT JOIN`` (the
+correctness oracle): inclusive match (``l.ts >= r.ts``), left rows with
+no earlier right row survive with NULLs.  DuckDB leaves ties among
+right rows at the identical (key, ts) unspecified, so callers who need
+cross-engine determinism dedupe the right side first (the driver query
+keeps the max ``order_col`` per (key, ts) on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              right_cols: list[str], order_col: str,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: latest ``right`` row with ``r.ts <= l.ts`` per key.
+
+    ``right_cols`` are the right-side payload columns carried onto each
+    left row (NULL when no right row precedes it).  ``order_col`` is a
+    right-side column that breaks ties among right rows sharing one
+    (key, ts) — the largest wins, deterministically.  Only
+    ``direction="backward"`` (the common as-of) is implemented;
+    "forward" is the same plan with the window reversed.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    # a NULL right timestamp can never satisfy l.ts >= r.ts (ASOF
+    # comparison semantics) — drop it before it sorts to the partition
+    # front and gets carried into every left row
+    right = right.where(F.col(ts).isNotNull())
+    r = right.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(order_col).cast("long").alias("_ord"),
+        payload.alias("_payload"))
+    l = left.withColumn("_k", F.col(key)) \
+            .withColumn("_ts", F.col(ts)) \
+            .withColumn("_side", F.lit(1)) \
+            .withColumn("_ord", F.lit(None).cast("long")) \
+            .withColumn("_payload",
+                        F.lit(None).cast(r.schema["_payload"].dataType))
+    both = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at the same ts (side 0 < 1), so
+    # the carried payload is inclusive of r.ts == l.ts; among right rows
+    # at one (key, ts) the largest _ord is seen last and wins.
+    w = (Window.partitionBy("_k")
+         .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                  F.col("_ord").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = both.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.where(F.col("_side") == 1)
+    for c in right_cols:
+        out = out.withColumn(c, F.col("_match").getField(c))
+    keep = [c for c in left.columns] + list(right_cols)
+    return out.select(*keep)

@@ -113,3 +113,57 @@ def run_available_now(stream_df: DataFrame, query_name: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running totals as a CUSTOM stateful operator.
+
+    The one streaming shape the built-in operators don't cover:
+    arbitrary per-key state with user code deciding what to keep and
+    emit.  Implemented with ``applyInPandasWithState`` — state is one
+    fixed-size row per user (count, sum, last-event micros), each
+    micro-batch updates it from Arrow record batches (vectorized
+    ``len``/``sum``/``max``, no per-row Python) and emits the key's new
+    cumulative row.  State is sharded by the grouping key across
+    executors exactly like the built-in session_window state store, so
+    the operator scales with key cardinality, not event volume.
+
+    On a static DataFrame the same result is one ``groupBy().agg()`` —
+    that batch twin is what the correctness oracle checks; the
+    streaming/batch parity test drives this operator file-by-file
+    through ``availableNow`` and compares final rows.
+    """
+    import pandas as pd
+
+    out_schema = ("user_id long, n_events long, total_value double, "
+                  "last_ts timestamp")
+
+    if not events.isStreaming:
+        return (events.groupBy("user_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum("value").alias("total_value"),
+                     F.max(F.col("ts").cast("timestamp")).alias("last_ts")))
+
+    def update(key, pdfs, state):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            # unit-explicit epoch micros (Arrow may hand us ns or µs)
+            ets = pdf["ets"].to_numpy(dtype="datetime64[us]").astype("int64")
+            last_us = max(last_us, int(ets.max()))
+        state.update((n, total, last_us))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        })
+
+    with_ts = (events
+               .withColumn("ets", F.col("ts").cast("timestamp"))
+               .withWatermark("ets", watermark))
+    return (with_ts.groupBy("user_id").applyInPandasWithState(
+        update, out_schema,
+        "n long, total double, last_us long",
+        "update", "NoTimeout"))

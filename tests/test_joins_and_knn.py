@@ -1,0 +1,208 @@
+"""As-of join, KNN join, and SQ8 quantized-search semantics.
+
+Each operator is checked against an independent in-process twin
+(brute-force Python/numpy), not against its own plan — the DuckDB
+hash oracle in test_driver_contract covers the cross-engine side.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+from scrapely_spark.spark import simsearch
+from scrapely_spark.spark.joins import asof_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _brute_asof(left, right):
+    """Reference semantics: latest right (ts <= l.ts) per key; ties on
+    ts go to the largest ord."""
+    out = []
+    for lk, lts, lid in left:
+        best = None
+        for rk, rts, rid, payload in right:
+            if rk != lk or rts > lts:
+                continue
+            if best is None or (rts, rid) > (best[0], best[1]):
+                best = (rts, rid, payload)
+        out.append((lid, best[2] if best else None))
+    return dict(out)
+
+
+def test_asof_join_matches_brute_force(spark):
+    left_rows = [
+        (1, _ts("2024-01-01T10:00:00"), 100),
+        (1, _ts("2024-01-01T12:00:00"), 101),
+        (1, _ts("2024-01-01T09:00:00"), 102),   # before every right row
+        (2, _ts("2024-01-01T11:00:00"), 200),
+        (3, _ts("2024-01-01T11:00:00"), 300),   # key with no right rows
+    ]
+    right_rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "r-eq"),    # equal ts: inclusive
+        (1, _ts("2024-01-01T11:30:00"), 2, "r-late"),
+        (2, _ts("2024-01-01T11:00:00"), 3, "r-tie-lo"),
+        (2, _ts("2024-01-01T11:00:00"), 4, "r-tie-hi"),  # tie: max ord wins
+    ]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        right_rows, "k long, ts timestamp, rid long, payload string")
+    got = asof_join(left, right, key="k", ts="ts",
+                    right_cols=["payload"], order_col="rid")
+    by_lid = {r.lid: r.payload for r in got.collect()}
+    want = _brute_asof([(k, t, i) for k, t, i in left_rows],
+                       [(k, t, i, p) for k, t, i, p in right_rows])
+    assert by_lid == want
+    # the specific semantics the cases above encode:
+    assert by_lid[100] == "r-eq"        # equal-ts match is inclusive
+    assert by_lid[102] is None          # nothing at-or-before -> NULL
+    assert by_lid[200] == "r-tie-hi"    # same-ts tie -> max order_col
+    assert by_lid[300] is None          # unseen key survives (left join)
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 10)], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(1, None, 1, "null-ts")], "k long, ts timestamp, rid long, payload string")
+    got = asof_join(left, right, key="k", ts="ts",
+                    right_cols=["payload"], order_col="rid").collect()
+    assert got[0].payload is None
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window plan has exactly one exchange (on the key) —
+    the whole point vs an inequality theta-join."""
+    left = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(F.lit("2024-01-01 10:00:00")).alias("ts"),
+        F.col("id").alias("lid"))
+    right = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(F.lit("2024-01-01 09:00:00")).alias("ts"),
+        F.col("id").alias("rid"), F.lit("p").alias("payload"))
+    got = asof_join(left, right, key="k", ts="ts",
+                    right_cols=["payload"], order_col="rid")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # no join node at all
+
+
+def test_asof_driver_query_left_rows_preserved(spark):
+    q = contract.queries()["asof_purchase_view"](spark, SF_DIR)
+    n_purchases = (spark.read.parquet(SF_DIR + "/events.parquet")
+                   .where("event_type = 'purchase'").count())
+    rows = q.collect()
+    assert len(rows) == n_purchases            # left join: no row lost
+    matched = [r for r in rows if r.view_id is not None]
+    assert matched and all(r.gap_s >= 0 for r in matched)
+
+
+# --------------------------------------------------------------------------
+# KNN join
+# --------------------------------------------------------------------------
+
+def test_knn_join_equals_per_query_topk(spark):
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    queries = emb.where("vec_id < 4")
+    got = simsearch.knn_join(queries, emb, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, -r.score, r.vec_id)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    assert sorted(by_q) == [0, 1, 2, 3]
+    for qid in by_q:
+        vec = emb.where(F.col("vec_id") == qid).first()["embedding"]
+        want = [(r.vec_id, r.score)
+                for r in simsearch.cosine_topk(emb, list(vec), 5).collect()]
+        assert by_q[qid] == want, "query %d" % qid
+
+
+def test_knn_join_partial_topk_is_exact_across_tiny_batches(spark):
+    """Force many small Arrow batches: the per-batch top-k truncation
+    must not change the global result (it selects by the final sort
+    key, so it cannot)."""
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    baseline = {(r.query_id, r.vec_id, r.score)
+                for r in simsearch.knn_join(
+                    emb.where("vec_id < 3"), emb, k=4).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        tiny = {(r.query_id, r.vec_id, r.score)
+                for r in simsearch.knn_join(
+                    emb.where("vec_id < 3").repartition(5),
+                    emb.repartition(5), k=4).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert tiny == baseline
+
+
+def test_knn_join_query_cap_raises(spark):
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_queries"):
+        simsearch.knn_join(emb, emb, k=2, max_queries=10)
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization
+# --------------------------------------------------------------------------
+
+def test_sq8_minmax_matches_numpy(spark):
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    X = np.array([list(r.embedding) for r in emb.collect()],
+                 dtype=np.float64)
+    mins, maxs = simsearch.sq8_minmax(emb, X.shape[1])
+    assert np.allclose(mins, X.min(axis=0))
+    assert np.allclose(maxs, X.max(axis=0))
+
+
+def test_sq8_topk_high_recall_vs_exact(spark):
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    vec = list(emb.where("vec_id = 0").first()["embedding"])
+    exact = [r.vec_id for r in simsearch.cosine_topk(emb, vec, 10).collect()]
+    sq8 = [r.vec_id for r in simsearch.sq8_topk(emb, vec, 10).collect()]
+    # 8-bit quantization on 64-dim vectors: near-lossless ranking
+    assert len(set(exact) & set(sq8)) >= 8
+    assert sq8[0] == 0                       # self is still the best match
+
+
+def test_sq8_degenerate_constant_dimension(spark):
+    rows = [(0, [1.0, 5.0]), (1, [1.0, 7.0]), (2, [1.0, 6.0])]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<double>, label int")
+    out = simsearch.sq8_topk(emb, [1.0, 6.0], 3).collect()
+    assert [r.vec_id for r in out] == [2, 1, 0]  # ordering survives rng=0
+
+
+def test_sq8_dequant_error_bounded_by_half_step(spark):
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").limit(50)
+    X = np.array([list(r.embedding) for r in emb.collect()],
+                 dtype=np.float64)
+    mins, maxs = simsearch.sq8_minmax(emb, X.shape[1])
+    xhat_df = emb.select(
+        "vec_id",
+        simsearch._sq8_dequant("embedding", mins, maxs).alias("xhat"))
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    xhat = {r.vec_id: np.array(r.xhat) for r in xhat_df.collect()}
+    step = (np.array(maxs) - np.array(mins)) / 255.0
+    for i, vid in enumerate(ids):
+        assert np.all(np.abs(xhat[vid] - X[i]) <= step / 2 + 1e-12)

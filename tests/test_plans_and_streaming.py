@@ -248,3 +248,61 @@ def test_spark_submit_py_files_deployment(tmp_path):
     assert out, (proc.stdout[-2000:], proc.stderr[-1000:])
     import json
     assert json.loads(out[0][len("RESULT "):]) == {"extracted": 64}
+
+
+def test_streaming_running_totals_custom_state_op(spark, tmp_path):
+    """applyInPandasWithState running totals == batch groupBy twin.
+
+    The zone is fed as three event_id-range files, one micro-batch each
+    (maxFilesPerTrigger=1), so the operator genuinely accumulates state
+    across batches; update mode emits one cumulative row per touched
+    key per batch, and the final row per key (max n_events — emissions
+    are monotone in it) must equal the batch aggregate.  Also asserts
+    the intermediate emissions existed: a key seen in all three batches
+    emits three rows, proof the state survived batch boundaries.
+    """
+    import os
+
+    import duckdb
+
+    from scrapely_spark.spark import streaming
+
+    zone = str(tmp_path / "totals_zone")
+    os.makedirs(zone)
+    src = os.path.abspath(SF_DIR + "/events.parquet")
+    con = duckdb.connect()
+    for i, (lo, hi) in enumerate([(0, 300), (300, 700), (700, 10**9)]):
+        path = os.path.join(zone, "part-%d.parquet" % i)
+        con.execute(
+            "COPY (SELECT * FROM read_parquet('%s') WHERE event_id >= %d "
+            "AND event_id < %d) TO '%s' (FORMAT PARQUET)"
+            % (src, lo, hi, path))
+        os.utime(path, (os.path.getmtime(path) + 10 * i,) * 2)
+
+    stream = streaming.running_totals(
+        streaming.read_events_stream(spark, zone, max_files_per_trigger=1))
+    q = streaming.run_available_now(stream, "totals_stream",
+                                    str(tmp_path / "ckpt_totals"),
+                                    output_mode="update")
+    q.awaitTermination(120)
+
+    emitted = spark.sql("select * from totals_stream").collect()
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    fmt = "%Y-%m-%d %H:%M:%S"
+    got = {u: (r.n_events, "%.4f" % r.total_value,
+               r.last_ts.replace(tzinfo=None).strftime(fmt))
+           for u, r in final.items()}
+    batch = {r.user_id: (r.n_events, "%.4f" % r.total_value,
+                         r.last_ts.strftime(fmt))
+             for r in streaming.running_totals(
+                 spark.read.parquet(src)).collect()}
+    assert got == batch
+    # every user occurs in all three event_id ranges at this sf, so the
+    # per-key emission count proves cross-batch state accumulation
+    per_key = {}
+    for r in emitted:
+        per_key[r.user_id] = per_key.get(r.user_id, 0) + 1
+    assert max(per_key.values()) == 3 and min(per_key.values()) >= 1

@@ -106,6 +106,8 @@ IMG_FIXED = [
     "http://h/a//b.jpg", "//x.jpg?y=1",
     "naïve/ümage.jpg?x=1",          # non-ASCII
     "a\nb.jpg?x=1",                 # newline inside
+    "http://\n/?1",                 # LF inside authority (bpo-43882
+                                    # strip; hypothesis-found r3)
     "c:\\windows\\img.bmp",
     "background:url(a.png) no-repeat",
     "background-image:url()",       # empty css url
