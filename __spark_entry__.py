@@ -697,6 +697,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss")
             .alias("last_ts"))
 
+    def q_range_purchase_sessions(spark, sf):
+        # point-in-interval range join (joins.range_join): purchases
+        # landing inside a view-session window of the same user.
+        # Intervals come from the native session_window operator over
+        # view events; the bucketed equi-join replaces the inequality
+        # theta-join (BroadcastNestedLoopJoin) Spark would otherwise
+        # run.  Oracle: gaps-and-islands sessions + a plain range
+        # predicate join.
+        from scrapely_spark.spark.joins import range_join
+        from scrapely_spark.spark.streaming import sessionize_stream
+        e = _t(spark, sf, "events")
+        sessions = sessionize_stream(e.where("event_type = 'view'"))
+        purchases = e.where("event_type = 'purchase'").select(
+            "event_id", "user_id", "ts")
+        out = range_join(purchases, sessions, key="user_id", ts="ts",
+                         start_col="session_start",
+                         end_col="session_end", bucket="6 hours")
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+            F.col("n_events").alias("n_views"))
+
+    def q_sketch_distinct(spark, sf):
+        # KMV bottom-k distinct sketch over an explicit md5 hash space:
+        # the approximate estimate itself is bit-identical across
+        # engines (shared 48-bit hash rule), so the oracle is a full
+        # value check — no library-HLL implementation divergence.
+        from scrapely_spark.spark.sketches import kmv_distinct
+        e = _t(spark, sf, "events")
+        day_user = F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd"))
+        return kmv_distinct(e.withColumn("_v", day_user),
+                            ["event_type"], F.col("_v"), k=64)
+
     return {
         "ibl_extract_docs": ibl_extract_docs,
         "set_except_customers": q_set_except,
@@ -749,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_topk": q_knn_join,
         "ann_sq8_topk": q_ann_sq8,
         "events_running_totals": q_running_totals,
+        "range_purchase_sessions": q_range_purchase_sessions,
+        "sketch_distinct_user_days": q_sketch_distinct,
     }
 
 
@@ -1721,4 +1760,64 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    round(sum(value), 4) AS total_value,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
             FROM events GROUP BY user_id""",
+
+        # view-sessions via gaps-and-islands (the events_session_windows
+        # oracle pattern restricted to views), then a plain range
+        # predicate join — the theta-join the Spark side deliberately
+        # avoids via time-bucketing
+        "range_purchase_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('microsecond', lag(ts) OVER w, ts)
+                             >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events WHERE event_type = 'view'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM flagged
+            ), sess AS (
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) + INTERVAL 30 MINUTE AS session_end,
+                     count(*) AS n_views
+              FROM numbered GROUP BY user_id, session_id)
+            SELECT p.event_id, p.user_id,
+                   strftime(s.session_start, '%Y-%m-%d %H:%M:%S')
+                     AS session_start,
+                   strftime(s.session_end, '%Y-%m-%d %H:%M:%S')
+                     AS session_end,
+                   s.n_views
+            FROM events p JOIN sess s
+              ON p.user_id = s.user_id
+             AND p.ts >= s.session_start AND p.ts < s.session_end
+            WHERE p.event_type = 'purchase'""",
+
+        # identical 48-bit md5 hash space (Spark conv(hex,16,10) ==
+        # DuckDB CAST('0x…' AS BIGINT)), identical bottom-k rule,
+        # identical estimator arithmetic — the approximate sketch
+        # estimate hashes equal across engines
+        "sketch_distinct_user_days": """
+            WITH vals AS (
+              SELECT DISTINCT event_type,
+                     CAST('0x' || substr(md5(user_id || ':' ||
+                              strftime(ts, '%Y-%m-%d')), 1, 12)
+                          AS BIGINT) AS h
+              FROM events
+            ), topk AS (
+              SELECT event_type, h FROM vals
+              QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY h) <= 64
+            ), agg AS (
+              SELECT event_type, count(*) AS n, max(h) AS hk
+              FROM topk GROUP BY event_type)
+            SELECT event_type,
+                   round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                         ELSE 63.0 / (hk / 281474976710656.0) END, 4)
+                     AS est_distinct
+            FROM agg""",
     }

@@ -33,6 +33,8 @@ HEADLINE = [
     "ann_sq8_topk",
     "knn_join_topk",
     "asof_purchase_view",
+    "range_purchase_sessions",
+    "sketch_distinct_user_days",
     "embedding_near_dups",
     "image_phash_near_dups",
     "events_session_windows",

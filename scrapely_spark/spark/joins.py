@@ -79,3 +79,43 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         out = out.withColumn(c, F.col("_match").getField(c))
     keep = [c for c in left.columns] + list(right_cols)
     return out.select(*keep)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, key: str,
+               ts: str, start_col: str, end_col: str,
+               bucket: str = "6 hours") -> DataFrame:
+    """Point-in-interval join: each ``points`` row × every ``intervals``
+    row of the same key whose ``[start, end)`` contains its timestamp.
+
+    The naive encoding is an inequality theta-join — Spark executes it
+    as BroadcastNestedLoopJoin (O(|P|·|I|) comparisons) or refuses.
+    The scalable encoding bucketizes time: each interval explodes into
+    the fixed-width buckets it covers (``sequence`` + ``explode``,
+    bounded by span/width rows), each point computes its single bucket,
+    and an ordinary equi-join on ``(key, bucket)`` plus an exact
+    containment filter finishes the job.  A point lives in exactly one
+    bucket, so no pair is produced twice and no dedup pass is needed.
+
+    ``bucket`` trades explosion factor against join selectivity: width
+    ≈ median interval span keeps the blow-up ~2× while pruning nearly
+    all non-overlapping comparisons.  Overlapping intervals are fine —
+    each containing interval emits its own output row.
+    """
+    width = F.expr("INTERVAL %s" % bucket)
+    wsec = (F.lit(0).cast("timestamp") + width).cast("long")
+    p_bucket = F.floor(F.col(ts).cast("timestamp").cast("long") / wsec)
+    i_first = F.floor(
+        F.col(start_col).cast("timestamp").cast("long") / wsec)
+    # end is exclusive: the bucket of (end − 1µs) is the last covered
+    i_last = F.floor(
+        (F.col(end_col).cast("timestamp").cast("double") - F.lit(1e-6))
+        .cast("long") / wsec)
+    p = points.withColumn("_bucket", p_bucket)
+    i = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(i_first,
+                                        F.greatest(i_first, i_last))))
+    joined = p.join(i, on=[key, "_bucket"]) \
+        .where((F.col(ts) >= F.col(start_col)) &
+               (F.col(ts) < F.col(end_col))) \
+        .drop("_bucket")
+    return joined

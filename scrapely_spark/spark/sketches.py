@@ -1,0 +1,100 @@
+"""Mergeable sketches with engine-portable determinism.
+
+Production engines answer "how many distinct X per group" at 10^10 rows
+with sketches (HLL, theta), not exact distincts.  Library HLLs are
+implementation-defined (Spark's approx_count_distinct and DuckDB's
+approx_count_distinct disagree), which would leave the operator outside
+the hash-checked correctness gate.  The KMV (K-minimum-values / bottom-k
+theta) sketch here is built on an explicit md5 hash space instead: both
+engines derive the exact same 48-bit integer per value, so even the
+*approximate* estimate is bit-identical and the DuckDB oracle is a full
+value check, not rows-only.
+
+KMV estimator: keep the k smallest distinct hash values per group; if
+fewer than k distinct values exist the count is exact; otherwise the
+k-th smallest hash h_(k), normalized into (0,1], estimates density and
+(k-1) / (h_(k)/2^48) estimates the distinct count (Bar-Yossef et al.,
+"Counting distinct elements in a data stream", RANDOM 2002).  Relative
+error ≈ 1/√(k−2).
+
+The sketch is mergeable (union of bottom-k sets → bottom-k of union),
+which is what makes it a one-pass distributed operator — partitions
+sketch locally and the combine keeps the k smallest; the test suite
+pins merge(two halves) == sketch(whole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 12 hex chars = 48 bits: fits a BIGINT in both engines
+# (Spark conv(hex,16,10) / DuckDB CAST('0x…' AS BIGINT))
+_HASH_SPACE = float(2 ** 48)
+
+
+def kmv_hash(value_col) -> "F.Column":
+    """The shared 48-bit hash: first 12 hex chars of md5(value)."""
+    return (F.conv(F.substring(F.md5(value_col.cast("string")), 1, 12),
+                   16, 10).cast("long"))
+
+
+def kmv_distinct(df: DataFrame, group_cols: list[str], value_col,
+                 k: int = 64) -> DataFrame:
+    """Estimated distinct ``value_col`` per group via a bottom-k sketch.
+
+    Plan shape: project to (group, hash) → distinct (one exchange, with
+    map-side partial dedup) → per-group bottom-k via a window rank →
+    tiny aggregate.  The window's sort input is already deduped, so the
+    second exchange moves at most |groups|·|distinct| slim rows and the
+    rank truncates to k per group immediately.  At real scale the
+    distinct's partial aggregation is what bounds the shuffle — the
+    full value column never moves, only 8-byte hashes.
+    """
+    hashed = (df.select(*group_cols, kmv_hash(value_col).alias("_h"))
+              .distinct())
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    topk = (hashed.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k))
+    est = (F.when(F.col("_n") < k, F.col("_n").cast("double"))
+           .otherwise(F.lit(float(k - 1))
+                      / (F.col("_hk") / F.lit(_HASH_SPACE))))
+    return (topk.groupBy(*group_cols)
+            .agg(F.count("*").alias("_n"), F.max("_h").alias("_hk"))
+            .select(*group_cols, F.round(est, 4).alias("est_distinct")))
+
+
+def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame,
+              group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge two bottom-k hash sets (columns: group_cols + ``_h``).
+
+    Union → distinct → keep the k smallest per group.  This is the
+    combine step a tree aggregation runs between partitions; exposed
+    for tests and for incremental (per-day sketch, merge at query
+    time) pipelines.
+    """
+    merged = sketch_a.unionByName(sketch_b).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    return (merged.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k).drop("_r"))
+
+
+def kmv_bottom_k(df: DataFrame, group_cols: list[str], value_col,
+                 k: int = 64) -> DataFrame:
+    """The raw sketch (group_cols + ``_h`` rows) for merge pipelines."""
+    hashed = (df.select(*group_cols, kmv_hash(value_col).alias("_h"))
+              .distinct())
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    return (hashed.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k).drop("_r"))
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str],
+                 k: int = 64) -> DataFrame:
+    """Estimate from a raw bottom-k sketch (same formula as
+    :func:`kmv_distinct`)."""
+    est = (F.when(F.col("_n") < k, F.col("_n").cast("double"))
+           .otherwise(F.lit(float(k - 1))
+                      / (F.col("_hk") / F.lit(_HASH_SPACE))))
+    return (sketch.groupBy(*group_cols)
+            .agg(F.count("*").alias("_n"), F.max("_h").alias("_hk"))
+            .select(*group_cols, F.round(est, 4).alias("est_distinct")))

@@ -206,3 +206,102 @@ def test_sq8_dequant_error_bounded_by_half_step(spark):
     step = (np.array(maxs) - np.array(mins)) / 255.0
     for i, vid in enumerate(ids):
         assert np.all(np.abs(xhat[vid] - X[i]) <= step / 2 + 1e-12)
+
+
+# --------------------------------------------------------------------------
+# range join
+# --------------------------------------------------------------------------
+
+def _brute_range(points, intervals):
+    out = []
+    for pk, pts, pid in points:
+        for ik, s, e, iid in intervals:
+            if ik == pk and s <= pts < e:
+                out.append((pid, iid))
+    return sorted(out)
+
+
+def test_range_join_matches_brute_force(spark):
+    T = _ts
+    points = [
+        (1, T("2024-01-01T10:00:00"), 1),
+        (1, T("2024-01-01T12:00:00"), 2),    # == interval start: inclusive
+        (1, T("2024-01-01T13:00:00"), 3),    # == interval end: exclusive
+        (1, T("2024-01-02T09:30:00"), 4),    # inside a 2-day interval
+        (2, T("2024-01-01T10:00:00"), 5),    # right key, overlapping ivals
+        (3, T("2024-01-01T10:00:00"), 6),    # key with no intervals
+    ]
+    intervals = [
+        (1, T("2024-01-01T09:00:00"), T("2024-01-01T11:00:00"), 10),
+        (1, T("2024-01-01T12:00:00"), T("2024-01-01T13:00:00"), 11),
+        (1, T("2024-01-01T00:00:00"), T("2024-01-03T00:00:00"), 12),
+        (2, T("2024-01-01T09:00:00"), T("2024-01-01T11:00:00"), 13),
+        (2, T("2024-01-01T09:30:00"), T("2024-01-01T10:30:00"), 14),
+    ]
+    from scrapely_spark.spark.joins import range_join
+    p = spark.createDataFrame(points, "k long, ts timestamp, pid long")
+    i = spark.createDataFrame(
+        intervals, "k long, s timestamp, e timestamp, iid long")
+    for bucket in ["6 hours", "30 minutes", "3 days"]:
+        got = sorted((r.pid, r.iid) for r in range_join(
+            p, i, key="k", ts="ts", start_col="s", end_col="e",
+            bucket=bucket).collect())
+        assert got == _brute_range(points, intervals), bucket
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    from scrapely_spark.spark.joins import range_join
+    e = spark.read.parquet(SF_DIR + "/events.parquet")
+    p = e.where("event_type='purchase'").select("event_id", "user_id", "ts")
+    i = e.where("event_type='view'").select(
+        "user_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"))
+    plan = range_join(p, i, "user_id", "ts", "s", "e")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# KMV sketch
+# --------------------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    from scrapely_spark.spark.sketches import kmv_distinct
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)], "g string, v long")
+    got = kmv_distinct(df, ["g"], F.col("v"), k=64).collect()
+    assert len(got) == 1 and got[0].est_distinct == 7.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    from scrapely_spark.spark.sketches import kmv_distinct
+    n = 5000
+    df = spark.range(n * 2).select(
+        F.lit("g").alias("g"), (F.col("id") % n).alias("v"))
+    est = kmv_distinct(df, ["g"], F.col("v"), k=256).first().est_distinct
+    # relative error ~1/sqrt(k-2): 256 -> ~6%; allow 4 sigma
+    assert abs(est - n) / n < 0.25, est
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """sketch(A) ⊎ sketch(B) == sketch(A ∪ B) — the property that makes
+    the operator a one-pass distributed aggregation."""
+    from scrapely_spark.spark import sketches
+    e = spark.read.parquet(SF_DIR + "/events.parquet")
+    val = F.concat_ws(":", F.col("user_id").cast("string"),
+                      F.date_format(F.col("ts").cast("timestamp"),
+                                    "yyyy-MM-dd"))
+    half_a = e.where("event_id % 2 = 0")
+    half_b = e.where("event_id % 2 = 1")
+    merged = sketches.kmv_merge(
+        sketches.kmv_bottom_k(half_a, ["event_type"], val, k=64),
+        sketches.kmv_bottom_k(half_b, ["event_type"], val, k=64),
+        ["event_type"], k=64)
+    got = {(r.event_type, r.est_distinct)
+           for r in sketches.kmv_estimate(
+               merged, ["event_type"], k=64).collect()}
+    want = {(r.event_type, r.est_distinct)
+            for r in sketches.kmv_distinct(
+                e, ["event_type"], val, k=64).collect()}
+    assert got == want
