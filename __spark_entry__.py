@@ -721,6 +721,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("session_end", fmt).alias("session_end"),
             F.col("n_events").alias("n_views"))
 
+    def q_ann_pq(spark, sf):
+        # product-quantization ADC top-k: codebooks trained per
+        # subspace on a deterministic sample (md5-ranked init, fixed
+        # Lloyd iterations), scored through literal lookup tables.
+        # The oracle RE-RUNS the whole trainer in SQL (_pq_sql) — the
+        # ivf_kmeans pattern at m=8 subspaces.
+        vec, _ = _query_vec(spark, sf)
+        books = simsearch.pq_train(
+            _t(spark, sf, "embeddings"), m=_PQ_M, ksub=_PQ_KSUB,
+            sample=_PQ_SAMPLE, iters=_PQ_ITERS, seed=_PQ_SEED)
+        return simsearch.pq_topk(_t(spark, sf, "embeddings"), vec, 10,
+                                 codebooks=books)
+
+    def q_embedding_clusters(spark, sf):
+        # semantic-dedup endgame: connected components over the
+        # hyperplane-LSH near-dup pairs → canonical vector per cluster
+        # (dedup.dup_clusters is payload-agnostic: the same operator
+        # clusters text MinHash, image phash, and embedding LSH pairs).
+        emb = _t(spark, sf, "embeddings")
+        pairs = (simsearch.hyperplane_near_dups(
+            emb, _LSH_THRESHOLD,
+            planes=simsearch.hyperplanes(_EMB_DIM, _LSH_PLANES))
+            .select(F.col("vec_a").alias("doc_a"),
+                    F.col("vec_b").alias("doc_b")))
+        out = dedup.dup_clusters(
+            emb.select(F.col("vec_id").alias("doc_id")), pairs)
+        return out.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("canonical_doc_id").alias("canonical_vec_id"),
+            "cluster_size")
+
     def q_sketch_distinct(spark, sf):
         # KMV bottom-k distinct sketch over an explicit md5 hash space:
         # the approximate estimate itself is bit-identical across
@@ -788,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_totals": q_running_totals,
         "range_purchase_sessions": q_range_purchase_sessions,
         "sketch_distinct_user_days": q_sketch_distinct,
+        "embedding_dup_clusters": q_embedding_clusters,
+        "ann_pq_topk": q_ann_pq,
     }
 
 
@@ -1090,6 +1123,97 @@ LIMIT 10""".format(sample=_IVF_SAMPLE, rank=init_rank, cells=_IVF_N_CELLS,
                    iters=iters, last=_IVF_ITERS, probe=_IVF_N_PROBE)
 
 
+_PQ_M = 8            # subspaces (dim 64 -> 8-dim blocks)
+_PQ_KSUB = 16        # centroids per subspace (4-bit codes)
+_PQ_SAMPLE = 1024
+_PQ_ITERS = 3
+_PQ_SEED = 7
+
+
+def _pq_sql() -> str:
+    """DuckDB twin of simsearch.pq_topk — including the PQ trainer.
+
+    Like _ivf_kmeans_sql, the oracle re-RUNS training rather than
+    trusting learned codebooks: for each of the m subspaces it unrolls
+    the md5-ranked init and the Lloyd iterations as CTE chains (plain
+    L2 k-means: assignment by argmax(dot − ||c||²/2) with lowest-cell
+    tie-break, mean update as sum/count, empty cells keeping the
+    previous centroid), then assigns every row per subspace and scores
+    through the same per-centroid dot/norm² contributions the Spark
+    side reads from its lookup tables.  Divergence would need two
+    assignment scores within ~1e-13 — pinned by the driver hash check.
+    """
+    ds = _EMB_DIM // _PQ_M
+    parts = []
+    contribs = []
+    for j in range(_PQ_M):
+        lo, hi = j * ds + 1, (j + 1) * ds
+        rank = ("row_number() OVER (ORDER BY md5('%d:%d:' || "
+                "CAST(vec_id AS VARCHAR)), vec_id)" % (_PQ_SEED, j))
+        parts.append("""
+s{j} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM samp),
+c{j}_0 AS (
+  SELECT {rank} - 1 AS cell, sv AS c FROM s{j}
+  QUALIFY {rank} <= {ksub})""".format(
+            j=j, lo=lo, hi=hi, rank=rank, ksub=_PQ_KSUB))
+        for i in range(1, _PQ_ITERS + 1):
+            parts.append("""
+a{j}_{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY list_dot_product(s.sv, c.c)
+                      - 0.5 * list_dot_product(c.c, c.c) DESC,
+                      c.cell ASC) AS rn
+    FROM s{j} s CROSS JOIN c{j}_{p} c) WHERE rn = 1),
+sums{j}_{i} AS (
+  SELECT a.cell, u.i, sum(u.x) AS sx, count(*) AS n
+  FROM a{j}_{i} a JOIN (
+    SELECT vec_id, generate_subscripts(sv, 1) AS i, unnest(sv) AS x
+    FROM s{j}) u ON a.vec_id = u.vec_id
+  GROUP BY a.cell, u.i),
+newc{j}_{i} AS (
+  SELECT cell, list(sx / n ORDER BY i) AS c2
+  FROM sums{j}_{i} GROUP BY cell),
+c{j}_{i} AS (
+  SELECT p.cell, coalesce(n.c2, p.c) AS c
+  FROM c{j}_{p} p LEFT JOIN newc{j}_{i} n ON p.cell = n.cell)""".format(
+                j=j, i=i, p=i - 1))
+        parts.append("""
+assign{j} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v[{lo}:{hi}], c.c)
+                      - 0.5 * list_dot_product(c.c, c.c) DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN c{j}_{last} c) WHERE rn = 1)""".format(
+            j=j, lo=lo, hi=hi, last=_PQ_ITERS))
+        contribs.append(
+            "SELECT a.vec_id, list_dot_product(c.c, q.v[{lo}:{hi}]) AS d,"
+            " list_dot_product(c.c, c.c) AS n2 "
+            "FROM assign{j} a JOIN c{j}_{last} c ON a.cell = c.cell, q"
+            .format(j=j, lo=lo, hi=hi, last=_PQ_ITERS))
+    return """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {sample}),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+{parts},
+contrib AS ({contribs}),
+tot AS (
+  SELECT vec_id, sum(d) AS dots, sum(n2) AS n2s
+  FROM contrib GROUP BY vec_id),
+qn AS (SELECT sqrt(list_dot_product(v, v)) AS qnorm FROM q)
+SELECT e.vec_id, e.label,
+       round(t.dots / (sqrt(t.n2s) * qn.qnorm), 6) AS score
+FROM e JOIN tot t ON e.vec_id = t.vec_id, qn
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10""".format(sample=_PQ_SAMPLE,
+                   parts=",".join(parts),
+                   contribs="\n  UNION ALL\n  ".join(contribs))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ibl_extract_docs": _IBL_EXTRACT_DOCS_SQL,
@@ -1266,6 +1390,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_near_dups": _lsh_near_dups_sql(),
 
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
+
+        "ann_pq_topk": _pq_sql(),
 
         # full oracle of the md5-slice SimHash: unnest tokens,
         # nibble-decode each of the 64 vote bits, sum votes per bit,
@@ -1796,6 +1922,29 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
               ON p.user_id = s.user_id
              AND p.ts >= s.session_start AND p.ts < s.session_end
             WHERE p.event_type = 'purchase'""",
+
+        # connected components over the LSH near-dup pairs: the
+        # embedding_lsh_near_dups oracle (identical plane literals)
+        # nested as a CTE + recursive reachability min, the same
+        # pattern as image_dup_clusters
+        "embedding_dup_clusters": """
+            WITH RECURSIVE lshp AS (%s),
+            cedges AS (
+              SELECT vec_a AS src, vec_b AS dst FROM lshp
+              UNION ALL
+              SELECT vec_b AS src, vec_a AS dst FROM lshp),
+            reach(node, lab) AS (
+                SELECT vec_id, vec_id FROM embeddings
+              UNION
+                SELECT e.src, r.lab
+                FROM reach r JOIN cedges e ON e.dst = r.node),
+            comp AS (
+              SELECT node AS vec_id, min(lab) AS canonical_vec_id
+              FROM reach GROUP BY node)
+            SELECT vec_id, canonical_vec_id,
+                   count(*) OVER (PARTITION BY canonical_vec_id)
+                     AS cluster_size
+            FROM comp""" % _lsh_near_dups_sql(),
 
         # identical 48-bit md5 hash space (Spark conv(hex,16,10) ==
         # DuckDB CAST('0x…' AS BIGINT)), identical bottom-k rule,

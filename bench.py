@@ -28,9 +28,11 @@ HEADLINE = [
     "dedup_minhash_bands",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
+    "embedding_dup_clusters",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
     "ann_sq8_topk",
+    "ann_pq_topk",
     "knn_join_topk",
     "asof_purchase_view",
     "range_purchase_sessions",

@@ -389,3 +389,139 @@ def sq8_topk(embeddings: DataFrame, query: list, k: int = 10,
                     F.round(dot / (norm * F.lit(qnorm)), 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("vec_id"))
             .limit(k))
+
+
+def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
+             sample: int = 1024, iters: int = 3, seed: int = 7,
+             vec_col: str = "embedding") -> list:
+    """Train product-quantization codebooks (one k-means per subspace).
+
+    PQ splits each vector into ``m`` contiguous subvectors and learns a
+    ``ksub``-centroid codebook per subspace; a vector is then stored as
+    ``m`` small codes (m·log2(ksub) bits — 4 bytes here vs 256 for
+    float32, a 64× compression) and scored against a query through
+    per-subspace lookup tables (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011).
+
+    Engine-portable determinism, like :func:`kmeans_cells`: bounded
+    lowest-vec_id sample, per-subspace md5(seed:sub:vec_id)-ranked
+    init, a fixed number of plain-L2 Lloyd iterations with assignment
+    by argmax(dot(x,c) − ||c||²/2) and lowest-centroid tie-break,
+    empty cells keeping their previous centroid.  The driver's DuckDB
+    oracle re-runs this whole trainer in SQL (unrolled CTE chains per
+    subspace), so the codebooks are checked, not trusted.
+
+    Returns ``codebooks[m][ksub][dim/m]`` as plain floats.
+    """
+    import hashlib
+
+    rows = (embeddings.select("vec_id", vec_col).orderBy("vec_id")
+            .limit(sample).collect())
+    vec_ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError("dim %d not divisible by m=%d" % (dim, m))
+    ds = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * ds:(j + 1) * ds]
+        keys = [hashlib.md5(("%d:%d:%d" % (seed, j, v)).encode())
+                .hexdigest() for v in vec_ids]
+        order = sorted(range(len(keys)),
+                       key=lambda i: (keys[i], vec_ids[i]))
+        C = S[order[:min(ksub, len(S))]].copy()
+        for _ in range(iters):
+            # argmin ||x−c||² == argmax dot(x,c) − ||c||²/2; ties break
+            # toward the lower centroid id (argmax returns the first)
+            score = S @ C.T - 0.5 * (C * C).sum(axis=1)
+            owner = np.argmax(score, axis=1)
+            for c in range(len(C)):
+                members = S[owner == c]
+                if len(members):
+                    C[c] = members.sum(axis=0) / len(members)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list,
+              vec_col: str = "embedding") -> DataFrame:
+    """Add the ``codes`` column (array<int>, one code per subspace).
+
+    Vectorized Arrow batches: per subspace one matmul + argmax over the
+    same assignment rule the trainer used.  At production scale this
+    runs once at ingest and the 4-byte code column replaces the 256-byte
+    vector in every scan.
+    """
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    ds = B[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def enc(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in col])
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * ds:(j + 1) * ds]
+            score = S @ B[j].T - 0.5 * (B[j] * B[j]).sum(axis=1)
+            codes[:, j] = np.argmax(score, axis=1)
+        return pd.Series(list(codes))
+
+    return embeddings.withColumn("codes", enc(vec_col))
+
+
+def pq_topk(embeddings: DataFrame, query: list, k: int = 10,
+            codebooks: list | None = None,
+            vec_col: str = "embedding") -> DataFrame:
+    """Cosine top-k via PQ asymmetric distance (ADC).
+
+    Scoring never touches the vectors: ``dot(q, x̂) = Σ_m LUT_m[code_m]``
+    and ``||x̂||² = Σ_m ||c_m[code_m]||²`` (subspaces are orthogonal
+    blocks), where both lookup tables are tiny literals computed once
+    from the query and codebooks.  After the one-off encode stage the
+    per-row work is m integer-indexed array lookups in whole-stage
+    codegen — the scan shape a 10^10-row compressed index needs.
+    """
+    if codebooks is None:
+        codebooks = pq_train(embeddings, vec_col=vec_col)
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    ds = B[0].shape[1]
+    q = np.asarray(query, dtype=np.float64)
+    dot_lut = [B[j] @ q[j * ds:(j + 1) * ds] for j in range(m)]
+    n2_lut = [(B[j] * B[j]).sum(axis=1) for j in range(m)]
+    coded = pq_encode(embeddings, codebooks, vec_col)
+    dots = sum(
+        F.element_at(F.array(*[F.lit(float(x)) for x in dot_lut[j]]),
+                     F.element_at("codes", j + 1) + 1)
+        for j in range(m))
+    n2s = sum(
+        F.element_at(F.array(*[F.lit(float(x)) for x in n2_lut[j]]),
+                     F.element_at("codes", j + 1) + 1)
+        for j in range(m))
+    qnorm = float(np.sqrt((q * q).sum()))
+    score = F.round(dots / (F.sqrt(n2s) * F.lit(qnorm)), 6)
+    return (coded.select("vec_id", "label", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(k))
+
+
+def pq_rerank_topk(embeddings: DataFrame, query: list, k: int = 10,
+                   shortlist: int = 50, codebooks: list | None = None,
+                   vec_col: str = "embedding") -> DataFrame:
+    """PQ shortlist → exact re-rank: the production ANN composition.
+
+    ADC scores over 4-byte codes select ``shortlist`` candidates (the
+    cheap scan: no vectors read), then the exact cosine runs on just
+    those rows (a semi-join back to the full vectors).  Closes most of
+    the PQ recall gap at ~shortlist/N of the exact cost — the recall
+    test pins the two-stage result against brute force.
+    """
+    if codebooks is None:
+        codebooks = pq_train(embeddings, vec_col=vec_col)
+    short = pq_topk(embeddings, query, shortlist, codebooks, vec_col) \
+        .select("vec_id")
+    return cosine_topk(
+        embeddings.join(F.broadcast(short), "vec_id"), query, k, vec_col)
