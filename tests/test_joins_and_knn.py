@@ -360,3 +360,52 @@ def test_pq_encode_reconstruction_quality(spark):
     # embeddings compress far better)
     assert cos.mean() > 0.6 and cos.min() > 0.4
     assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+
+# --------------------------------------------------------------------------
+# seeded randomized twins (bigger than the hand cases; fixed seed so
+# the run is deterministic)
+# --------------------------------------------------------------------------
+
+def test_asof_join_randomized_vs_brute(spark):
+    rng = np.random.RandomState(11)
+    base = dt.datetime(2024, 1, 1)
+    # coarse second-resolution to force plenty of equal-ts ties
+    left_rows = [(int(rng.randint(8)),
+                  base + dt.timedelta(seconds=int(rng.randint(2000))),
+                  i) for i in range(600)]
+    right_rows = [(int(rng.randint(8)),
+                   base + dt.timedelta(seconds=int(rng.randint(2000))),
+                   i, "p%d" % i) for i in range(600)]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        right_rows, "k long, ts timestamp, rid long, payload string")
+    got = {r.lid: r.payload
+           for r in asof_join(left, right, key="k", ts="ts",
+                              right_cols=["payload"],
+                              order_col="rid").collect()}
+    want = _brute_asof(left_rows, right_rows)
+    assert got == want
+
+
+def test_range_join_randomized_vs_brute(spark):
+    from scrapely_spark.spark.joins import range_join
+    rng = np.random.RandomState(13)
+    base = dt.datetime(2024, 1, 1)
+    points = [(int(rng.randint(6)),
+               base + dt.timedelta(seconds=int(rng.randint(3000))),
+               i) for i in range(500)]
+    intervals = []
+    for i in range(300):
+        s = base + dt.timedelta(seconds=int(rng.randint(3000)))
+        intervals.append((int(rng.randint(6)), s,
+                          s + dt.timedelta(seconds=int(rng.randint(1, 900))),
+                          i))
+    p = spark.createDataFrame(points, "k long, ts timestamp, pid long")
+    i_df = spark.createDataFrame(
+        intervals, "k long, s timestamp, e timestamp, iid long")
+    got = sorted((r.pid, r.iid) for r in range_join(
+        p, i_df, key="k", ts="ts", start_col="s", end_col="e",
+        bucket="5 minutes").collect())
+    assert got == _brute_range(points, intervals)
+    assert len(got) > 500  # overlapping intervals produce multi-matches
