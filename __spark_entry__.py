@@ -734,6 +734,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simsearch.pq_topk(_t(spark, sf, "embeddings"), vec, 10,
                                  codebooks=books)
 
+    def q_ann_bq(spark, sf):
+        # binary quantization: sign-bit signatures (two 32-bit halves,
+        # pure JVM shifts), hamming top-k — the cheapest candidate
+        # generator in the ANN family; closed form shared with the SQL
+        # oracle.
+        vec, _ = _query_vec(spark, sf)
+        return simsearch.bq_topk(_t(spark, sf, "embeddings"), vec, 10)
+
     def q_embedding_clusters(spark, sf):
         # semantic-dedup endgame: connected components over the
         # hyperplane-LSH near-dup pairs → canonical vector per cluster
@@ -821,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_user_days": q_sketch_distinct,
         "embedding_dup_clusters": q_embedding_clusters,
         "ann_pq_topk": q_ann_pq,
+        "ann_bq_topk": q_ann_bq,
     }
 
 
@@ -1392,6 +1401,33 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
 
         "ann_pq_topk": _pq_sql(),
+
+        # sign-bit signature packed as two 32-bit halves on both
+        # engines; hamming = bit_count(xor) per half; top-k by
+        # (hamming, vec_id)
+        "ann_bq_topk": """
+            WITH e AS (SELECT vec_id, label,
+                         CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            sig AS (
+              SELECT vec_id, label,
+                     CAST(coalesce(list_sum(list_transform(
+                       generate_series(1, 32),
+                       i -> CASE WHEN v[i] >= 0
+                            THEN 1 << (i - 1) ELSE 0 END)), 0)
+                       AS BIGINT) AS lo,
+                     CAST(coalesce(list_sum(list_transform(
+                       generate_series(33, 64),
+                       i -> CASE WHEN v[i] >= 0
+                            THEN 1 << (i - 33) ELSE 0 END)), 0)
+                       AS BIGINT) AS hi
+              FROM e),
+            q AS (SELECT lo AS qlo, hi AS qhi FROM sig WHERE vec_id = 0)
+            SELECT s.vec_id, s.label,
+                   CAST(bit_count(xor(s.lo, q.qlo))
+                        + bit_count(xor(s.hi, q.qhi)) AS INT) AS hamming
+            FROM sig s, q
+            ORDER BY hamming ASC, s.vec_id ASC LIMIT 10""",
 
         # full oracle of the md5-slice SimHash: unnest tokens,
         # nibble-decode each of the 64 vote bits, sum votes per bit,

@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_ivf_kmeans_topk",
     "ann_sq8_topk",
     "ann_pq_topk",
+    "ann_bq_topk",
     "knn_join_topk",
     "asof_purchase_view",
     "range_purchase_sessions",

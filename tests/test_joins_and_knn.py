@@ -409,3 +409,22 @@ def test_range_join_randomized_vs_brute(spark):
         bucket="5 minutes").collect())
     assert got == _brute_range(points, intervals)
     assert len(got) > 500  # overlapping intervals produce multi-matches
+
+
+# --------------------------------------------------------------------------
+# binary quantization
+# --------------------------------------------------------------------------
+
+def test_bq_topk_matches_numpy_sign_counting(spark):
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = X[ids == 0][0]
+    ham = ((X >= 0) != (q >= 0)).sum(axis=1)
+    order = np.lexsort((ids, ham))[:10]
+    want = [(int(ids[i]), int(ham[i])) for i in order]
+    got = [(r.vec_id, r.hamming)
+           for r in simsearch.bq_topk(emb, list(q), 10).collect()]
+    assert got == want
+    assert got[0] == (0, 0)  # self signature distance is zero
