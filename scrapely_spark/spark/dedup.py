@@ -376,7 +376,8 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def dup_clusters(docs: DataFrame, pairs: DataFrame,
-                 max_iter: int = 25) -> DataFrame:
+                 max_iter: int = 25,
+                 driver_max_edges: int = 2_000_000) -> DataFrame:
     """(doc_id, canonical_doc_id, cluster_size): duplicate clusters.
 
     The step after pair generation every dedup pipeline needs: candidate
@@ -385,7 +386,21 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame,
     per cluster is its minimum doc_id.  Docs in no pair are their own
     canonical with cluster_size 1.
 
-    Algorithm: distributed min-label propagation with pointer jumping.
+    Hybrid execution.  Capped-LSH pair sets are orders of magnitude
+    smaller than the corpus (bucket caps bound pairs per bucket, and
+    near-dups are the exception, not the rule), so the edge list usually
+    fits on the driver even when the corpus never could.  A single
+    ``limit(driver_max_edges+1)`` probe — one job, no separate count —
+    fetches the edges; if they all arrived, components are solved with
+    an O(E α(E)) union-find and the (doc_id → canonical, size) mapping
+    is **broadcast**-joined back, so the only full-corpus work is one
+    scan with a map-side hash join: no iterative shuffles and no
+    corpus-wide window.  2M edges ≈ 32 MB of int64 pairs — comfortably
+    a broadcast.  Graphs above the threshold (or ``driver_max_edges=0``)
+    take the distributed path below, whose per-round cost is what a
+    10^10-node graph actually needs.
+
+    Distributed path: min-label propagation with pointer jumping.
     Each round every node takes the min label over itself and its
     neighbors (one edges⋈labels shuffle + a map-side-combining groupBy),
     then compresses paths by looking its own label up in the new mapping
@@ -404,6 +419,64 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame,
     clique), so rounds ≈ 2-4 in practice; ``max_iter`` is a guard, and
     hitting it raises rather than returning a half-converged clustering.
     """
+    if driver_max_edges > 0:
+        probe = (pairs.select("doc_a", "doc_b")
+                 .limit(driver_max_edges + 1).toPandas())
+        if len(probe) <= driver_max_edges:
+            return _dup_clusters_driver(docs, probe)
+    return _dup_clusters_distributed(docs, pairs, max_iter)
+
+
+def _dup_clusters_driver(docs: DataFrame, edges: pd.DataFrame
+                         ) -> DataFrame:
+    """Union-find on a driver-resident edge list + broadcast label join."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges["doc_a"].tolist(), edges["doc_b"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps roots canonical as we go
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = list(parent)
+    roots = [find(n) for n in nodes]
+    sizes: dict = {}
+    for r in roots:
+        sizes[r] = sizes.get(r, 0) + 1
+    for r in list(sizes):
+        sizes[r] += 1  # the root node itself carries no parent entry
+    mapping = pd.DataFrame({
+        "doc_id": np.asarray(nodes + list(sizes), dtype=np.int64),
+        "canonical_doc_id": np.asarray(roots + list(sizes),
+                                       dtype=np.int64),
+        "cluster_size": np.asarray(
+            [sizes[r] for r in roots] + [sizes[r] for r in sizes],
+            dtype=np.int64)})
+    spark = docs.sparkSession
+    lab = spark.createDataFrame(
+        mapping, schema="doc_id long, canonical_doc_id long, "
+                        "cluster_size long")
+    return (docs.select("doc_id")
+            .join(F.broadcast(lab), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("canonical_doc_id", F.col("doc_id"))
+                .alias("canonical_doc_id"),
+                F.coalesce("cluster_size", F.lit(1).cast("long"))
+                .alias("cluster_size")))
+
+
+def _dup_clusters_distributed(docs: DataFrame, pairs: DataFrame,
+                              max_iter: int) -> DataFrame:
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),

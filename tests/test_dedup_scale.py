@@ -303,12 +303,17 @@ def test_dup_clusters_components_and_sizes(spark):
                            (20, 21), (21, 22), (20, 22)])
     docs = _docs(spark, [(i, "d") for i in
                          [0, 1, 2, 3, 4, 5, 20, 21, 22, 100, 101]])
-    got = {r.doc_id: (r.canonical_doc_id, r.cluster_size)
-           for r in dedup.dup_clusters(docs, pairs).collect()}
-    assert got == {
+    want = {
         0: (0, 6), 1: (0, 6), 2: (0, 6), 3: (0, 6), 4: (0, 6), 5: (0, 6),
         20: (20, 3), 21: (20, 3), 22: (20, 3),
         100: (100, 1), 101: (101, 1)}
+    # both execution paths of the hybrid must agree exactly: the driver
+    # union-find fast path (default) and the distributed min-label loop
+    # (forced with driver_max_edges=0)
+    for kw in ({}, {"driver_max_edges": 0}):
+        got = {r.doc_id: (r.canonical_doc_id, r.cluster_size)
+               for r in dedup.dup_clusters(docs, pairs, **kw).collect()}
+        assert got == want
 
 
 def test_dup_clusters_empty_pairs_is_identity(spark):
@@ -325,7 +330,8 @@ def test_dup_clusters_long_chain_converges_in_log_rounds(spark):
     n = 64
     pairs = _pairs(spark, [(i, i + 1) for i in range(n - 1)])
     docs = _docs(spark, [(i, "d") for i in range(n)])
-    out = dedup.dup_clusters(docs, pairs, max_iter=10).collect()
+    out = dedup.dup_clusters(docs, pairs, max_iter=10,
+                             driver_max_edges=0).collect()
     assert all(r.canonical_doc_id == 0 and r.cluster_size == n
                for r in out)
 
@@ -334,4 +340,30 @@ def test_dup_clusters_nonconvergence_raises(spark):
     pairs = _pairs(spark, [(i, i + 1) for i in range(16)])
     docs = _docs(spark, [(i, "d") for i in range(17)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_clusters(docs, pairs, max_iter=1)
+        dedup.dup_clusters(docs, pairs, max_iter=1, driver_max_edges=0)
+
+
+def test_dup_clusters_hybrid_threshold_falls_back(spark):
+    # an edge list one past driver_max_edges must take the distributed
+    # path and still produce the identical clustering
+    pairs = _pairs(spark, [(0, 1), (1, 2), (3, 4)])
+    docs = _docs(spark, [(i, "d") for i in range(5)])
+    got = {r.doc_id: (r.canonical_doc_id, r.cluster_size)
+           for r in dedup.dup_clusters(docs, pairs,
+                                       driver_max_edges=2).collect()}
+    assert got == {0: (0, 3), 1: (0, 3), 2: (0, 3),
+                   3: (3, 2), 4: (3, 2)}
+
+
+def test_dup_clusters_hybrid_random_graph_paths_agree(spark):
+    import random
+    rng = random.Random(7)
+    n = 200
+    pairs = _pairs(spark, [(rng.randrange(n), rng.randrange(n))
+                           for _ in range(150)])
+    docs = _docs(spark, [(i, "d") for i in range(n)])
+    fast = sorted(map(tuple, dedup.dup_clusters(
+        docs, pairs).collect()))
+    dist = sorted(map(tuple, dedup.dup_clusters(
+        docs, pairs, driver_max_edges=0).collect()))
+    assert fast == dist
