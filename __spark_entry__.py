@@ -773,6 +773,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmv_distinct(e.withColumn("_v", day_user),
                             ["event_type"], F.col("_v"), k=64)
 
+    def q_graph_pagerank(spark, sf):
+        # link authority over a derived host graph (graph.pagerank):
+        # 5 power iterations with damping 0.85 and dangling-mass
+        # redistribution; the oracle unrolls the exact same iterations
+        # as SQL CTEs (src space h0..h88, dst space h0..h96, so
+        # h89..h96 are genuine dangling nodes exercising that path)
+        from scrapely_spark.spark import graph
+        edges = _t(spark, sf, "orders").selectExpr(
+            "'h' || CAST(o_orderkey % 89 AS STRING) AS src",
+            "'h' || CAST(o_custkey % 97 AS STRING) AS dst")
+        out = graph.pagerank(edges, iterations=5, damping=0.85)
+        return out.select("node",
+                          F.round("rank", 6).alias("pagerank"))
+
+    def q_bm25(spark, sf):
+        # ranked lexical retrieval (search.bm25_topk): scores rounded
+        # BEFORE the top-k cut so the ranking — not just the values —
+        # is reproducible across engines; ties broken by doc_id
+        from scrapely_spark.spark import search
+        return search.bm25_topk(_t(spark, sf, "documents"),
+                                ["spark", "join", "vector"], k=25)
+
     return {
         "ibl_extract_docs": ibl_extract_docs,
         "set_except_customers": q_set_except,
@@ -830,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_clusters,
         "ann_pq_topk": q_ann_pq,
         "ann_bq_topk": q_ann_bq,
+        "graph_pagerank": q_graph_pagerank,
+        "search_bm25_topk": q_bm25,
     }
 
 
@@ -1221,6 +1245,46 @@ ORDER BY score DESC, e.vec_id ASC
 LIMIT 10""".format(sample=_PQ_SAMPLE,
                    parts=",".join(parts),
                    contribs="\n  UNION ALL\n  ".join(contribs))
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Power iteration unrolled as SQL CTEs — an independent evaluation
+    of the same recurrence graph.pagerank runs distributed (same edge
+    derivation, same damping/dangling arithmetic), not a re-export of
+    its output."""
+    sql = """
+        WITH edges AS (
+          SELECT DISTINCT 'h' || CAST(o_orderkey % 89 AS VARCHAR) AS src,
+                          'h' || CAST(o_custkey % 97 AS VARCHAR) AS dst
+          FROM orders
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), deg AS (
+          SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+        ), nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += """,
+        c{i} AS (
+          SELECT e.dst AS node, sum(r.pr / d.outdeg) AS contrib
+          FROM edges e JOIN {prev} r ON e.src = r.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), dm{i} AS (
+          SELECT coalesce(sum(r.pr), 0) AS m FROM {prev} r
+          LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+        ), r{i} AS (
+          SELECT nodes.node,
+                 (1 - {d}) / nn.n
+                 + {d} * (coalesce(c{i}.contrib, 0) + dm{i}.m / nn.n)
+                   AS pr
+          FROM nodes CROSS JOIN nn CROSS JOIN dm{i}
+          LEFT JOIN c{i} ON nodes.node = c{i}.node
+        )""".format(i=i, prev=prev, d=d)
+        prev = "r%d" % i
+    return sql + ("\n        SELECT node, round(pr, 6) AS pagerank "
+                  "FROM %s" % prev)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2005,4 +2069,41 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                          ELSE 63.0 / (hk / 281474976710656.0) END, 4)
                      AS est_distinct
             FROM agg""",
+
+        "graph_pagerank": _pagerank_sql(),
+
+        # same tokenizer convention as the shingle/token-stats oracles
+        # (lowercase, regex whitespace split); ln == Spark F.log; the
+        # round-before-rank rule makes the LIMIT cut engine-stable
+        "search_bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), lens AS (
+              SELECT doc_id, len(t) AS dl FROM toks
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(t) AS term FROM toks)
+              WHERE term IN ('join', 'spark', 'vector')
+              GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln(1 + (stats.n_docs - dft.df + 0.5)
+                            / (dft.df + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * lens.dl / stats.avgdl))
+                   ), 6) AS score
+            FROM tf JOIN dft USING (term) JOIN lens USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 25""",
     }

@@ -38,6 +38,8 @@ HEADLINE = [
     "asof_purchase_view",
     "range_purchase_sessions",
     "sketch_distinct_user_days",
+    "graph_pagerank",
+    "search_bm25_topk",
     "embedding_near_dups",
     "image_phash_near_dups",
     "events_session_windows",

@@ -1,0 +1,137 @@
+"""PageRank and BM25: structural cases + independent pure-Python twins."""
+
+import math
+
+import pytest
+
+from scrapely_spark.spark import graph, search
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _ranks(spark, rows, **kw):
+    out = graph.pagerank(_edges(spark, rows), **kw)
+    return {r.node: r.rank for r in out.collect()}
+
+
+def _pagerank_twin(edges, iterations=5, d=0.85):
+    """Independent dict-based power iteration (the executable spec)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    out = {n: [] for n in nodes}
+    for s, t in edges:
+        out[s].append(t)
+    n = len(nodes)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(iterations):
+        dangling = sum(rank[u] for u in nodes if not out[u])
+        contrib = {u: 0.0 for u in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / len(out[s])
+        rank = {u: (1 - d) / n + d * (contrib[u] + dangling / n)
+                for u in nodes}
+    return rank
+
+
+def test_pagerank_matches_twin_on_random_graph(spark):
+    import random
+    rng = random.Random(11)
+    edges = [("h%d" % rng.randrange(30), "h%d" % rng.randrange(30))
+             for _ in range(120)]
+    got = _ranks(spark, edges)
+    want = _pagerank_twin(edges)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+
+
+def test_pagerank_is_a_distribution(spark):
+    # dangling-mass redistribution keeps Σ rank = 1 exactly
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]  # c is dangling
+    got = _ranks(spark, edges)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # c receives from two in-links and leaks back uniformly: it must
+    # out-rank a (which nothing links to)
+    assert got["c"] > got["a"]
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    # a directed cycle is rank-regular: every node exactly 1/n
+    n = 5
+    edges = [("n%d" % i, "n%d" % ((i + 1) % n)) for i in range(n)]
+    got = _ranks(spark, edges)
+    for v in got.values():
+        assert v == pytest.approx(1.0 / n, abs=1e-12)
+
+
+def test_pagerank_dedups_multi_edges(spark):
+    base = [("a", "b"), ("b", "a")]
+    got_single = _ranks(spark, base)
+    got_multi = _ranks(spark, base + [("a", "b"), ("a", "b")])
+    assert got_single == got_multi
+
+
+def _bm25_twin(docs, terms, k1=1.2, b=0.75):
+    toks = {d: t.lower().strip().split() for d, t in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    terms = sorted(set(t.lower() for t in terms))
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    scores = {}
+    for doc, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s:
+            scores[doc] = round(s, 6)
+    return scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_matches_twin(spark):
+    rows = [(1, "spark join fast join"),
+            (2, "slow scan table scan scan"),
+            (3, "join spark spark spark filter"),
+            (4, "window agg group"),
+            (5, "spark")]
+    got = {r.doc_id: r.score
+           for r in search.bm25_topk(_docs(spark, rows),
+                                     ["spark", "join"], k=10).collect()}
+    assert got == _bm25_twin(rows, ["spark", "join"])
+
+
+def test_bm25_short_doc_beats_long_doc_at_equal_tf(spark):
+    # length normalization: same tf, shorter document scores higher
+    rows = [(1, "spark " + "pad " * 50), (2, "spark pad")]
+    got = search.bm25_topk(_docs(spark, rows), ["spark"], k=2).collect()
+    assert [r.doc_id for r in got] == [2, 1]
+
+
+def test_bm25_topk_cut_and_tiebreak(spark):
+    # identical docs tie on score; the cut keeps the smallest doc_ids
+    rows = [(i, "spark scan") for i in range(10)]
+    got = search.bm25_topk(_docs(spark, rows), ["spark"], k=3).collect()
+    assert [r.doc_id for r in got] == [0, 1, 2]
+    assert len({r.score for r in got}) == 1
+
+
+def test_bm25_nonmatching_docs_absent_and_term_dedup(spark):
+    rows = [(1, "spark"), (2, "table only")]
+    got = search.bm25_topk(_docs(spark, rows),
+                           ["spark", "SPARK", "spark"], k=10).collect()
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_bm25_empty_terms_raises(spark):
+    with pytest.raises(ValueError):
+        search.bm25_topk(_docs(spark, [(1, "x")]), [])
