@@ -135,3 +135,32 @@ def test_bm25_nonmatching_docs_absent_and_term_dedup(spark):
 def test_bm25_empty_terms_raises(spark):
     with pytest.raises(ValueError):
         search.bm25_topk(_docs(spark, [(1, "x")]), [])
+
+
+# ----------------------------------------------------------- plan shapes
+
+
+def test_bm25_term_filter_sits_below_every_exchange(spark):
+    # the `term IN (query)` predicate must run inside the scan stage —
+    # at 10^10 docs a shuffle of non-query tokens is the difference
+    # between a |matches| job and a |corpus| job
+    rows = [(i, "spark join table scan") for i in range(10)]
+    df = search.bm25_topk(_docs(spark, rows), ["spark"], k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the 1-row corpus-stats cross join broadcasts (BNLJ BuildRight is
+    # that broadcast); what must NOT appear is a non-broadcast cartesian
+    assert "CartesianProduct" not in plan
+    assert "Exchange" in plan  # the (doc_id, term) groupBy shuffle
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the IN-filter is in the optimized plan (Catalyst keeps it adjacent
+    # to the generator, below the aggregate that forces the exchange)
+    assert "spark" in optimized and "Generate" in optimized
+
+
+def test_pagerank_iteration_has_no_nested_loop_join(spark):
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    df = graph.pagerank(edges, iterations=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only cartesian products are the intended 1-row broadcast
+    # stat joins; the edgesxranks join must be hash-based
+    assert "CartesianProduct" not in plan
