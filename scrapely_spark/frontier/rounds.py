@@ -70,6 +70,9 @@ SEEN = "seen"
 BLOOM = "bloom"
 FETCH_LOG = "fetch_log"
 EXTRACTED = "extracted"
+LINKS = "links"         # per-round host-level link edges (src, dst) —
+                        # the graph spark.graph.pagerank scores for
+                        # authority-driven prioritization
 REPLAY = "replay"
 
 _FRONTIER_COLS = ["canonical_url", "url_key", "host", "priority"]
@@ -338,16 +341,29 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
 
     ext = hits.mapInPandas(_extract_kernel(plan_bc), _EXTRACT_SCHEMA).cache()
 
-    # discovered links → new frontier candidates (min-depth dedup)
-    links = (ext.select(F.explode("links").alias("url"),
-                        (F.col("priority") + 1).alias("depth")))
-    candidates = (canonicalize_df(links)
-                  .where((F.col("canonical_url") != "")
-                         & (F.col("host") != ""))
+    # discovered links → new frontier candidates (min-depth dedup).
+    # src_host rides along so the same canonicalized frame also yields
+    # the round's host-level link edges — no second pass over `links`.
+    links = (ext.select(
+        F.parse_url(F.col("canonical_url"), F.lit("HOST"))
+        .alias("src_host"),
+        F.explode("links").alias("url"),
+        (F.col("priority") + 1).alias("depth")))
+    canon_links = (canonicalize_df(links)
+                   .where((F.col("canonical_url") != "")
+                          & (F.col("host") != "")))
+    candidates = (canon_links
                   .groupBy("canonical_url")
                   .agg(F.min("depth").alias("priority"),
                        F.min("url_key").alias("url_key"),
                        F.min("host").alias("host")))
+    # slim by construction: distinct (src_host, dst_host) is bounded by
+    # the host graph, not the page count — the table PageRank reads
+    link_edges = (canon_links
+                  .select(F.lit(round_id).alias("round_id"),
+                          F.col("src_host").alias("src"),
+                          F.col("host").alias("dst"))
+                  .distinct())
 
     # URL-seen: bloom prefilter, exact string anti-join only on maybes
     seen = store.read_rounds(spark, SEEN)  # union of per-round deltas
@@ -390,11 +406,12 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
     # All three are O(new URLs this round), never O(total state).  The
     # futures are submitted here and awaited in finish(), so the caller
     # can run the NEXT round's wave 1 while these writes drain.
-    pool = ThreadPoolExecutor(max_workers=4)
+    pool = ThreadPoolExecutor(max_workers=5)
     futures = {
         table: pool.submit(store.stage_round, df, table, round_id)
         for df, table in ((enqueue, ENQUEUED),
-                          (bloom_delta, BLOOM))}
+                          (bloom_delta, BLOOM),
+                          (link_edges, LINKS))}
     futures[EXTRACTED] = pool.submit(
         store.stage_round, extracted, EXTRACTED, round_id)
     lineage_fut = pool.submit(

@@ -43,6 +43,27 @@ from pyspark.sql import DataFrame, functions as F
 from scrapely_spark.spark.dedup import _unpersist_on_gc
 
 
+def host_graph(extracted: DataFrame) -> DataFrame:
+    """(src, dst) host-level link edges from crawl extraction output.
+
+    ``extracted`` is the crawl's per-round extraction table
+    (frontier.rounds.EXTRACTED): fetched ``canonical_url`` plus the
+    ``links`` discovered on the page.  src is the fetched page's host;
+    dst the host of each outlink after the SAME canonicalization the
+    frontier applies at enqueue time — so the graph PageRank scores is
+    exactly the graph the scheduler walks.  Intra-host self-loops are
+    kept (they are real link mass); duplicate edges collapse in
+    :func:`pagerank`.
+    """
+    from scrapely_spark.frontier.canonical import canonicalize_df
+    links = extracted.select(
+        F.parse_url(F.col("canonical_url"), F.lit("HOST")).alias("src"),
+        F.explode("links").alias("url"))
+    return (canonicalize_df(links)
+            .where(F.col("host") != "")
+            .select("src", F.col("host").alias("dst")))
+
+
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping: float = 0.85) -> DataFrame:
     """(node, rank) after ``iterations`` power steps over ``edges``.

@@ -409,3 +409,25 @@ def test_discover_links_survives_hostile_hrefs():
     assert "http://ok.example.com/a" in links
     assert "http://base.example.com/dir/relative/path" in links
     assert not any(l.startswith(("mailto", "javascript")) for l in links)
+
+
+def test_host_pagerank_over_crawled_link_graph(spark, spark_run):
+    # crawl → persisted host link graph → authority: the composition
+    # the scheduler would use for priority.  Checked against the pure-
+    # Python power iteration on the exact same collected edge list.
+    from scrapely_spark.spark import graph
+    from test_graph_and_search import _pagerank_twin
+
+    edges = (spark_run.read_rounds(spark, rounds.LINKS)
+             .select("src", "dst"))
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    assert pairs, "crawl produced no link edges"
+    # every edge endpoint is a crawled-corpus host (canonicalized form)
+    hosts = {h for e in pairs for h in e}
+    assert all(h == h.lower() and "." in h for h in hosts)
+    got = {r.node: r.rank for r in graph.pagerank(edges).collect()}
+    want = _pagerank_twin(pairs)
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -164,3 +164,16 @@ def test_pagerank_iteration_has_no_nested_loop_join(spark):
     # the only cartesian products are the intended 1-row broadcast
     # stat joins; the edgesxranks join must be hash-based
     assert "CartesianProduct" not in plan
+
+
+def test_host_graph_derivation(spark):
+    ext = spark.createDataFrame(
+        [("http://a.example.com/x",
+          ["http://B.Example.com/y", "http://a.example.com/z",
+           "not a url", ""])],
+        "canonical_url string, links array<string>")
+    got = sorted((r.src, r.dst) for r in graph.host_graph(ext).collect())
+    # dst hosts are canonicalized (lowercased); junk links drop;
+    # intra-host self-loop kept
+    assert got == [("a.example.com", "a.example.com"),
+                   ("a.example.com", "b.example.com")]
