@@ -773,6 +773,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmv_distinct(e.withColumn("_v", day_user),
                             ["event_type"], F.col("_v"), k=64)
 
+    def q_weighted_sample(spark, sf):
+        # quality-weighted training-mix sampling (corpus.weighted_sample,
+        # Efraimidis-Spirakis exponential tickets on the corpus md5
+        # randomness): 100 docs per language, inclusion ∝ quality score.
+        # The oracle replays the identical arrival-time formula.
+        from scrapely_spark.spark import textstats
+        docs = _t(spark, sf, "documents")
+        scored = (docs.select("doc_id", "lang")
+                  .join(textstats.quality_scores(docs)
+                        .select("doc_id", "quality"), "doc_id"))
+        return corpus.weighted_sample(scored, 100, "quality",
+                                      group_col="lang")
+
     def q_graph_pagerank(spark, sf):
         # link authority over a derived host graph (graph.pagerank):
         # 5 power iterations with damping 0.85 and dangling-mass
@@ -852,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_clusters,
         "ann_pq_topk": q_ann_pq,
         "ann_bq_topk": q_ann_bq,
+        "corpus_weighted_sample": q_weighted_sample,
         "graph_pagerank": q_graph_pagerank,
         "search_bm25_topk": q_bm25,
     }
@@ -2069,6 +2083,27 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                          ELSE 63.0 / (hk / 281474976710656.0) END, 4)
                      AS est_distinct
             FROM agg""",
+
+        # identical E-S arrival-time formula on the identical md5
+        # ticket: u = (48-bit md5(doc_id:seed) + 0.5)/2^48, arrival
+        # -ln(u)/quality, smallest k per language win.  Membership at
+        # the rank-k boundary is decided by key gaps ≫ any ln() ulp
+        # difference between engines, so the sampled set hash-matches.
+        "corpus_weighted_sample": f"""
+            WITH q AS ({_QUALITY_SQL}),
+            j AS (
+              SELECT d.doc_id, d.lang, q.quality AS w
+              FROM documents d JOIN q USING (doc_id)
+              WHERE q.quality > 0
+            ), keyed AS (
+              SELECT doc_id, lang, w,
+                     -ln((CAST('0x' || substr(md5(doc_id || ':0'), 1, 12)
+                               AS BIGINT) + 0.5)
+                         / 281474976710656.0) / w AS arrival
+              FROM j)
+            SELECT doc_id, lang, w AS weight FROM keyed
+            QUALIFY row_number() OVER (
+              PARTITION BY lang ORDER BY arrival, doc_id) <= 100""",
 
         "graph_pagerank": _pagerank_sql(),
 

@@ -48,6 +48,7 @@ HEADLINE = [
     "corpus_pack_chunks",
     "corpus_pack_greedy",
     "corpus_contamination",
+    "corpus_weighted_sample",
     "url_canonicalize",
     "politeness_topk",
     "tpch_pricing_summary",

@@ -18,6 +18,9 @@ document set into model-ready training shards.  Four families:
 * **stratified sampling** — deterministic per-language keep/drop from
   ``md5(doc_id:seed)``: reproducible across engines and runs, no RNG
   state, rebalances a multilingual corpus to target rates.
+* **weighted sampling** — ``weighted_sample``: Efraimidis–Spirakis
+  exponential-tickets sampling WITHOUT replacement (quality-weighted
+  training mixes), on the same deterministic md5 randomness.
 * **corpus statistics** — occurrence-counted top-k n-grams (map-side
   partial agg + TakeOrderedAndProject) and exact per-language token
   length quantiles (at 100 TB swap ``percentile`` for
@@ -191,6 +194,55 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
                      F.lit(sample_threshold(rate))).otherwise(thr)
     return (docs.where(ticket < thr)
             .select("doc_id", "lang", ticket.alias("ticket")))
+
+
+_TICKET_SPACE = float(2 ** 48)
+
+
+def weighted_sample(docs: DataFrame, k: int, weight,
+                    group_col: str | None = None,
+                    seed: int = 0) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``k`` rows (per group).
+
+    Efraimidis & Spirakis ("Weighted random sampling with a
+    reservoir", IPL 2006): draw u ~ U(0,1) per row, keep the k rows
+    with the largest u^(1/w) — equivalently the k SMALLEST
+    ``-ln(u)/w`` (the exponential-race form used here: each row's key
+    is an Exp(w) arrival time, and lighter rows arrive later).
+    Inclusion follows the weights exactly; heavier rows win more
+    often, and a weight twice as large doubles the arrival rate.
+
+    u is deterministic — ``(md5_48(doc_id:seed) + 0.5) / 2^48``, the
+    corpus-wide md5 ticket convention shared with
+    :func:`stratified_sample` and the KMV sketch — so the sample is
+    reproducible across engines, runs and partitionings; a different
+    ``seed`` draws an independent sample.  Rows with NULL or
+    non-positive weight are never sampled.
+
+    Scale shape: one projection computes the key; without
+    ``group_col`` the cut is a global ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, per-partition partial top-k, no global
+    sort; with ``group_col`` it is one window rank per group.  Either
+    way the full corpus is scanned once and only keys move.
+    """
+    w = weight if not isinstance(weight, str) else F.col(weight)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":" + str(seed)))), 1, 12), 16, 10) \
+        .cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_TICKET_SPACE)
+    keyed = (docs.withColumn("_w", w.cast("double"))
+             .where(F.col("_w") > 0)
+             .withColumn("_key", -F.log(u) / F.col("_w")))
+    if group_col is None:
+        out = keyed.orderBy(F.asc("_key"), F.asc("doc_id")).limit(k)
+    else:
+        win = Window.partitionBy(group_col).orderBy(
+            F.asc("_key"), F.asc("doc_id"))
+        out = (keyed.withColumn("_r", F.row_number().over(win))
+               .where(F.col("_r") <= k))
+    cols = ["doc_id"] + ([group_col] if group_col else [])
+    return out.select(*cols, F.col("_w").alias("weight"))
 
 
 def clean_corpus(docs: DataFrame, min_quality: float = 0.4) -> DataFrame:

@@ -192,3 +192,81 @@ def test_length_quantiles_linear_interpolation(spark):
     assert out[0].p50 == pytest.approx(
         float(np.percentile(lens, 50)), abs=1e-9)
     assert out[0].n_docs == 4
+
+
+# ------------------------------------------------------- weighted sample
+
+
+def _es_twin(ids_weights, k, seed=0):
+    """Pure-Python Efraimidis-Spirakis twin (same md5 ticket rule)."""
+    import math
+    keyed = []
+    for doc_id, w in ids_weights:
+        if w is None or w <= 0:
+            continue
+        h = int(hashlib.md5(
+            ("%d:%d" % (doc_id, seed)).encode()).hexdigest()[:12], 16)
+        u = (h + 0.5) / 2.0 ** 48
+        keyed.append((-math.log(u) / w, doc_id))
+    return [d for _, d in sorted(keyed)[:k]]
+
+
+def _wdocs(spark, ids_weights, langs=None):
+    rows = [(i, float(w) if w is not None else None,
+             (langs or {}).get(i, "en"))
+            for i, w in ids_weights]
+    return spark.createDataFrame(rows,
+                                 "doc_id long, w double, lang string")
+
+
+def test_weighted_sample_matches_twin(spark):
+    iw = [(i, 0.1 + (i * 7 % 13)) for i in range(200)]
+    got = sorted(r.doc_id for r in corpus.weighted_sample(
+        _wdocs(spark, iw), 25, "w").collect())
+    assert got == sorted(_es_twin(iw, 25))
+
+
+def test_weighted_sample_heavy_rows_win(spark):
+    # one row carries ~all the mass: it must be in any small sample
+    iw = [(i, 1e-6) for i in range(100)] + [(100, 1e6)]
+    got = {r.doc_id for r in corpus.weighted_sample(
+        _wdocs(spark, iw), 5, "w").collect()}
+    assert 100 in got
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(spark):
+    iw = [(0, 1.0), (1, 0.0), (2, -3.0), (3, None), (4, 2.0)]
+    got = {r.doc_id for r in corpus.weighted_sample(
+        _wdocs(spark, iw), 10, "w").collect()}
+    assert got == {0, 4}
+
+
+def test_weighted_sample_seed_draws_independent_sample(spark):
+    iw = [(i, 1.0) for i in range(300)]
+    d = _wdocs(spark, iw)
+    s0 = sorted(r.doc_id for r in corpus.weighted_sample(
+        d, 30, "w", seed=0).collect())
+    s0b = sorted(r.doc_id for r in corpus.weighted_sample(
+        d, 30, "w", seed=0).collect())
+    s1 = sorted(r.doc_id for r in corpus.weighted_sample(
+        d, 30, "w", seed=1).collect())
+    assert s0 == s0b
+    assert s0 != s1
+    assert s0 == sorted(_es_twin(iw, 30, seed=0))
+    assert s1 == sorted(_es_twin(iw, 30, seed=1))
+
+
+def test_weighted_sample_per_group_k(spark):
+    iw = [(i, 1.0) for i in range(40)]
+    langs = {i: ("en" if i % 2 else "de") for i in range(40)}
+    out = corpus.weighted_sample(_wdocs(spark, iw, langs), 4, "w",
+                                 group_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert sorted(by_lang) == ["de", "en"]
+    assert all(len(v) == 4 for v in by_lang.values())
+    # per-group winners == twin restricted to the group
+    for lang, ids in by_lang.items():
+        group = [(i, w) for i, w in iw if langs[i] == lang]
+        assert sorted(ids) == sorted(_es_twin(group, 4))
