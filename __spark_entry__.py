@@ -773,6 +773,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmv_distinct(e.withColumn("_v", day_user),
                             ["event_type"], F.col("_v"), k=64)
 
+    def q_pmi_bigrams(spark, sf):
+        # collocation mining (corpus.top_pmi_bigrams): PMI over the
+        # full unigram/bigram distributions, min_count guard, rounded
+        # before the top-k cut so the ranking is engine-stable
+        return corpus.top_pmi_bigrams(_t(spark, sf, "documents"),
+                                      k=50, min_count=5)
+
     def q_weighted_sample(spark, sf):
         # quality-weighted training-mix sampling (corpus.weighted_sample,
         # Efraimidis-Spirakis exponential tickets on the corpus md5
@@ -866,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq,
         "ann_bq_topk": q_ann_bq,
         "corpus_weighted_sample": q_weighted_sample,
+        "corpus_pmi_bigrams": q_pmi_bigrams,
         "graph_pagerank": q_graph_pagerank,
         "search_bm25_topk": q_bm25,
     }
@@ -2083,6 +2091,31 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                          ELSE 63.0 / (hk / 281474976710656.0) END, 4)
                      AS est_distinct
             FROM agg""",
+
+        # ln() on both sides of identical rational count ratios;
+        # round-before-rank + bigram tie-break makes the cut stable
+        "corpus_pmi_bigrams": f"""
+            WITH w AS (SELECT {_CORPUS_WORDS} AS words FROM documents),
+            toks AS (SELECT unnest(words) AS w FROM w),
+            uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            grams AS (SELECT unnest(list_transform(
+                        generate_series(0, len(words) - 2),
+                        i -> words[i+1] || ' ' || words[i+2])) AS bigram
+                      FROM w WHERE len(words) >= 2),
+            bi_all AS (SELECT bigram, count(*) AS c_ab
+                       FROM grams GROUP BY bigram),
+            tot AS (SELECT (SELECT sum(c) FROM uni) AS n_uni,
+                           (SELECT sum(c_ab) FROM bi_all) AS n_bi)
+            SELECT bigram, c_ab,
+                   round(ln((c_ab / tot.n_bi)
+                            / ((ua.c / tot.n_uni)
+                               * (ub.c / tot.n_uni))), 6) AS pmi
+            FROM bi_all
+            JOIN uni ua ON string_split(bigram, ' ')[1] = ua.w
+            JOIN uni ub ON string_split(bigram, ' ')[2] = ub.w
+            CROSS JOIN tot
+            WHERE c_ab >= 5
+            ORDER BY pmi DESC, bigram ASC LIMIT 50""",
 
         # identical E-S arrival-time formula on the identical md5
         # ticket: u = (48-bit md5(doc_id:seed) + 0.5)/2^48, arrival

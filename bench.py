@@ -49,6 +49,7 @@ HEADLINE = [
     "corpus_pack_greedy",
     "corpus_contamination",
     "corpus_weighted_sample",
+    "corpus_pmi_bigrams",
     "url_canonicalize",
     "politeness_topk",
     "tpch_pricing_summary",

@@ -290,6 +290,52 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
             .limit(k))
 
 
+def top_pmi_bigrams(docs: DataFrame, k: int = 50,
+                    min_count: int = 5) -> DataFrame:
+    """Top-k collocations by pointwise mutual information.
+
+    The classic phrase-mining pass (Church & Hanks, "Word association
+    norms, mutual information, and lexicography", 1990): for each
+    bigram ab, PMI = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over bigram
+    occurrences and p(·) over unigram occurrences.  ``min_count``
+    suppresses the low-frequency bigrams whose PMI estimates are pure
+    noise (the standard guard — a hapax pair maxes the statistic).
+
+    Plan shape: one explode+groupBy per granularity (both with
+    map-side partial counts), bigram counts join the unigram table
+    twice on the word key (plain hash joins — the vocabulary is the
+    join side, never the corpus), totals are a 1-row broadcast cross
+    join, and the cut is TakeOrderedAndProject over the rounded score
+    (round-before-rank, ties by bigram — deterministic across engines
+    and summation orders).
+    """
+    words = docs.select(F.explode(_words()).alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("c"))
+    bi_all = (docs.select(F.explode(_ngrams(_words(), 2)).alias("bigram"))
+              .groupBy("bigram").agg(F.count("*").alias("c_ab")))
+    # totals over the FULL distributions (p(ab) is relative to every
+    # bigram occurrence, not just the ones above min_count)
+    totals = F.broadcast(
+        uni.agg(F.sum("c").alias("n_uni"))
+        .crossJoin(bi_all.agg(F.sum("c_ab").alias("n_bi"))))
+    bi = bi_all.where(F.col("c_ab") >= min_count)
+    parts = F.split(F.col("bigram"), " ")
+    pmi = F.log((F.col("c_ab") / F.col("n_bi"))
+                / ((F.col("c_a") / F.col("n_uni"))
+                   * (F.col("c_b") / F.col("n_uni"))))
+    return (bi
+            .join(uni.select(F.col("w").alias("_wa"),
+                             F.col("c").alias("c_a")),
+                  parts.getItem(0) == F.col("_wa"))
+            .join(uni.select(F.col("w").alias("_wb"),
+                             F.col("c").alias("c_b")),
+                  parts.getItem(1) == F.col("_wb"))
+            .crossJoin(totals)
+            .select("bigram", "c_ab", F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("bigram"))
+            .limit(k))
+
+
 def length_quantiles(docs: DataFrame,
                      qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
                      ) -> DataFrame:

@@ -270,3 +270,50 @@ def test_weighted_sample_per_group_k(spark):
     for lang, ids in by_lang.items():
         group = [(i, w) for i, w in iw if langs[i] == lang]
         assert sorted(ids) == sorted(_es_twin(group, 4))
+
+
+# --------------------------------------------------------- PMI bigrams
+
+
+def _pmi_twin(texts, k=50, min_count=5):
+    import math
+    from collections import Counter
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = t.lower().strip().split()
+        uni.update(ws)
+        bi.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    rows = []
+    for b, c_ab in bi.items():
+        if c_ab < min_count:
+            continue
+        a, c = b.split(" ")
+        pmi = math.log((c_ab / n_bi)
+                       / ((uni[a] / n_uni) * (uni[c] / n_uni)))
+        rows.append((round(pmi, 6), b, c_ab))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    return [(b, c, p) for p, b, c in rows[:k]]
+
+
+def test_top_pmi_bigrams_matches_twin(spark):
+    import random
+    rng = random.Random(3)
+    vocab = ["spark", "join", "hash", "scan", "fast", "data"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(30))
+             for _ in range(40)]
+    # plant a true collocation: rare words that only occur together
+    texts += ["prefix new york suffix"] * 6
+    got = [(r.bigram, r.c_ab, r.pmi) for r in corpus.top_pmi_bigrams(
+        _docs(spark, texts), k=20, min_count=5).collect()]
+    assert got == _pmi_twin(texts, k=20, min_count=5)
+    assert got[0][0] == "new york"  # the planted collocation tops PMI
+
+
+def test_top_pmi_min_count_suppresses_hapax(spark):
+    # a once-seen pair has huge PMI but must not surface
+    texts = ["a b"] * 10 + ["rare pair"]
+    got = [r.bigram for r in corpus.top_pmi_bigrams(
+        _docs(spark, texts), k=10, min_count=2).collect()]
+    assert "rare pair" not in got
+    assert "a b" in got
