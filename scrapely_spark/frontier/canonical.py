@@ -168,3 +168,20 @@ def canonicalize_df(urls_df, url_col: str = "url"):
 
     return urls_df.mapInPandas(kernel, out_schema).withColumn(
         "url_key", F.hash("canonical_url"))
+
+
+def host_of_canonical(col):
+    """Host of an ALREADY-canonical URL, in canonicalize's spelling.
+
+    ``F.parse_url(..., 'HOST')`` but normalized to agree with the host
+    column :func:`canonicalize_df` emits: IPv6 netlocs lose their
+    brackets ('[::1]' → '::1', the urlsplit ``hostname`` spelling), so
+    a page's src node and its inbound-link dst node are the same graph
+    node.  Returns NULL for URLs java.net URI parsing rejects (the
+    slow-path canonicalizer is more lenient) — callers filter.
+    """
+    from pyspark.sql import functions as F
+    # try_parse_url: ANSI parse_url THROWS on urls the slow-path
+    # canonicalizer tolerates (raw spaces etc.) — NULL, not a crash
+    h = F.try_parse_url(col, F.lit("HOST"))
+    return F.regexp_replace(h, r"^\[|\]$", "")

@@ -344,22 +344,31 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
     # discovered links → new frontier candidates (min-depth dedup).
     # src_host rides along so the same canonicalized frame also yields
     # the round's host-level link edges — no second pass over `links`.
+    from scrapely_spark.frontier.canonical import host_of_canonical
     links = (ext.select(
-        F.parse_url(F.col("canonical_url"), F.lit("HOST"))
-        .alias("src_host"),
+        host_of_canonical(F.col("canonical_url")).alias("src_host"),
         F.explode("links").alias("url"),
         (F.col("priority") + 1).alias("depth")))
+    # cached: two consumers (frontier candidates + LINKS edges) must
+    # not each re-run the explode + Arrow canonicalize kernel — the
+    # round's heaviest Python work; freed in finish()
     canon_links = (canonicalize_df(links)
                    .where((F.col("canonical_url") != "")
-                          & (F.col("host") != "")))
+                          & (F.col("host") != ""))
+                   .cache())
     candidates = (canon_links
                   .groupBy("canonical_url")
                   .agg(F.min("depth").alias("priority"),
                        F.min("url_key").alias("url_key"),
                        F.min("host").alias("host")))
     # slim by construction: distinct (src_host, dst_host) is bounded by
-    # the host graph, not the page count — the table PageRank reads
+    # the host graph, not the page count — the table PageRank reads.
+    # src guards mirror the dst-side filter (a canonical_url the
+    # slow-path canonicalizer kept but java.net URI parsing rejects
+    # yields a NULL host; NULL nodes must not absorb rank)
     link_edges = (canon_links
+                  .where(F.col("src_host").isNotNull()
+                         & (F.col("src_host") != ""))
                   .select(F.lit(round_id).alias("round_id"),
                           F.col("src_host").alias("src"),
                           F.col("host").alias("dst"))
@@ -443,6 +452,7 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
         store.commit_round(round_id, staged, metrics)
 
         ext.unpersist()
+        canon_links.unpersist()
         flagged.unpersist()
         new_urls.unpersist()
         return metrics

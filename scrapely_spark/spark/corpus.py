@@ -164,6 +164,19 @@ def contamination(docs: DataFrame, n: int = 3, test_mod: int = 29,
                     .alias("contamination")))
 
 
+def _ticket_md5(seed: int):
+    """The corpus sampling ticket: ``md5(doc_id:seed)``.
+
+    The ONE spelling of the deterministic randomness both samplers (and
+    their DuckDB oracles) rely on — stratified_sample compares its
+    first 8 hex chars against a rate threshold, weighted_sample maps
+    its first 48 bits into a U(0,1) draw.  Keep the convention here so
+    it cannot drift between call sites.
+    """
+    return F.md5(F.concat(F.col("doc_id").cast("string"),
+                          F.lit(":" + str(seed))))
+
+
 def sample_threshold(rate: float) -> str:
     """8-hex-char keep threshold for ``stratified_sample`` at ``rate``.
 
@@ -185,9 +198,7 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     ``seed`` draws an independent sample; a document's fate never
     depends on partitioning or row order.
     """
-    key = F.md5(F.concat(F.col("doc_id").cast("string"),
-                         F.lit(":" + str(seed))))
-    ticket = F.substring(key, 1, 8)
+    ticket = F.substring(_ticket_md5(seed), 1, 8)
     thr = F.lit(sample_threshold(default_rate))
     for lang, rate in sorted(rates.items()):
         thr = F.when(F.col("lang") == lang,
@@ -226,10 +237,8 @@ def weighted_sample(docs: DataFrame, k: int, weight,
     way the full corpus is scanned once and only keys move.
     """
     w = weight if not isinstance(weight, str) else F.col(weight)
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"),
-                       F.lit(":" + str(seed)))), 1, 12), 16, 10) \
-        .cast("double")
+    h = (F.conv(F.substring(_ticket_md5(seed), 1, 12), 16, 10)
+         .cast("double"))
     u = (h + F.lit(0.5)) / F.lit(_TICKET_SPACE)
     keyed = (docs.withColumn("_w", w.cast("double"))
              .where(F.col("_w") > 0)

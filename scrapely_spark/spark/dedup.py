@@ -419,6 +419,19 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame,
     clique), so rounds ≈ 2-4 in practice; ``max_iter`` is a guard, and
     hitting it raises rather than returning a half-converged clustering.
     """
+    # restrict the graph to ids actually present in docs BEFORE either
+    # path: pairs are derived from docs in every pipeline, but a stray
+    # foreign id must not inflate driver-path cluster sizes while the
+    # distributed window (which counts docs rows) ignores it — the two
+    # semi-joins shuffle only the slim pair list and make both paths
+    # compute the same graph.  (docs must carry unique doc_ids — every
+    # caller's docs is a keyed table.)
+    ids = docs.select("doc_id")
+    pairs = (pairs
+             .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a",
+                   "left_semi")
+             .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b",
+                   "left_semi"))
     if driver_max_edges > 0:
         probe = (pairs.select("doc_a", "doc_b")
                  .limit(driver_max_edges + 1).toPandas())
@@ -454,17 +467,19 @@ def _dup_clusters_driver(docs: DataFrame, edges: pd.DataFrame
         sizes[r] = sizes.get(r, 0) + 1
     for r in list(sizes):
         sizes[r] += 1  # the root node itself carries no parent entry
+    # id type follows the input (the operator is payload-agnostic —
+    # long doc ids, string urls, ... all order and union-find the same)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     mapping = pd.DataFrame({
-        "doc_id": np.asarray(nodes + list(sizes), dtype=np.int64),
-        "canonical_doc_id": np.asarray(roots + list(sizes),
-                                       dtype=np.int64),
+        "doc_id": nodes + list(sizes),
+        "canonical_doc_id": roots + list(sizes),
         "cluster_size": np.asarray(
             [sizes[r] for r in roots] + [sizes[r] for r in sizes],
             dtype=np.int64)})
     spark = docs.sparkSession
     lab = spark.createDataFrame(
-        mapping, schema="doc_id long, canonical_doc_id long, "
-                        "cluster_size long")
+        mapping, schema="doc_id %s, canonical_doc_id %s, "
+                        "cluster_size long" % (id_type, id_type))
     return (docs.select("doc_id")
             .join(F.broadcast(lab), "doc_id", "left")
             .select(

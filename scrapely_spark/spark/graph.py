@@ -55,12 +55,14 @@ def host_graph(extracted: DataFrame) -> DataFrame:
     kept (they are real link mass); duplicate edges collapse in
     :func:`pagerank`.
     """
-    from scrapely_spark.frontier.canonical import canonicalize_df
+    from scrapely_spark.frontier.canonical import (canonicalize_df,
+                                                   host_of_canonical)
     links = extracted.select(
-        F.parse_url(F.col("canonical_url"), F.lit("HOST")).alias("src"),
+        host_of_canonical(F.col("canonical_url")).alias("src"),
         F.explode("links").alias("url"))
     return (canonicalize_df(links)
-            .where(F.col("host") != "")
+            .where(F.col("src").isNotNull() & (F.col("src") != "")
+                   & (F.col("host") != ""))
             .select("src", F.col("host").alias("dst")))
 
 

@@ -44,14 +44,17 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     toks = docs.select(
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_toks"))
-    lens = toks.select("doc_id", F.size("_toks").alias("dl"))
-    stats = F.broadcast(lens.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl")))
-    tf = (toks.select("doc_id",
+    stats = F.broadcast(
+        toks.select(F.size("_toks").alias("dl"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")))
+    # dl rides the explode as a grouping key (it is functionally
+    # dependent on doc_id, so the extra key is free) — one tokenize
+    # pass feeds tf AND length normalization; no corpus-side join back
+    tf = (toks.select("doc_id", F.size("_toks").alias("dl"),
                       F.explode("_toks").alias("term"))
           .where(F.col("term").isin(terms))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").alias("tf")))
     df_t = F.broadcast(
         tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")))
     idf = F.log(
@@ -61,7 +64,6 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
             / (F.col("tf")
                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
     scored = (tf.join(df_t, "term")
-              .join(lens, "doc_id")
               .crossJoin(stats)
               .groupBy("doc_id")
               .agg(F.round(F.sum(part), _ROUND).alias("score")))

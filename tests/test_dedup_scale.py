@@ -367,3 +367,27 @@ def test_dup_clusters_hybrid_random_graph_paths_agree(spark):
     dist = sorted(map(tuple, dedup.dup_clusters(
         docs, pairs, driver_max_edges=0).collect()))
     assert fast == dist
+
+
+def test_dup_clusters_ignores_foreign_pair_ids_on_both_paths(spark):
+    # pairs referencing ids absent from docs must not inflate cluster
+    # sizes — and the two execution paths must agree on the result
+    docs = _docs(spark, [(0, "d"), (1, "d")])
+    pairs = _pairs(spark, [(0, 1), (1, 99), (99, 98)])  # 98/99 foreign
+    want = {0: (0, 2), 1: (0, 2)}
+    for kw in ({}, {"driver_max_edges": 0}):
+        got = {r.doc_id: (r.canonical_doc_id, r.cluster_size)
+               for r in dedup.dup_clusters(docs, pairs, **kw).collect()}
+        assert got == want, kw
+
+
+def test_dup_clusters_driver_path_is_type_agnostic(spark):
+    # string ids (e.g. urls) through the driver union-find fast path
+    docs = spark.createDataFrame(
+        [("u/a",), ("u/b",), ("u/c",)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("u/b", "u/a")], "doc_a string, doc_b string")
+    got = {r.doc_id: (r.canonical_doc_id, r.cluster_size)
+           for r in dedup.dup_clusters(docs, pairs).collect()}
+    assert got == {"u/a": ("u/a", 2), "u/b": ("u/a", 2),
+                   "u/c": ("u/c", 1)}

@@ -177,3 +177,15 @@ def test_host_graph_derivation(spark):
     # intra-host self-loop kept
     assert got == [("a.example.com", "a.example.com"),
                    ("a.example.com", "b.example.com")]
+
+
+def test_host_graph_ipv6_and_unparseable_src(spark):
+    # src host spelling must match canonicalize's (bare IPv6, no
+    # brackets), and pages whose canonical_url the JVM URI parser
+    # rejects must drop rather than emit NULL src nodes
+    ext = spark.createDataFrame(
+        [("http://[::1]:8080/x", ["http://[::1]:8080/y"]),
+         ("http://h.example.com/a b", ["http://ok.example.com/z"])],
+        "canonical_url string, links array<string>")
+    got = sorted((r.src, r.dst) for r in graph.host_graph(ext).collect())
+    assert got == [("::1", "::1")]
