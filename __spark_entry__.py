@@ -439,6 +439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf):
         return textstats.fingerprints(_t(spark, sf, "documents"))
 
+    def q_repetition(spark, sf):
+        # Gopher-style repetition filters: dup-word fraction + top
+        # bigram/trigram occurrence share (explode → partial-agg counts)
+        return textstats.repetition_stats(_t(spark, sf, "documents"))
+
     def q_pack_chunks(spark, sf):
         # GPT-style concat-and-chunk sequence packing: one window cumsum
         # per shard, whole-stage codegen, zero Python
@@ -844,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "text_langid": q_langid,
         "text_fingerprint": q_fingerprint,
+        "text_repetition": q_repetition,
         "corpus_pack_chunks": q_pack_chunks,
         "corpus_pack_greedy": q_pack_greedy,
         "corpus_contamination": q_contamination,
@@ -1672,6 +1678,49 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             SELECT doc_id, list_min(hashes) AS fp_min,
                    list_max(hashes) AS fp_max
             FROM h""",
+
+        # Gopher repetition filters: dup-word fraction + top bigram /
+        # trigram share (textstats.repetition_stats).  1-based inclusive
+        # list slicing; range(1, n) is stop-exclusive and empty when
+        # n <= 1, so short docs fall out of g2/g3 and coalesce to 0.0
+        # like Spark's left join.
+        "text_repetition": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents),
+            base AS (
+              SELECT doc_id, w, len(w) AS n_words,
+                     len(list_distinct(w)) AS n_distinct
+              FROM d),
+            g2 AS (
+              SELECT doc_id, unnest(list_transform(
+                  range(1, n_words),
+                  i -> array_to_string(w[i:i+1], ' '))) AS g
+              FROM base),
+            g3 AS (
+              SELECT doc_id, unnest(list_transform(
+                  range(1, n_words - 1),
+                  i -> array_to_string(w[i:i+2], ' '))) AS g
+              FROM base),
+            t2 AS (
+              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_bigram_frac
+              FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+              GROUP BY doc_id),
+            t3 AS (
+              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_trigram_frac
+              FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+              GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words,
+                   round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6)
+                     AS dup_word_frac,
+                   coalesce(t2.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   coalesce(t3.top_trigram_frac, 0.0) AS top_trigram_frac
+            FROM base b
+            LEFT JOIN t2 ON t2.doc_id = b.doc_id
+            LEFT JOIN t3 ON t3.doc_id = b.doc_id""",
 
         # concat-and-chunk packing: identical window cumsum per shard
         # (corpus.pack_chunks — shard = doc_id % 8, seq_len = 256)

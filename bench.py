@@ -45,6 +45,7 @@ HEADLINE = [
     "events_session_windows",
     "text_quality",
     "text_langid",
+    "text_repetition",
     "corpus_pack_chunks",
     "corpus_pack_greedy",
     "corpus_contamination",

@@ -86,6 +86,56 @@ def language_id(docs: DataFrame) -> DataFrame:
                          pred.alias("predicted_lang"), best.alias("score"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1).
+
+    Per document: the duplicate-word fraction (1 - distinct/total) and
+    the occurrence share of the most frequent word bigram and trigram —
+    the standard "repetitious document" signals an LLM-corpus cleaner
+    thresholds on.  The paper's line-based variants are omitted: the
+    synthetic corpus is single-line, so they are degenerate here.
+
+    Scale shape: one explode per n-gram size, then count on
+    ``(doc_id, gram)`` and max/sum per doc — both aggregations get
+    map-side partial combine, and per-doc work is linear in document
+    length (no quadratic distinct×tokens array scan).
+    """
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id", words.alias("w"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"))
+
+    def _top_frac(n: int, alias: str) -> DataFrame:
+        # sequence() counts DOWN when stop < start, so guard short docs
+        # with an explicit empty array instead.
+        starts = F.when(
+            F.col("n_words") >= n,
+            F.sequence(F.lit(1), (F.col("n_words") - (n - 1)).cast("int"))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            starts, lambda i: F.array_join(F.slice("w", i, n), " "))
+        return (base
+                .select("doc_id", F.explode(grams).alias("g"))
+                .groupBy("doc_id", "g").count()
+                .groupBy("doc_id")
+                .agg(F.round(F.max("count") / F.sum("count"), 6)
+                     .alias(alias)))
+
+    bi = _top_frac(2, "top_bigram_frac")
+    tri = _top_frac(3, "top_trigram_frac")
+    return (base
+            .join(bi, "doc_id", "left").join(tri, "doc_id", "left")
+            .select(
+                "doc_id", "n_words",
+                F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+                .alias("dup_word_frac"),
+                F.coalesce("top_bigram_frac", F.lit(0.0))
+                .alias("top_bigram_frac"),
+                F.coalesce("top_trigram_frac", F.lit(0.0))
+                .alias("top_trigram_frac")))
+
+
 def fingerprints(docs: DataFrame, shingle_chars: int = 16) -> DataFrame:
     """Rolling-hash document fingerprint: min/max md5 over char shingles.
 

@@ -317,3 +317,31 @@ def test_top_pmi_min_count_suppresses_hapax(spark):
         _docs(spark, texts), k=10, min_count=2).collect()]
     assert "rare pair" not in got
     assert "a b" in got
+
+
+# ----------------------------------------------------- repetition filters
+
+def test_repetition_stats_hand_computed(spark):
+    from scrapely_spark.spark import textstats
+    texts = [
+        "a b a b a b",        # 6 words, 2 distinct; "a b" bigram 3/5
+        "x y z w",            # all distinct; every bigram unique (1/3)
+        "solo",               # 1 word: no bigrams/trigrams -> 0.0
+        "T t T",              # lowercased: 1 distinct; "t t" 2/2
+    ]
+    rows = {r.doc_id: r for r in textstats.repetition_stats(
+        _docs(spark, texts)).collect()}
+    r0 = rows[0]
+    assert r0.n_words == 6
+    assert r0.dup_word_frac == round(1 - 2 / 6, 6)
+    assert r0.top_bigram_frac == 0.6          # 3 of 5 bigrams are "a b"
+    assert r0.top_trigram_frac == 0.5         # 2 of 4 are "a b a"
+    r1 = rows[1]
+    assert r1.dup_word_frac == 0.0
+    assert r1.top_bigram_frac == round(1 / 3, 6)
+    r2 = rows[2]
+    assert (r2.dup_word_frac, r2.top_bigram_frac, r2.top_trigram_frac) == \
+        (0.0, 0.0, 0.0)
+    r3 = rows[3]
+    assert r3.dup_word_frac == round(1 - 1 / 3, 6)
+    assert r3.top_bigram_frac == 1.0

@@ -306,3 +306,13 @@ def test_streaming_running_totals_custom_state_op(spark, tmp_path):
     for r in emitted:
         per_key[r.user_id] = per_key.get(r.user_id, 0) + 1
     assert max(per_key.values()) == 3 and min(per_key.values()) >= 1
+
+
+def test_repetition_stats_jvm_side_with_partial_agg(spark):
+    df = contract.queries()["text_repetition"](spark, SF_DIR)
+    plan = _physical(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the (doc_id, gram) counts must combine map-side before shuffling
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "lang" not in read_schema[0]  # pruned scan
