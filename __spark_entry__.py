@@ -325,6 +325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return dedup.dup_clusters(docs, dedup.minhash_candidates(docs))
 
+    def q_shared_substrings(spark, sf):
+        # exact shared-substring pairs (ExactSubstr recast to hash
+        # joins) — gram_frac=1 (no selector) at test scale
+        return dedup.shared_substring_pairs(_t(spark, sf, "documents"))
+
     def q_simhash(spark, sf):
         # md5-slice token hash => the bit-voting fingerprint has a full
         # DuckDB oracle (see oracle_sql) instead of a rows-only check
@@ -836,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_ngram_jaccard": q_jaccard,
+        "dedup_shared_substrings": q_shared_substrings,
         "dedup_simhash": q_simhash,
         "dedup_simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_brute,
@@ -1449,6 +1455,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes zb ON zb.doc_id = m.doc_b
             WHERE round(CAST(m.n_common AS DOUBLE)
                         / (za.n + zb.n - m.n_common), 6) >= 0.2""",
+
+        # ExactSubstr pairs (dedup.shared_substring_pairs, defaults
+        # n_chars=32 / min_shared=2 / gram_frac=1 / cap 50): distinct
+        # 32-char gram md5s per doc, hot-gram QUALIFY cap mirroring
+        # _cap_buckets, self-join, pair count
+        "dedup_shared_substrings": r"""
+            WITH g0 AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(length(text) - 31, 0) + 1),
+                  i -> md5(substr(text, i, 32))))) AS g
+              FROM documents),
+            gc AS (
+              SELECT doc_id, g FROM g0
+              QUALIFY count(*) OVER (PARTITION BY g) <= 50)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM gc a JOIN gc b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2""",
 
         # embeddings are FLOAT[]: cast to DOUBLE lists so the cosine is
         # computed (and rounded) in float64, matching the Spark kernel

@@ -27,6 +27,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_ngram_jaccard",
+    "dedup_shared_substrings",
     "dedup_cluster_canonical",
     "embedding_dup_clusters",
     "ann_cosine_topk",

@@ -10,6 +10,9 @@ Five families, all shuffle-conscious:
 * n-gram Jaccard verification of banded candidates (exact similarity on
   the survivors only);
 * SimHash (vectorized numpy kernel — 64 voting bits over token hashes);
+* exact shared substrings (ExactSubstr of Lee et al. 2021 recast from
+  suffix arrays to capped hash joins — catches partial copies whole-doc
+  similarity misses);
 * embedding near-dup (cosine within coarse buckets, see simsearch).
 
 MinHash hashes are ``md5(shingle || seed)`` — chosen because md5 of a
@@ -238,6 +241,57 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                               - F.col("n_common")), 6).alias("jaccard"))
            .where(F.col("jaccard") >= threshold))
     return _unpersist_on_gc(out, cached + [sh])
+
+
+def shared_substring_pairs(docs: DataFrame, n_chars: int = 32,
+                           min_shared: int = 2, gram_frac: int = 1,
+                           max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Exact shared-substring pairs (the ExactSubstr method of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", recast from suffix arrays to hash joins).
+
+    Returns ``(doc_a, doc_b, n_shared)``: pairs of documents sharing at
+    least ``min_shared`` distinct ``n_chars``-character substrings.
+    This is the exact-overlap complement of the MinHash/Jaccard family
+    (whole-document similarity): quotation, boilerplate injection and
+    partial copies surface here even when whole-doc similarity is low.
+
+    Shape: one projection turns each doc into its distinct gram md5s
+    (bit-identical in DuckDB, so the driver oracle replays the whole
+    construction); explode; hot grams (site chrome, license blocks)
+    above ``max_bucket`` are dropped by the standard window cap whose
+    exchange the self-join reuses; the pair count is a groupBy with
+    map-side combine.  Row volume is O(total chars / gram_frac) — the
+    cost model of the reference method's suffix-array build.
+
+    ``gram_frac`` is the 100 TB volume knob: keep only grams whose
+    first hex digit falls in the lowest ``16/gram_frac`` values.  The
+    selection is CONTENT-defined (a positional stride would never align
+    across documents), so a shared gram is kept or dropped identically
+    on both sides; a shared span of length L still surfaces with
+    probability 1 - (1 - 1/gram_frac)^(L - n_chars + 1).
+    """
+    if gram_frac not in (1, 2, 4, 8, 16):
+        raise ValueError("gram_frac must divide 16 (hex-prefix selector)")
+    starts = F.when(
+        F.length("text") >= n_chars,
+        F.sequence(F.lit(1), F.length("text") - (n_chars - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(F.transform(
+        starts, lambda i: F.md5(F.col("text").substr(i, F.lit(n_chars)))))
+    g = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(grams).alias("g"))
+    if gram_frac > 1:
+        g = g.where(
+            F.substring("g", 1, 1) < F.lit("0123456789abcdef"[16 // gram_frac]))
+    g = _cap_buckets(g, ["g"], max_bucket).cache()
+    pairs = (g.alias("a").join(g.alias("b"), "g")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
+    return _unpersist_on_gc(pairs, [g])
 
 
 _SIMHASH_SCHEMA = "doc_id long, simhash long"

@@ -391,3 +391,51 @@ def test_dup_clusters_driver_path_is_type_agnostic(spark):
            for r in dedup.dup_clusters(docs, pairs).collect()}
     assert got == {"u/a": ("u/a", 2), "u/b": ("u/a", 2),
                    "u/c": ("u/c", 1)}
+
+
+# ------------------------------------------------- exact shared substrings
+
+
+def test_shared_substring_pairs_planted_span(spark):
+    span = "".join(chr(ord("a") + (i * 7) % 26) for i in range(40))
+    assert len(set(span[i:i + 32] for i in range(9))) == 9
+    # distinct chars flank the span so the shared region is EXACTLY it
+    docs = _docs(spark, [
+        (0, "prefix zero." + span + ".tail of zero"),
+        (1, "totally different lead-in," + span + ",other ending"),
+        (2, "no overlap with anything else at all, long filler text"),
+    ])
+    rows = dedup.shared_substring_pairs(docs, n_chars=32,
+                                        min_shared=2).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(0, 1)]
+    # a 40-char shared span yields exactly 40-32+1 distinct shared grams
+    assert rows[0].n_shared == 9
+
+
+def test_shared_substring_hot_gram_capped(spark):
+    # 200 identical boilerplate docs: every gram bucket blows the cap
+    # and is dropped -- no quadratic pair explosion, no output (exact
+    # dedup is the recovery path for that mass, like the LSH siblings)
+    boiler = "this exact license header appears on every page " * 2
+    docs = _docs(spark, [(i, boiler) for i in range(200)])
+    pairs = dedup.shared_substring_pairs(docs, n_chars=32, min_shared=1,
+                                         max_bucket=50)
+    assert pairs.count() == 0
+
+
+def test_shared_substring_gram_frac_content_defined(spark):
+    # the hex-prefix selector keeps/drops a gram identically in both
+    # docs (content-defined), so a long planted span still surfaces
+    span = "".join(chr(ord("a") + (i * 11) % 26) for i in range(200))
+    docs = _docs(spark, [
+        (0, "first document carries " + span),
+        (1, span + " trailed by second document"),
+    ])
+    exact = dedup.shared_substring_pairs(docs, min_shared=1).collect()
+    sampled = dedup.shared_substring_pairs(docs, min_shared=1,
+                                           gram_frac=4).collect()
+    assert [(r.doc_a, r.doc_b) for r in sampled] == [(0, 1)]
+    # the selector only ever removes grams
+    assert sampled[0].n_shared <= exact[0].n_shared
+    with pytest.raises(ValueError):
+        dedup.shared_substring_pairs(docs, gram_frac=3)
