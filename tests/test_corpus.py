@@ -345,3 +345,28 @@ def test_repetition_stats_hand_computed(spark):
     r3 = rows[3]
     assert r3.dup_word_frac == round(1 - 1 / 3, 6)
     assert r3.top_bigram_frac == 1.0
+
+
+def test_repetition_stats_random_twin(spark):
+    # seeded random corpora vs the direct python definition (single
+    # spaces only: whitespace-class edge semantics are pinned by the
+    # DuckDB oracle parity in test_driver_contract, not here)
+    import random
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "Ee"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+             for _ in range(60)]
+    from scrapely_spark.spark import textstats
+    got = {r.doc_id: r for r in
+           textstats.repetition_stats(_docs(spark, texts)).collect()}
+    for d, t in enumerate(texts):
+        w = t.lower().split(" ")
+        def top(n):
+            grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+            if not grams:
+                return 0.0
+            return round(max(map(grams.count, set(grams))) / len(grams), 6)
+        r = got[d]
+        assert r.n_words == len(w)
+        assert r.dup_word_frac == round(1 - len(set(w)) / len(w), 6)
+        assert (r.top_bigram_frac, r.top_trigram_frac) == (top(2), top(3)), d

@@ -439,3 +439,40 @@ def test_shared_substring_gram_frac_content_defined(spark):
     assert sampled[0].n_shared <= exact[0].n_shared
     with pytest.raises(ValueError):
         dedup.shared_substring_pairs(docs, gram_frac=3)
+
+
+def _py_shared_pairs(texts, n, min_shared, cap):
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for d, t in texts.items():
+        for g in set(t[i:i + n] for i in range(max(len(t) - n + 1, 0))):
+            buckets[g].append(d)
+    pairs = defaultdict(int)
+    for ds in buckets.values():
+        if len(ds) <= cap:
+            ds = sorted(ds)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    pairs[(ds[i], ds[j])] += 1
+    return {p: c for p, c in pairs.items() if c >= min_shared}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_shared_substring_pairs_random_twin(spark, seed):
+    # random corpora with deliberate splices: Spark pipeline == the
+    # direct python definition (gram -> capped buckets -> pair counts)
+    import random
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "longsharedword"]
+    texts = {}
+    for d in range(24):
+        texts[d] = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(3, 30)))
+    for d in range(24, 30):  # splice: head of one doc + tail of another
+        a, b = rng.randrange(24), rng.randrange(24)
+        texts[d] = texts[a][:len(texts[a]) // 2] + texts[b][len(texts[b]) // 2:]
+    docs = _docs(spark, sorted(texts.items()))
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in dedup.shared_substring_pairs(
+               docs, n_chars=16, min_shared=1, max_bucket=8).collect()}
+    assert got == _py_shared_pairs(texts, 16, 1, 8)
