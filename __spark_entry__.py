@@ -330,6 +330,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins) — gram_frac=1 (no selector) at test scale
         return dedup.shared_substring_pairs(_t(spark, sf, "documents"))
 
+    def q_winnowed_substrings(spark, sf):
+        # the scale path of the same operator: winnowing (Schleimer et
+        # al. 2003) keeps ~1/8 of the grams with a deterministic
+        # shared-span guarantee; selection is array-local (no shuffle)
+        return dedup.shared_substring_pairs(
+            _t(spark, sf, "documents"), min_shared=1, winnow=8)
+
     def q_simhash(spark, sf):
         # md5-slice token hash => the bit-voting fingerprint has a full
         # DuckDB oracle (see oracle_sql) instead of a rows-only check
@@ -842,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_ngram_jaccard": q_jaccard,
         "dedup_shared_substrings": q_shared_substrings,
+        "dedup_winnowed_substrings": q_winnowed_substrings,
         "dedup_simhash": q_simhash,
         "dedup_simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_brute,
@@ -1474,6 +1482,30 @@ def oracle_sql() -> dict[str, str]:
             FROM gc a JOIN gc b ON a.g = b.g AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 2""",
+
+        # winnowed variant (min_shared=1, winnow=8): positional grams,
+        # min-of-each-8-gram-window selection (short docs keep their
+        # global min), then the same capped self-join
+        "dedup_winnowed_substrings": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) >= 32 THEN
+                       list_transform(range(1, length(text) - 30),
+                                      i -> md5(substr(text, i, 32)))
+                     ELSE CAST([] AS VARCHAR[]) END AS pg
+              FROM documents),
+            sel AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(pg) - 7, 1) + 1),
+                  p -> list_min(pg[p:p+7])))) AS g
+              FROM d WHERE len(pg) > 0),
+            gc AS (
+              SELECT doc_id, g FROM sel
+              QUALIFY count(*) OVER (PARTITION BY g) <= 50)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM gc a JOIN gc b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2""",
 
         # embeddings are FLOAT[]: cast to DOUBLE lists so the cosine is
         # computed (and rounded) in float64, matching the Spark kernel

@@ -245,6 +245,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 def shared_substring_pairs(docs: DataFrame, n_chars: int = 32,
                            min_shared: int = 2, gram_frac: int = 1,
+                           winnow: int = 1,
                            max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Exact shared-substring pairs (the ExactSubstr method of Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models
@@ -264,23 +265,50 @@ def shared_substring_pairs(docs: DataFrame, n_chars: int = 32,
     map-side combine.  Row volume is O(total chars / gram_frac) — the
     cost model of the reference method's suffix-array build.
 
-    ``gram_frac`` is the 100 TB volume knob: keep only grams whose
-    first hex digit falls in the lowest ``16/gram_frac`` values.  The
-    selection is CONTENT-defined (a positional stride would never align
-    across documents), so a shared gram is kept or dropped identically
-    on both sides; a shared span of length L still surfaces with
-    probability 1 - (1 - 1/gram_frac)^(L - n_chars + 1).
+    Two 100 TB volume knobs, both CONTENT-defined (a positional stride
+    would never align across documents), mutually exclusive:
+
+    * ``gram_frac``: keep only grams whose first hex digit falls in the
+      lowest ``16/gram_frac`` values.  A shared gram is kept or dropped
+      identically on both sides; a shared span of length L surfaces
+      with probability 1 - (1 - 1/gram_frac)^(L - n_chars + 1).
+    * ``winnow``: Schleimer et al. 2003 winnowing — keep the minimum
+      gram hash of every ``winnow``-gram window (a doc shorter than one
+      window keeps its global minimum).  ~1/winnow the volume with a
+      deterministic GUARANTEE: identical gram windows select identical
+      minima, so every shared span of length >= n_chars + winnow - 1
+      is caught — the fingerprint density/guarantee trade the paper
+      proves optimal.  Array-local (`array_min` over slices), so the
+      selection adds no shuffle.
     """
     if gram_frac not in (1, 2, 4, 8, 16):
         raise ValueError("gram_frac must divide 16 (hex-prefix selector)")
+    if winnow < 1:
+        raise ValueError("winnow must be >= 1")
+    if winnow > 1 and gram_frac > 1:
+        raise ValueError("winnow and gram_frac are alternative selectors")
     starts = F.when(
         F.length("text") >= n_chars,
         F.sequence(F.lit(1), F.length("text") - (n_chars - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.array_distinct(F.transform(
-        starts, lambda i: F.md5(F.col("text").substr(i, F.lit(n_chars)))))
-    g = _spread(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(grams).alias("g"))
+    positional = F.transform(
+        starts, lambda i: F.md5(F.col("text").substr(i, F.lit(n_chars))))
+    # bind the positional gram array to a column in its own projection:
+    # inlining it into every window slice would re-run the md5 transform
+    # per window (measured 23x at sf0.1).  CollapseProject keeps the
+    # split — the bound array is non-cheap and multi-referenced.
+    base = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", positional.alias("pg"))
+    if winnow > 1:
+        grams = F.when(F.size("pg") > 0, F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(
+                    F.size("pg") - (winnow - 1), F.lit(1))),
+                lambda p: F.array_min(F.slice("pg", p, winnow))))
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        grams = F.array_distinct("pg")
+    g = base.select("doc_id", F.explode(grams).alias("g"))
     if gram_frac > 1:
         g = g.where(
             F.substring("g", 1, 1) < F.lit("0123456789abcdef"[16 // gram_frac]))

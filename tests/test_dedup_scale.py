@@ -476,3 +476,54 @@ def test_shared_substring_pairs_random_twin(spark, seed):
            for r in dedup.shared_substring_pairs(
                docs, n_chars=16, min_shared=1, max_bucket=8).collect()}
     assert got == _py_shared_pairs(texts, 16, 1, 8)
+
+
+def _py_winnow_grams(text, n, w):
+    import hashlib
+    g = [hashlib.md5(text[i:i + n].encode()).hexdigest()
+         for i in range(max(len(text) - n + 1, 0))]
+    if not g:
+        return set()
+    return {min(g[p:p + w]) for p in range(max(len(g) - w + 1, 1))}
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_winnow_guarantee_and_python_twin(spark, seed):
+    # any shared span of length >= n_chars + winnow - 1 MUST surface
+    # (Schleimer et al. 2003 guarantee), and the selected-gram pair
+    # counts equal the direct python winnowing on every doc pair
+    import random
+    rng = random.Random(seed)
+    n, w = 12, 5
+    span = "".join(rng.choice("abcdefghij") for _ in range(n + w - 1))
+    def flank(k):
+        return "".join(rng.choice("qrstuvwxyz") for _ in range(k))
+    texts = {0: flank(rng.randint(0, 40)) + span + flank(rng.randint(0, 40)),
+             1: flank(rng.randint(0, 40)) + span + flank(rng.randint(0, 40)),
+             2: flank(60)}
+    docs = _docs(spark, sorted(texts.items()))
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in dedup.shared_substring_pairs(
+               docs, n_chars=n, min_shared=1, winnow=w,
+               max_bucket=100).collect()}
+    assert (0, 1) in got                      # the guarantee
+    want = {}
+    sel = {d: _py_winnow_grams(t, n, w) for d, t in texts.items()}
+    for a in texts:
+        for b in texts:
+            if a < b and sel[a] & sel[b]:
+                want[(a, b)] = len(sel[a] & sel[b])
+    assert got == want                        # exact twin equality
+
+
+def test_winnow_short_doc_keeps_global_min(spark):
+    # a doc with fewer grams than one window still fingerprints (its
+    # global min), so tiny exact dups are not silently invisible
+    docs = _docs(spark, [(0, "abcdefghijklm"), (1, "abcdefghijklm")])
+    got = dedup.shared_substring_pairs(docs, n_chars=12, min_shared=1,
+                                       winnow=50).collect()
+    assert [(r.doc_a, r.doc_b, r.n_shared) for r in got] == [(0, 1, 1)]
+    with pytest.raises(ValueError):
+        dedup.shared_substring_pairs(docs, winnow=0)
+    with pytest.raises(ValueError):
+        dedup.shared_substring_pairs(docs, winnow=4, gram_frac=4)
