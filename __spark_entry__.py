@@ -456,6 +456,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bigram/trigram occurrence share (explode → partial-agg counts)
         return textstats.repetition_stats(_t(spark, sf, "documents"))
 
+    def q_pii(spark, sf):
+        # datagen text carries no PII, so the query plants one
+        # deterministic email/phone/IP per doc (the oracle builds the
+        # identical string) — otherwise the redaction check would be
+        # vacuously all-zeros
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                "text", F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" at 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            ).alias("text"))
+        return textstats.redact_pii(d)
+
     def q_pack_chunks(spark, sf):
         # GPT-style concat-and-chunk sequence packing: one window cumsum
         # per shard, whole-stage codegen, zero Python
@@ -864,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_langid,
         "text_fingerprint": q_fingerprint,
         "text_repetition": q_repetition,
+        "text_pii_redact": q_pii,
         "corpus_pack_chunks": q_pack_chunks,
         "corpus_pack_greedy": q_pack_greedy,
         "corpus_contamination": q_contamination,
@@ -1329,6 +1347,33 @@ def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
                   "FROM %s" % prev)
 
 
+def _pii_sql() -> str:
+    """DuckDB twin of q_pii: identical planted text, identical ASCII
+    regex spellings (textstats.PII_*), counts on the original text,
+    replacement order email → ip → phone."""
+    from scrapely_spark.spark.textstats import (
+        PII_EMAIL, PII_IPV4, PII_PHONE)
+    red = "text"
+    for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
+                     (PII_PHONE, "<PHONE>")):
+        red = "regexp_replace(%s, '%s', '%s', 'g')" % (red, pat, tag)
+    return r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id %% 10000 AS VARCHAR), 4, '0')
+                       || ' at 10.0.' || CAST(doc_id %% 256 AS VARCHAR)
+                       || '.7' AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '%s')) AS n_emails,
+                   len(regexp_extract_all(text, '%s')) AS n_ipv4,
+                   len(regexp_extract_all(text, '%s')) AS n_phones,
+                   %s AS text_redacted
+            FROM d""" % (PII_EMAIL, PII_IPV4, PII_PHONE, red)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ibl_extract_docs": _IBL_EXTRACT_DOCS_SQL,
@@ -1735,6 +1780,11 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             SELECT doc_id, list_min(hashes) AS fp_min,
                    list_max(hashes) AS fp_max
             FROM h""",
+
+        # PII scrubbing over deterministically-planted addresses (see
+        # q_pii) — patterns imported from textstats so both engines run
+        # the same spellings (explicit ASCII classes, no \d/\s)
+        "text_pii_redact": _pii_sql(),
 
         # Gopher repetition filters: dup-word fraction + top bigram /
         # trigram share (textstats.repetition_stats).  1-based inclusive

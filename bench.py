@@ -47,6 +47,7 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_repetition",
+    "text_pii_redact",
     "corpus_pack_chunks",
     "corpus_pack_greedy",
     "corpus_contamination",

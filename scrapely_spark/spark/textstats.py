@@ -136,6 +136,37 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
                 .alias("top_trigram_frac")))
 
 
+# PII patterns, spelled to behave identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): explicit ASCII classes (never \d/\s, whose
+# unicode semantics differ between the engines), shared {m,n} bounds,
+# ASCII \b word boundaries.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4,7}\b"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Count and mask emails / IPv4s / intl phone numbers per document.
+
+    The standard pre-release corpus-scrubbing pass.  Counts come from
+    the ORIGINAL text; the redacted body applies the replacements in a
+    fixed order (email, ip, phone) so the passes cannot eat each
+    other's spans.  Pure `pyspark.sql.functions` — one projection, no
+    shuffle, whole row-set streams through codegen.
+    """
+    red = F.col("text")
+    for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
+                     (PII_PHONE, "<PHONE>")):
+        red = F.regexp_replace(red, pat, tag)
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("n_phones"),
+        red.alias("text_redacted"),
+    )
+
+
 def fingerprints(docs: DataFrame, shingle_chars: int = 16) -> DataFrame:
     """Rolling-hash document fingerprint: min/max md5 over char shingles.
 

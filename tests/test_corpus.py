@@ -370,3 +370,25 @@ def test_repetition_stats_random_twin(spark):
         assert r.n_words == len(w)
         assert r.dup_word_frac == round(1 - len(set(w)) / len(w), 6)
         assert (r.top_bigram_frac, r.top_trigram_frac) == (top(2), top(3)), d
+
+
+def test_redact_pii_counts_and_masking(spark):
+    from scrapely_spark.spark import textstats
+    texts = [
+        "mail a@b.io and c.d+e@sub.domain.org today",     # 2 emails
+        "server 10.0.0.1 peers with 192.168.7.255.",      # 2 IPs
+        "call +44-207-9460000 or +1-555-0142 now",        # 2 phones
+        "no pii at all in this one",
+        "mixed: x@y.com via 8.8.8.8 at +1-555-9999",
+    ]
+    rows = {r.doc_id: r for r in textstats.redact_pii(
+        _docs(spark, texts)).collect()}
+    assert (rows[0].n_emails, rows[0].n_ipv4, rows[0].n_phones) == (2, 0, 0)
+    assert rows[0].text_redacted == "mail <EMAIL> and <EMAIL> today"
+    assert rows[1].n_ipv4 == 2
+    assert rows[1].text_redacted == "server <IP> peers with <IP>."
+    assert rows[2].n_phones == 2
+    assert rows[2].text_redacted == "call <PHONE> or <PHONE> now"
+    assert (rows[3].n_emails, rows[3].n_ipv4, rows[3].n_phones) == (0, 0, 0)
+    assert rows[3].text_redacted == texts[3]
+    assert rows[4].text_redacted == "mixed: <EMAIL> via <IP> at <PHONE>"

@@ -107,7 +107,9 @@ def test_lsh_caches_freed_after_use(spark):
                                          i % 11)) for i in range(60)]
     for fn in (dedup.minhash_candidates,
                lambda d: dedup.jaccard_pairs(d, threshold=0.1),
-               dedup.simhash_near_pairs):
+               dedup.simhash_near_pairs,
+               lambda d: dedup.shared_substring_pairs(
+                   d, n_chars=8, min_shared=1)):
         res = fn(_docs(spark, rows))
         res.collect()
         assert not cache_mgr.isEmpty()  # cache was actually used
