@@ -431,6 +431,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declarative plan, not three materialized passes
         return corpus.clean_corpus(_t(spark, sf, "documents"))
 
+    def q_scrub_pipeline(spark, sf):
+        # the full Gopher/RefinedWeb-rules stack in one plan: clean
+        # selection + repetition thresholds + PII masking.  Addresses
+        # are planted like q_pii (the oracle builds identical text) so
+        # the masking leg is exercised, not vacuous.
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "lang", _pii_planted_text().alias("text"))
+        return corpus.scrub_corpus(d)
+
     def q_lsh_near_dups(spark, sf):
         # fixed-seed hyperplanes shared with the SQL oracle (see
         # _LSH_NEAR_DUPS_SQL); threshold 0.4 is non-trivial on the
@@ -462,15 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical string) — otherwise the redaction check would be
         # vacuously all-zeros
         d = _t(spark, sf, "documents").select(
-            "doc_id",
-            F.concat(
-                "text", F.lit(" reach user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or +1-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                F.lit(" at 10.0."),
-                (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
-            ).alias("text"))
+            "doc_id", _pii_planted_text().alias("text"))
         return textstats.redact_pii(d)
 
     def q_pack_chunks(spark, sf):
@@ -889,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_top_ngrams,
         "corpus_length_quantiles": q_length_quantiles,
         "corpus_clean_pipeline": q_clean_pipeline,
+        "corpus_scrub_pipeline": q_scrub_pipeline,
         "scalar_extract_price": scalar_extract_price,
         "scalar_extract_number": scalar_extract_number,
         "scalar_image_url": scalar_image_url,
@@ -1018,6 +1020,44 @@ _QUALITY_SQL = r"""
                          + (CAST(alpha AS DOUBLE) / length(text)) * 0.2, 6)
                      AS quality
             FROM s"""
+
+_REPETITION_SQL = r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents),
+            base AS (
+              SELECT doc_id, w, len(w) AS n_words,
+                     len(list_distinct(w)) AS n_distinct
+              FROM d),
+            g2 AS (
+              SELECT doc_id, unnest(list_transform(
+                  range(1, n_words),
+                  i -> array_to_string(w[i:i+1], ' '))) AS g
+              FROM base),
+            g3 AS (
+              SELECT doc_id, unnest(list_transform(
+                  range(1, n_words - 1),
+                  i -> array_to_string(w[i:i+2], ' '))) AS g
+              FROM base),
+            t2 AS (
+              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_bigram_frac
+              FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+              GROUP BY doc_id),
+            t3 AS (
+              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_trigram_frac
+              FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+              GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words,
+                   round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6)
+                     AS dup_word_frac,
+                   coalesce(t2.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   coalesce(t3.top_trigram_frac, 0.0) AS top_trigram_frac
+            FROM base b
+            LEFT JOIN t2 ON t2.doc_id = b.doc_id
+            LEFT JOIN t3 ON t3.doc_id = b.doc_id"""
 
 _LANGID_SQL = r"""
             WITH d AS (
@@ -1347,6 +1387,32 @@ def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
                   "FROM %s" % prev)
 
 
+def _pii_planted_text():
+    """One deterministic email / phone / IP appended per doc — shared
+    by q_pii and q_scrub_pipeline; _PII_PLANT_SQL is its SQL twin.
+
+    Derived from md5(text), NOT doc_id, so exact-duplicate documents
+    stay exact duplicates and the scrub pipeline's keeper election
+    remains a real filter."""
+    h = F.md5("text")
+    dig4 = F.regexp_replace(F.substring(h, 1, 4), "[a-f]", "9")
+    dig2 = F.regexp_replace(F.substring(h, 5, 2), "[a-f]", "3")
+    return F.concat(
+        "text", F.lit(" reach user"), F.substring(h, 7, 6),
+        F.lit("@example.com or +1-555-"), dig4,
+        F.lit(" at 10.0."), dig2, F.lit(".7"))
+
+
+_PII_PLANT_SQL = """text || ' reach user' || substr(md5(text), 7, 6)
+                       || '@example.com or +1-555-'
+                       || regexp_replace(substr(md5(text), 1, 4),
+                                         '[a-f]', '9', 'g')
+                       || ' at 10.0.'
+                       || regexp_replace(substr(md5(text), 5, 2),
+                                         '[a-f]', '3', 'g')
+                       || '.7'"""
+
+
 def _pii_sql() -> str:
     """DuckDB twin of q_pii: identical planted text, identical ASCII
     regex spellings (textstats.PII_*), counts on the original text,
@@ -1359,19 +1425,54 @@ def _pii_sql() -> str:
         red = "regexp_replace(%s, '%s', '%s', 'g')" % (red, pat, tag)
     return r"""
             WITH d AS (
-              SELECT doc_id,
-                     text || ' reach user' || CAST(doc_id AS VARCHAR)
-                       || '@example.com or +1-555-'
-                       || lpad(CAST(doc_id %% 10000 AS VARCHAR), 4, '0')
-                       || ' at 10.0.' || CAST(doc_id %% 256 AS VARCHAR)
-                       || '.7' AS text
+              SELECT doc_id, %s AS text
               FROM documents)
             SELECT doc_id,
                    len(regexp_extract_all(text, '%s')) AS n_emails,
                    len(regexp_extract_all(text, '%s')) AS n_ipv4,
                    len(regexp_extract_all(text, '%s')) AS n_phones,
                    %s AS text_redacted
-            FROM d""" % (PII_EMAIL, PII_IPV4, PII_PHONE, red)
+            FROM d""" % (_PII_PLANT_SQL, PII_EMAIL, PII_IPV4, PII_PHONE, red)
+
+
+def _scrub_sql() -> str:
+    """DuckDB twin of corpus.scrub_corpus over PII-planted text: the
+    clean_corpus CTEs + repetition thresholds + redaction, all reading
+    an ``aug`` CTE built with _PII_PLANT_SQL (content-derived, so the
+    keeper election still sees real duplicates).  Thresholds mirror
+    scrub_corpus defaults (quality 0.4, dup 0.62, bigram 0.08)."""
+    from scrapely_spark.spark.textstats import (
+        PII_EMAIL, PII_IPV4, PII_PHONE)
+    red = "text"
+    for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
+                     (PII_PHONE, "<PHONE>")):
+        red = "regexp_replace(%s, '%s', '%s', 'g')" % (red, pat, tag)
+    over_aug = lambda sql: sql.replace("FROM documents", "FROM aug")
+    return """
+            WITH aug AS (
+              SELECT doc_id, lang, %s AS text FROM documents),
+            q AS (%s),
+            l AS (%s),
+            r AS (%s),
+            k AS (SELECT doc_id FROM (
+                    SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY md5(text))
+                             AS keeper
+                    FROM aug)
+                  WHERE doc_id = keeper),
+            red AS (SELECT doc_id, %s AS text_redacted FROM aug)
+            SELECT q.doc_id, l.lang, q.quality,
+                   r.dup_word_frac, r.top_bigram_frac, red.text_redacted
+            FROM k
+            JOIN q ON q.doc_id = k.doc_id
+            JOIN l ON l.doc_id = k.doc_id
+            JOIN r ON r.doc_id = k.doc_id
+            JOIN red ON red.doc_id = k.doc_id
+            WHERE q.quality >= 0.4 AND l.predicted_lang = l.lang
+              AND r.dup_word_frac <= 0.62
+              AND r.top_bigram_frac <= 0.08""" % (
+        _PII_PLANT_SQL, over_aug(_QUALITY_SQL), over_aug(_LANGID_SQL),
+        over_aug(_REPETITION_SQL), red)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1786,48 +1887,15 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # the same spellings (explicit ASCII classes, no \d/\s)
         "text_pii_redact": _pii_sql(),
 
+        # the composed Gopher/RefinedWeb scrub (see _scrub_sql)
+        "corpus_scrub_pipeline": _scrub_sql(),
+
         # Gopher repetition filters: dup-word fraction + top bigram /
         # trigram share (textstats.repetition_stats).  1-based inclusive
         # list slicing; range(1, n) is stop-exclusive and empty when
         # n <= 1, so short docs fall out of g2/g3 and coalesce to 0.0
         # like Spark's left join.
-        "text_repetition": r"""
-            WITH d AS (
-              SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\s+') AS w
-              FROM documents),
-            base AS (
-              SELECT doc_id, w, len(w) AS n_words,
-                     len(list_distinct(w)) AS n_distinct
-              FROM d),
-            g2 AS (
-              SELECT doc_id, unnest(list_transform(
-                  range(1, n_words),
-                  i -> array_to_string(w[i:i+1], ' '))) AS g
-              FROM base),
-            g3 AS (
-              SELECT doc_id, unnest(list_transform(
-                  range(1, n_words - 1),
-                  i -> array_to_string(w[i:i+2], ' '))) AS g
-              FROM base),
-            t2 AS (
-              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
-                       AS top_bigram_frac
-              FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
-              GROUP BY doc_id),
-            t3 AS (
-              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
-                       AS top_trigram_frac
-              FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
-              GROUP BY doc_id)
-            SELECT b.doc_id, b.n_words,
-                   round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6)
-                     AS dup_word_frac,
-                   coalesce(t2.top_bigram_frac, 0.0) AS top_bigram_frac,
-                   coalesce(t3.top_trigram_frac, 0.0) AS top_trigram_frac
-            FROM base b
-            LEFT JOIN t2 ON t2.doc_id = b.doc_id
-            LEFT JOIN t3 ON t3.doc_id = b.doc_id""",
+        "text_repetition": _REPETITION_SQL,
 
         # concat-and-chunk packing: identical window cumsum per shard
         # (corpus.pack_chunks — shard = doc_id % 8, seq_len = 256)

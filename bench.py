@@ -51,6 +51,7 @@ HEADLINE = [
     "corpus_pack_chunks",
     "corpus_pack_greedy",
     "corpus_contamination",
+    "corpus_scrub_pipeline",
     "corpus_weighted_sample",
     "corpus_pmi_bigrams",
     "url_canonicalize",

@@ -285,6 +285,36 @@ def clean_corpus(docs: DataFrame, min_quality: float = 0.4) -> DataFrame:
             .select("doc_id", "lang", "quality"))
 
 
+def scrub_corpus(docs: DataFrame, min_quality: float = 0.4,
+                 max_dup_word_frac: float = 0.62,
+                 max_top_bigram_frac: float = 0.08) -> DataFrame:
+    """The full pretraining scrub: ``clean_corpus`` (dedup keeper ∧
+    langid agreement ∧ quality floor) extended with the Gopher
+    repetition thresholds and PII masking — the RefinedWeb/Gopher-rules
+    stack as ONE declarative plan.
+
+    Survivors emit their repetition metrics plus the redacted body, so
+    the output is directly trainable-on.  Every stage keys on
+    ``doc_id``; Catalyst fuses the filter stack into co-partitioned
+    joins rather than five materialized passes.
+    """
+    from scrapely_spark.spark import textstats
+
+    kept = clean_corpus(docs, min_quality)
+    rep = textstats.repetition_stats(docs).select(
+        "doc_id", "dup_word_frac", "top_bigram_frac")
+    survivors = (kept.join(rep, "doc_id")
+                 .where((F.col("dup_word_frac") <= max_dup_word_frac)
+                        & (F.col("top_bigram_frac")
+                           <= max_top_bigram_frac)))
+    # mask AFTER the filters: redaction cost scales with the kept
+    # corpus, not the raw crawl
+    return (survivors.join(docs.select("doc_id", "text"), "doc_id")
+            .select("doc_id", "lang", "quality", "dup_word_frac",
+                    "top_bigram_frac",
+                    textstats.pii_mask("text").alias("text_redacted")))
+
+
 def top_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
     """Corpus-wide top-k word n-grams by occurrence count.
 

@@ -145,19 +145,25 @@ PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4,7}\b"
 
 
+def pii_mask(col) -> "F.Column":
+    """The masking expression: replacements in a fixed order (email,
+    ip, phone) so the passes cannot eat each other's spans."""
+    red = F.col(col) if isinstance(col, str) else col
+    for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
+                     (PII_PHONE, "<PHONE>")):
+        red = F.regexp_replace(red, pat, tag)
+    return red
+
+
 def redact_pii(docs: DataFrame) -> DataFrame:
     """Count and mask emails / IPv4s / intl phone numbers per document.
 
     The standard pre-release corpus-scrubbing pass.  Counts come from
-    the ORIGINAL text; the redacted body applies the replacements in a
-    fixed order (email, ip, phone) so the passes cannot eat each
-    other's spans.  Pure `pyspark.sql.functions` — one projection, no
-    shuffle, whole row-set streams through codegen.
+    the ORIGINAL text; masking order is fixed (see pii_mask).  Pure
+    `pyspark.sql.functions` — one projection, no shuffle, whole
+    row-set streams through codegen.
     """
-    red = F.col("text")
-    for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
-                     (PII_PHONE, "<PHONE>")):
-        red = F.regexp_replace(red, pat, tag)
+    red = pii_mask("text")
     return docs.select(
         "doc_id",
         F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),

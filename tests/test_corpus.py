@@ -392,3 +392,28 @@ def test_redact_pii_counts_and_masking(spark):
     assert (rows[3].n_emails, rows[3].n_ipv4, rows[3].n_phones) == (0, 0, 0)
     assert rows[3].text_redacted == texts[3]
     assert rows[4].text_redacted == "mixed: <EMAIL> via <IP> at <PHONE>"
+
+
+def test_scrub_corpus_composes_all_five_filters(spark):
+    good = ("the quick brown fox and the lazy dog walk to the market "
+            "in the morning and buy a basket of fresh bread for the "
+            "family to share at noon " * 3)
+    repetitive = "the spam " * 30          # en-agreeing, quality-passing
+    rows = [
+        (0, good + " ping admin@site.org", "en"),   # keeper -> masked
+        (1, good + " ping admin@site.org", "en"),   # exact dup -> dropped
+        (2, "x", "en"),                             # quality floor
+        (3, good, "zh"),                            # langid disagrees
+        (4, repetitive, "en"),                      # repetition thresholds
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = corpus.scrub_corpus(df, min_quality=0.4,
+                              max_dup_word_frac=0.8,
+                              max_top_bigram_frac=0.2).collect()
+    assert [r.doc_id for r in out] == [0]
+    r = out[0]
+    assert r.text_redacted.endswith("ping <EMAIL>")
+    assert r.quality >= 0.4 and r.dup_word_frac <= 0.8
