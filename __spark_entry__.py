@@ -314,6 +314,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_pairs(spark, sf):
         return dedup.minhash_candidates(_t(spark, sf, "documents"))
 
+    def q_minhash_delta(spark, sf):
+        # incremental dedup: docs with doc_id % 5 == 0 arrive as the
+        # new batch and pair against the band index of the rest —
+        # no index-vs-index re-pairing
+        docs = _t(spark, sf, "documents")
+        return dedup.minhash_candidates_delta(
+            docs.where("doc_id % 5 = 0"),
+            dedup.minhash_bands(docs.where("doc_id % 5 != 0")))
+
     def q_jaccard(spark, sf):
         return dedup.jaccard_pairs(_t(spark, sf, "documents"), 0.2)
 
@@ -864,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_normalized": q_dedup_norm,
         "dedup_minhash_bands": q_minhash_bands,
         "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_minhash_delta": q_minhash_delta,
         "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_ngram_jaccard": q_jaccard,
         "dedup_shared_substrings": q_shared_substrings,
@@ -1553,6 +1563,23 @@ def oracle_sql() -> dict[str, str]:
             FROM capped a JOIN capped b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
             WHERE a.doc_id < b.doc_id""",
+
+        # incremental delta: the capped CTE over ALL docs equals the
+        # new∪index union (bands are doc-local); `a` must be new, old
+        # pairs never enter (dedup.minhash_candidates_delta)
+        "dedup_minhash_delta": _BANDS_SQL + """
+            , flagged AS (
+              SELECT doc_id, band_id, band_key,
+                     (doc_id % 5 = 0) AS is_new
+              FROM capped)
+            SELECT DISTINCT
+                   least(a.doc_id, b.doc_id) AS doc_a,
+                   greatest(a.doc_id, b.doc_id) AS doc_b,
+                   NOT b.is_new AS vs_index
+            FROM flagged a JOIN flagged b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+            WHERE a.is_new
+              AND (NOT b.is_new OR a.doc_id < b.doc_id)""",
 
         # connected components of the capped candidate graph via a
         # recursive CTE (min reachable label per node; edges are made

@@ -28,6 +28,7 @@ HEADLINE = [
     "dedup_minhash_bands",
     "dedup_ngram_jaccard",
     "dedup_shared_substrings",
+    "dedup_minhash_delta",
     "dedup_cluster_canonical",
     "embedding_dup_clusters",
     "ann_cosine_topk",

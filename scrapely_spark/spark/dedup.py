@@ -211,6 +211,45 @@ def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET
     return _unpersist_on_gc(pairs, cached)
 
 
+def minhash_candidates_delta(new_docs: DataFrame,
+                             index_bands: DataFrame,
+                             max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Incremental LSH dedup: a new batch against an existing index.
+
+    The production shape at crawl scale — each increment dedups against
+    the accumulated corpus WITHOUT re-pairing the historical index
+    against itself.  ``index_bands`` is a materialized
+    ``(doc_id, band_id, band_key)`` table (minhash_bands output
+    appended per increment, e.g. an Iceberg state table); only the new
+    batch's signatures are computed here.
+
+    Emits ``(doc_a, doc_b, vs_index)`` where every pair involves at
+    least one new document; ``vs_index`` marks new-vs-index pairs.
+    The hot-bucket cap counts BOTH sides of the union (a boilerplate
+    bucket is hot regardless of arrival time), so
+    ``candidates(old ∪ new) == candidates(old) ∪ delta(new, bands(old))``
+    whenever no bucket crosses the cap between increments; a bucket
+    that grows past the cap stops emitting from that increment on
+    (emission is append-only — already-emitted old pairs are never
+    retracted).
+    """
+    new_bands = minhash_bands(new_docs).withColumn("is_new", F.lit(True))
+    idx = (index_bands.select("doc_id", "band_id", "band_key")
+           .withColumn("is_new", F.lit(False)))
+    allb = _cap_buckets(new_bands.unionByName(idx),
+                        ["band_id", "band_key"], max_bucket).cache()
+    a = allb.where("is_new").alias("a")
+    b = allb.alias("b")
+    pairs = (a.join(b, ["band_id", "band_key"])
+             .where((~F.col("b.is_new"))
+                    | (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                     F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                     (~F.col("b.is_new")).alias("vs_index"))
+             .distinct())
+    return _unpersist_on_gc(pairs, [allb])
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                   max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Exact n-gram Jaccard for banded candidates (verify stage).

@@ -529,3 +529,31 @@ def test_winnow_short_doc_keeps_global_min(spark):
         dedup.shared_substring_pairs(docs, winnow=0)
     with pytest.raises(ValueError):
         dedup.shared_substring_pairs(docs, winnow=4, gram_frac=4)
+
+
+def test_minhash_delta_incremental_invariant(spark):
+    # candidates(old ∪ new) == candidates(old) ∪ delta(new, bands(old))
+    # when no bucket crosses the cap between increments — the invariant
+    # that makes per-increment dedup sound at crawl scale
+    rows = [(i, "w%d x%d y%d common suffix tokens here"
+             % (i % 6, i % 4, i % 3)) for i in range(80)]
+    every = _docs(spark, rows)
+    old = every.where("doc_id % 2 = 1")
+    new = every.where("doc_id % 2 = 0")
+    full = {(r.doc_a, r.doc_b) for r in
+            dedup.minhash_candidates(every, max_bucket=10_000).collect()}
+    prior = {(r.doc_a, r.doc_b) for r in
+             dedup.minhash_candidates(old, max_bucket=10_000).collect()}
+    delta = {(r.doc_a, r.doc_b): r.vs_index
+             for r in dedup.minhash_candidates_delta(
+                 new, dedup.minhash_bands(old),
+                 max_bucket=10_000).collect()}
+    assert prior | set(delta) == full
+    assert prior.isdisjoint(delta)           # no re-emission
+    assert full                              # non-vacuous
+    new_ids = {i for i, _ in rows if i % 2 == 0}
+    for (a, b), vs_index in delta.items():
+        # every delta pair touches the new batch; the flag marks
+        # exactly the new-vs-index pairs
+        assert a in new_ids or b in new_ids
+        assert vs_index == ((a in new_ids) != (b in new_ids))
