@@ -859,6 +859,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search.bm25_topk(_t(spark, sf, "documents"),
                                 ["spark", "join", "vector"], k=25)
 
+    def q_tfidf(spark, sf):
+        # the doc side of lexical relevance: top-3 tf·idf keywords per
+        # doc, one tokenize pass, round-before-rank (ties by term)
+        from scrapely_spark.spark import search
+        return search.tfidf_keywords(_t(spark, sf, "documents"), k=3)
+
     return {
         "ibl_extract_docs": ibl_extract_docs,
         "set_except_customers": q_set_except,
@@ -926,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pmi_bigrams": q_pmi_bigrams,
         "graph_pagerank": q_graph_pagerank,
         "search_bm25_topk": q_bm25,
+        "search_tfidf_keywords": q_tfidf,
     }
 
 
@@ -2390,6 +2397,30 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
               PARTITION BY lang ORDER BY arrival, doc_id) <= 100""",
 
         "graph_pagerank": _pagerank_sql(),
+
+        # doc-side keywords (search.tfidf_keywords): df derived from
+        # the deduplicated (doc, term) counts, idf = ln(N/df),
+        # round-before-rank with a term tie-break
+        "search_tfidf_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(
+                  trim(lower(text)), '\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6)
+                       AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, term, score, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score DESC, term ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3""",
 
         # same tokenizer convention as the shingle/token-stats oracles
         # (lowercase, regex whitespace split); ln == Spark F.log; the

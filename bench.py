@@ -42,6 +42,7 @@ HEADLINE = [
     "sketch_distinct_user_days",
     "graph_pagerank",
     "search_bm25_topk",
+    "search_tfidf_keywords",
     "embedding_near_dups",
     "image_phash_near_dups",
     "events_session_windows",

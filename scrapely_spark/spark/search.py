@@ -71,3 +71,45 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "score"))
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` keywords by tf·idf (idf = ln(N/df)).
+
+    The document side of lexical relevance (bm25_topk is the query
+    side): the terms that most distinguish each document from the
+    corpus — the standard cheap topic signal for corpus exploration
+    and mixing decisions.
+
+    Scale shape: ONE tokenize+explode feeds both aggregates — document
+    frequency is derived from the already-deduplicated (doc_id, term)
+    counts, not a second pass over raw tokens; tf is cached so its two
+    consumers (the join side and the df aggregate) share one physical
+    computation (exchange reuse alone does not fire across the
+    broadcast boundary — verified on the executed plan), and the cache
+    is freed when the result is dropped.  The vocabulary (never the
+    corpus) is the join build side; N is a 1-row broadcast; the final
+    cut is one row_number window per doc over scores rounded BEFORE
+    ranking (ties by term), so the cut is reproducible across engines
+    and summation orders.
+    """
+    from scrapely_spark.spark.dedup import _unpersist_on_gc
+
+    toks = docs.select("doc_id", F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")).cache())
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    scored = (tf.join(dfreq, "term").crossJoin(n_docs)
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_docs") / F.col("df")),
+                              _ROUND).alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("doc_id", "term", "score", "rank"))
+    return _unpersist_on_gc(out, [tf])

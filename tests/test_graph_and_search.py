@@ -189,3 +189,29 @@ def test_host_graph_ipv6_and_unparseable_src(spark):
         "canonical_url string, links array<string>")
     got = sorted((r.src, r.dst) for r in graph.host_graph(ext).collect())
     assert got == [("::1", "::1")]
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+    from scrapely_spark.spark import search
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"),
+         (1, "banana cherry"),
+         (2, "cherry cherry cherry durian")],
+        "doc_id long, text string")
+    rows = search.tfidf_keywords(docs, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.score) for r in rows}
+    def s(tf, df):
+        return round(tf * math.log(3 / df), 6)
+    # doc 0: apple tf=2 df=1 -> top; banana tf=1 df=2
+    assert got[(0, 1)] == ("apple", s(2, 1))
+    assert got[(0, 2)] == ("banana", s(1, 2))
+    # doc 1: banana and cherry tie at tf=1 df=2 -> term tie-break
+    assert got[(1, 1)] == ("banana", s(1, 2))
+    assert got[(1, 2)] == ("cherry", s(1, 2))
+    # doc 2: durian (tf=1, df=1) beats cherry (tf=3, df=2)?
+    exp = sorted([("cherry", s(3, 2)), ("durian", s(1, 1))],
+                 key=lambda t: (-t[1], t[0]))
+    assert [got[(2, 1)], got[(2, 2)]] == exp
+    # k caps the output per doc
+    assert all(r.rank <= 2 for r in rows) and len(rows) == 6
