@@ -411,6 +411,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("doc_id").alias("image_id"),
                         ph.cast("long").alias("phash")))
 
+    def q_curate_images(spark, sf):
+        # LAION-style (image, caption) curation over the input_hint
+        # shape; dims synthesized in closed form both engines mirror
+        # (bytes never touched — the filter reads metadata only)
+        from scrapely_spark.spark import multimodal
+        imgs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            (32 + (F.col("doc_id") * 37) % 993).cast("int").alias("w"),
+            (32 + (F.col("doc_id") * 61) % 993).cast("int").alias("h"),
+            F.col("text").alias("caption"))
+        return multimodal.curate_image_captions(imgs)
+
     def q_phash_near_dups(spark, sf):
         # the image near-dup operator (banded hamming over an int64
         # perceptual hash, multimodal.phash_near_dups): pure JVM bit
@@ -892,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_near_dups,
         "embedding_lsh_near_dups": q_lsh_near_dups,
         "image_phash_near_dups": q_phash_near_dups,
+        "image_caption_curation": q_curate_images,
         "image_dup_clusters": q_image_clusters,
         "text_token_stats": q_tokens,
         "text_quality": q_quality,
@@ -1839,6 +1852,26 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # mirror of multimodal.phash_near_dups: same closed-form phash,
         # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
         # match Spark's bitwise ops on non-negative BIGINT)
+        # LAION-style curation gate (multimodal.curate_image_captions,
+        # defaults 64 / [0.5, 2.0] / [3, 77]); dims mirror q_curate_images
+        "image_caption_curation": r"""
+            WITH imgs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                     CAST(32 + (doc_id * 37) % 993 AS INT) AS w,
+                     CAST(32 + (doc_id * 61) % 993 AS INT) AS h,
+                     text AS caption
+              FROM documents),
+            m AS (
+              SELECT image_id, w, h,
+                     round(CAST(w AS DOUBLE) / h, 6) AS aspect,
+                     len(string_split_regex(trim(lower(caption)), '\s+'))
+                       AS n_caption_tokens
+              FROM imgs)
+            SELECT * FROM m
+            WHERE w >= 64 AND h >= 64
+              AND aspect BETWEEN 0.5 AND 2.0
+              AND n_caption_tokens BETWEEN 3 AND 77""",
+
         "image_phash_near_dups": "WITH " + _PHASH_CTES + """
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(pa, pb)) AS INT) AS hamming

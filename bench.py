@@ -45,6 +45,7 @@ HEADLINE = [
     "search_tfidf_keywords",
     "embedding_near_dups",
     "image_phash_near_dups",
+    "image_caption_curation",
     "events_session_windows",
     "text_quality",
     "text_langid",

@@ -205,3 +205,31 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
 
     return videos.select("video_id", "bytes").mapInPandas(
         kernel, _FRAME_SCHEMA)
+
+
+def curate_image_captions(images: DataFrame, min_dim: int = 64,
+                          min_aspect: float = 0.5,
+                          max_aspect: float = 2.0,
+                          min_caption_tokens: int = 3,
+                          max_caption_tokens: int = 77) -> DataFrame:
+    """LAION-style curation filter over (image, caption) pairs.
+
+    The standard pre-training gate for an image+caption corpus
+    (Schuhmann et al. 2021): both dimensions above a floor, aspect
+    ratio within bounds, caption length inside the text encoder's
+    window (77 CLIP tokens, approximated by the corpus-wide whitespace
+    token convention).  One shuffle-free projection+filter over the
+    metadata columns — bytes are never touched, so at 100 TB the scan
+    reads only the pruned (image_id, w, h, caption) columns and the
+    binary column stays on disk.
+    """
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("caption"))), r"\s+"))
+    ar = F.round(F.col("w") / F.col("h"), 6)
+    return (images.select(
+        "image_id", "w", "h", ar.alias("aspect"),
+        n_tokens.alias("n_caption_tokens"))
+        .where((F.col("w") >= min_dim) & (F.col("h") >= min_dim)
+               & (F.col("aspect") >= min_aspect)
+               & (F.col("aspect") <= max_aspect)
+               & (F.col("n_caption_tokens") >= min_caption_tokens)
+               & (F.col("n_caption_tokens") <= max_caption_tokens)))

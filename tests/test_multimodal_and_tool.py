@@ -290,3 +290,37 @@ def test_cli_repl_eof_and_empty_store(tmp_path):
         cwd="/root/repo")
     assert out.returncode == 0
     assert "no templates available" in out.stderr      # reference wording
+
+
+def test_curate_image_captions_boundaries(spark):
+    rows = [
+        ("a", 64, 64, b"", "one two three"),        # every bound inclusive
+        ("b", 63, 200, b"", "one two three"),       # w below floor
+        ("c", 200, 100, b"", "one two three"),      # aspect 2.0 inclusive
+        ("d", 201, 100, b"", "one two three"),      # aspect 2.01 > max
+        ("e", 100, 200, b"", "one two three"),      # aspect 0.5 inclusive
+        ("f", 100, 100, b"", "two words"),          # caption below min
+        ("g", 100, 100, b"", " ".join(["w"] * 77)),  # 77 tokens inclusive
+        ("h", 100, 100, b"", " ".join(["w"] * 78)),  # over the window
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, bytes binary, caption string")
+    got = sorted(r.image_id for r in
+                 multimodal.curate_image_captions(df).collect())
+    assert got == ["a", "c", "e", "g"]
+
+
+def test_curation_scan_prunes_bytes(spark, tmp_path):
+    # the gate must never read the binary column: at 100 TB the bytes
+    # ARE the table, and a metadata-only filter that drags them along
+    # is wrong
+    p = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(
+        [("a", 100, 100, b"\x00" * 64, "tiny caption here")],
+        "image_id string, w int, h int, bytes binary, caption string"
+    ).write.parquet(p)
+    df = multimodal.curate_image_captions(spark.read.parquet(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "bytes" not in read_schema[0]
+    assert df.count() == 1
