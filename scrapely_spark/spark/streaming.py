@@ -167,3 +167,25 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         update, out_schema,
         "n long, total double, last_us long",
         "update", "NoTimeout"))
+
+
+def curate_images_stream(spark: SparkSession, images_dir: str,
+                         max_files_per_trigger: int = 8,
+                         **gate_kwargs) -> DataFrame:
+    """Ingest-time (image, caption) curation: tail a parquet landing
+    zone of the input_hint table and apply
+    :func:`multimodal.curate_image_captions` per micro-batch.
+
+    The gate is stateless (projection + filter), so streaming output
+    equals the batch gate on the same files by construction — pinned by
+    a parity test — and there is no watermark or state store to size.
+    Schema pruning applies per micro-batch: the binary column is never
+    read.
+    """
+    from scrapely_spark.spark import multimodal
+
+    schema = spark.read.parquet(images_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(images_dir))
+    return multimodal.curate_image_captions(stream, **gate_kwargs)

@@ -316,3 +316,34 @@ def test_repetition_stats_jvm_side_with_partial_agg(spark):
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "lang" not in read_schema[0]  # pruned scan
+
+
+def test_streaming_curation_agrees_with_batch(spark, tmp_path):
+    """The (image, caption) gate is stateless, so the streamed result
+    over a landing zone equals the batch gate on the same files — the
+    ingest-time shape for the input_hint table."""
+    import os
+
+    from scrapely_spark.spark import multimodal, streaming
+
+    zone = str(tmp_path / "img_zone")
+    os.makedirs(zone)
+    imgs = spark.createDataFrame(
+        [(str(i), 32 + (i * 37) % 200, 32 + (i * 61) % 200,
+          b"\x01" * 8, "caption words for image %d ok" % i)
+         for i in range(300)],
+        "image_id string, w int, h int, bytes binary, caption string")
+    imgs.repartition(3).write.parquet(zone, mode="overwrite")
+
+    q = streaming.run_available_now(
+        streaming.curate_images_stream(spark, zone,
+                                       max_files_per_trigger=1),
+        "curate_stream_q", str(tmp_path / "ckpt_curate"),
+        output_mode="append")
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql(
+        "select * from curate_stream_q").collect()}
+    want = {tuple(r) for r in multimodal.curate_image_captions(
+        spark.read.parquet(zone)).collect()}
+    assert got == want and want
