@@ -1598,7 +1598,7 @@ def oracle_sql() -> dict[str, str]:
                    NOT b.is_new AS vs_index
             FROM flagged a JOIN flagged b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
-            WHERE a.is_new
+            WHERE a.is_new AND a.doc_id <> b.doc_id
               AND (NOT b.is_new OR a.doc_id < b.doc_id)""",
 
         # connected components of the capped candidate graph via a
@@ -1849,9 +1849,6 @@ WITH toks AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
 
-        # mirror of multimodal.phash_near_dups: same closed-form phash,
-        # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
-        # match Spark's bitwise ops on non-negative BIGINT)
         # LAION-style curation gate (multimodal.curate_image_captions,
         # defaults 64 / [0.5, 2.0] / [3, 77]); dims mirror q_curate_images
         "image_caption_curation": r"""
@@ -1872,6 +1869,9 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
               AND aspect BETWEEN 0.5 AND 2.0
               AND n_caption_tokens BETWEEN 3 AND 77""",
 
+        # mirror of multimodal.phash_near_dups: same closed-form phash,
+        # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
+        # match Spark's bitwise ops on non-negative BIGINT)
         "image_phash_near_dups": "WITH " + _PHASH_CTES + """
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(pa, pb)) AS INT) AS hamming

@@ -301,7 +301,12 @@ def scrub_corpus(docs: DataFrame, min_quality: float = 0.4,
     from scrapely_spark.spark import textstats
 
     kept = clean_corpus(docs, min_quality)
-    rep = textstats.repetition_stats(docs).select(
+    # repetition metrics are doc-local, so compute them only for docs
+    # that survived the cheap filters: the bigram/trigram explode (the
+    # dominant cost here) never runs on documents dedup/langid/quality
+    # already dropped
+    rep = textstats.repetition_stats(
+        docs.join(kept.select("doc_id"), "doc_id")).select(
         "doc_id", "dup_word_frac", "top_bigram_frac")
     survivors = (kept.join(rep, "doc_id")
                  .where((F.col("dup_word_frac") <= max_dup_word_frac)

@@ -233,21 +233,30 @@ def minhash_candidates_delta(new_docs: DataFrame,
     (emission is append-only — already-emitted old pairs are never
     retracted).
     """
-    new_bands = minhash_bands(new_docs).withColumn("is_new", F.lit(True))
+    # cache only the COMPUTED side (the new batch's signatures): at
+    # crawl scale the index side is a materialized table whose scan is
+    # cheaper than pinning O(corpus) bands in executor storage per
+    # increment; the cap window over the union recomputes per join
+    # side, but its exchange is identical on both and gets reused.
+    new_bands = (minhash_bands(new_docs)
+                 .withColumn("is_new", F.lit(True)).cache())
     idx = (index_bands.select("doc_id", "band_id", "band_key")
            .withColumn("is_new", F.lit(False)))
     allb = _cap_buckets(new_bands.unionByName(idx),
-                        ["band_id", "band_key"], max_bucket).cache()
+                        ["band_id", "band_key"], max_bucket)
     a = allb.where("is_new").alias("a")
     b = allb.alias("b")
+    # a.doc_id != b.doc_id also guards re-ingestion: a doc present in
+    # BOTH the batch and the index must not pair with itself
     pairs = (a.join(b, ["band_id", "band_key"])
-             .where((~F.col("b.is_new"))
-                    | (F.col("a.doc_id") < F.col("b.doc_id")))
+             .where((F.col("a.doc_id") != F.col("b.doc_id"))
+                    & ((~F.col("b.is_new"))
+                       | (F.col("a.doc_id") < F.col("b.doc_id"))))
              .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                      F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
                      (~F.col("b.is_new")).alias("vs_index"))
              .distinct())
-    return _unpersist_on_gc(pairs, [allb])
+    return _unpersist_on_gc(pairs, [new_bands])
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,

@@ -87,8 +87,13 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     consumers (the join side and the df aggregate) share one physical
     computation (exchange reuse alone does not fire across the
     broadcast boundary — verified on the executed plan), and the cache
-    is freed when the result is dropped.  The vocabulary (never the
-    corpus) is the join build side; N is a 1-row broadcast; the final
+    is freed when the result is dropped.  The df join is left to AQE
+    deliberately: at bench scale the aggregated vocabulary is small and
+    AQE plans it as the broadcast build side (verified on the executed
+    plan); at web scale a whitespace-token vocabulary can be billions
+    of rows, where a forced broadcast would be wrong and the shuffled
+    hash join on the already-aggregated (doc, term) counts is the
+    honest cost.  N is a 1-row broadcast; the final
     cut is one row_number window per doc over scores rounded BEFORE
     ranking (ties by term), so the cut is reproducible across engines
     and summation orders.

@@ -17,6 +17,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _read_parquet_stream(spark: SparkSession, directory: str,
+                         max_files_per_trigger: int = 8,
+                         schema=None) -> DataFrame:
+    """Tail a parquet landing zone.
+
+    Without an explicit ``schema`` it is inferred from the files
+    already present (which requires at least one); pass the schema to
+    start the tailer on a zone that is still empty.
+    """
+    if schema is None:
+        schema = spark.read.parquet(directory).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(directory))
+
+
 def read_events_stream(spark: SparkSession, events_dir: str,
                        max_files_per_trigger: int = 8) -> DataFrame:
     """Tail a parquet landing zone of events (schema inferred from data).
@@ -25,10 +41,7 @@ def read_events_stream(spark: SparkSession, events_dir: str,
     arrival (mtime) order — the session-window parity test uses that to
     drive watermark advancement deterministically.
     """
-    schema = spark.read.parquet(events_dir).schema
-    return (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(events_dir))
+    return _read_parquet_stream(spark, events_dir, max_files_per_trigger)
 
 
 def hourly_counts_stream(events: DataFrame,
@@ -171,7 +184,7 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 def curate_images_stream(spark: SparkSession, images_dir: str,
                          max_files_per_trigger: int = 8,
-                         **gate_kwargs) -> DataFrame:
+                         schema=None, **gate_kwargs) -> DataFrame:
     """Ingest-time (image, caption) curation: tail a parquet landing
     zone of the input_hint table and apply
     :func:`multimodal.curate_image_captions` per micro-batch.
@@ -180,12 +193,11 @@ def curate_images_stream(spark: SparkSession, images_dir: str,
     equals the batch gate on the same files by construction — pinned by
     a parity test — and there is no watermark or state store to size.
     Schema pruning applies per micro-batch: the binary column is never
-    read.
+    read.  Pass ``schema`` to start tailing a zone no file has reached
+    yet (inference needs at least one).
     """
     from scrapely_spark.spark import multimodal
 
-    schema = spark.read.parquet(images_dir).schema
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", max_files_per_trigger)
-              .parquet(images_dir))
+    stream = _read_parquet_stream(spark, images_dir,
+                                  max_files_per_trigger, schema)
     return multimodal.curate_image_captions(stream, **gate_kwargs)

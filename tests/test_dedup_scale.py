@@ -557,3 +557,18 @@ def test_minhash_delta_incremental_invariant(spark):
         # exactly the new-vs-index pairs
         assert a in new_ids or b in new_ids
         assert vs_index == ((a in new_ids) != (b in new_ids))
+
+
+def test_minhash_delta_reingestion_no_self_pairs(spark):
+    # a doc present in BOTH the index and the new batch (retry after a
+    # partial failure) collides with its own index bands in every band
+    # -- it must not pair with itself
+    rows = [(i, "alpha beta gamma delta %d" % (i % 2)) for i in range(6)]
+    every = _docs(spark, rows)
+    got = dedup.minhash_candidates_delta(
+        every.where("doc_id = 0"),                # re-ingested doc
+        dedup.minhash_bands(every),               # index already has it
+        max_bucket=10_000).collect()
+    assert all(r.doc_a != r.doc_b for r in got)
+    # it still pairs with its true near-dups in the index
+    assert {(r.doc_a, r.doc_b) for r in got} == {(0, 2), (0, 4)}
