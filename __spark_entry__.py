@@ -863,6 +863,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("node",
                           F.round("rank", 6).alias("pagerank"))
 
+    def q_cms_counts(spark, sf):
+        # Count-Min frequency estimates for the user_id key space:
+        # build shuffles only by the bounded (row, col) cell key (never
+        # by user_id — hot keys cost nothing), probe is a broadcast join
+        from scrapely_spark.spark import sketches
+        ev = _t(spark, sf, "events")
+        sk = sketches.cms_build(ev.select("user_id"), F.col("user_id"))
+        keys = ev.where("user_id % 7 = 0").select("user_id").distinct()
+        return sketches.cms_estimate(sk, keys, "user_id")
+
     def q_bm25(spark, sf):
         # ranked lexical retrieval (search.bm25_topk): scores rounded
         # BEFORE the top-k cut so the ranking — not just the values —
@@ -938,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_totals": q_running_totals,
         "range_purchase_sessions": q_range_purchase_sessions,
         "sketch_distinct_user_days": q_sketch_distinct,
+        "sketch_cms_user_counts": q_cms_counts,
         "embedding_dup_clusters": q_embedding_clusters,
         "ann_pq_topk": q_ann_pq,
         "ann_bq_topk": q_ann_bq,
@@ -2382,6 +2393,33 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                          ELSE 63.0 / (hk / 281474976710656.0) END, 4)
                      AS est_distinct
             FROM agg""",
+
+        # Count-Min cells + point queries (sketches.cms_build/estimate,
+        # depth 4 × width 256): same md5(value || '#row') cell hash,
+        # cell sums are order-independent so even the approximate
+        # estimates hash-match exactly
+        "sketch_cms_user_counts": """
+            WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (
+              SELECT r AS row,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                              || '#' || r), 1, 12) AS BIGINT) % 256
+                       AS col
+              FROM events, rows_),
+            sk AS (SELECT row, col, count(*) AS cnt
+                   FROM cells GROUP BY 1, 2),
+            keys AS (SELECT DISTINCT user_id FROM events
+                     WHERE user_id % 7 = 0),
+            probes AS (
+              SELECT user_id, r AS row,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                              || '#' || r), 1, 12) AS BIGINT) % 256
+                       AS col
+              FROM keys, rows_)
+            SELECT p.user_id, min(coalesce(sk.cnt, 0)) AS est_count
+            FROM probes p
+            LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
+            GROUP BY 1""",
 
         # ln() on both sides of identical rational count ratios;
         # round-before-rank + bigram tie-break makes the cut stable

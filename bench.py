@@ -40,6 +40,7 @@ HEADLINE = [
     "asof_purchase_view",
     "range_purchase_sessions",
     "sketch_distinct_user_days",
+    "sketch_cms_user_counts",
     "graph_pagerank",
     "search_bm25_topk",
     "search_tfidf_keywords",

@@ -98,3 +98,63 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str],
     return (sketch.groupBy(*group_cols)
             .agg(F.count("*").alias("_n"), F.max("_h").alias("_hk"))
             .select(*group_cols, F.round(est, 4).alias("est_distinct")))
+
+
+# --------------------------------------------------------------- Count-Min
+
+def cms_hash(value_col, row: int, width: int) -> "F.Column":
+    """Row-``row``'s cell index for a value: md5(value || '#row') folded
+    into [0, width) — independent per row, bit-identical in DuckDB."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(value_col.cast("string"), F.lit("#%d" % row))),
+        1, 12), 16, 10).cast("long") % width)
+
+
+def cms_build(df: DataFrame, value_col, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a
+    ``(row, col, cnt)`` cell table of at most depth·width rows.
+
+    Frequency estimation at 10^10 rows without an exact groupBy on a
+    high-cardinality key: the input shuffles ONLY by (row, col) — a
+    bounded keyspace with map-side partial counts — never by the key
+    itself, so a skewed hot key costs nothing extra.  Cell counts are
+    pure sums, hence deterministic under any partitioning/arrival
+    order, and the sketch is mergeable cell-wise
+    (:func:`cms_merge`; merge(halves) == build(whole) is pinned by a
+    test).  Estimates are upper bounds: est >= true count always,
+    within εN with probability 1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+    """
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 cms_hash(value_col, r, width).alias("col"))
+        for r in range(depth)])
+    return (df.select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.col").alias("col"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Cell-wise sum — the combine step between partitions / days."""
+    return (sketch_a.unionByName(sketch_b)
+            .groupBy("row", "col").agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-query the sketch: min over the key's depth cells.
+
+    A (row, col) absent from the cell table means zero observations —
+    the left join's NULL coalesces to 0, so unseen keys estimate 0.
+    """
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 cms_hash(F.col(value_col), r, width).alias("col"))
+        for r in range(depth)])
+    probes = (keys.select(value_col, F.explode(cells).alias("c"))
+              .select(value_col, "c.row", "c.col"))
+    return (probes.join(F.broadcast(sketch), ["row", "col"], "left")
+            .groupBy(value_col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0)))
+                 .alias("est_count")))

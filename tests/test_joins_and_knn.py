@@ -428,3 +428,34 @@ def test_bq_topk_matches_numpy_sign_counting(spark):
            for r in simsearch.bq_topk(emb, list(q), 10).collect()]
     assert got == want
     assert got[0] == (0, 0)  # self signature distance is zero
+
+
+def test_cms_upper_bound_and_exactness(spark):
+    from pyspark.sql import functions as F
+    from scrapely_spark.spark import sketches
+    # skewed frequencies: key i appears i+1 times
+    rows = [(k,) for k in range(40) for _ in range(k + 1)]
+    df = spark.createDataFrame(rows, "k long")
+    sk = sketches.cms_build(df, F.col("k"), depth=4, width=4096)
+    keys = spark.createDataFrame([(k,) for k in range(42)], "k long")
+    got = {r.k: r.est_count for r in
+           sketches.cms_estimate(sk, keys, "k", depth=4,
+                                 width=4096).collect()}
+    for k in range(40):
+        assert got[k] >= k + 1            # CMS never underestimates
+        assert got[k] == k + 1            # width 4096 >> 40: no collision
+    assert got[40] == 0 and got[41] == 0  # unseen keys estimate zero
+
+
+def test_cms_merge_equals_whole(spark):
+    from pyspark.sql import functions as F
+    from scrapely_spark.spark import sketches
+    rows = [(k % 13,) for k in range(500)]
+    df = spark.createDataFrame(rows, "k long")
+    whole = {(r.row, r.col): r.cnt for r in
+             sketches.cms_build(df, F.col("k"), width=32).collect()}
+    merged = {(r.row, r.col): r.cnt for r in sketches.cms_merge(
+        sketches.cms_build(df.where("k < 7"), F.col("k"), width=32),
+        sketches.cms_build(df.where("k >= 7"), F.col("k"), width=32),
+    ).collect()}
+    assert merged == whole and whole
