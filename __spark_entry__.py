@@ -192,6 +192,15 @@ def url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("canonical_url", "host"))
 
 
+def url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-normalized path templates per host (spider-trap analysis)."""
+    from scrapely_spark.frontier.canonical import (canonicalize_df,
+                                                   url_template_stats)
+    return url_template_stats(canonicalize_df(
+        _t(spark, sf_dir, "orders").selectExpr(
+            "%s AS url" % _SPARK_RAW_URL)))
+
+
 def politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host politeness window rank (budget 2), total-order tie-break."""
     from pyspark.sql import Window
@@ -893,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_customers": q_set_intersect,
         "agg_rollup_events": q_rollup_events,
         "url_canonicalize": url_canonicalize,
+        "url_template_mining": url_template_mining,
         "url_seen_antijoin": url_seen_antijoin,
         "politeness_topk": politeness_topk,
         "robots_gate": robots_gate_q,
@@ -1542,6 +1552,17 @@ def oracle_sql() -> dict[str, str]:
 
         "url_canonicalize": _URLS_CTE
         + " SELECT url, canonical_url, host FROM urls",
+
+        # spider-trap analysis (canonical.url_template_stats): path
+        # with digit runs collapsed to N, grouped per host
+        "url_template_mining": _URLS_CTE + r"""
+            SELECT host,
+                   regexp_replace(regexp_extract(canonical_url,
+                       '^[a-z]+://[^/]+(/[^?#]*)', 1),
+                       '[0-9]+', 'N', 'g') AS path_template,
+                   count(*) AS n_urls,
+                   min(canonical_url) AS example_url
+            FROM urls GROUP BY 1, 2""",
 
         "url_seen_antijoin": _URLS_CTE + """
             SELECT canonical_url, host FROM urls

@@ -59,6 +59,7 @@ HEADLINE = [
     "corpus_weighted_sample",
     "corpus_pmi_bigrams",
     "url_canonicalize",
+    "url_template_mining",
     "politeness_topk",
     "tpch_pricing_summary",
     "tpch_q5_region_volume",

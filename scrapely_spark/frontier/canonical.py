@@ -185,3 +185,28 @@ def host_of_canonical(col):
     # canonicalizer tolerates (raw spaces etc.) — NULL, not a crash
     h = F.try_parse_url(col, F.lit("HOST"))
     return F.regexp_replace(h, r"^\[|\]$", "")
+
+
+def url_template_stats(urls_df):
+    """Crawl-budget / spider-trap analysis: group canonical URLs by
+    digit-normalized path template.
+
+    Calendars, session ids and pagination generate unbounded URL
+    families that differ only in numbers; normalizing digit runs to
+    ``N`` collapses each family to one row, so a scheduler can spot a
+    template whose ``n_urls`` explodes (the trap) and budget or prune
+    it.  Per (host, template): URL count and the lexicographically
+    smallest example.  One projection + one grouped count with
+    map-side combine — at a 10^10-URL frontier the output is bounded
+    by the number of distinct templates, not URLs.
+    """
+    from pyspark.sql import functions as F
+
+    path = F.regexp_extract(
+        "canonical_url", r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    tpl = F.regexp_replace(path, "[0-9]+", "N")
+    return (urls_df
+            .select("host", tpl.alias("path_template"), "canonical_url")
+            .groupBy("host", "path_template")
+            .agg(F.count("*").alias("n_urls"),
+                 F.min("canonical_url").alias("example_url")))

@@ -431,3 +431,22 @@ def test_host_pagerank_over_crawled_link_graph(spark, spark_run):
     for node, rank in want.items():
         assert got[node] == pytest.approx(rank, abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_url_template_mining_finds_trap_families(spark):
+    # a calendar trap (same template, unbounded numbers) collapses to
+    # one row whose n_urls exposes it; distinct static pages stay apart
+    from scrapely_spark.frontier.canonical import (canonicalize_df,
+                                                   url_template_stats)
+    urls = ["http://t.example.com/cal/2026/%d/%d" % (m, d)
+            for m in range(1, 5) for d in range(1, 11)]
+    urls += ["http://t.example.com/about", "http://t.example.com/faq9"]
+    df = canonicalize_df(spark.createDataFrame(
+        [(u,) for u in urls], "url string"))
+    got = {r.path_template: (r.n_urls, r.example_url)
+           for r in url_template_stats(df).collect()}
+    assert got["/cal/N/N/N"][0] == 40
+    assert got["/cal/N/N/N"][1] == "http://t.example.com/cal/2026/1/1"
+    assert got["/about"][0] == 1
+    assert got["/faqN"][0] == 1
+    assert len(got) == 3
