@@ -450,3 +450,36 @@ def test_url_template_mining_finds_trap_families(spark):
     assert got["/about"][0] == 1
     assert got["/faqN"][0] == 1
     assert len(got) == 3
+
+
+def test_url_template_mining_random_twin(spark):
+    # seeded random URL families vs the direct python definition
+    import random
+    import re
+    from collections import defaultdict
+    from scrapely_spark.frontier.canonical import (canonicalize,
+                                                   canonicalize_df,
+                                                   url_template_stats)
+    rng = random.Random(9)
+    segs = ["item", "cal", "page", "u42x", "x"]
+    urls = []
+    for _ in range(300):
+        path = "/".join(
+            rng.choice(segs) if rng.random() < 0.6
+            else str(rng.randrange(10_000))
+            for _ in range(rng.randint(1, 4)))
+        urls.append("http://h%d.example.com/%s" % (rng.randrange(3), path))
+    want = defaultdict(lambda: [0, None])
+    for u in urls:
+        c = canonicalize(u)
+        host = c.split("://")[1].split("/")[0]
+        path = re.match(r"^[a-z]+://[^/]+(/[^?#]*)", c).group(1)
+        tpl = re.sub(r"[0-9]+", "N", path)
+        slot = want[(host, tpl)]
+        slot[0] += 1
+        slot[1] = c if slot[1] is None else min(slot[1], c)
+    got = {(r.host, r.path_template): [r.n_urls, r.example_url]
+           for r in url_template_stats(canonicalize_df(
+               spark.createDataFrame([(u,) for u in urls],
+                                     "url string"))).collect()}
+    assert got == dict(want)

@@ -459,3 +459,31 @@ def test_cms_merge_equals_whole(spark):
         sketches.cms_build(df.where("k >= 7"), F.col("k"), width=32),
     ).collect()}
     assert merged == whole and whole
+
+
+def test_cms_random_twin(spark):
+    # seeded random stream vs a direct python Count-Min with the same
+    # md5 cell hashes: cells AND estimates must match exactly
+    import hashlib
+    import random
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from scrapely_spark.spark import sketches
+    rng = random.Random(5)
+    stream = [rng.randrange(30) for _ in range(800)]
+    depth, width = 4, 64
+    def cell(k, r):
+        h = hashlib.md5(("%d#%d" % (k, r)).encode()).hexdigest()
+        return int(h[:12], 16) % width
+    cells = Counter((r, cell(k, r)) for k in stream for r in range(depth))
+    df = spark.createDataFrame([(k,) for k in stream], "k long")
+    got_cells = {(r.row, r.col): r.cnt for r in
+                 sketches.cms_build(df, F.col("k"), depth, width).collect()}
+    assert got_cells == dict(cells)
+    keys = spark.createDataFrame([(k,) for k in range(32)], "k long")
+    got_est = {r.k: r.est_count for r in sketches.cms_estimate(
+        sketches.cms_build(df, F.col("k"), depth, width),
+        keys, "k", depth, width).collect()}
+    want_est = {k: min(cells.get((r, cell(k, r)), 0)
+                       for r in range(depth)) for k in range(32)}
+    assert got_est == want_est
