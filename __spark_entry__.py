@@ -461,6 +461,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declarative plan, not three materialized passes
         return corpus.clean_corpus(_t(spark, sf, "documents"))
 
+    def q_mixing_rates(spark, sf):
+        # quality-weighted static data mix: per-source keep-rates for a
+        # 10k-token budget; quality mass summed in the integer domain
+        # so the aggregate is order-independent (hash-checkable)
+        return corpus.mixing_rates(_t(spark, sf, "documents"),
+                                   budget_tokens=10_000)
+
     def q_scrub_pipeline(spark, sf):
         # the full Gopher/RefinedWeb-rules stack in one plan: clean
         # selection + repetition thresholds + PII masking.  Addresses
@@ -940,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_quantiles": q_length_quantiles,
         "corpus_clean_pipeline": q_clean_pipeline,
         "corpus_scrub_pipeline": q_scrub_pipeline,
+        "corpus_mixing_rates": q_mixing_rates,
         "scalar_extract_price": scalar_extract_price,
         "scalar_extract_number": scalar_extract_number,
         "scalar_image_url": scalar_image_url,
@@ -1988,6 +1996,31 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
 
         # the composed Gopher/RefinedWeb scrub (see _scrub_sql)
         "corpus_scrub_pipeline": _scrub_sql(),
+
+        # quality-weighted static mix (corpus.mixing_rates, budget
+        # 10k): micro-quality (round(q*1e6) BIGINT) sums are exact, so
+        # the proportional allocation hashes identically
+        "corpus_mixing_rates": f"""
+            WITH q AS ({_QUALITY_SQL}),
+            toks AS (
+              SELECT doc_id, source,
+                     len({_CORPUS_WORDS}) AS n_tokens
+              FROM documents),
+            per AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(n_tokens) AS n_tokens,
+                     sum(CAST(round(quality * 1e6) AS BIGINT))
+                       AS weight_micro
+              FROM toks JOIN q USING (doc_id)
+              GROUP BY source),
+            tot AS (SELECT sum(weight_micro) AS total_micro FROM per)
+            SELECT source, n_docs, n_tokens,
+                   round(weight_micro / 1e6, 6) AS quality_mass,
+                   round(10000.0 * weight_micro / total_micro, 4)
+                     AS alloc_tokens,
+                   round(least(1.0, (10000.0 * weight_micro / total_micro)
+                               / n_tokens), 6) AS rate
+            FROM per, tot""",
 
         # Gopher repetition filters: dup-word fraction + top bigram /
         # trigram share (textstats.repetition_stats).  1-based inclusive

@@ -57,6 +57,7 @@ HEADLINE = [
     "corpus_contamination",
     "corpus_scrub_pipeline",
     "corpus_weighted_sample",
+    "corpus_mixing_rates",
     "corpus_pmi_bigrams",
     "url_canonicalize",
     "url_template_mining",

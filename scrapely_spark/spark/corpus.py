@@ -398,3 +398,44 @@ def length_quantiles(docs: DataFrame,
         aggs.append(F.round(F.percentile("n_tokens", F.lit(q)), 6)
                     .alias(name))
     return base.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000) -> DataFrame:
+    """Quality-weighted static data mix: per-source sampling rates that
+    spend a token budget proportionally to each source's quality mass.
+
+    The standard pretraining-mix decision (cf. the DoReMi family's
+    static baseline): weight every source by the SUM of its documents'
+    quality scores, allocate ``budget_tokens`` proportionally, convert
+    to a per-source keep-rate capped at 1.0.  Feed the rates to
+    :func:`stratified_sample` keyed by source to materialize the mix.
+
+    Determinism note: quality mass is summed in the integer domain
+    (micro-quality = round(quality·1e6) as BIGINT) so the aggregate is
+    exact under any partitioning/order — a double sum would be
+    last-ulp order-dependent and break the cross-engine hash check.
+    One scan, one groupBy(source) with map-side combine, one 1-row
+    broadcast of the total.
+    """
+    from scrapely_spark.spark import textstats
+
+    q = textstats.quality_scores(docs).select("doc_id", "quality")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("n_tokens"))
+    per = (toks.join(q, "doc_id")
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum(F.round(F.col("quality") * 1e6).cast("long"))
+                .alias("weight_micro")))
+    tot = F.broadcast(per.agg(F.sum("weight_micro").alias("total_micro")))
+    alloc = (F.lit(float(budget_tokens)) * F.col("weight_micro")
+             / F.col("total_micro"))
+    return (per.crossJoin(tot).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("weight_micro") / 1e6, 6).alias("quality_mass"),
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(F.least(F.lit(1.0), alloc / F.col("n_tokens")), 6)
+        .alias("rate")))

@@ -417,3 +417,27 @@ def test_scrub_corpus_composes_all_five_filters(spark):
     r = out[0]
     assert r.text_redacted.endswith("ping <EMAIL>")
     assert r.quality >= 0.4 and r.dup_word_frac <= 0.8
+
+
+def test_mixing_rates_allocation_invariants(spark):
+    # two sources, one clearly higher-quality: allocations are
+    # proportional to quality mass, sum to the budget, and the rate
+    # caps at 1.0 when a source's allocation exceeds its tokens
+    rich = ("the quick brown fox and the lazy dog walk to the market "
+            "in the morning to buy a basket of bread for the family ")
+    poor = "zxq wvu tsr qpo nml"
+    rows = [(i, rich, "en", "good", len(rich)) for i in range(8)]
+    rows += [(100 + i, poor, "en", "bad", len(poor)) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r.source: r for r in
+           corpus.mixing_rates(df, budget_tokens=200).collect()}
+    good, bad = out["good"], out["bad"]
+    assert good.quality_mass > bad.quality_mass
+    assert abs(good.alloc_tokens + bad.alloc_tokens - 200.0) < 0.01
+    ratio = good.alloc_tokens / bad.alloc_tokens
+    assert abs(ratio - good.quality_mass / bad.quality_mass) < 1e-3
+    # the tiny source's allocation exceeds its 40 tokens -> rate caps
+    assert bad.n_tokens == 40 and bad.rate == 1.0
+    assert 0.0 < good.rate < 1.0
