@@ -1632,14 +1632,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, band_id, band_key,
                      (doc_id % 5 = 0) AS is_new
               FROM capped)
-            SELECT DISTINCT
-                   least(a.doc_id, b.doc_id) AS doc_a,
+            SELECT least(a.doc_id, b.doc_id) AS doc_a,
                    greatest(a.doc_id, b.doc_id) AS doc_b,
-                   NOT b.is_new AS vs_index
+                   min(NOT b.is_new) AS vs_index
             FROM flagged a JOIN flagged b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
             WHERE a.is_new AND a.doc_id <> b.doc_id
-              AND (NOT b.is_new OR a.doc_id < b.doc_id)""",
+              AND (NOT b.is_new OR a.doc_id < b.doc_id)
+            GROUP BY 1, 2""",
 
         # connected components of the capped candidate graph via a
         # recursive CTE (min reachable label per node; edges are made

@@ -421,9 +421,7 @@ def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000) -> DataFrame:
 
     q = textstats.quality_scores(docs).select("doc_id", "quality")
     toks = docs.select(
-        "doc_id", "source",
-        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-        .alias("n_tokens"))
+        "doc_id", "source", F.size(_words()).alias("n_tokens"))
     per = (toks.join(q, "doc_id")
            .groupBy("source")
            .agg(F.count("*").alias("n_docs"),

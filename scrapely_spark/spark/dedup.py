@@ -224,7 +224,9 @@ def minhash_candidates_delta(new_docs: DataFrame,
     batch's signatures are computed here.
 
     Emits ``(doc_a, doc_b, vs_index)`` where every pair involves at
-    least one new document; ``vs_index`` marks new-vs-index pairs.
+    least one new document — exactly one row per pair; ``vs_index`` is
+    true only when the pair is NOT discoverable within the batch alone
+    (i.e. one endpoint exists solely in the index).
     The hot-bucket cap counts BOTH sides of the union (a boilerplate
     bucket is hot regardless of arrival time), so
     ``candidates(old ∪ new) == candidates(old) ∪ delta(new, bands(old))``
@@ -247,15 +249,18 @@ def minhash_candidates_delta(new_docs: DataFrame,
     a = allb.where("is_new").alias("a")
     b = allb.alias("b")
     # a.doc_id != b.doc_id also guards re-ingestion: a doc present in
-    # BOTH the batch and the index must not pair with itself
+    # BOTH the batch and the index must not pair with itself.  A pair
+    # can reach here through two arms when one endpoint is re-ingested
+    # (new-vs-new AND new-vs-index); the min() collapse keeps ONE row
+    # and prefers vs_index=false — the pair is discoverable within the
+    # batch alone, so it is not an index hit.
     pairs = (a.join(b, ["band_id", "band_key"])
              .where((F.col("a.doc_id") != F.col("b.doc_id"))
                     & ((~F.col("b.is_new"))
                        | (F.col("a.doc_id") < F.col("b.doc_id"))))
-             .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                     F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                     (~F.col("b.is_new")).alias("vs_index"))
-             .distinct())
+             .groupBy(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                      F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+             .agg(F.min(~F.col("b.is_new")).alias("vs_index")))
     return _unpersist_on_gc(pairs, [new_bands])
 
 

@@ -129,16 +129,26 @@ def cms_build(df: DataFrame, value_col, depth: int = 4,
         F.struct(F.lit(r).alias("row"),
                  cms_hash(value_col, r, width).alias("col"))
         for r in range(depth)])
+    # the sketch carries its own (depth, width) so a point query with
+    # mismatched params fails loudly instead of silently returning 0s
     return (df.select(F.explode(cells).alias("c"))
             .groupBy(F.col("c.row").alias("row"),
                      F.col("c.col").alias("col"))
-            .agg(F.count("*").alias("cnt")))
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("_depth", F.lit(depth))
+            .withColumn("_width", F.lit(width)))
 
 
 def cms_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
-    """Cell-wise sum — the combine step between partitions / days."""
+    """Cell-wise sum — the combine step between partitions / days.
+
+    Merging sketches of different (depth, width) is meaningless; the
+    param columns ride the groupBy so a mismatch surfaces as rows with
+    conflicting ``_depth``/``_width`` that :func:`cms_estimate` rejects.
+    """
     return (sketch_a.unionByName(sketch_b)
-            .groupBy("row", "col").agg(F.sum("cnt").alias("cnt")))
+            .groupBy("row", "col", "_depth", "_width")
+            .agg(F.sum("cnt").alias("cnt")))
 
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
@@ -147,7 +157,18 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
 
     A (row, col) absent from the cell table means zero observations —
     the left join's NULL coalesces to 0, so unseen keys estimate 0.
+    Raises ``ValueError`` when ``depth``/``width`` disagree with the
+    params stamped on the sketch at build time — a mismatch would
+    silently hash probes into the wrong cells and break the
+    never-underestimates guarantee.
     """
+    stamped = sketch.select("_depth", "_width").distinct().collect()
+    if len(stamped) != 1 or (stamped[0]._depth, stamped[0]._width) \
+            != (depth, width):
+        raise ValueError(
+            "sketch was built with %s, queried with depth=%d width=%d"
+            % ([(r._depth, r._width) for r in stamped], depth, width))
+    sketch = sketch.drop("_depth", "_width")
     cells = F.array(*[
         F.struct(F.lit(r).alias("row"),
                  cms_hash(F.col(value_col), r, width).alias("col"))

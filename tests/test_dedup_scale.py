@@ -572,3 +572,11 @@ def test_minhash_delta_reingestion_no_self_pairs(spark):
     assert all(r.doc_a != r.doc_b for r in got)
     # it still pairs with its true near-dups in the index
     assert {(r.doc_a, r.doc_b) for r in got} == {(0, 2), (0, 4)}
+    # double-emission guard: a near-dup pair WITHIN the batch whose
+    # endpoint is also indexed must emit exactly one row, flagged as
+    # intra-batch (vs_index=false) — not one row per join arm
+    got2 = dedup.minhash_candidates_delta(
+        every.where("doc_id IN (0, 2)"),          # both new, near-dups
+        dedup.minhash_bands(every.where("doc_id = 0")),  # 0 re-ingested
+        max_bucket=10_000).collect()
+    assert [(r.doc_a, r.doc_b, r.vs_index) for r in got2] == [(0, 2, False)]

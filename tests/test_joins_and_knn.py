@@ -487,3 +487,20 @@ def test_cms_random_twin(spark):
     want_est = {k: min(cells.get((r, cell(k, r)), 0)
                        for r in range(depth)) for k in range(32)}
     assert got_est == want_est
+
+
+def test_cms_param_mismatch_raises(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from scrapely_spark.spark import sketches
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    sk = sketches.cms_build(df, F.col("k"), depth=4, width=1024)
+    keys = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="built with"):
+        sketches.cms_estimate(sk, keys, "k")          # default width=256
+    with _pytest.raises(ValueError, match="built with"):
+        sketches.cms_estimate(sk, keys, "k", depth=2, width=1024)
+    # matching params still work
+    [r] = sketches.cms_estimate(sk, keys, "k", depth=4,
+                                width=1024).collect()
+    assert r.est_count == 1
