@@ -904,6 +904,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search.tfidf_keywords(_t(spark, sf, "documents"), k=3)
 
     return {
+        # never-driver-checked and recently-changed queries first:
+        # the driver's correctness window covers the head of this
+        # dict, so ordering is freshest-first, long-stable last
+        "asof_purchase_view": q_asof_purchase_view,
+        "knn_join_topk": q_knn_join,
+        "ann_sq8_topk": q_ann_sq8,
+        "ann_pq_topk": q_ann_pq,
+        "ann_bq_topk": q_ann_bq,
+        "events_running_totals": q_running_totals,
+        "range_purchase_sessions": q_range_purchase_sessions,
+        "sketch_distinct_user_days": q_sketch_distinct,
+        "sketch_cms_user_counts": q_cms_counts,
+        "embedding_dup_clusters": q_embedding_clusters,
+        "corpus_weighted_sample": q_weighted_sample,
+        "corpus_pmi_bigrams": q_pmi_bigrams,
+        "graph_pagerank": q_graph_pagerank,
+        "search_bm25_topk": q_bm25,
+        "search_tfidf_keywords": q_tfidf,
+        "corpus_mixing_rates": q_mixing_rates,
+        "join_top_nations": q_top_nations,
+        "window_top_orders": q_window_orders,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessions,
+        "events_session_windows": q_session_windows,
+        "events_json_extract": q_events_json,
+        # long-stable rows (hash-green in prior rounds)
         "ibl_extract_docs": ibl_extract_docs,
         "set_except_customers": q_set_except,
         "set_intersect_customers": q_set_intersect,
@@ -947,34 +973,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_quantiles": q_length_quantiles,
         "corpus_clean_pipeline": q_clean_pipeline,
         "corpus_scrub_pipeline": q_scrub_pipeline,
-        "corpus_mixing_rates": q_mixing_rates,
         "scalar_extract_price": scalar_extract_price,
         "scalar_extract_number": scalar_extract_number,
         "scalar_image_url": scalar_image_url,
         "tpch_pricing_summary": q_tpch_pricing,
         "tpch_q5_region_volume": q_tpch_q5_region_volume,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
-        "join_top_nations": q_top_nations,
-        "window_top_orders": q_window_orders,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessions,
-        "events_session_windows": q_session_windows,
-        "events_json_extract": q_events_json,
-        "asof_purchase_view": q_asof_purchase_view,
-        "knn_join_topk": q_knn_join,
-        "ann_sq8_topk": q_ann_sq8,
-        "events_running_totals": q_running_totals,
-        "range_purchase_sessions": q_range_purchase_sessions,
-        "sketch_distinct_user_days": q_sketch_distinct,
-        "sketch_cms_user_counts": q_cms_counts,
-        "embedding_dup_clusters": q_embedding_clusters,
-        "ann_pq_topk": q_ann_pq,
-        "ann_bq_topk": q_ann_bq,
-        "corpus_weighted_sample": q_weighted_sample,
-        "corpus_pmi_bigrams": q_pmi_bigrams,
-        "graph_pagerank": q_graph_pagerank,
-        "search_bm25_topk": q_bm25,
-        "search_tfidf_keywords": q_tfidf,
     }
 
 

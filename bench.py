@@ -230,7 +230,35 @@ def main():
     if scaling:
         result["scaling"] = run_scaling()
 
-    print(json.dumps(result))
+    # Full per-query detail goes to a file (the driver's stdout capture
+    # is a bounded tail window — round 3's single giant line was
+    # truncated mid-head and unparseable).  The FINAL stdout line is a
+    # compact summary guaranteed to fit the window whole.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH", "bench_detail_latest.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "crawl_urls_per_sec": crawl["urls_per_sec"],
+        "extract_pages_per_sec": extract["pages_per_sec"],
+        "queries_total_sec": round(sum(timings.values()), 3),
+        "n_queries": len(timings),
+        "total_sec": total,
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "detail": "BENCH/bench_detail_latest.json",
+    }
+    if scaling:
+        summary["scaling_efficiency"] = (
+            result["scaling"].get("efficiency"))
+    sys.stdout.flush()
+    print(json.dumps(summary), flush=True)
 
 
 # Default levels sit BELOW the box's memory-bandwidth saturation knee

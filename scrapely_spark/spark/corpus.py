@@ -92,6 +92,16 @@ def pack_greedy(docs: DataFrame, max_tokens: int = 256,
     log n) per shard), not rows, inside ``applyInPandas``; shards run in
     parallel.  DuckDB oracle: per-shard recursive CTE (one row per
     step) — same rule, engine-independent.
+
+    Skew: a hot shard serializes its own scan but stays O(shard) — the
+    boundary kernel does one cumsum plus one binary search per *pack*,
+    so a shard 100× the others costs ~100× the (tiny) kernel time, not
+    100× a per-row Python loop (pinned by
+    test_corpus.test_pack_greedy_hot_shard_skew).  ``n_shards`` is the
+    parallelism/packing-granularity knob: raise it for skewed corpora
+    so the hottest ``doc_id % n_shards`` residue class shrinks; packs
+    never span shards, so more shards only adds ≤ 1 underfull trailing
+    pack per shard.
     """
     import numpy as np
     import pandas as pd

@@ -568,10 +568,16 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame,
              .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b",
                    "left_semi"))
     if driver_max_edges > 0:
-        probe = (pairs.select("doc_a", "doc_b")
-                 .limit(driver_max_edges + 1).toPandas())
+        # the probe executes the (expensive) pair lineage — persist the
+        # slim edge list first so the distributed fallback reuses it
+        # instead of regenerating every LSH candidate from scratch
+        slim = pairs.select("doc_a", "doc_b").persist()
+        probe = slim.limit(driver_max_edges + 1).toPandas()
         if len(probe) <= driver_max_edges:
+            slim.unpersist()
             return _dup_clusters_driver(docs, probe)
+        return _unpersist_on_gc(
+            _dup_clusters_distributed(docs, slim, max_iter), [slim])
     return _dup_clusters_distributed(docs, pairs, max_iter)
 
 

@@ -48,6 +48,22 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     """
     if direction != "backward":
         raise NotImplementedError("only backward as-of is implemented")
+    # the tie-break cast below is to long — a non-numeric order_col
+    # would become all-NULL and silently lose the determinism promise
+    _NUMERIC = ("byte", "short", "int", "integer", "long", "bigint",
+                "float", "double")
+    ord_type = right.schema[order_col].dataType.simpleString()
+    if not any(ord_type.startswith(t) for t in _NUMERIC) \
+            and not ord_type.startswith("decimal"):
+        raise ValueError(
+            "order_col %r has type %s; as-of tie-break requires a "
+            "numeric column" % (order_col, ord_type))
+    reserved = {"_k", "_ts", "_side", "_ord", "_payload", "_match"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            "input columns %s collide with asof_join's reserved "
+            "internal names" % sorted(clash))
     payload = F.struct(*[F.col(c) for c in right_cols])
     # a NULL right timestamp can never satisfy l.ts >= r.ts (ASOF
     # comparison semantics) — drop it before it sorts to the partition
@@ -102,14 +118,24 @@ def range_join(points: DataFrame, intervals: DataFrame, key: str,
     each containing interval emits its own output row.
     """
     width = F.expr("INTERVAL %s" % bucket)
-    wsec = (F.lit(0).cast("timestamp") + width).cast("long")
-    p_bucket = F.floor(F.col(ts).cast("timestamp").cast("long") / wsec)
-    i_first = F.floor(
-        F.col(start_col).cast("timestamp").cast("long") / wsec)
-    # end is exclusive: the bucket of (end − 1µs) is the last covered
-    i_last = F.floor(
-        (F.col(end_col).cast("timestamp").cast("double") - F.lit(1e-6))
-        .cast("long") / wsec)
+    w_us = ((F.lit(0).cast("timestamp") + width).cast("long")
+            * F.lit(1_000_000))
+
+    def _floordiv(a, b):
+        # exact floor division on longs: pmod is non-negative, so
+        # (a − pmod(a,b)) is an exact multiple of b and the double
+        # quotient is an exactly-representable integer.  cast("long")
+        # after a bare `/` would truncate toward zero and mis-bucket
+        # pre-1970 (negative-epoch) timestamps by one.
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    p_bucket = _floordiv(F.unix_micros(F.col(ts).cast("timestamp")), w_us)
+    i_first = _floordiv(
+        F.unix_micros(F.col(start_col).cast("timestamp")), w_us)
+    # end is exclusive: the bucket of (end − 1µs) is the last covered,
+    # under the SAME floor semantics as p_bucket/i_first
+    i_last = _floordiv(
+        F.unix_micros(F.col(end_col).cast("timestamp")) - F.lit(1), w_us)
     p = points.withColumn("_bucket", p_bucket)
     i = intervals.withColumn(
         "_bucket", F.explode(F.sequence(i_first,

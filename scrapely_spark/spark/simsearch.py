@@ -282,6 +282,11 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
         raise ValueError(
             "query side exceeds max_queries=%d; knn_join broadcasts the "
             "query side — flip the sides or raise the cap" % max_queries)
+    if not q_rows:
+        # no queries → no neighbors; short-circuit instead of handing
+        # numpy a 0-d array to norm over
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, score double")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
@@ -417,6 +422,10 @@ def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
 
     rows = (embeddings.select("vec_id", vec_col).orderBy("vec_id")
             .limit(sample).collect())
+    if not rows:
+        raise ValueError(
+            "pq_train needs a non-empty training sample; the embeddings "
+            "DataFrame produced no rows")
     vec_ids = [r[0] for r in rows]
     X = np.array([r[1] for r in rows], dtype=np.float64)
     dim = X.shape[1]

@@ -163,8 +163,12 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
     never-underestimates guarantee.
     """
     stamped = sketch.select("_depth", "_width").distinct().collect()
-    if len(stamped) != 1 or (stamped[0]._depth, stamped[0]._width) \
-            != (depth, width):
+    # an empty sketch (no observations in the partition/day) is valid:
+    # there is no stamped geometry to contradict, and the left join
+    # below coalesces every probe to the correct estimate of 0
+    if stamped and (len(stamped) != 1
+                    or (stamped[0]._depth, stamped[0]._width)
+                    != (depth, width)):
         raise ValueError(
             "sketch was built with %s, queried with depth=%d width=%d"
             % ([(r._depth, r._width) for r in stamped], depth, width))

@@ -441,3 +441,49 @@ def test_mixing_rates_allocation_invariants(spark):
     # the tiny source's allocation exceeds its 40 tokens -> rate caps
     assert bad.n_tokens == 40 and bad.rate == 1.0
     assert 0.0 < good.rate < 1.0
+
+
+def test_pack_greedy_hot_shard_skew(spark):
+    """One shard holding ~100× the documents: boundaries stay exact
+    (first-fit scan reference) and the hot shard's boundary kernel
+    stays O(shard) — the whole skewed run completes in seconds, far
+    below what a per-row Python loop over the hot shard would cost."""
+    import time
+
+    n_shards = 8
+    hot_docs, cold_docs = 40_000, 400   # shard 0 ≈ 100× shards 1..7
+    rows = []
+    did = 0
+    # shard = doc_id % n_shards → control the residue class directly
+    for i in range(hot_docs):
+        rows.append((i * n_shards, "w " * ((i % 7) + 1)))
+    for s in range(1, n_shards):
+        for i in range(cold_docs):
+            rows.append((i * n_shards + s, "w " * ((i % 7) + 1)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = time.time()
+    got = corpus.pack_greedy(df, max_tokens=16, n_shards=n_shards) \
+        .orderBy("doc_id").collect()
+    wall = time.time() - t0
+    # generous absolute bound: the boundary kernel packs the 40k-row hot
+    # shard in well under a second; 60s catches an O(rows²) or
+    # per-row-Python regression without being flaky on a loaded box
+    assert wall < 60, wall
+
+    # exactness: replay first-fit sequentially per shard
+    by_shard: dict = {}
+    for doc_id, text in sorted(rows):
+        by_shard.setdefault(doc_id % n_shards, []).append(
+            (doc_id, len(text.split())))
+    want = {}
+    for shard, docs in by_shard.items():
+        acc, pid = 0, 0
+        for doc_id, n_tok in docs:
+            if acc and acc + n_tok > 16:
+                pid, acc = pid + 1, 0
+            acc += n_tok
+            want[doc_id] = (shard, pid, n_tok)
+    assert len(got) == len(want)
+    for r in got:
+        assert (r.shard, r.pack_id, r.n_tokens) == want[r.doc_id], r

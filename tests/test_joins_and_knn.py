@@ -504,3 +504,79 @@ def test_cms_param_mismatch_raises(spark):
     [r] = sketches.cms_estimate(sk, keys, "k", depth=4,
                                 width=1024).collect()
     assert r.est_count == 1
+
+
+# --------------------------------------------------------------------------
+# round-4 advice regressions
+# --------------------------------------------------------------------------
+
+def test_asof_join_rejects_non_numeric_order_col(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100)], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "a", "p")],
+        "k long, ts timestamp, name string, v string")
+    with pytest.raises(ValueError, match="numeric"):
+        asof_join(left, right, key="k", ts="ts",
+                  right_cols=["v"], order_col="name")
+
+
+def test_asof_join_rejects_reserved_column_clash(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 9)], "k long, ts timestamp, _ord long")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 1, "p")],
+        "k long, ts timestamp, rid long, v string")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, key="k", ts="ts",
+                  right_cols=["v"], order_col="rid")
+
+
+def test_range_join_pre1970_bucket_boundary(spark):
+    """Negative-epoch end timestamps must use floor (not truncate-to-zero)
+    bucketing: an interval ending exactly on a bucket boundary before
+    1970 previously lost its last covered bucket and dropped matches."""
+    from scrapely_spark.spark.joins import range_join
+    T = _ts
+    points = [
+        (1, T("1969-12-31T22:30:00"), 1),   # inside, pre-epoch
+        (1, T("1969-12-31T23:59:59"), 2),   # just before an end boundary
+        (1, T("1970-01-01T00:00:00"), 3),   # == end: exclusive
+    ]
+    intervals = [
+        (1, T("1969-12-31T18:00:00"), T("1970-01-01T00:00:00"), 10),
+    ]
+    p = spark.createDataFrame(points, "k long, ts timestamp, pid long")
+    i = spark.createDataFrame(
+        intervals, "k long, s timestamp, e timestamp, iid long")
+    for bucket in ["6 hours", "30 minutes", "1 days"]:
+        got = sorted((r.pid, r.iid) for r in range_join(
+            p, i, key="k", ts="ts", start_col="s", end_col="e",
+            bucket=bucket).collect())
+        assert got == _brute_range(points, intervals), bucket
+
+
+def test_knn_join_empty_queries_returns_empty(spark):
+    corpus = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    empty_q = corpus.where("vec_id < 0")
+    out = simsearch.knn_join(empty_q, corpus, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["query_id", "vec_id", "score"]
+
+
+def test_pq_train_empty_sample_raises(spark):
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    with pytest.raises(ValueError, match="non-empty"):
+        simsearch.pq_train(emb.where("vec_id < 0"))
+
+
+def test_cms_estimate_empty_sketch_estimates_zero(spark):
+    from scrapely_spark.spark import sketches
+    df = spark.createDataFrame([], "k long")
+    sk = sketches.cms_build(df, F.col("k"), depth=4, width=256)
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    got = {r.k: r.est_count for r in
+           sketches.cms_estimate(sk, keys, "k", depth=4,
+                                 width=256).collect()}
+    assert got == {1: 0, 2: 0}
