@@ -468,6 +468,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus.mixing_rates(_t(spark, sf, "documents"),
                                    budget_tokens=10_000)
 
+    def q_llm_corpus_build(spark, sf):
+        # the INTEGRATION row: crawl/extract → MinHash dedup → clusters
+        # → scrub → mixing rates → mix materialization → packing, all
+        # composed in one lineage (corpus.llm_corpus_build); every
+        # stage is the same operator verified piecewise by its own row.
+        # The oracle replays the whole chain as one DuckDB query.
+        return corpus.llm_corpus_build(
+            _t(spark, sf, "documents"),
+            ibl_extract_docs(spark, sf))
+
     def q_scrub_pipeline(spark, sf):
         # the full Gopher/RefinedWeb-rules stack in one plan: clean
         # selection + repetition thresholds + PII masking.  Addresses
@@ -929,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessions,
         "events_session_windows": q_session_windows,
         "events_json_extract": q_events_json,
+        # new this round: the end-to-end corpus-build integration row
+        "llm_corpus_build": q_llm_corpus_build,
         # long-stable rows (hash-green in prior rounds)
         "ibl_extract_docs": ibl_extract_docs,
         "set_except_customers": q_set_except,
@@ -1538,6 +1550,102 @@ def _scrub_sql() -> str:
         over_aug(_REPETITION_SQL), red)
 
 
+
+def _llm_corpus_build_sql() -> str:
+    """DuckDB twin of corpus.llm_corpus_build — the WHOLE chain in one
+    query: MinHash banding + capped candidate pairs (_BANDS_SQL) →
+    connected components (recursive CTE) → canonical survivors → the
+    scrub stack (exact keeper ∧ quality ∧ langid ∧ repetition, same
+    fragments as the piecewise oracles) → quality-weighted mixing
+    rates → md5-ticket mix materialization → first-fit packing
+    (recursive CTE) → the packed record joined with the extraction
+    oracle's closed-form caption."""
+    return _BANDS_SQL.replace("WITH", "WITH RECURSIVE", 1) + f"""
+            , cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM capped a JOIN capped b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id)
+            , cedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cands
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM cands)
+            , reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.src, r.lab
+                FROM reach r JOIN cedges e ON e.dst = r.node)
+            , comp AS (
+              SELECT node AS doc_id, min(lab) AS canonical_doc_id
+              FROM reach GROUP BY node)
+            , keep0 AS (
+              SELECT doc_id FROM comp WHERE doc_id = canonical_doc_id)
+            , q AS ({_QUALITY_SQL})
+            , l AS ({_LANGID_SQL})
+            , r AS ({_REPETITION_SQL})
+            , kx AS (SELECT doc_id FROM (
+                SELECT d.doc_id,
+                       min(d.doc_id) OVER (PARTITION BY md5(d.text))
+                         AS keeper
+                FROM documents d JOIN keep0 USING (doc_id))
+              WHERE doc_id = keeper)
+            , scrub AS (
+              SELECT q.doc_id, l.lang, q.quality
+              FROM kx JOIN q USING (doc_id) JOIN l USING (doc_id)
+                      JOIN r USING (doc_id)
+              WHERE q.quality >= 0.4 AND l.predicted_lang = l.lang
+                AND r.dup_word_frac <= 0.62
+                AND r.top_bigram_frac <= 0.08)
+            , kept AS (
+              SELECT d.doc_id, d.source, s.lang, s.quality,
+                     len({_CORPUS_WORDS}) AS n_tokens
+              FROM documents d JOIN scrub s USING (doc_id))
+            , per AS (
+              SELECT source, sum(n_tokens) AS n_tokens,
+                     sum(CAST(round(quality * 1e6) AS BIGINT))
+                       AS weight_micro
+              FROM kept GROUP BY source)
+            , tot AS (SELECT sum(weight_micro) AS total_micro FROM per)
+            , rates AS (
+              SELECT source,
+                     round(least(1.0,
+                                 (10000.0 * weight_micro / total_micro)
+                                 / n_tokens), 6) AS rate
+              FROM per, tot)
+            , sampled AS (
+              SELECT k.*, r2.rate
+              FROM kept k JOIN rates r2 USING (source)
+              WHERE r2.rate >= 1.0
+                 OR substr(md5(CAST(k.doc_id AS VARCHAR) || ':42'), 1, 8)
+                    < printf('%08x',
+                             CAST(floor(r2.rate * 4294967296.0)
+                                  AS BIGINT)))
+            , po AS (
+              SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+                     row_number() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS rn
+              FROM sampled)
+            , pg AS (
+              SELECT doc_id, shard, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+              FROM po WHERE rn = 1
+              UNION ALL
+              SELECT po.doc_id, po.shard, po.n_tokens, po.rn,
+                     CASE WHEN pg.acc + po.n_tokens > 256
+                          THEN pg.pack_id + 1 ELSE pg.pack_id END,
+                     CASE WHEN pg.acc + po.n_tokens > 256
+                          THEN po.n_tokens ELSE pg.acc + po.n_tokens END
+              FROM pg JOIN po ON po.shard = pg.shard
+                             AND po.rn = pg.rn + 1)
+            SELECT p.doc_id, s.source, s.lang, p.shard, p.pack_id,
+                   CAST(p.n_tokens AS INT) AS n_tokens, s.quality,
+                   round(s.rate, 6) AS rate,
+                   trim(regexp_replace(substr(d.text, 1, 48),
+                                       '\\s+', ' ', 'g')) AS caption
+            FROM pg p JOIN sampled s USING (doc_id)
+                      JOIN documents d USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ibl_extract_docs": _IBL_EXTRACT_DOCS_SQL,
@@ -2000,6 +2108,8 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
 
         # the composed Gopher/RefinedWeb scrub (see _scrub_sql)
         "corpus_scrub_pipeline": _scrub_sql(),
+
+        "llm_corpus_build": _llm_corpus_build_sql(),
 
         # quality-weighted static mix (corpus.mixing_rates, budget
         # 10k): micro-quality (round(q*1e6) BIGINT) sums are exact, so

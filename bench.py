@@ -67,6 +67,12 @@ HEADLINE = [
     "tpch_q14_promo_share",
     "join_top_nations",
     "events_sessionize",
+    # end-to-end composition row (round 4)
+    "llm_corpus_build",
+    # bench-only approximate twins of the exact operators (see
+    # _approx_twins): the 100 TB sketch paths, exercised not described
+    "approx_length_quantiles",
+    "approx_kmv_user_days_k1024",
 ]
 
 # crawl sizing: enough host fan-out that per-round politeness budgets sum
@@ -117,9 +123,39 @@ def warmup(spark):
         .select(_noop("id")).count()
 
 
+def _approx_twins() -> dict:
+    """Bench-only 100 TB variants of the exact operators.
+
+    These are the sketch/approximate paths the exact queries' docstrings
+    name for real scale: engine-specific approximations have no
+    cross-engine oracle, so they are exercised (and timed) here instead
+    of in queries().  Correctness envelope vs the exact twin is pinned
+    in tests (test_corpus / test_joins_and_knn)."""
+    from pyspark.sql import functions as F
+    from scrapely_spark.spark import corpus
+    from scrapely_spark.spark.sketches import kmv_distinct
+
+    def approx_length_quantiles(spark, sf):
+        docs = spark.read.parquet(sf + "/documents.parquet")
+        return corpus.length_quantiles(docs, approx=True)
+
+    def approx_kmv_user_days_k1024(spark, sf):
+        # the sketch_distinct_user_days shape at production k: tighter
+        # estimates, identical one-exchange plan
+        e = spark.read.parquet(sf + "/events.parquet")
+        day_user = F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd"))
+        return kmv_distinct(e.withColumn("_v", day_user),
+                            ["event_type"], F.col("_v"), k=1024)
+
+    return {"approx_length_quantiles": approx_length_quantiles,
+            "approx_kmv_user_days_k1024": approx_kmv_user_days_k1024}
+
+
 def run_queries(spark) -> dict:
     import __spark_entry__ as contract
-    qs = contract.queries()
+    qs = dict(contract.queries(), **_approx_twins())
     timings = {}
     for name in HEADLINE:
         t0 = time.time()

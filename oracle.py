@@ -39,10 +39,19 @@ class OracleCrawl:
     def __init__(self, n_pages: int, seeds: list[str],
                  robots: dict[str, dict] | None = None,
                  n_hosts: int = datagen.N_HOSTS_DEFAULT,
-                 round_seconds: float = 10.0):
+                 round_seconds: float = 10.0,
+                 authority_levels: int = 1,
+                 authority_iters: int = 3,
+                 template_budget: int = 0):
         self.n = n_pages
         self.n_hosts = n_hosts
         self.round_seconds = round_seconds
+        # PageRank-driven prioritization twins (rounds.crawl kwargs of
+        # the same names); levels == 1 disables (identity priority)
+        self.authority_levels = authority_levels
+        self.authority_iters = authority_iters
+        self.template_budget = template_budget
+        self.host_edges: set = set()   # accumulated (src_host, dst_host)
         self.robots = robots if robots is not None else {
             r["host"]: r for r in
             (datagen.robots_record(h) for h in range(n_hosts))}
@@ -60,7 +69,9 @@ class OracleCrawl:
             self.enqueue(url, depth=0)
 
     def enqueue(self, url: str, depth: int):
-        canon = canonicalize(url)
+        self.enqueue_canonical(canonicalize(url), depth)
+
+    def enqueue_canonical(self, canon: str, depth: int):
         if canon in self.seen:
             return
         self.seen.add(canon)
@@ -75,26 +86,76 @@ class OracleCrawl:
         rules = self.robots.get(host)
         return rules["crawl_delay"] if rules else DEFAULT_CRAWL_DELAY
 
+    def _authority_buckets(self) -> dict | None:
+        """Round-start host→bucket map from the accumulated link graph
+        (the twin of rounds.crawl's ``_authority_view``)."""
+        if self.authority_levels <= 1 or not self.host_edges:
+            return None
+        from scrapely_spark.spark.graph import (authority_buckets_py,
+                                                pagerank_micro_py)
+        ranks = pagerank_micro_py(self.host_edges, self.authority_iters)
+        return authority_buckets_py(ranks, self.authority_levels)
+
     def run_round(self, round_id: int) -> int:
-        # per-host top-budget selection in (priority, canonical_url) order
+        # per-host top-budget selection in (priority, canonical_url)
+        # order, where priority is the recorded composite
+        # depth·levels + auth_bucket when authority mode is on
+        # (levels == 1 makes it plain depth)
+        levels = self.authority_levels
+        buckets = self._authority_buckets()
+
+        def eff(depth: int, host: str) -> int:
+            if levels <= 1:
+                return depth
+            b = buckets.get(host, levels - 1) if buckets else levels - 1
+            return depth * levels + b
+
         by_host: dict[str, list] = {}
         for canon, (prio, host) in self.frontier.items():
-            by_host.setdefault(host, []).append((prio, canon))
+            by_host.setdefault(host, []).append((eff(prio, host), canon))
         batch = []
         for host, entries in by_host.items():
             entries.sort()
             batch.extend(entries[:host_budget(self.crawl_delay(host), self.round_seconds)])
         batch.sort()  # the recorded fetch order
+        # candidate collection is BATCHED per round (the Spark round
+        # aggregates all discovered links before the seen check):
+        # first-wins keeps each canonical's min depth — the earliest
+        # fetcher in (priority, url) order has the round's min depth
+        cands: dict[str, tuple] = {}  # canon → (depth, host)
         for prio, canon in batch:
             self.fetch_log.append((round_id, prio, canon))
+            depth = self.frontier[canon][0]
             del self.frontier[canon]
             hit = self.pages_by_canon.get(canon)
             if hit is None:
                 continue  # fetch miss (e.g. query-noise link)
             i, _rec = hit
             self.extracted += 1
+            src_host = (urlsplit(canon).hostname or "").lower()
             for link in datagen.link_targets(i, self.n, self.n_hosts):
-                self.enqueue(link, depth=prio + 1)
+                c = canonicalize(link)
+                if not c:
+                    continue
+                h = (urlsplit(c).hostname or "").lower()
+                if not h:
+                    continue
+                if src_host:
+                    self.host_edges.add((src_host, h))
+                if c not in cands:
+                    cands[c] = (depth + 1, h)
+        if self.template_budget > 0:
+            from scrapely_spark.frontier.canonical import path_template_of
+            fams: dict[tuple, list] = {}
+            for c, (d, h) in cands.items():
+                fams.setdefault((h, path_template_of(c)), []).append((d, c))
+            kept = set()
+            for lst in fams.values():
+                lst.sort()
+                kept.update(c for _, c in lst[:self.template_budget])
+            cands = {c: dh for c, dh in cands.items() if c in kept}
+        for c, (d, _h) in sorted(cands.items()):
+            self.enqueue_canonical(c, depth=d)
         return len(batch)
 
     def run(self, max_rounds: int = 50) -> "OracleCrawl":

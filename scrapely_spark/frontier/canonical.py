@@ -202,11 +202,52 @@ def url_template_stats(urls_df):
     """
     from pyspark.sql import functions as F
 
-    path = F.regexp_extract(
-        "canonical_url", r"^[a-z]+://[^/]+(/[^?#]*)", 1)
-    tpl = F.regexp_replace(path, "[0-9]+", "N")
+    tpl = path_template_expr(F.col("canonical_url"))
     return (urls_df
             .select("host", tpl.alias("path_template"), "canonical_url")
             .groupBy("host", "path_template")
             .agg(F.count("*").alias("n_urls"),
                  F.min("canonical_url").alias("example_url")))
+
+
+def path_template_expr(url_col):
+    """Digit-normalized path template of a canonical URL (Spark expr).
+
+    The ONE spelling of the template rule — shared by
+    :func:`url_template_stats`, the crawl's per-round template budget
+    (frontier.rounds) and the pure-Python oracle twin
+    :func:`path_template_of`, so the three can never drift.
+    """
+    from pyspark.sql import functions as F
+    path = F.regexp_extract(url_col, r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    return F.regexp_replace(path, "[0-9]+", "N")
+
+
+def path_template_of(canonical_url: str) -> str:
+    """Pure-Python twin of :func:`path_template_expr` (oracle side)."""
+    import re
+    m = re.match(r"^[a-z]+://[^/]+(/[^?#]*)", canonical_url)
+    return re.sub("[0-9]+", "N", m.group(1)) if m else ""
+
+
+def cap_template_families(candidates, max_urls: int):
+    """Spider-trap budget: keep at most ``max_urls`` candidates per
+    (host, digit-normalized path template) family, selected on the
+    crawl's total key ``(priority asc, canonical_url asc)``.
+
+    Calendars/session-ids/pagination mint unbounded URL families whose
+    members differ only in digit runs; capping each family bounds the
+    frontier growth a trap can cause to O(templates · max_urls) per
+    round.  One window whose partitions are template families — at a
+    10^10 frontier the hottest family inside one round is the cap's
+    own bound from the PREVIOUS round's enqueue, so the window never
+    sees an unbounded partition after the first capped round; the salt
+    trick (politeness.py) applies if a first round must swallow a
+    pre-poisoned seed list.
+    """
+    from pyspark.sql import Window, functions as F
+    w = (Window.partitionBy("host",
+                            path_template_expr(F.col("canonical_url")))
+         .orderBy(F.col("priority").asc(), F.col("canonical_url").asc()))
+    return (candidates.withColumn("_tr", F.row_number().over(w))
+            .where(F.col("_tr") <= max_urls).drop("_tr"))

@@ -241,7 +241,9 @@ def prepare_replay_store(pages: DataFrame) -> DataFrame:
 
 def _politeness_wave(spark, store: StateStore, frontier: DataFrame,
                      robots: DataFrame, round_id: int,
-                     round_seconds: float) -> dict:
+                     round_seconds: float,
+                     auth: DataFrame | None = None,
+                     levels: int = 1) -> dict:
     """Wave 1: select and stage ``round_id``'s fetch batch.
 
     ``frontier`` is the round's frontier view — either the store-derived
@@ -264,6 +266,29 @@ def _politeness_wave(spark, store: StateStore, frontier: DataFrame,
     itself OOMs), and the planner sees the batch's true on-disk size.
     """
     t = time.time()
+    if levels > 1:
+        # authority-weighted ordering: effective priority is the
+        # composite (depth, auth_bucket) encoded as one int — depth
+        # still dominates, but inside a depth wave authoritative hosts
+        # fetch (and are RECORDED) first.  Hosts the link graph has not
+        # scored yet get the worst bucket.  Per-host selection is
+        # unchanged (one host = one bucket); what changes — and what
+        # the oracle parity re-verifies — is that both engines computed
+        # the identical integer PageRank buckets.
+        if auth is not None:
+            frontier = (frontier
+                        .join(F.broadcast(auth), "host", "left")
+                        .withColumn("auth_bucket",
+                                    F.coalesce("auth_bucket",
+                                               F.lit(levels - 1))))
+        else:
+            frontier = frontier.withColumn("auth_bucket",
+                                           F.lit(levels - 1))
+        frontier = (frontier
+                    .withColumn("priority",
+                                (F.col("priority") * levels
+                                 + F.col("auth_bucket")).cast("int"))
+                    .drop("auth_bucket"))
     # politeness selection (broadcast robots supplies crawl_delay)
     with_delay = (frontier.join(F.broadcast(robots.select(
         "host", "crawl_delay")), "host", "left")
@@ -292,7 +317,9 @@ def _commit_drained(store: StateStore, round_id: int, w1: dict) -> dict:
 
 def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
               plan_bc, round_id: int, spec: BloomSpec,
-              round_seconds: float = 10.0) -> dict:
+              round_seconds: float = 10.0,
+              auth: DataFrame | None = None, levels: int = 1,
+              template_budget: int = 0) -> dict:
     """Execute one committed crawl round; returns its metrics.
 
     ``pages`` must be keyed by canonical URL (see prepare_replay_store).
@@ -302,17 +329,18 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     """
     frontier = frontier_view(spark, store)
     w1 = _politeness_wave(spark, store, frontier, robots, round_id,
-                          round_seconds)
+                          round_seconds, auth=auth, levels=levels)
     if w1["fetched"] == 0:
         return _commit_drained(store, round_id, w1)
     finish, _enqueue = _round_body(spark, store, pages, robots, plan_bc,
-                                   round_id, spec, w1)
+                                   round_id, spec, w1, levels=levels,
+                                   template_budget=template_budget)
     return finish()
 
 
 def _round_body(spark, store: StateStore, pages: DataFrame,
                 robots: DataFrame, plan_bc, round_id: int, spec: BloomSpec,
-                w1: dict):
+                w1: dict, levels: int = 1, template_budget: int = 0):
     """Waves 2-3 of a round whose fetch batch is non-empty.
 
     Returns ``(finish, enqueue_ready)``: ``enqueue_ready()`` waits for
@@ -345,10 +373,14 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
     # src_host rides along so the same canonicalized frame also yields
     # the round's host-level link edges — no second pass over `links`.
     from scrapely_spark.frontier.canonical import host_of_canonical
+    # in authority mode the batch carries the composite priority
+    # (depth·levels + bucket); outlink depth derives from the base depth
+    base_depth = (F.floor(F.col("priority") / levels).cast("int")
+                  if levels > 1 else F.col("priority"))
     links = (ext.select(
         host_of_canonical(F.col("canonical_url")).alias("src_host"),
         F.explode("links").alias("url"),
-        (F.col("priority") + 1).alias("depth")))
+        (base_depth + 1).alias("depth")))
     # cached: two consumers (frontier candidates + LINKS edges) must
     # not each re-run the explode + Arrow canonicalize kernel — the
     # round's heaviest Python work; freed in finish()
@@ -361,6 +393,13 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
                   .agg(F.min("depth").alias("priority"),
                        F.min("url_key").alias("url_key"),
                        F.min("host").alias("host")))
+    if template_budget > 0:
+        # spider-trap budget: cap each (host, path-template) family
+        # BEFORE the seen set sees it — dropped URLs stay eligible for
+        # later rounds and never consume seen/bloom state
+        from scrapely_spark.frontier.canonical import \
+            cap_template_families
+        candidates = cap_template_families(candidates, template_budget)
     # slim by construction: distinct (src_host, dst_host) is bounded by
     # the host graph, not the page count — the table PageRank reads.
     # src guards mirror the dst-side filter (a canonical_url the
@@ -524,7 +563,10 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
           spec: BloomSpec | None = None,
           round_seconds: float = 10.0,
           compact_every: int | None = None,
-          replay_buckets: int = REPLAY_BUCKETS) -> StateStore:
+          replay_buckets: int = REPLAY_BUCKETS,
+          authority_levels: int = 1,
+          authority_iters: int = 3,
+          template_budget: int = 0) -> StateStore:
     """Run (or resume) a crawl to completion or ``max_rounds``.
 
     Resume: everything is derived from the store's ledger — a killed job
@@ -536,6 +578,22 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     Row-set-invariant, so fetch order and the seen set are unchanged; it
     bounds the per-round union chain a months-long crawl would otherwise
     accumulate.
+
+    ``authority_levels > 1`` enables PageRank-driven prioritization: each
+    round recomputes integer-domain PageRank (graph.pagerank_micro —
+    exact, order-independent, replayed bit-identically by the oracle's
+    pure-Python twin) over the committed LINKS host graph, buckets hosts
+    into ``authority_levels`` ordinal quantiles, and schedules on the
+    composite priority ``depth·levels + bucket``.  This mode runs rounds
+    sequentially: round r's signal must include round r-1's committed
+    edges, which pipelining would race.  (At 10^10 scale, refresh the
+    signal every K rounds instead and keep the overlap — the signal ages
+    gracefully; the per-round recompute here is the parity-checkable
+    worst case.)
+
+    ``template_budget > 0`` caps each (host, digit-normalized path
+    template) candidate family per round — the spider-trap/calendar
+    guard (canonical.cap_template_families), oracle-mirrored.
     """
     spec = spec or BloomSpec()
     plan_bc = spark.sparkContext.broadcast(plan)
@@ -566,6 +624,18 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     # total key (priority, canonical_url), so the staged batch is
     # byte-identical to the sequential schedule's — pinned by the
     # oracle fetch-order/seen-set parity tests.
+    def _authority_view():
+        if authority_levels <= 1:
+            return None
+        from scrapely_spark.spark import graph
+        links = store.read_rounds(spark, LINKS)
+        if links is None:
+            return None
+        ranks = graph.pagerank_micro(links.select("src", "dst"),
+                                     iterations=authority_iters)
+        return (graph.authority_buckets(ranks, authority_levels)
+                .withColumnRenamed("node", "host"))
+
     next_w1 = None
     frontier = None
     while round_id < max_rounds:
@@ -573,7 +643,9 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         if next_w1 is None:
             frontier = frontier_view(spark, store)
             w1 = _politeness_wave(spark, store, frontier, robots,
-                                  round_id, round_seconds)
+                                  round_id, round_seconds,
+                                  auth=_authority_view(),
+                                  levels=authority_levels)
         else:
             # frontier was rebuilt from the store after the previous
             # round committed (constant plan depth — increments never
@@ -583,10 +655,13 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
             _commit_drained(store, round_id, w1)
             break
         finish, enqueue_ready = _round_body(spark, store, replay, robots,
-                                            plan_bc, round_id, spec, w1)
+                                            plan_bc, round_id, spec, w1,
+                                            levels=authority_levels,
+                                            template_budget=template_budget)
         will_compact = bool(compact_every
                             and round_id % compact_every == 0)
-        if round_id < max_rounds and not will_compact:
+        if (round_id < max_rounds and not will_compact
+                and authority_levels <= 1):
             # compaction rewrites state files, so an already-planned
             # increment must not straddle it — those rounds fall back
             # to the sequential schedule

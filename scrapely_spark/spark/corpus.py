@@ -121,9 +121,11 @@ def pack_greedy(docs: DataFrame, max_tokens: int = 256,
         pdf["pack_id"] = pack
         return pdf
 
+    tok_col = (F.col("n_tokens").cast("int")
+               if "n_tokens" in docs.columns else F.size(_words()))
     base = docs.select(
         "doc_id", (F.col("doc_id") % n_shards).alias("shard"),
-        F.size(_words()).alias("n_tokens"))
+        tok_col.alias("n_tokens"))
     return (base.groupBy("shard")
             .applyInPandas(kernel,
                            "doc_id long, shard long, n_tokens int, "
@@ -391,22 +393,30 @@ def top_pmi_bigrams(docs: DataFrame, k: int = 50,
 
 
 def length_quantiles(docs: DataFrame,
-                     qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
-                     ) -> DataFrame:
-    """Exact per-language token-length quantiles (linear interpolation).
+                     qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                     approx: bool = False,
+                     accuracy: int = 10_000) -> DataFrame:
+    """Per-language token-length quantiles (linear interpolation).
 
-    ``percentile`` here is exact (sort-based within each language) to
-    stay hash-checkable against DuckDB's ``quantile_cont``; the 100 TB
-    variant is ``approx_percentile`` with the same call shape — a
-    mergeable KLL-style sketch, no per-group sort.
+    ``percentile`` (the default) is exact — sort-based within each
+    language — to stay hash-checkable against DuckDB's
+    ``quantile_cont``.  ``approx=True`` is the 100 TB variant with the
+    SAME call shape: ``approx_percentile``'s mergeable sketch replaces
+    the per-group sort, so the aggregate is one map-side-combining pass
+    regardless of group size (bench-only — the approximation is
+    engine-specific, so there is no cross-engine oracle for it).
     """
     tok = F.size(_words()).cast("double")
     base = docs.select("lang", tok.alias("n_tokens"))
     aggs = [F.count("*").alias("n_docs")]
     for q in qs:
         name = "p%02d" % int(round(q * 100))
-        aggs.append(F.round(F.percentile("n_tokens", F.lit(q)), 6)
-                    .alias(name))
+        if approx:
+            aggs.append(F.percentile_approx(
+                "n_tokens", F.lit(q), F.lit(accuracy)).alias(name))
+        else:
+            aggs.append(F.round(F.percentile("n_tokens", F.lit(q)), 6)
+                        .alias(name))
     return base.groupBy("lang").agg(*aggs).orderBy("lang")
 
 
@@ -426,12 +436,21 @@ def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000) -> DataFrame:
     last-ulp order-dependent and break the cross-engine hash check.
     One scan, one groupBy(source) with map-side combine, one 1-row
     broadcast of the total.
+
+    If ``docs`` already carries ``quality`` and/or ``n_tokens`` columns
+    (an upstream scrub/tokenize stage computed them), they are reused
+    verbatim instead of recomputed — at 100 TB, re-tokenizing the
+    corpus for every downstream stage is the dominant avoidable cost.
     """
     from scrapely_spark.spark import textstats
 
-    q = textstats.quality_scores(docs).select("doc_id", "quality")
-    toks = docs.select(
-        "doc_id", "source", F.size(_words()).alias("n_tokens"))
+    if "quality" in docs.columns:
+        q = docs.select("doc_id", "quality")
+    else:
+        q = textstats.quality_scores(docs).select("doc_id", "quality")
+    tok_col = (F.col("n_tokens") if "n_tokens" in docs.columns
+               else F.size(_words()))
+    toks = docs.select("doc_id", "source", tok_col.alias("n_tokens"))
     per = (toks.join(q, "doc_id")
            .groupBy("source")
            .agg(F.count("*").alias("n_docs"),
@@ -447,3 +466,87 @@ def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000) -> DataFrame:
         F.round(alloc, 4).alias("alloc_tokens"),
         F.round(F.least(F.lit(1.0), alloc / F.col("n_tokens")), 6)
         .alias("rate")))
+
+
+def apply_mixing_rates(docs: DataFrame, rates: DataFrame,
+                       seed: int = 0) -> DataFrame:
+    """Materialize a static data mix: keep each document with its
+    source's rate, via the deterministic md5 ticket.
+
+    ``rates`` is :func:`mixing_rates` output (or any tiny
+    ``(source, rate)`` table) — broadcast, never shuffled.  A document
+    survives iff its 8-hex-char ticket falls below
+    ``floor(rate · 2³²)`` rendered as zero-padded lowercase hex — the
+    same top-32-bits comparison :func:`stratified_sample` uses, except
+    the threshold is computed in-plan from the data-dependent rate
+    (engine-portable: pure IEEE arithmetic on the already-rounded
+    rate).  ``rate ≥ 1.0`` keeps everything (its hex rendering would be
+    9 chars and break the string comparison).
+
+    Output keeps every ``docs`` column plus the joined ``rate``.
+    """
+    ticket = F.substring(_ticket_md5(seed), 1, 8)
+    thr = F.lower(F.lpad(F.hex(
+        F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")),
+        8, "0"))
+    return (docs.join(F.broadcast(rates.select("source", "rate")),
+                      "source")
+            .where((F.col("rate") >= 1.0) | (ticket < thr)))
+
+
+def llm_corpus_build(docs: DataFrame, extracted: DataFrame,
+                     budget_tokens: int = 10_000,
+                     seed: int = 42) -> DataFrame:
+    """The end-to-end pretraining-corpus build, operators composed:
+
+    crawl/extract (``extracted`` — the IBL extraction output carrying
+    one caption per fetched document) → MinHash-LSH candidate pairs →
+    connected-component clusters → canonical-survivor election →
+    scrub (exact-dup keeper ∧ langid agreement ∧ quality floor ∧
+    Gopher repetition thresholds) → quality-weighted mixing rates →
+    mix materialization (md5 tickets) → first-fit sequence packing.
+
+    Each stage is the SAME operator verified piecewise elsewhere
+    (``dedup.minhash_candidates``/``dup_clusters``, ``scrub_corpus``,
+    ``mixing_rates``/``apply_mixing_rates``, ``pack_greedy``); this
+    function is the integration point proving they compose in one
+    lineage.  One row per packed document:
+    ``(doc_id, source, lang, shard, pack_id, n_tokens, quality, rate,
+    caption)``.
+
+    Scan discipline: the scrub output (with the corpus tokenized ONCE
+    into ``n_tokens``) is local-checkpointed — it feeds three
+    consumers (rate computation, mix filter, packing), and without the
+    checkpoint each would re-run the dedup+scrub lineage end to end.
+    ``mixing_rates``/``pack_greedy`` reuse the carried ``quality`` /
+    ``n_tokens`` columns instead of re-tokenizing (their documented
+    contract), so the text column is read exactly twice overall: once
+    by the scrub stage, once for the PII-masked payload the survivors
+    carry.  The PII leg is pruned here (the packed record is metadata
+    + caption), which is Catalyst column pruning doing its job.
+    """
+    from scrapely_spark.spark import dedup
+
+    clusters = dedup.dup_clusters(docs, dedup.minhash_candidates(docs))
+    keepers = (clusters
+               .where(F.col("doc_id") == F.col("canonical_doc_id"))
+               .select("doc_id"))
+    scrubbed = scrub_corpus(docs.join(keepers, "doc_id"))
+    # one tokenize pass; localCheckpoint: three consumers below would
+    # otherwise each replay LSH banding + clustering + the scrub stack
+    kept = (docs.select("doc_id", "source", "text")
+            .join(scrubbed.select("doc_id", "lang", "quality"), "doc_id")
+            .withColumn("n_tokens", F.size(_words()))
+            .drop("text")
+            .localCheckpoint(eager=False))
+    rates = mixing_rates(kept, budget_tokens=budget_tokens)
+    sampled = apply_mixing_rates(kept, rates.select("source", "rate"),
+                                 seed=seed)
+    packed = pack_greedy(sampled.select("doc_id", "n_tokens"))
+    return (packed.drop("n_tokens")
+            .join(sampled, "doc_id")
+            .join(extracted.select("doc_id", "caption"), "doc_id")
+            .select("doc_id", "source", "lang", "shard", "pack_id",
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    "quality", F.round("rate", 6).alias("rate"),
+                    "caption"))

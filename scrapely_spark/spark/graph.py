@@ -117,3 +117,127 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                      .alias("rank"))
                  .localCheckpoint(eager=False))
     return _unpersist_on_gc(ranks.select("node", "rank"), [e])
+
+
+# --------------------------------------------------------------------------
+# integer-domain PageRank — the frontier-feedback variant
+# --------------------------------------------------------------------------
+#
+# The float pagerank above is the analytics operator; feeding authority
+# back into the crawl SCHEDULER needs something stronger than "close":
+# the politeness ordering must be byte-identical between the Spark
+# pipeline and the single-threaded oracle (oracle.py), and IEEE float
+# sums are order-dependent across partitionings.  pagerank_micro runs
+# the same power iteration entirely in 64-bit integer micro-units
+# (1.0 ≡ 1_000_000): per-edge contributions are integer divisions and
+# the per-node sums are exact under ANY summation order, so a pure
+# Python replay (pagerank_micro_py) reproduces every rank bit for bit.
+# Floor division leaks a few micro-units of mass per iteration — fine:
+# this is a priority SIGNAL with a spec, not a probability estimate.
+
+RANK_ONE_MICRO = 1_000_000
+
+
+def pagerank_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """(node, rank_micro) — order-independent integer PageRank.
+
+    Same join/groupBy shape (and scale behavior) as :func:`pagerank`;
+    see module docstring.  d = 0.85 fixed: the damping enters as the
+    integer expression ``(85 · x) div 100``.
+    """
+    e = edges.select("src", "dst").distinct().repartition("src").cache()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (nodes.join(deg.withColumnRenamed("src", "node"), "node",
+                       "left")
+            .select("node",
+                    F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+            .localCheckpoint(eager=False))
+    n_total = F.broadcast(base.agg(F.count("*").alias("_n")))
+    ranks = (base.crossJoin(n_total)
+             .select("node", "outdeg", "_n",
+                     (F.lit(RANK_ONE_MICRO) / F.col("_n"))
+                     .cast("long").alias("rank_micro"))
+             .localCheckpoint(eager=False))
+    for _ in range(iterations):
+        contribs = (e.join(ranks.where(F.col("outdeg") > 0),
+                           e["src"] == F.col("node"))
+                    .groupBy("dst")
+                    .agg(F.sum(F.floor(F.col("rank_micro")
+                                       / F.col("outdeg")))
+                         .alias("contrib")))
+        dangling = F.broadcast(
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0,
+                                 F.col("rank_micro"))),
+                    F.lit(0)).cast("long").alias("_dm")))
+        ranks = (ranks.join(contribs,
+                            ranks["node"] == contribs["dst"], "left")
+                 .crossJoin(dangling)
+                 .select(
+                     "node", "outdeg", "_n",
+                     (F.floor(F.lit(150_000) / F.col("_n"))
+                      + F.floor(F.lit(85)
+                                * (F.coalesce("contrib", F.lit(0))
+                                   + F.floor(F.col("_dm") / F.col("_n")))
+                                / F.lit(100)))
+                     .cast("long").alias("rank_micro"))
+                 .localCheckpoint(eager=False))
+    return _unpersist_on_gc(ranks.select("node", "rank_micro"), [e])
+
+
+def pagerank_micro_py(edges, iterations: int = 3) -> dict:
+    """Pure-Python twin of :func:`pagerank_micro` — the oracle side.
+
+    ``edges`` is any iterable of (src, dst); duplicates collapse.
+    Returns {node: rank_micro}.  Every operation below maps 1:1 onto an
+    integer expression in the Spark plan, so the results are identical
+    by construction, not by tolerance.
+    """
+    es = sorted(set((s, d) for s, d in edges))
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    outdeg: dict = {}
+    for s, _ in es:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: RANK_ONE_MICRO // n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for s, d in es:
+            contrib[d] += rank[s] // outdeg[s]
+        dm = sum(rank[v] for v in nodes if outdeg.get(v, 0) == 0)
+        rank = {v: 150_000 // n
+                + (85 * (contrib[v] + dm // n)) // 100
+                for v in nodes}
+    return rank
+
+
+def authority_buckets(ranks: DataFrame, levels: int) -> DataFrame:
+    """(node, auth_bucket) — ordinal-quantile buckets of rank_micro.
+
+    Bucket 0 is the MOST authoritative ``1/levels`` of nodes; ties and
+    boundaries are decided on the exact total key
+    ``(rank_micro desc, node asc)``, so the assignment is deterministic
+    and engine-portable.  One window over the (bounded, host-level)
+    rank table.
+    """
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("rank_micro"), F.asc("node"))
+    total = F.broadcast(ranks.agg(F.count("*").alias("_h")))
+    return (ranks.withColumn("_pos", F.row_number().over(w) - 1)
+            .crossJoin(total)
+            .select("node",
+                    F.floor(F.col("_pos") * levels / F.col("_h"))
+                    .cast("int").alias("auth_bucket")))
+
+
+def authority_buckets_py(ranks: dict, levels: int) -> dict:
+    """Pure-Python twin of :func:`authority_buckets`."""
+    order = sorted(ranks, key=lambda v: (-ranks[v], v))
+    h = len(order)
+    return {v: (i * levels) // h for i, v in enumerate(order)}

@@ -487,3 +487,81 @@ def test_pack_greedy_hot_shard_skew(spark):
     assert len(got) == len(want)
     for r in got:
         assert (r.shard, r.pack_id, r.n_tokens) == want[r.doc_id], r
+
+
+# ------------------------------------------------- round-4 composition
+
+def test_apply_mixing_rates_ticket_rule(spark):
+    from pyspark.sql import functions as F
+    rows = [(i, "src%d" % (i % 2), "some text here") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = spark.createDataFrame(
+        [("src0", 1.0), ("src1", 0.25)], "source string, rate double")
+    out = corpus.apply_mixing_rates(docs, rates, seed=42).collect()
+    got = {r.doc_id for r in out}
+    # src0 (rate >= 1.0): every doc survives
+    assert all(i in got for i in range(0, 200, 2))
+    # src1: survival iff first-8-hex md5 ticket < floor(0.25 * 2^32)
+    thr = format(int(0.25 * 2 ** 32), "08x")
+    for i in range(1, 200, 2):
+        ticket = hashlib.md5(b"%d:42" % i).hexdigest()[:8]
+        assert (i in got) == (ticket < thr), i
+    # the joined rate column rides along
+    assert {r.rate for r in out} == {1.0, 0.25}
+
+
+def test_llm_corpus_build_invariants(spark):
+    """Composition-level invariants on real testdata: unique packed
+    docs, every packed doc is a canonical scrub survivor, and no pack
+    overflows max_tokens unless it holds a single oversized doc."""
+    from pyspark.sql import functions as F
+    from scrapely_spark.spark import corpus as c, dedup
+    import __spark_entry__ as contract
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    out = c.llm_corpus_build(
+        docs, contract.ibl_extract_docs(spark, sf)).collect()
+    assert out, "composition produced no rows"
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+
+    # packed docs ⊆ scrub survivors of the dedup-canonical set
+    clusters = dedup.dup_clusters(docs, dedup.minhash_candidates(docs))
+    keepers = clusters.where("doc_id = canonical_doc_id").select("doc_id")
+    scrub_ids = {r.doc_id for r in
+                 c.scrub_corpus(docs.join(keepers, "doc_id"))
+                 .select("doc_id").collect()}
+    assert set(ids) <= scrub_ids
+
+    # pack capacity rule per (shard, pack_id)
+    packs: dict = {}
+    for r in out:
+        packs.setdefault((r.shard, r.pack_id), []).append(r.n_tokens)
+    for key, toks in packs.items():
+        if len(toks) > 1:
+            assert sum(toks) <= 256, (key, toks)
+
+    # caption matches the extraction-oracle closed form
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    import re as _re
+    for r in out[:20]:
+        want = _re.sub(r"\s+", " ", texts[r.doc_id][:48]).strip()
+        assert r.caption == want
+
+
+def test_length_quantiles_approx_envelope(spark):
+    """The bench-only approx twin stays within a tight envelope of the
+    exact quantiles (accuracy=10k on a small table is near-exact)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r.lang: r for r in corpus.length_quantiles(docs).collect()}
+    approx = {r.lang: r for r in
+              corpus.length_quantiles(docs, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n_docs == e.n_docs
+        for p in ("p25", "p50", "p75", "p90", "p99"):
+            # approx_percentile returns an observed value; exact
+            # interpolates between two — at most one observation apart
+            assert abs(getattr(a, p) - getattr(e, p)) <= \
+                max(2.0, 0.05 * getattr(e, p)), (lang, p)

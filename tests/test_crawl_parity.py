@@ -483,3 +483,98 @@ def test_url_template_mining_random_twin(spark):
                spark.createDataFrame([(u,) for u in urls],
                                      "url string"))).collect()}
     assert got == dict(want)
+
+
+# --------------------------------------------------------------------------
+# round 4: PageRank-driven prioritization + template budget (oracle parity)
+# --------------------------------------------------------------------------
+
+AUTH_N = 300
+AUTH_ROUNDS = 18
+AUTH_LEVELS = 4
+AUTH_BUDGET = 5   # bites hard: item-page families per host exceed it
+
+
+@pytest.fixture(scope="module")
+def auth_oracle_run():
+    return OracleCrawl(AUTH_N, datagen.seeds(AUTH_N),
+                       authority_levels=AUTH_LEVELS,
+                       template_budget=AUTH_BUDGET).run(AUTH_ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def auth_spark_run(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("authcrawl"))
+    store = StateStore(root)
+    pages = datagen.pages_df(spark, AUTH_N).cache()
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    rounds.crawl(spark, store, pages, robots, plan, datagen.seeds(AUTH_N),
+                 max_rounds=AUTH_ROUNDS, spec=BloomSpec(n_blocks=64),
+                 authority_levels=AUTH_LEVELS,
+                 template_budget=AUTH_BUDGET)
+    return store
+
+
+def test_authority_fetch_order_byte_identical(spark, auth_oracle_run,
+                                              auth_spark_run):
+    """The loop closure: integer PageRank over the crawled host graph
+    feeds the politeness priority, and the recorded composite
+    priorities (depth·levels + auth_bucket) match the pure-Python
+    oracle bit for bit — i.e. both engines computed identical ranks."""
+    got = (auth_spark_run.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    assert [(r.round_id, r.priority, r.canonical_url) for r in got] == \
+        auth_oracle_run.fetch_order()
+
+
+def test_authority_seen_set_byte_identical(spark, auth_oracle_run,
+                                           auth_spark_run):
+    seen = auth_spark_run.read_rounds(spark, rounds.SEEN).collect()
+    assert sorted(r.canonical_url for r in seen) == \
+        auth_oracle_run.seen_urls()
+
+
+def test_authority_actually_discriminates(auth_oracle_run):
+    # the composite priorities must show more than one bucket in use —
+    # otherwise the PageRank feedback was vacuous in this corpus
+    buckets = {p % AUTH_LEVELS for _, p, _ in
+               auth_oracle_run.fetch_order()}
+    assert len(buckets) > 1, buckets
+
+
+def test_template_budget_caps_families(auth_oracle_run):
+    # with budget=5, no round enqueues more than 5 URLs of one
+    # (host, template) family — verified on the oracle's own seen set
+    # growth (the Spark side is byte-identical by the tests above)
+    from scrapely_spark.frontier.canonical import path_template_of
+    from urllib.parse import urlsplit
+    fams: dict = {}
+    for canon in auth_oracle_run.seen_urls():
+        host = (urlsplit(canon).hostname or "").lower()
+        fams.setdefault((host, path_template_of(canon)), []).append(canon)
+    # seeds bypass the budget (they are enqueued, not discovered); any
+    # family containing only discovered URLs grew ≤ budget·rounds
+    n_rounds = max(r for r, _, _ in auth_oracle_run.fetch_order())
+    seeds = {canonicalize(u) for u in datagen.seeds(AUTH_N)}
+    for (host, tpl), members in fams.items():
+        discovered = [m for m in members if m not in seeds]
+        assert len(discovered) <= AUTH_BUDGET * n_rounds, (host, tpl)
+
+
+def test_cap_template_families_calendar_trap(spark):
+    """The calendar-trap fixture: an unbounded /cal/Y/M/D family is
+    cut to the budget on the total key while static pages survive."""
+    from scrapely_spark.frontier.canonical import (canonicalize_df,
+                                                   cap_template_families)
+    urls = ["http://t.example.com/cal/2026/%d/%d" % (m, d)
+            for m in range(1, 5) for d in range(1, 11)]          # 40 trap
+    urls += ["http://t.example.com/about", "http://t.example.com/faq9"]
+    cands = (canonicalize_df(spark.createDataFrame(
+        [(u,) for u in urls], "url string"))
+        .withColumn("priority", F.lit(1)))
+    got = sorted(r.canonical_url for r in
+                 cap_template_families(cands, 3).collect())
+    trap = sorted(u for u in urls if "/cal/" in u)[:3]
+    assert got == sorted(trap + ["http://t.example.com/about",
+                                 "http://t.example.com/faq9"])

@@ -215,3 +215,42 @@ def test_tfidf_keywords_hand_computed(spark):
     assert [got[(2, 1)], got[(2, 2)]] == exp
     # k caps the output per doc
     assert all(r.rank <= 2 for r in rows) and len(rows) == 6
+
+
+# ------------------------------------------------ integer-domain PageRank
+
+def test_pagerank_micro_exact_twin_random_graph(spark):
+    """Spark vs pure-Python integer PageRank: EXACT equality (not
+    approx) — the property the crawl's authority feedback rests on."""
+    import random
+    rng = random.Random(11)
+    hosts = ["h%d" % i for i in range(30)]
+    edges = sorted({(rng.choice(hosts), rng.choice(hosts))
+                    for _ in range(150)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank_micro
+           for r in graph.pagerank_micro(df, 4).collect()}
+    assert got == graph.pagerank_micro_py(edges, 4)
+
+
+def test_pagerank_micro_partitioning_invariance(spark):
+    """Integer sums are exact under any partitioning — rerunning with a
+    different layout yields identical ranks (floats would drift)."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("d", "a"), ("e", "a"), ("x", "y")]
+    df1 = spark.createDataFrame(edges, "src string, dst string")
+    df32 = df1.repartition(32)
+    r1 = {r.node: r.rank_micro for r in graph.pagerank_micro(df1, 5).collect()}
+    r32 = {r.node: r.rank_micro for r in graph.pagerank_micro(df32, 5).collect()}
+    assert r1 == r32 == graph.pagerank_micro_py(edges, 5)
+
+
+def test_authority_buckets_quantiles_and_ties(spark):
+    ranks = {"a": 500, "b": 400, "c": 400, "d": 100}
+    df = spark.createDataFrame(list(ranks.items()),
+                               "node string, rank_micro long")
+    got = {r.node: r.auth_bucket
+           for r in graph.authority_buckets(df, 2).collect()}
+    want = graph.authority_buckets_py(ranks, 2)
+    # tie between b and c broken by node asc: b joins the top half
+    assert got == want == {"a": 0, "b": 0, "c": 1, "d": 1}
