@@ -291,8 +291,10 @@ def main():
         "detail": "BENCH/bench_detail_latest.json",
     }
     if scaling:
-        summary["scaling_efficiency"] = (
-            result["scaling"].get("efficiency"))
+        sc = result["scaling"]
+        summary["scaling_efficiency"] = sc.get(
+            "large_crawl_scaling_efficiency",
+            sc.get("crawl_scaling_efficiency"))
     sys.stdout.flush()
     print(json.dumps(summary), flush=True)
 
