@@ -275,9 +275,12 @@ def _politeness_wave(spark, store: StateStore, frontier: DataFrame,
         # unchanged (one host = one bucket); what changes — and what
         # the oracle parity re-verifies — is that both engines computed
         # the identical integer PageRank buckets.
+        # no broadcast hint: the host-authority table is tiny at
+        # sandbox scale (AQE broadcasts it on its own) but a 10^8-host
+        # web graph would OOM a forced driver broadcast — let AQE pick
         if auth is not None:
             frontier = (frontier
-                        .join(F.broadcast(auth), "host", "left")
+                        .join(auth, "host", "left")
                         .withColumn("auth_bucket",
                                     F.coalesce("auth_bucket",
                                                F.lit(levels - 1))))

@@ -223,17 +223,50 @@ def authority_buckets(ranks: DataFrame, levels: int) -> DataFrame:
     Bucket 0 is the MOST authoritative ``1/levels`` of nodes; ties and
     boundaries are decided on the exact total key
     ``(rank_micro desc, node asc)``, so the assignment is deterministic
-    and engine-portable.  One window over the (bounded, host-level)
-    rank table.
+    and engine-portable.
+
+    Global ordinal ranking without a single-partition window (which
+    would serialize a 10^8-host table onto one task): the classic
+    two-pass distributed rank — range-repartition on the total key,
+    count each partition (one slim aggregate; the per-partition counts
+    are the ONLY driver-side data, bounded by the partition count),
+    broadcast the cumulative offsets back, and take
+    ``offset[pid] + row_number within pid``.  The result is exact and
+    independent of where the range sampler happens to place partition
+    boundaries — offsets come from actual counts, and range
+    partitioning guarantees partition i's keys all precede
+    partition i+1's.
     """
     from pyspark.sql import Window
-    w = Window.orderBy(F.desc("rank_micro"), F.asc("node"))
-    total = F.broadcast(ranks.agg(F.count("*").alias("_h")))
-    return (ranks.withColumn("_pos", F.row_number().over(w) - 1)
-            .crossJoin(total)
-            .select("node",
-                    F.floor(F.col("_pos") * levels / F.col("_h"))
-                    .cast("int").alias("auth_bucket")))
+    order = [F.desc("rank_micro"), F.asc("node")]
+    # persist pins the range boundaries: the frame is consumed twice
+    # (partition counts, then the ranked output), and a re-executed
+    # range sampler could legally pick different boundaries — the
+    # offsets below must describe the SAME partitioning the window sees
+    ranged = (ranks.repartitionByRange(*order)
+              .withColumn("_pid", F.spark_partition_id())
+              .persist())
+    sizes = {r._pid: r.n for r in
+             ranged.groupBy("_pid").agg(F.count("*").alias("n"))
+             .collect()}
+    total = sum(sizes.values())
+    if total == 0:
+        ranged.unpersist()
+        return ranks.select(
+            "node", F.lit(0).cast("int").alias("auth_bucket"))
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = ranks.sparkSession.createDataFrame(
+        offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order)
+    pos = F.col("_off") + F.row_number().over(w) - 1
+    out = (ranged.join(F.broadcast(off_df), "_pid")
+           .select("node",
+                   F.floor(pos * levels / F.lit(total)).cast("int")
+                   .alias("auth_bucket")))
+    return _unpersist_on_gc(out, [ranged])
 
 
 def authority_buckets_py(ranks: dict, levels: int) -> dict:

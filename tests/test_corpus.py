@@ -565,3 +565,18 @@ def test_length_quantiles_approx_envelope(spark):
             # interpolates between two — at most one observation apart
             assert abs(getattr(a, p) - getattr(e, p)) <= \
                 max(2.0, 0.05 * getattr(e, p)), (lang, p)
+
+
+def test_llm_corpus_build_empty_survivor_set(spark):
+    """A corpus the scrub stack rejects entirely yields an empty packed
+    set (not a crash): repetitive single-word docs fail the quality
+    floor and the dup-word threshold."""
+    import __spark_entry__  # noqa: F401  (env parity with the driver)
+    rows = [(i, "spam " * 50, "en", "src0", 250) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    extracted = spark.createDataFrame(
+        [(i, "cap") for i in range(20)], "doc_id long, caption string")
+    out = corpus.llm_corpus_build(docs, extracted)
+    assert out.count() == 0

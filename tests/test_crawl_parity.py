@@ -578,3 +578,31 @@ def test_cap_template_families_calendar_trap(spark):
     trap = sorted(u for u in urls if "/cal/" in u)[:3]
     assert got == sorted(trap + ["http://t.example.com/about",
                                  "http://t.example.com/faq9"])
+
+
+def test_authority_resume_after_kill(spark, tmp_path_factory,
+                                     auth_oracle_run):
+    """Authority mode derives its signal from committed LINKS state, so
+    a killed job resumed mid-crawl recomputes the identical PageRank
+    buckets and converges to the same byte-identical artifacts."""
+    root = str(tmp_path_factory.mktemp("authresume"))
+    store = StateStore(root)
+    pages = datagen.pages_df(spark, AUTH_N).cache()
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    spec = BloomSpec(n_blocks=64)
+    kwargs = dict(spec=spec, authority_levels=AUTH_LEVELS,
+                  template_budget=AUTH_BUDGET)
+    rounds.crawl(spark, store, pages, robots, plan, datagen.seeds(AUTH_N),
+                 max_rounds=3, **kwargs)
+    resumed = StateStore(root)
+    rounds.crawl(spark, resumed, pages, robots, plan,
+                 datagen.seeds(AUTH_N), max_rounds=AUTH_ROUNDS, **kwargs)
+    seen = resumed.read_rounds(spark, rounds.SEEN).collect()
+    assert sorted(r.canonical_url for r in seen) == \
+        auth_oracle_run.seen_urls()
+    log = (resumed.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    assert [(r.round_id, r.priority, r.canonical_url) for r in log] == \
+        auth_oracle_run.fetch_order()
+    shutil.rmtree(root)

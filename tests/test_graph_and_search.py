@@ -254,3 +254,27 @@ def test_authority_buckets_quantiles_and_ties(spark):
     want = graph.authority_buckets_py(ranks, 2)
     # tie between b and c broken by node asc: b joins the top half
     assert got == want == {"a": 0, "b": 0, "c": 1, "d": 1}
+
+
+def test_authority_buckets_distributed_ordinal_matches_twin(spark):
+    """The two-pass distributed rank (range repartition + per-partition
+    offsets) equals the pure-Python ordinal on a larger random table,
+    and the plan contains no single-partition global window."""
+    import random
+    rng = random.Random(23)
+    ranks = {"host%04d" % i: rng.randrange(1, 1_000_000)
+             for i in range(3000)}
+    df = spark.createDataFrame(list(ranks.items()),
+                               "node string, rank_micro long")
+    for levels in (2, 4, 10):
+        got = {r.node: r.auth_bucket
+               for r in graph.authority_buckets(df, levels).collect()}
+        assert got == graph.authority_buckets_py(ranks, levels), levels
+    plan = graph.authority_buckets(df, 4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_authority_buckets_empty_ranks(spark):
+    df = spark.createDataFrame([], "node string, rank_micro long")
+    assert graph.authority_buckets(df, 4).count() == 0
