@@ -394,6 +394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), vec, 10,
             n_cells=_IVF_N_CELLS, n_probe=_IVF_N_PROBE)
 
+    def q_embedding_semdedup(spark, sf):
+        # SemDeDup-style semantic dedup: k-means cells (the SAME
+        # deterministic trainer as ann_ivf_kmeans_topk) + within-cell
+        # near-dup marking on (centroid_cos asc, vec_id asc) rank.
+        # The oracle re-runs trainer + assignment + pairing in SQL
+        # (_semdedup_sql) — one row per vector, full hash check.
+        return simsearch.semdedup(
+            _t(spark, sf, "embeddings"), eps=_SEMDEDUP_EPS,
+            n_cells=_IVF_N_CELLS, max_cell=_SEMDEDUP_MAX_CELL)
+
     def q_near_dups(spark, sf):
         # 0.4 is non-trivial on the synthetic embeddings (max pairwise
         # cosine ~0.51): a 0.9 threshold returned zero rows in every
@@ -467,6 +477,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so the aggregate is order-independent (hash-checkable)
         return corpus.mixing_rates(_t(spark, sf, "documents"),
                                    budget_tokens=10_000)
+
+    def q_temperature_rates(spark, sf):
+        # α=½ temperature-scaled source mix (multilingual exponential
+        # smoothing); sqrt is the one correctly-rounded IEEE op both
+        # engines share, weights summed in the integer micro domain
+        return corpus.temperature_rates(_t(spark, sf, "documents"),
+                                        budget_tokens=10_000)
 
     def q_llm_corpus_build(spark, sf):
         # the INTEGRATION row: crawl/extract → MinHash dedup → clusters
@@ -940,7 +957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_windows": q_session_windows,
         "events_json_extract": q_events_json,
         # new this round: the end-to-end corpus-build integration row
+        # and SemDeDup-style semantic dedup
         "llm_corpus_build": q_llm_corpus_build,
+        "embedding_semdedup": q_embedding_semdedup,
+        "corpus_temperature_rates": q_temperature_rates,
         # long-stable rows (hash-green in prior rounds)
         "ibl_extract_docs": ibl_extract_docs,
         "set_except_customers": q_set_except,
@@ -1252,21 +1272,24 @@ def _lsh_near_dups_sql() -> str:
                           repr(_LSH_THRESHOLD))
 
 
-def _ivf_kmeans_sql() -> str:
-    """DuckDB twin of simsearch.ivf_kmeans_topk — including training.
+def _kmeans_train_ctes() -> str:
+    """Shared CTE prefix re-running the simsearch.kmeans_cells trainer
+    in SQL — ``e`` (typed embeddings) → ``sampn`` (normalized bounded
+    sample) → ``c0..c{last}`` (md5-ranked init + unrolled Lloyd
+    iterations) → ``assigned`` (full-table argmax cell assignment).
+    Used by both _ivf_kmeans_sql and _semdedup_sql so the two oracles
+    can never train differently.
 
     The trainer is deterministic and engine-portable by construction
     (bounded lowest-vec_id sample, md5(seed:vec_id)-ranked init, a fixed
-    number of Lloyd iterations, lowest-cell tie-breaks), so the oracle
-    does not inline learned centroids — it re-derives them: the five
+    number of Lloyd iterations, lowest-cell tie-breaks), so the oracles
+    do not inline learned centroids — they re-derive them: the five
     iterations are unrolled as chained CTEs (assign by dot-product
     argmax → per-cell vector mean via generate_subscripts/unnest →
-    L2-normalize, empty cells keeping the previous centroid), then the
-    probe fan-out, full-table assignment and cosine top-k run on the
-    learned c5.  Bit-agreement with the numpy trainer is safe at
-    6-decimal rounding: a divergence needs two dot products within
-    ~1e-13 of each other (pinned by the driver hash check and
-    test_query_matches_oracle).
+    L2-normalize, empty cells keeping the previous centroid).
+    Bit-agreement with the numpy trainer is safe at 6-decimal rounding:
+    a divergence needs two dot products within ~1e-13 of each other
+    (pinned by the driver hash check and test_query_matches_oracle).
     """
     it_tpl = """
 a{i} AS (
@@ -1310,25 +1333,72 @@ c0 AS (
   FROM sampn
   QUALIFY {rank} <= {cells}),
 {iters},
-q AS (SELECT v FROM e WHERE vec_id = 0),
-probes AS (
-  SELECT c.cell FROM c{last} c, q
-  ORDER BY list_dot_product(c.c, q.v) DESC, c.cell ASC
-  LIMIT {probe}),
 assigned AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY list_dot_product(e.v, c.c) DESC,
                                        c.cell ASC) AS rn
-    FROM e CROSS JOIN c{last} c) WHERE rn = 1)
+    FROM e CROSS JOIN c{last} c) WHERE rn = 1)""".format(
+        sample=_IVF_SAMPLE, rank=init_rank, cells=_IVF_N_CELLS,
+        iters=iters, last=_IVF_ITERS)
+
+
+def _ivf_kmeans_sql() -> str:
+    """DuckDB twin of simsearch.ivf_kmeans_topk — including training
+    (see _kmeans_train_ctes): probe fan-out, full-table assignment and
+    cosine top-k all run on the re-derived learned centroids."""
+    return _kmeans_train_ctes() + """,
+q AS (SELECT v FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT c.cell FROM c{last} c, q
+  ORDER BY list_dot_product(c.c, q.v) DESC, c.cell ASC
+  LIMIT {probe})
 SELECT e.vec_id, e.label,
        round(CAST(list_cosine_similarity(e.v, q.v) AS DOUBLE), 6) AS score
 FROM e JOIN assigned a ON e.vec_id = a.vec_id, q
 WHERE a.cell IN (SELECT cell FROM probes)
 ORDER BY score DESC, e.vec_id ASC
-LIMIT 10""".format(sample=_IVF_SAMPLE, rank=init_rank, cells=_IVF_N_CELLS,
-                   iters=iters, last=_IVF_ITERS, probe=_IVF_N_PROBE)
+LIMIT 10""".format(last=_IVF_ITERS, probe=_IVF_N_PROBE)
+
+
+# 0.4 is the non-vacuous threshold on the synthetic embeddings (max
+# pairwise cosine ~0.51 — see q_near_dups); production SemDeDup runs
+# at ~0.95 on real encoder embeddings
+_SEMDEDUP_EPS = 0.4
+_SEMDEDUP_MAX_CELL = 1024
+
+
+def _semdedup_sql() -> str:
+    """DuckDB twin of simsearch.semdedup — including training
+    (see _kmeans_train_ctes).  Normalizes every vector, ranks cell
+    members on (round(centroid_cos, 6) asc, vec_id asc), and marks a
+    vector dup iff an earlier-ranked cell-mate's rounded cosine is
+    ≥ eps; cells above the hot-cell cap are exempted whole, mirroring
+    the Spark side."""
+    return _kmeans_train_ctes() + """,
+en AS (
+  SELECT e.vec_id, a.cell,
+         list_transform(e.v, x -> x /
+           greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12)) AS vn
+  FROM e JOIN assigned a USING (vec_id)),
+enc AS (
+  SELECT en.vec_id, en.cell, en.vn,
+         round(list_dot_product(en.vn, c.c), 6) AS ccos
+  FROM en JOIN c{last} c ON en.cell = c.cell),
+cap2 AS (
+  SELECT vec_id, cell, vn, ccos FROM (
+    SELECT *, count(*) OVER (PARTITION BY cell) AS _cn FROM enc)
+  WHERE _cn <= {max_cell}),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM cap2 a JOIN cap2 b ON a.cell = b.cell
+  WHERE (a.ccos < b.ccos
+         OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+    AND round(list_dot_product(a.vn, b.vn), 6) >= {eps})
+SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id""".format(
+        last=_IVF_ITERS, max_cell=_SEMDEDUP_MAX_CELL, eps=_SEMDEDUP_EPS)
 
 
 _PQ_M = 8            # subspaces (dim 64 -> 8-dim blocks)
@@ -1894,6 +1964,9 @@ def oracle_sql() -> dict[str, str]:
 
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
 
+        # SemDeDup-style semantic dedup over the same learned cells
+        "embedding_semdedup": _semdedup_sql(),
+
         "ann_pq_topk": _pq_sql(),
 
         # sign-bit signature packed as two 32-bit halves on both
@@ -2135,6 +2208,30 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    round(least(1.0, (10000.0 * weight_micro / total_micro)
                                / n_tokens), 6) AS rate
             FROM per, tot""",
+
+        # α=½ temperature-scaled source mix: sqrt weight (the one
+        # correctly-rounded IEEE power both engines share), summed in
+        # the integer micro domain like corpus_mixing_rates
+        "corpus_temperature_rates": f"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     len({_CORPUS_WORDS}) AS n_tokens
+              FROM documents),
+            per AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(n_tokens) AS n_tokens
+              FROM toks GROUP BY source),
+            perw AS (
+              SELECT *, CAST(round(sqrt(n_tokens) * 1e6) AS BIGINT)
+                          AS weight_micro
+              FROM per),
+            tot AS (SELECT sum(weight_micro) AS total_micro FROM perw)
+            SELECT source, n_docs, n_tokens,
+                   round(10000.0 * weight_micro / total_micro, 4)
+                     AS alloc_tokens,
+                   round(least(1.0, (10000.0 * weight_micro / total_micro)
+                               / n_tokens), 6) AS rate
+            FROM perw, tot""",
 
         # Gopher repetition filters: dup-word fraction + top bigram /
         # trigram share (textstats.repetition_stats).  1-based inclusive

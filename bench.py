@@ -67,8 +67,9 @@ HEADLINE = [
     "tpch_q14_promo_share",
     "join_top_nations",
     "events_sessionize",
-    # end-to-end composition row (round 4)
+    # end-to-end composition row + SemDeDup-style semantic dedup (r4)
     "llm_corpus_build",
+    "embedding_semdedup",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

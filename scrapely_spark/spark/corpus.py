@@ -468,6 +468,42 @@ def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000) -> DataFrame:
         .alias("rate")))
 
 
+def temperature_rates(docs: DataFrame,
+                      budget_tokens: int = 10_000) -> DataFrame:
+    """Temperature-scaled source mixing at α = ½ — the multilingual
+    sampling rule (mBERT/XLM-R/mT5 exponential smoothing, public):
+    source ``s`` gets budget share ∝ ``n_s^α``, boosting low-resource
+    sources relative to proportional sampling.
+
+    α is fixed at ½ and spelled ``sqrt`` on purpose: ``pow(x, α)`` is
+    not guaranteed correctly rounded across engines, ``sqrt`` is — so
+    the weight is ONE exact IEEE op everywhere.  Weights are then
+    summed in the integer micro domain (``round(sqrt(n)·1e6)`` as
+    BIGINT — the same order-independence trick as
+    :func:`mixing_rates`), keeping the output hash-checkable.  Same
+    plan shape as :func:`mixing_rates`: one scan, one
+    map-side-combined groupBy(source), a 1-row broadcast total; feed
+    the rates to :func:`apply_mixing_rates` to materialize.
+    """
+    tok_col = (F.col("n_tokens") if "n_tokens" in docs.columns
+               else F.size(_words()))
+    toks = docs.select("doc_id", "source", tok_col.alias("n_tokens"))
+    per = (toks.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens")))
+    per = per.withColumn(
+        "weight_micro",
+        F.round(F.sqrt(F.col("n_tokens")) * 1e6).cast("long"))
+    tot = F.broadcast(per.agg(F.sum("weight_micro").alias("total_micro")))
+    alloc = (F.lit(float(budget_tokens)) * F.col("weight_micro")
+             / F.col("total_micro"))
+    return (per.crossJoin(tot).select(
+        "source", "n_docs", "n_tokens",
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(F.least(F.lit(1.0), alloc / F.col("n_tokens")), 6)
+        .alias("rate")))
+
+
 def apply_mixing_rates(docs: DataFrame, rates: DataFrame,
                        seed: int = 0) -> DataFrame:
     """Materialize a static data mix: keep each document with its

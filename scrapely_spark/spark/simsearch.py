@@ -581,3 +581,66 @@ def bq_topk(embeddings: DataFrame, query: list, k: int = 10,
             .select("vec_id", "label", ham.cast("int").alias("hamming"))
             .orderBy(F.asc("hamming"), F.asc("vec_id"))
             .limit(k))
+
+
+def semdedup(embeddings: DataFrame, eps: float = 0.4,
+             n_cells: int = 8, max_cell: int = 1024,
+             centroids: list | None = None,
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public): cluster the embeddings with the IVF
+    k-means trainer, then within each cluster drop every vector whose
+    cosine to an earlier-ranked cluster-mate is ≥ ``eps``.
+
+    Rank within a cell is ``(centroid_cosine asc, vec_id asc)`` — the
+    member FARTHEST from the centroid survives a near-dup pair, the
+    paper's diversity-keeping rule.  Both the pair cosine and the
+    centroid cosine are rounded to 6 decimals before comparison so the
+    decision is engine-portable (same argument as the LSH/IVF family:
+    a divergence needs two dot products within ~1e-13).
+
+    Scale shape: the trainer fits on a bounded sample
+    (:func:`kmeans_cells`); assignment is one Arrow matmul pass
+    (:func:`assign_cells`); the near-dup test is a per-cell self-join —
+    at 10^10 rows ``n_cells`` grows with the data so cells stay
+    bounded, and cells above ``max_cell`` are exempted from pairing
+    (kept whole) rather than exploding O(cell²), mirroring the
+    hot-bucket guard of every LSH sibling.  Returns one row per input
+    vector: ``(vec_id, cell, keep)``.
+    """
+    if centroids is None:
+        centroids = kmeans_cells(embeddings, n_cells, vec_col=vec_col)
+    cells = assign_cells(embeddings, centroids, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    vn = F.transform(v, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in centroids])
+    ccos = F.round(F.aggregate(
+        F.zip_with(F.col("vn"), F.element_at(cent, F.col("cell") + 1),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    slim = (cells.select("vec_id", "cell", vn.alias("vn"))
+            .withColumn("ccos", ccos))
+    w = Window.partitionBy("cell")
+    capped = (slim.withColumn("_cn", F.count("*").over(w))
+              .where(F.col("_cn") <= max_cell).drop("_cn"))
+    a, b = capped.alias("a"), capped.alias("b")
+    cos = F.round(F.aggregate(
+        F.zip_with(F.col("a.vn"), F.col("b.vn"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    earlier = ((F.col("a.ccos") < F.col("b.ccos"))
+               | ((F.col("a.ccos") == F.col("b.ccos"))
+                  & (F.col("a.vec_id") < F.col("b.vec_id"))))
+    dups = (a.join(b, "cell").where(earlier)
+            .select(F.col("b.vec_id").alias("vec_id"),
+                    cos.alias("cos"))
+            .where(F.col("cos") >= eps)
+            .select("vec_id").distinct()
+            .withColumn("_dup", F.lit(True)))
+    return (cells.select("vec_id", "cell")
+            .join(dups, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))

@@ -580,3 +580,27 @@ def test_llm_corpus_build_empty_survivor_set(spark):
         [(i, "cap") for i in range(20)], "doc_id long, caption string")
     out = corpus.llm_corpus_build(docs, extracted)
     assert out.count() == 0
+
+
+def test_temperature_rates_alpha_half_twin(spark):
+    """α=½ temperature mix equals a plain-python computation and boosts
+    the low-resource source above its proportional share."""
+    import math
+    rows = [(i, "w " * (200 if i < 40 else 10), "big" if i < 40 else "small")
+            for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string")
+    got = {r.source: r for r in
+           corpus.temperature_rates(docs, budget_tokens=1000).collect()}
+    n = {"big": 40 * 200, "small": 10 * 10}
+    w = {s: round(math.sqrt(v) * 1e6) for s, v in n.items()}
+    tot = sum(w.values())
+    for s in n:
+        alloc = 1000.0 * w[s] / tot
+        assert got[s].n_tokens == n[s]
+        assert abs(got[s].alloc_tokens - round(alloc, 4)) < 1e-9, s
+        assert abs(got[s].rate - round(min(1.0, alloc / n[s]), 6)) < 1e-9
+    # the boost: small's keep-rate beats proportional allocation
+    prop_small = 1000.0 * n["small"] / (n["big"] + n["small"]) / n["small"]
+    assert got["small"].rate > prop_small

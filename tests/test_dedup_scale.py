@@ -290,6 +290,56 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     emb.unpersist()
 
 
+def _semdedup_numpy(rows, cents, eps, max_cell):
+    """Pure-numpy twin of simsearch.semdedup's decision rule."""
+    from collections import defaultdict
+
+    C = np.array(cents, dtype=np.float64)
+    ids = sorted(r[0] for r in rows)
+    by_id = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    X = np.array([by_id[i] for i in ids])
+    cell = np.argmax(X @ C.T, axis=1)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    ccos = np.round(np.einsum("ij,ij->i", Xn, C[cell]), 6)
+    keep = {i: True for i in ids}
+    members = defaultdict(list)
+    for idx in range(len(ids)):
+        members[int(cell[idx])].append(idx)
+    for idxs in members.values():
+        if len(idxs) > max_cell:
+            continue
+        for ai in idxs:
+            for bi in idxs:
+                if ai == bi:
+                    continue
+                earlier = (ccos[ai] < ccos[bi]
+                           or (ccos[ai] == ccos[bi]
+                               and ids[ai] < ids[bi]))
+                if earlier and round(float(Xn[ai] @ Xn[bi]), 6) >= eps:
+                    keep[ids[bi]] = False
+    return {ids[k]: (int(cell[k]), keep[ids[k]])
+            for k in range(len(ids))}
+
+
+def test_semdedup_matches_numpy_twin(spark):
+    emb = spark.read.parquet(SF001 + "/embeddings.parquet").cache()
+    cents = simsearch.kmeans_cells(emb, n_cells=8)
+    got = {r.vec_id: (r.cell, r.keep)
+           for r in simsearch.semdedup(emb, eps=0.4,
+                                       centroids=cents).collect()}
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    want = _semdedup_numpy(rows, cents, 0.4, 1024)
+    assert got == want
+    # non-vacuous: the 0.4 threshold actually drops something here
+    assert any(not k for _, k in got.values())
+    # hot-cell exemption: cap below every cell size keeps everything
+    all_keep = simsearch.semdedup(emb, eps=0.4, max_cell=1,
+                                  centroids=cents).collect()
+    assert all(r.keep for r in all_keep)
+    assert len(all_keep) == emb.count()
+    emb.unpersist()
+
+
 # ----------------------------------------------------- duplicate clusters
 
 
