@@ -930,10 +930,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from scrapely_spark.spark import search
         return search.tfidf_keywords(_t(spark, sf, "documents"), k=3)
 
+    def q_lm_perplexity(spark, sf):
+        # CCNet-style perplexity stratification (textstats.lm_perplexity):
+        # an in-plan add-one bigram LM scores every doc; head/middle/tail
+        # ntile per language.  Model log-probs are rounded to integer
+        # micro-nats at the model level, so per-doc sums are exact under
+        # any partitioning; the oracle retrains the same LM in SQL.
+        return textstats.lm_perplexity(_t(spark, sf, "documents"))
+
+    def q_dsir_weights(spark, sf):
+        # DSIR importance weights (corpus.dsir_weights): hashed-unigram
+        # target-vs-raw log-likelihood ratios with src7 as the target
+        # domain; per-bucket ratios rounded once, summed exactly.
+        return corpus.dsir_weights(_t(spark, sf, "documents"),
+                                   target_source="src7",
+                                   n_buckets=_DSIR_BUCKETS)
+
+    def q_aspect_buckets(spark, sf):
+        # SDXL-ladder aspect bucketing (multimodal.aspect_buckets) over
+        # the same closed-form dims as image_caption_curation; the
+        # argmin uses only correctly-rounded IEEE ops, so the oracle's
+        # CASE chain (generated from the same ladder) picks identical
+        # buckets
+        from scrapely_spark.spark import multimodal
+        imgs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            (32 + (F.col("doc_id") * 37) % 993).cast("int").alias("w"),
+            (32 + (F.col("doc_id") * 61) % 993).cast("int").alias("h"))
+        return multimodal.aspect_buckets(imgs)
+
     return {
         # never-driver-checked and recently-changed queries first:
         # the driver's correctness window covers the head of this
         # dict, so ordering is freshest-first, long-stable last
+        "text_lm_perplexity": q_lm_perplexity,
+        "corpus_dsir_weights": q_dsir_weights,
+        "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
         "knn_join_topk": q_knn_join,
         "ann_sq8_topk": q_ann_sq8,
@@ -1081,6 +1113,7 @@ _LSH_THRESHOLD = 0.4
 # corpus-assembly knobs shared by the Spark queries and their oracles
 _SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.2, "fr": 0.2, "zh": 0.1}
 _SAMPLE_SEED = 42
+_DSIR_BUCKETS = 256    # hashed-unigram feature space in corpus_dsir_weights
 
 # the corpus module's tokenization, as a DuckDB fragment
 _CORPUS_WORDS = r"string_split_regex(trim(lower(text)), '\s+')"
@@ -1716,8 +1749,126 @@ def _llm_corpus_build_sql() -> str:
                       JOIN documents d USING (doc_id)"""
 
 
+def _aspect_sql() -> str:
+    """image_aspect_buckets oracle, generated from the SAME ladder the
+    Spark operator uses (multimodal.ASPECT_LADDER) so the two can never
+    drift; repr() of the Python double round-trips the exact ratio
+    literal Spark compares against."""
+    from scrapely_spark.spark.multimodal import ASPECT_LADDER
+    diffs = ["abs(ar - %s)" % repr(float(bw) / float(bh))
+             for _, bw, bh in ASPECT_LADDER]
+    best = "least(%s)" % ", ".join(diffs)
+    pick = lambda vals: " ".join(  # noqa: E731
+        "WHEN %s = best THEN %s" % (diffs[i], v)
+        for i, v in enumerate(vals))
+    names = pick(["'%s'" % n for n, _, _ in ASPECT_LADDER])
+    ws = pick([str(bw) for _, bw, _ in ASPECT_LADDER])
+    hs = pick([str(bh) for _, _, bh in ASPECT_LADDER])
+    return f"""
+        WITH img AS (
+          SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                 CAST(32 + (doc_id * 37) % 993 AS INT) AS w,
+                 CAST(32 + (doc_id * 61) % 993 AS INT) AS h
+          FROM documents),
+        scored AS (
+          SELECT image_id, w, h,
+                 CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS ar
+          FROM img),
+        bested AS (SELECT *, {best} AS best FROM scored)
+        SELECT image_id, w, h, round(ar, 6) AS aspect,
+               CASE {names} END AS bucket,
+               CASE {ws} END AS target_w,
+               CASE {hs} END AS target_h
+        FROM bested"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # CCNet-style perplexity buckets: the oracle retrains the same
+        # add-one bigram LM (model log-probs rounded to micro-nats at
+        # the model level, per-doc sums exact integers) and replays the
+        # per-language ntile on the identical (avg_nll, doc_id) order
+        "text_lm_perplexity": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents),
+            db AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS bigram
+              FROM d),
+            dbc AS (SELECT doc_id, lang, bigram, count(*) AS c
+                    FROM db GROUP BY 1, 2, 3),
+            uc AS (SELECT word, count(*) AS c_w FROM (
+                     SELECT unnest(w) AS word FROM d) GROUP BY 1),
+            v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+            bi AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS c_ab
+                   FROM dbc GROUP BY 1),
+            model AS (
+              SELECT bigram,
+                     CAST(round(ln((c_ab + 1.0) / (c_w + v)) * 1e6)
+                          AS BIGINT) AS lp_micro
+              FROM bi JOIN uc ON string_split(bigram, ' ')[1] = uc.word
+              CROSS JOIN v),
+            scored AS (
+              SELECT doc_id, lang,
+                     CAST(sum(c * lp_micro) AS BIGINT) AS s_micro,
+                     CAST(sum(c) AS BIGINT) AS n_bigrams
+              FROM dbc JOIN model USING (bigram) GROUP BY 1, 2)
+            SELECT doc_id, lang, n_bigrams,
+                   -(CAST(s_micro AS DOUBLE) / 1e6) / n_bigrams
+                     AS avg_nll,
+                   round(exp(-(CAST(s_micro AS DOUBLE) / 1e6) / n_bigrams),
+                         4) AS ppl,
+                   (['head', 'middle', 'tail'])[ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY -(CAST(s_micro AS DOUBLE) / 1e6)
+                                / n_bigrams, doc_id)] AS bucket
+            FROM scored""",
+
+        # DSIR hashed-unigram importance weights vs the src7 target
+        # domain; the bucket id is the corpus md5 ticket idiom and the
+        # per-bucket log-ratio is rounded once (256 rows) before the
+        # exact per-doc integer sums
+        "corpus_dsir_weights": f"""
+            WITH dbk AS (
+              SELECT doc_id, source, bucket, count(*) AS c FROM (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)
+                         % {_DSIR_BUCKETS} AS bucket
+                FROM (SELECT doc_id, source, unnest(
+                        string_split_regex(trim(lower(text)), '\\s+'))
+                        AS word
+                      FROM documents))
+              GROUP BY 1, 2, 3),
+            raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_raw
+                    FROM dbk GROUP BY 1),
+            tgt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_tgt
+                    FROM dbk WHERE source = 'src7' GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(sum(c_raw) AS BIGINT) FROM raw)
+                             AS n_raw,
+                           (SELECT CAST(sum(c_tgt) AS BIGINT) FROM tgt)
+                             AS n_tgt),
+            model AS (
+              SELECT raw.bucket,
+                     CAST(round(ln(((coalesce(c_tgt, 0) + 1.0)
+                                    / (n_tgt + {_DSIR_BUCKETS}))
+                                   / ((c_raw + 1.0)
+                                      / (n_raw + {_DSIR_BUCKETS}))) * 1e6)
+                          AS BIGINT) AS lr_micro
+              FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot)
+            SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_words,
+                   round(CAST(sum(c * lr_micro) AS BIGINT) / 1e6, 6)
+                     AS log_weight,
+                   (CAST(CAST(sum(c * lr_micro) AS BIGINT)
+                         AS DOUBLE) / 1e6)
+                   / CAST(sum(c) AS BIGINT) AS avg_log_ratio
+            FROM dbk JOIN model USING (bucket)
+            GROUP BY 1, 2""",
+
+        "image_aspect_buckets": _aspect_sql(),
+
         "ibl_extract_docs": _IBL_EXTRACT_DOCS_SQL,
 
         "set_except_customers": """

@@ -70,6 +70,11 @@ HEADLINE = [
     # end-to-end composition row + SemDeDup-style semantic dedup (r4)
     "llm_corpus_build",
     "embedding_semdedup",
+    # r4 curation closers: CCNet perplexity buckets, DSIR importance
+    # weights, SDXL aspect-ladder bucketing
+    "text_lm_perplexity",
+    "corpus_dsir_weights",
+    "image_aspect_buckets",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

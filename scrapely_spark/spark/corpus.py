@@ -266,6 +266,72 @@ def weighted_sample(docs: DataFrame, k: int, weight,
     return out.select(*cols, F.col("_w").alias("weight"))
 
 
+def dsir_weights(docs: DataFrame, target_source: str,
+                 n_buckets: int = 256) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023).
+
+    Scores every document by how target-like its hashed unigram
+    profile is: features are md5-hashed word buckets (the paper's
+    hashed n-grams), the target distribution is estimated from the
+    documents of ``target_source``, the raw distribution from the
+    whole corpus, both add-one smoothed:
+
+        log w(doc) = Σ_words  ln( p_target(b(word)) / p_raw(b(word)) )
+
+    Selecting the top-weight documents (or Gumbel-resampling on these
+    log-weights) is the paper's domain-targeting step.
+
+    Determinism at any partitioning: the per-bucket log-ratio is
+    rounded once to integer micro-nats at the model level (``n_buckets``
+    rows), and per-document totals are exact integer sums — the same
+    integer-micro trick as mixing_rates / lm_perplexity.
+
+    Scale shape: the bucket id is one md5+conv projection (the corpus
+    ticket idiom — engine-portable); both distributions are one
+    explode+groupBy with map-side combine onto at most ``n_buckets``
+    rows; the scoring join hits that tiny table (broadcast) keyed by
+    bucket after pre-aggregating each document's bucket counts.
+    Nothing grows with corpus size except the two linear passes.
+    """
+    bucket = (F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10)
+              .cast("long") % n_buckets).alias("bucket")
+    toks = docs.select("doc_id", "source",
+                       F.explode(_words()).alias("word"))
+    doc_b = (toks.select("doc_id", "source", bucket)
+             .groupBy("doc_id", "source", "bucket")
+             .agg(F.count("*").alias("c")))
+    raw = doc_b.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
+    tgt = (doc_b.where(F.col("source") == target_source)
+           .groupBy("bucket").agg(F.sum("c").alias("c_tgt")))
+    totals = F.broadcast(
+        raw.agg(F.sum("c_raw").alias("n_raw")).crossJoin(
+            tgt.agg(F.sum("c_tgt").alias("n_tgt"))))
+    model = F.broadcast(
+        raw.join(tgt, "bucket", "left").crossJoin(totals)
+        .select("bucket", F.round(F.log(
+            ((F.coalesce("c_tgt", F.lit(0)) + F.lit(1.0))
+             / (F.col("n_tgt") + n_buckets))
+            / ((F.col("c_raw") + F.lit(1.0))
+               / (F.col("n_raw") + n_buckets))) * 1e6)
+            .cast("long").alias("lr_micro")))
+    return (doc_b.join(model, "bucket")
+            .groupBy("doc_id", "source")
+            .agg(F.sum(F.col("c") * F.col("lr_micro")).alias("s_micro"),
+                 F.sum("c").alias("n_words"))
+            .select("doc_id", "source", "n_words",
+                    # log_weight sits ON the 1e-6 grid (integer micro
+                    # sum / 1e6), so round(6) is the identity; the
+                    # per-word average is emitted UNROUNDED because a
+                    # micro-grid value divided by a small word count
+                    # lands on decimal midpoints where string-based and
+                    # binary-value round() implementations disagree —
+                    # the raw double is bit-identical across engines
+                    F.round(F.col("s_micro") / 1e6, 6).alias("log_weight"),
+                    ((F.col("s_micro").cast("double") / 1e6)
+                     / F.col("n_words")).alias("avg_log_ratio")))
+
+
 def clean_corpus(docs: DataFrame, min_quality: float = 0.4) -> DataFrame:
     """End-to-end cleaned-training-set selection.
 

@@ -233,3 +233,47 @@ def curate_image_captions(images: DataFrame, min_dim: int = 64,
                & (F.col("aspect") <= max_aspect)
                & (F.col("n_caption_tokens") >= min_caption_tokens)
                & (F.col("n_caption_tokens") <= max_caption_tokens)))
+
+
+# the SDXL-style training ladder: (name, bucket_w, bucket_h) — a fixed
+# set of aspect ratios a variable-aspect image trainer batches by so
+# that every batch shares one latent shape (Podell et al. 2023, app. I)
+ASPECT_LADDER = [
+    ("1:1", 1024, 1024), ("4:3", 1152, 896), ("3:4", 896, 1152),
+    ("3:2", 1216, 832), ("2:3", 832, 1216), ("16:9", 1344, 768),
+    ("9:16", 768, 1344), ("2:1", 1472, 704), ("1:2", 704, 1472),
+]
+
+
+def aspect_buckets(images: DataFrame,
+                   ladder: list = None) -> DataFrame:
+    """Aspect-ratio bucket assignment for variable-aspect image training.
+
+    Every (w, h) image is assigned the ladder bucket whose aspect ratio
+    is nearest to its own (ties to the earlier ladder entry), plus the
+    target dims a resize stage would emit — the batching key an SDXL-
+    style trainer groups by so one batch shares one tensor shape.
+
+    Engine-portable determinism: the nearest-bucket argmin uses only
+    IEEE correctly-rounded ops (two divisions, a subtraction, abs and
+    comparisons — no log), so Spark and any ANSI engine pick identical
+    buckets for identical ints.  One shuffle-free projection; the
+    binary column is never read (metadata-only scan at 100 TB, same
+    pruning contract as curate_image_captions).
+    """
+    ladder = ladder or ASPECT_LADDER
+    ar = F.col("w").cast("double") / F.col("h").cast("double")
+    diffs = [F.abs(ar - F.lit(float(bw) / float(bh)))
+             for _, bw, bh in ladder]
+    best = F.least(*diffs)
+    bucket = F.coalesce(*[F.when(diffs[i] == best, F.lit(name))
+                          for i, (name, _, _) in enumerate(ladder)])
+    tgt_w = F.coalesce(*[F.when(diffs[i] == best, F.lit(bw))
+                         for i, (_, bw, _) in enumerate(ladder)])
+    tgt_h = F.coalesce(*[F.when(diffs[i] == best, F.lit(bh))
+                         for i, (_, _, bh) in enumerate(ladder)])
+    return images.select(
+        "image_id", "w", "h",
+        F.round(ar, 6).alias("aspect"),
+        bucket.alias("bucket"),
+        tgt_w.alias("target_w"), tgt_h.alias("target_h"))

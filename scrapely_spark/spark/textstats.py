@@ -9,7 +9,7 @@ oracle (see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # deterministic marker-word lists for the n-gram/stopword language heuristic
 LANG_MARKERS = {
@@ -171,6 +171,88 @@ def redact_pii(docs: DataFrame) -> DataFrame:
         F.regexp_count("text", F.lit(PII_PHONE)).alias("n_phones"),
         red.alias("text_redacted"),
     )
+
+
+def lm_perplexity(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
+    """CCNet-style n-gram LM perplexity bucketing (Wenzek et al. 2020).
+
+    The canonical quality-stratification pass of a pretraining corpus
+    cleaner: score every document under a language model and split each
+    language into head/middle/tail perplexity buckets.  CCNet uses a
+    pre-trained 5-gram KenLM; this engine trains the model in-plan — an
+    add-one-smoothed bigram LM over the corpus itself:
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+    with V the distinct-vocabulary size.  Per document, the score is
+    the mean negative log-probability over its bigram positions and
+    the perplexity its exp; documents with fewer than two tokens carry
+    no bigram and are dropped.
+
+    Determinism at any partitioning: the model's per-bigram log-prob is
+    rounded once to integer micro-nats (``round(ln(p)·1e6)`` BIGINT) at
+    the model level — a bounded table, one row per distinct bigram —
+    and per-document totals are exact integer sums of those micro-nats,
+    so no floating-point accumulation order can leak into the result
+    (the same integer-domain trick as corpus.mixing_rates).
+
+    Scale shape: two explode+groupBy passes build the model (both get
+    map-side partial combine and carry the *vocabulary*, never the
+    corpus); per-doc bigrams pre-aggregate to (doc_id, bigram, c) before
+    joining the model on the bigram key — a plain hash join whose build
+    side is the model (broadcastable when small, shuffled co-partitioned
+    at 10^10 docs).  The final per-language ntile is a sorted window per
+    language; at 100 TB replace it with two-pass approx_percentile
+    thresholds (the bucket boundaries are all the sort is for).
+    """
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "lang", words.alias("w"),
+                       F.size(words).alias("n"))
+    starts = F.when(F.col("n") >= 2,
+                    F.sequence(F.lit(1), F.col("n") - 1)
+                    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.element_at("w", i),
+                                      F.element_at("w", i + 1)))
+    doc_bi = (base.select("doc_id", "lang", F.explode(grams).alias("bigram"))
+              .groupBy("doc_id", "lang", "bigram")
+              .agg(F.count("*").alias("c")))
+
+    uni = (docs.select(F.explode(words).alias("word"))
+           .groupBy("word").agg(F.count("*").alias("c_w")))
+    vocab = F.broadcast(uni.agg(F.count("*").alias("v")))
+    bi = (doc_bi.groupBy("bigram").agg(F.sum("c").alias("c_ab")))
+    model = (bi
+             .join(uni.withColumnRenamed("word", "_w1"),
+                   F.split(F.col("bigram"), " ").getItem(0) == F.col("_w1"))
+             .crossJoin(vocab)
+             .select("bigram",
+                     F.round(F.log((F.col("c_ab") + F.lit(1.0))
+                                   / (F.col("c_w") + F.col("v"))) * 1e6)
+                     .cast("long").alias("lp_micro")))
+
+    scored = (doc_bi.join(model, "bigram")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum(F.col("c") * F.col("lp_micro")).alias("s_micro"),
+                   F.sum("c").alias("n_bigrams")))
+    avg_nll = -(F.col("s_micro").cast("double") / 1e6) / F.col("n_bigrams")
+    win = Window.partitionBy("lang").orderBy(avg_nll.asc(),
+                                             F.col("doc_id").asc())
+    names = (["head", "middle", "tail"] if n_buckets == 3 else
+             ["b%d" % i for i in range(1, n_buckets + 1)])
+    bucket = F.element_at(F.array(*[F.lit(x) for x in names]),
+                          F.ntile(n_buckets).over(win))
+    # avg_nll is emitted UNROUNDED: micro-nat sums divided by small
+    # bigram counts land exactly on 1e-6 decimal midpoints, where
+    # Spark's string-based HALF_UP round and a binary-value round (e.g.
+    # DuckDB's) disagree by one grid step.  The raw double is the same
+    # bits in every engine (two correctly-rounded divisions in a fixed
+    # order), so it is the *more* reproducible spelling.
+    return scored.select(
+        "doc_id", "lang", "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+        bucket.alias("bucket"))
 
 
 def fingerprints(docs: DataFrame, shingle_chars: int = 16) -> DataFrame:

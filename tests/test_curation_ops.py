@@ -1,0 +1,184 @@
+"""Kernel-semantics tests for the round-4 curation operators.
+
+DuckDB hash parity lives in test_driver_contract; these pin the math
+on hand-built inputs against independent pure-Python twins:
+lm_perplexity (CCNet bigram-LM bucketing), dsir_weights (hashed-ngram
+importance resampling), aspect_buckets (SDXL ladder assignment).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from scrapely_spark.spark import corpus, multimodal, textstats
+
+
+def _r(x, n):
+    """Spark/DuckDB-style HALF_UP rounding of the exact double value
+    (Python's round() is banker's and disagrees at .5 boundaries)."""
+    return float(Decimal(x).quantize(Decimal("1e-%d" % n),
+                                     rounding=ROUND_HALF_UP))
+
+
+def _docs(spark, rows):
+    # rows: (doc_id, text, lang, source)
+    return spark.createDataFrame(
+        [(i, t, lg, src, len(t)) for i, t, lg, src in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+
+# ------------------------------------------------------- lm_perplexity
+
+def _ppl_twin(rows):
+    """Independent bigram-LM twin: add-one smoothing, micro-nat model
+    rounding, exact integer per-doc sums — the operator's contract."""
+    toks = {i: t.strip().lower().split() for i, t, _, _ in rows}
+    uni, bi = {}, {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = len(uni)
+    lp = {g: round(math.log((c + 1.0) / (uni[g[0]] + v)) * 1e6)
+          for g, c in bi.items()}
+    out = {}
+    for i, ws in toks.items():
+        grams = list(zip(ws, ws[1:]))
+        if not grams:
+            continue
+        s = sum(lp[g] for g in grams)
+        out[i] = (-(s / 1e6) / len(grams), len(grams))
+    return out
+
+
+def test_lm_perplexity_matches_python_twin(spark):
+    rows = [
+        (0, "a b a b a b", "en", "s0"),          # repetitive -> low ppl
+        (1, "a b c d e f g", "en", "s0"),        # all-hapax -> high ppl
+        (2, "a b a c a b a", "en", "s0"),
+        (3, "x y x y z", "de", "s1"),
+        (4, "solo", "en", "s0"),                 # no bigram -> dropped
+    ]
+    got = {r.doc_id: r for r in
+           textstats.lm_perplexity(_docs(spark, rows)).collect()}
+    twin = _ppl_twin(rows)
+    assert set(got) == set(twin) == {0, 1, 2, 3}
+    for i, (nll, n) in twin.items():
+        assert got[i].n_bigrams == n
+        assert got[i].avg_nll == nll            # raw double, bit-equal
+        assert abs(got[i].ppl - _r(math.exp(nll), 4)) < 1e-9
+    # per-language ntile on (avg_nll, doc_id): en has 3 scored docs ->
+    # one per bucket, ordered by ascending nll; de's single doc is head
+    en = sorted((twin[i][0], i) for i in (0, 1, 2))
+    order = {got[i].bucket: i for i in (0, 1, 2)}
+    assert [order["head"], order["middle"], order["tail"]] == [
+        i for _, i in en]
+    assert got[3].bucket == "head"
+
+
+def test_lm_perplexity_repetition_scores_lower(spark):
+    rows = [(0, "a b a b a b a b", "en", "s"),
+            (1, "q w e r t y u i", "en", "s")]
+    got = {r.doc_id: r for r in
+           textstats.lm_perplexity(_docs(spark, rows)).collect()}
+    assert got[0].ppl < got[1].ppl
+    assert got[0].bucket == "head" and got[1].bucket != "head"
+
+
+# -------------------------------------------------------- dsir_weights
+
+def _bucket(word, n=256):
+    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % n
+
+
+def _dsir_twin(rows, target, n=256):
+    toks = {i: t.strip().lower().split() for i, t, _, _ in rows}
+    raw, tgt = {}, {}
+    for i, t, _, src in rows:
+        for w in toks[i]:
+            b = _bucket(w, n)
+            raw[b] = raw.get(b, 0) + 1
+            if src == target:
+                tgt[b] = tgt.get(b, 0) + 1
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    lr = {b: round(math.log(((tgt.get(b, 0) + 1.0) / (n_tgt + n))
+                            / ((c + 1.0) / (n_raw + n))) * 1e6)
+          for b, c in raw.items()}
+    return {i: sum(lr[_bucket(w, n)] for w in toks[i]) / 1e6
+            for i in toks}
+
+
+def test_dsir_weights_match_python_twin(spark):
+    rows = [
+        (0, "wiki wiki encyclopedia article", "en", "target"),
+        (1, "spam casino pills spam spam", "en", "web"),
+        (2, "wiki article mixed casino", "en", "web"),
+    ]
+    got = {r.doc_id: r for r in
+           corpus.dsir_weights(_docs(spark, rows), "target").collect()}
+    twin = _dsir_twin(rows, "target")
+    for i, w in twin.items():
+        assert abs(got[i].log_weight - _r(w, 6)) < 1e-9
+        assert got[i].n_words == len(rows[i][1].split())
+    # target-vocabulary doc outranks the spam doc
+    assert got[0].log_weight > got[1].log_weight
+    assert got[1].log_weight < got[2].log_weight < got[0].log_weight
+
+
+def test_dsir_weight_is_partitioning_invariant(spark):
+    rows = [(i, "w%d common target word" % (i % 7), "en",
+             "target" if i % 3 == 0 else "web") for i in range(40)]
+    df = _docs(spark, rows)
+    a = {r.doc_id: r.log_weight
+         for r in corpus.dsir_weights(df, "target").collect()}
+    b = {r.doc_id: r.log_weight
+         for r in corpus.dsir_weights(df.repartition(13), "target")
+         .collect()}
+    assert a == b
+
+
+# ------------------------------------------------------ aspect_buckets
+
+def test_aspect_buckets_known_assignments(spark):
+    imgs = spark.createDataFrame(
+        [("sq", 512, 512), ("land", 1600, 900), ("port", 900, 1600),
+         ("wide", 2048, 1024), ("tallish", 800, 1200)],
+        "image_id string, w int, h int")
+    got = {r.image_id: r for r in
+           multimodal.aspect_buckets(imgs).collect()}
+    assert got["sq"].bucket == "1:1" and got["sq"].target_w == 1024
+    assert got["land"].bucket == "16:9"
+    assert got["port"].bucket == "9:16"
+    assert got["wide"].bucket == "2:1" and got["wide"].target_h == 704
+    assert got["tallish"].bucket == "2:3"
+
+
+def test_aspect_buckets_tie_goes_to_earlier_ladder_entry(spark):
+    # an aspect exactly midway between 1:1 (1.0) and 4:3 (1.3333..)
+    # has equal |diff| to neither in doubles; instead pin the exact-hit
+    # tie rule: a ratio equal to a ladder entry picks that entry even
+    # if a later entry computes the same diff
+    ladder = [("a", 100, 100), ("b", 200, 200)]  # identical ratios
+    imgs = spark.createDataFrame([("x", 50, 50)],
+                                 "image_id string, w int, h int")
+    got = multimodal.aspect_buckets(imgs, ladder=ladder).collect()[0]
+    assert got.bucket == "a" and got.target_w == 100
+
+
+def test_aspect_buckets_twin_over_grid(spark):
+    dims = [(w, h) for w in (32, 333, 704, 1025) for h in (64, 500, 999)]
+    imgs = spark.createDataFrame(
+        [("%dx%d" % d, d[0], d[1]) for d in dims],
+        "image_id string, w int, h int")
+    got = {r.image_id: r.bucket for r in
+           multimodal.aspect_buckets(imgs).collect()}
+    for w, h in dims:
+        ar = w / h
+        diffs = [abs(ar - bw / bh) for _, bw, bh in
+                 multimodal.ASPECT_LADDER]
+        best = min(range(len(diffs)), key=lambda i: (diffs[i], i))
+        assert got["%dx%d" % (w, h)] == multimodal.ASPECT_LADDER[best][0]
