@@ -79,6 +79,7 @@ HEADLINE = [
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",
     "approx_kmv_user_days_k1024",
+    "approx_perplexity_buckets",
 ]
 
 # crawl sizing: enough host fan-out that per-round politeness budgets sum
@@ -155,8 +156,16 @@ def _approx_twins() -> dict:
         return kmv_distinct(e.withColumn("_v", day_user),
                             ["event_type"], F.col("_v"), k=1024)
 
+    def approx_perplexity_buckets(spark, sf):
+        # text_lm_perplexity's 100 TB bucketing: percentile_approx
+        # boundaries instead of the per-language ntile sort
+        from scrapely_spark.spark import textstats
+        docs = spark.read.parquet(sf + "/documents.parquet")
+        return textstats.lm_perplexity(docs, approx_thresholds=True)
+
     return {"approx_length_quantiles": approx_length_quantiles,
-            "approx_kmv_user_days_k1024": approx_kmv_user_days_k1024}
+            "approx_kmv_user_days_k1024": approx_kmv_user_days_k1024,
+            "approx_perplexity_buckets": approx_perplexity_buckets}
 
 
 def run_queries(spark) -> dict:

@@ -173,7 +173,8 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_perplexity(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
+def lm_perplexity(docs: DataFrame, n_buckets: int = 3,
+                  approx_thresholds: bool = False) -> DataFrame:
     """CCNet-style n-gram LM perplexity bucketing (Wenzek et al. 2020).
 
     The canonical quality-stratification pass of a pretraining corpus
@@ -202,8 +203,11 @@ def lm_perplexity(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
     joining the model on the bigram key — a plain hash join whose build
     side is the model (broadcastable when small, shuffled co-partitioned
     at 10^10 docs).  The final per-language ntile is a sorted window per
-    language; at 100 TB replace it with two-pass approx_percentile
-    thresholds (the bucket boundaries are all the sort is for).
+    language; ``approx_thresholds=True`` is the 100 TB path — bucket
+    boundaries from ``percentile_approx`` (one agg onto |langs| rows,
+    broadcast back; no per-language sort ever happens).  The approx
+    buckets are engine-specific (no cross-engine oracle), so the driver
+    query uses the exact path and the bench exercises the approx one.
     """
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = docs.select("doc_id", "lang", words.alias("w"),
@@ -236,12 +240,30 @@ def lm_perplexity(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
               .agg(F.sum(F.col("c") * F.col("lp_micro")).alias("s_micro"),
                    F.sum("c").alias("n_bigrams")))
     avg_nll = -(F.col("s_micro").cast("double") / 1e6) / F.col("n_bigrams")
-    win = Window.partitionBy("lang").orderBy(avg_nll.asc(),
-                                             F.col("doc_id").asc())
     names = (["head", "middle", "tail"] if n_buckets == 3 else
              ["b%d" % i for i in range(1, n_buckets + 1)])
-    bucket = F.element_at(F.array(*[F.lit(x) for x in names]),
-                          F.ntile(n_buckets).over(win))
+    name_arr = F.array(*[F.lit(x) for x in names])
+    if approx_thresholds:
+        # the scale path: per-language quantile boundaries from one
+        # sketch agg (|langs| rows), broadcast back — a doc's bucket is
+        # 1 + how many boundaries its score exceeds.  No sort, no
+        # window; ties at a boundary fall to the lower bucket.
+        scored = scored.withColumn("_nll", avg_nll)
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        thr = F.broadcast(scored.groupBy("lang").agg(
+            F.percentile_approx("_nll", probs, 10_000).alias("_thr")))
+        bucket = F.element_at(
+            name_arr,
+            (F.lit(1) + F.size(F.filter(
+                "_thr", lambda t: t < F.col("_nll")))).cast("int"))
+        return (scored.join(thr, "lang")
+                .select("doc_id", "lang", "n_bigrams",
+                        F.col("_nll").alias("avg_nll"),
+                        F.round(F.exp("_nll"), 4).alias("ppl"),
+                        bucket.alias("bucket")))
+    win = Window.partitionBy("lang").orderBy(avg_nll.asc(),
+                                             F.col("doc_id").asc())
+    bucket = F.element_at(name_arr, F.ntile(n_buckets).over(win))
     # avg_nll is emitted UNROUNDED: micro-nat sums divided by small
     # bigram counts land exactly on 1e-6 decimal midpoints, where
     # Spark's string-based HALF_UP round and a binary-value round (e.g.

@@ -182,3 +182,32 @@ def test_aspect_buckets_twin_over_grid(spark):
                  multimodal.ASPECT_LADDER]
         best = min(range(len(diffs)), key=lambda i: (diffs[i], i))
         assert got["%dx%d" % (w, h)] == multimodal.ASPECT_LADDER[best][0]
+
+
+def test_lm_perplexity_approx_buckets_envelope(spark):
+    # the approx-thresholds scale path agrees with the exact ntile on
+    # scores and keeps bucket sizes balanced; with accuracy 10k on a
+    # small input percentile_approx is exact, so boundary rules aside
+    # the assignments match the sorted thirds
+    rows = [(i, " ".join("w%d" % ((i * 7 + j) % 23)
+                         for j in range(12)), "en", "s")
+            for i in range(60)]
+    exact = {r.doc_id: r for r in
+             textstats.lm_perplexity(_docs(spark, rows)).collect()}
+    approx = {r.doc_id: r for r in
+              textstats.lm_perplexity(_docs(spark, rows),
+                                      approx_thresholds=True).collect()}
+    assert set(exact) == set(approx)
+    for i in exact:
+        assert exact[i].avg_nll == approx[i].avg_nll  # same scoring
+    sizes = {}
+    for r in approx.values():
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert all(10 <= n <= 30 for n in sizes.values())
+    # ordering invariant: every head score <= every tail score
+    heads = [approx[i].avg_nll for i in approx
+             if approx[i].bucket == "head"]
+    tails = [approx[i].avg_nll for i in approx
+             if approx[i].bucket == "tail"]
+    assert max(heads) <= min(tails)
