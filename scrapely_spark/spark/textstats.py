@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from scrapely_spark.spark.dedup import _unpersist_on_gc
+
 # deterministic marker-word lists for the n-gram/stopword language heuristic
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in"],
@@ -218,12 +220,15 @@ def lm_perplexity(docs: DataFrame, n_buckets: int = 3,
     grams = F.transform(
         starts, lambda i: F.concat_ws(" ", F.element_at("w", i),
                                       F.element_at("w", i + 1)))
+    # doc_bi and uni each feed TWO consumers (the model-training agg and
+    # the scoring join / vocab total); cache the slim aggregated frames
+    # so the tokenize+explode scans run once, not twice — freed when the
+    # result is dropped (the LSH _unpersist_on_gc convention)
     doc_bi = (base.select("doc_id", "lang", F.explode(grams).alias("bigram"))
               .groupBy("doc_id", "lang", "bigram")
-              .agg(F.count("*").alias("c")))
-
+              .agg(F.count("*").alias("c"))).persist()
     uni = (docs.select(F.explode(words).alias("word"))
-           .groupBy("word").agg(F.count("*").alias("c_w")))
+           .groupBy("word").agg(F.count("*").alias("c_w"))).persist()
     vocab = F.broadcast(uni.agg(F.count("*").alias("v")))
     bi = (doc_bi.groupBy("bigram").agg(F.sum("c").alias("c_ab")))
     model = (bi
@@ -256,11 +261,12 @@ def lm_perplexity(docs: DataFrame, n_buckets: int = 3,
             name_arr,
             (F.lit(1) + F.size(F.filter(
                 "_thr", lambda t: t < F.col("_nll")))).cast("int"))
-        return (scored.join(thr, "lang")
-                .select("doc_id", "lang", "n_bigrams",
-                        F.col("_nll").alias("avg_nll"),
-                        F.round(F.exp("_nll"), 4).alias("ppl"),
-                        bucket.alias("bucket")))
+        out = (scored.join(thr, "lang")
+               .select("doc_id", "lang", "n_bigrams",
+                       F.col("_nll").alias("avg_nll"),
+                       F.round(F.exp("_nll"), 4).alias("ppl"),
+                       bucket.alias("bucket")))
+        return _unpersist_on_gc(out, [doc_bi, uni])
     win = Window.partitionBy("lang").orderBy(avg_nll.asc(),
                                              F.col("doc_id").asc())
     bucket = F.element_at(name_arr, F.ntile(n_buckets).over(win))
@@ -270,11 +276,12 @@ def lm_perplexity(docs: DataFrame, n_buckets: int = 3,
     # DuckDB's) disagree by one grid step.  The raw double is the same
     # bits in every engine (two correctly-rounded divisions in a fixed
     # order), so it is the *more* reproducible spelling.
-    return scored.select(
+    out = scored.select(
         "doc_id", "lang", "n_bigrams",
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
         bucket.alias("bucket"))
+    return _unpersist_on_gc(out, [doc_bi, uni])
 
 
 def fingerprints(docs: DataFrame, shingle_chars: int = 16) -> DataFrame:
