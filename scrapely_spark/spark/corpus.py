@@ -81,7 +81,7 @@ def pack_chunks(docs: DataFrame, seq_len: int = 256,
 
 
 def pack_greedy(docs: DataFrame, max_tokens: int = 256,
-                n_shards: int = 8) -> DataFrame:
+                n_shards: int = 8, reuse_cols: bool = True) -> DataFrame:
     """First-fit-sequential packing: a pack never exceeds ``max_tokens``.
 
     Scanning each shard in ``doc_id`` order, a document joins the open
@@ -121,8 +121,14 @@ def pack_greedy(docs: DataFrame, max_tokens: int = 256,
         pdf["pack_id"] = pack
         return pdf
 
+    # reuse_cols: an upstream stage's n_tokens column is reused instead
+    # of re-tokenizing (the carried-column contract shared with
+    # mixing_rates/temperature_rates).  Pass reuse_cols=False when the
+    # input happens to carry an unrelated n_tokens column — reuse is an
+    # explicit opt-out, not an unavoidable magic-name inference.
     tok_col = (F.col("n_tokens").cast("int")
-               if "n_tokens" in docs.columns else F.size(_words()))
+               if reuse_cols and "n_tokens" in docs.columns
+               else F.size(_words()))
     base = docs.select(
         "doc_id", (F.col("doc_id") % n_shards).alias("shard"),
         tok_col.alias("n_tokens"))
@@ -486,7 +492,8 @@ def length_quantiles(docs: DataFrame,
     return base.groupBy("lang").agg(*aggs).orderBy("lang")
 
 
-def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000) -> DataFrame:
+def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000,
+                 reuse_cols: bool = True) -> DataFrame:
     """Quality-weighted static data mix: per-source sampling rates that
     spend a token budget proportionally to each source's quality mass.
 
@@ -510,11 +517,12 @@ def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000) -> DataFrame:
     """
     from scrapely_spark.spark import textstats
 
-    if "quality" in docs.columns:
+    if reuse_cols and "quality" in docs.columns:
         q = docs.select("doc_id", "quality")
     else:
         q = textstats.quality_scores(docs).select("doc_id", "quality")
-    tok_col = (F.col("n_tokens") if "n_tokens" in docs.columns
+    tok_col = (F.col("n_tokens")
+               if reuse_cols and "n_tokens" in docs.columns
                else F.size(_words()))
     toks = docs.select("doc_id", "source", tok_col.alias("n_tokens"))
     per = (toks.join(q, "doc_id")
@@ -534,8 +542,8 @@ def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000) -> DataFrame:
         .alias("rate")))
 
 
-def temperature_rates(docs: DataFrame,
-                      budget_tokens: int = 10_000) -> DataFrame:
+def temperature_rates(docs: DataFrame, budget_tokens: int = 10_000,
+                      reuse_cols: bool = True) -> DataFrame:
     """Temperature-scaled source mixing at α = ½ — the multilingual
     sampling rule (mBERT/XLM-R/mT5 exponential smoothing, public):
     source ``s`` gets budget share ∝ ``n_s^α``, boosting low-resource
@@ -551,7 +559,8 @@ def temperature_rates(docs: DataFrame,
     map-side-combined groupBy(source), a 1-row broadcast total; feed
     the rates to :func:`apply_mixing_rates` to materialize.
     """
-    tok_col = (F.col("n_tokens") if "n_tokens" in docs.columns
+    tok_col = (F.col("n_tokens")
+               if reuse_cols and "n_tokens" in docs.columns
                else F.size(_words()))
     toks = docs.select("doc_id", "source", tok_col.alias("n_tokens"))
     per = (toks.groupBy("source")

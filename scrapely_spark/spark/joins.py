@@ -49,12 +49,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     if direction != "backward":
         raise NotImplementedError("only backward as-of is implemented")
     # the tie-break cast below is to long — a non-numeric order_col
-    # would become all-NULL and silently lose the determinism promise
-    _NUMERIC = ("byte", "short", "int", "integer", "long", "bigint",
-                "float", "double")
+    # would become all-NULL and silently lose the determinism promise.
+    # Exact-match against Spark's simpleString() names: prefix checks
+    # are wrong in both directions (they reject 'tinyint'/'smallint'
+    # and accept 'interval day to second', which starts with 'int').
+    _NUMERIC = {"tinyint", "smallint", "int", "integer", "bigint",
+                "long", "float", "double"}
     ord_type = right.schema[order_col].dataType.simpleString()
-    if not any(ord_type.startswith(t) for t in _NUMERIC) \
-            and not ord_type.startswith("decimal"):
+    if ord_type not in _NUMERIC and not ord_type.startswith("decimal("):
         raise ValueError(
             "order_col %r has type %s; as-of tie-break requires a "
             "numeric column" % (order_col, ord_type))
@@ -117,29 +119,47 @@ def range_join(points: DataFrame, intervals: DataFrame, key: str,
     all non-overlapping comparisons.  Overlapping intervals are fine —
     each containing interval emits its own output row.
     """
+    reserved = {"_bucket", "_w", "_us", "_us0", "_us1", "_first", "_last"}
+    clash = reserved & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            "input columns %s collide with range_join's reserved "
+            "internal names" % sorted(clash))
     width = F.expr("INTERVAL %s" % bucket)
     w_us = ((F.lit(0).cast("timestamp") + width).cast("long")
             * F.lit(1_000_000))
 
-    def _floordiv(a, b):
-        # exact floor division on longs: pmod is non-negative, so
-        # (a − pmod(a,b)) is an exact multiple of b and the double
-        # quotient is an exactly-representable integer.  cast("long")
-        # after a bare `/` would truncate toward zero and mis-bucket
-        # pre-1970 (negative-epoch) timestamps by one.
-        return ((a - F.pmod(a, b)) / b).cast("long")
+    # exact floor division on longs: pmod is non-negative, so
+    # (x − pmod(x, w)) is an exact multiple of w, and integer `div` of
+    # that multiple is the exact floor quotient — entirely in the long
+    # domain.  A double `/` would round once |x| exceeds 2^53 µs
+    # (years beyond ~2255, e.g. a 9999-12-31 sentinel end date) and
+    # land one bucket low; a bare cast("long") of `/` would
+    # additionally truncate toward zero and mis-bucket pre-1970
+    # (negative-epoch) timestamps by one.
+    _FLOORDIV = "({x} - pmod({x}, _w)) div _w"
 
-    p_bucket = _floordiv(F.unix_micros(F.col(ts).cast("timestamp")), w_us)
-    i_first = _floordiv(
-        F.unix_micros(F.col(start_col).cast("timestamp")), w_us)
+    p = (points
+         .withColumn("_us", F.unix_micros(F.col(ts).cast("timestamp")))
+         .withColumn("_w", w_us)
+         .withColumn("_bucket", F.expr(_FLOORDIV.format(x="_us")))
+         .drop("_us", "_w"))
     # end is exclusive: the bucket of (end − 1µs) is the last covered,
-    # under the SAME floor semantics as p_bucket/i_first
-    i_last = _floordiv(
-        F.unix_micros(F.col(end_col).cast("timestamp")) - F.lit(1), w_us)
-    p = points.withColumn("_bucket", p_bucket)
-    i = intervals.withColumn(
-        "_bucket", F.explode(F.sequence(i_first,
-                                        F.greatest(i_first, i_last))))
+    # under the SAME floor semantics as the point bucket
+    i = (intervals
+         .withColumn("_us0",
+                     F.unix_micros(F.col(start_col).cast("timestamp")))
+         .withColumn("_us1",
+                     F.unix_micros(F.col(end_col).cast("timestamp"))
+                     - F.lit(1))
+         .withColumn("_w", w_us)
+         .withColumn("_first", F.expr(_FLOORDIV.format(x="_us0")))
+         .withColumn("_last", F.expr(_FLOORDIV.format(x="_us1")))
+         .withColumn("_bucket",
+                     F.explode(F.sequence(
+                         F.col("_first"),
+                         F.greatest("_first", "_last"))))
+         .drop("_us0", "_us1", "_w", "_first", "_last"))
     joined = p.join(i, on=[key, "_bucket"]) \
         .where((F.col(ts) >= F.col(start_col)) &
                (F.col(ts) < F.col(end_col))) \

@@ -622,8 +622,13 @@ def semdedup(embeddings: DataFrame, eps: float = 0.4,
         F.zip_with(F.col("vn"), F.element_at(cent, F.col("cell") + 1),
                    lambda a, b: a * b),
         F.lit(0.0), lambda acc, x: acc + x), 6)
+    # slim feeds THREE consumers (both self-join sides and the final
+    # per-vector output), and its lineage is the Arrow-batch matmul
+    # assignment plus the normalization fold — cache it so that pass
+    # runs once, not three times (the _candidates_impl convention;
+    # freed when the result frame is dropped)
     slim = (cells.select("vec_id", "cell", vn.alias("vn"))
-            .withColumn("ccos", ccos))
+            .withColumn("ccos", ccos)).persist()
     w = Window.partitionBy("cell")
     capped = (slim.withColumn("_cn", F.count("*").over(w))
               .where(F.col("_cn") <= max_cell).drop("_cn"))
@@ -640,7 +645,9 @@ def semdedup(embeddings: DataFrame, eps: float = 0.4,
             .where(F.col("cos") >= eps)
             .select("vec_id").distinct()
             .withColumn("_dup", F.lit(True)))
-    return (cells.select("vec_id", "cell")
-            .join(dups, "vec_id", "left")
-            .select("vec_id", "cell",
-                    F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))
+    from scrapely_spark.spark.dedup import _unpersist_on_gc
+    out = (slim.select("vec_id", "cell")
+           .join(dups, "vec_id", "left")
+           .select("vec_id", "cell",
+                   F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))
+    return _unpersist_on_gc(out, [slim])

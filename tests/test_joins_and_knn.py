@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as contract
 from scrapely_spark.spark import simsearch
-from scrapely_spark.spark.joins import asof_join
+from scrapely_spark.spark.joins import asof_join, range_join
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -580,3 +580,63 @@ def test_cms_estimate_empty_sketch_estimates_zero(spark):
            sketches.cms_estimate(sk, keys, "k", depth=4,
                                  width=256).collect()}
     assert got == {1: 0, 2: 0}
+
+
+def test_asof_join_accepts_small_int_order_col(spark):
+    # simpleString() of ShortType is 'smallint' — a prefix-based guard
+    # rejected it even though the long cast is lossless; exact-name
+    # matching must accept every integral width
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100)],
+        "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 7, "lo"),
+         (1, _ts("2024-01-01T09:00:00"), 9, "hi")],
+        "k long, ts timestamp, rid smallint, v string")
+    out = asof_join(left, right, key="k", ts="ts",
+                    right_cols=["v"], order_col="rid").collect()
+    assert out[0].v == "hi"          # largest tie-break wins
+
+
+def test_asof_join_rejects_interval_order_col(spark):
+    # 'interval day to second'.startswith('int') is True — the old
+    # prefix guard let it through and the long cast NULLed every row
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100)],
+        "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "p")],
+        "k long, ts timestamp, v string").selectExpr(
+            "k", "ts", "v", "INTERVAL '1' DAY AS dur")
+    with pytest.raises(ValueError, match="numeric"):
+        asof_join(left, right, key="k", ts="ts",
+                  right_cols=["v"], order_col="dur")
+
+
+def test_range_join_far_future_sentinel_end_exact(spark):
+    # |unix_micros| beyond 2^53 (years ≳ 2255) is not representable in
+    # a double: the old (a - pmod)/b double quotient rounded one bucket
+    # low and dropped genuinely contained pairs.  A 9999-12-31 sentinel
+    # end date is the common open-interval spelling, so the bucketing
+    # must stay exact in the long domain.
+    p = spark.createDataFrame(
+        [(1, _ts("9998-12-31T23:59:59"), 1)],
+        "k long, ts timestamp, pid long")
+    i = spark.createDataFrame(
+        [(1, _ts("9998-12-31T00:00:00"), _ts("9999-12-31T00:00:00"), 10)],
+        "k long, start timestamp, end timestamp, iid long")
+    out = range_join(p, i, key="k", ts="ts",
+                     start_col="start", end_col="end").collect()
+    assert [(r.pid, r.iid) for r in out] == [(1, 10)]
+
+
+def test_range_join_rejects_reserved_column_clash(spark):
+    p = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 5)],
+        "k long, ts timestamp, _bucket long")
+    i = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), _ts("2024-01-01T11:00:00"))],
+        "k long, start timestamp, end timestamp")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(p, i, key="k", ts="ts",
+                   start_col="start", end_col="end")
