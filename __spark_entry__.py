@@ -1654,6 +1654,50 @@ def _scrub_sql() -> str:
 
 
 
+# the quality-weighted keep-rate formula — the ONE spelling shared by
+# the corpus_mixing_rates oracle and the composed llm_corpus_build
+# oracle (budget 10k), so the two can never diverge
+_MIX_RATE_EXPR = ("round(least(1.0, (10000.0 * weight_micro / total_micro)"
+                  " / n_tokens), 6)")
+
+
+def _ticket_pred_sql(qual: str, rate_expr: str, seed: int) -> str:
+    """The md5-ticket sampling predicate (corpus._ticket_md5 /
+    sample_threshold convention) with a data-dependent rate — shared by
+    every oracle that materializes a mix in-query."""
+    return (f"substr(md5(CAST({qual}doc_id AS VARCHAR) || ':{seed}'), 1, 8)"
+            f"\n                    < printf('%08x',\n"
+            f"                             CAST(floor({rate_expr}"
+            f" * 4294967296.0)\n"
+            f"                                  AS BIGINT))")
+
+
+def _pack_cte_sql(src: str, o: str = "o", g: str = "g",
+                  max_tokens: int = 256) -> str:
+    """First-fit-sequential packing as a recursive-CTE fragment — the
+    ONE spelling shared by the corpus_pack_greedy oracle and the
+    composed llm_corpus_build oracle.  ``src`` must provide
+    (doc_id, shard, n_tokens)."""
+    return f"""
+            {o} AS (
+              SELECT doc_id, shard, n_tokens,
+                     row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                       AS rn
+              FROM {src}),
+            {g} AS (
+              SELECT doc_id, shard, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+              FROM {o} WHERE rn = 1
+              UNION ALL
+              SELECT {o}.doc_id, {o}.shard, {o}.n_tokens, {o}.rn,
+                     CASE WHEN {g}.acc + {o}.n_tokens > {max_tokens}
+                          THEN {g}.pack_id + 1 ELSE {g}.pack_id END,
+                     CASE WHEN {g}.acc + {o}.n_tokens > {max_tokens}
+                          THEN {o}.n_tokens ELSE {g}.acc + {o}.n_tokens END
+              FROM {g} JOIN {o} ON {o}.shard = {g}.shard
+                               AND {o}.rn = {g}.rn + 1)"""
+
+
 def _llm_corpus_build_sql() -> str:
     """DuckDB twin of corpus.llm_corpus_build — the WHOLE chain in one
     query: MinHash banding + capped candidate pairs (_BANDS_SQL) →
@@ -1710,36 +1754,17 @@ def _llm_corpus_build_sql() -> str:
               FROM kept GROUP BY source)
             , tot AS (SELECT sum(weight_micro) AS total_micro FROM per)
             , rates AS (
-              SELECT source,
-                     round(least(1.0,
-                                 (10000.0 * weight_micro / total_micro)
-                                 / n_tokens), 6) AS rate
+              SELECT source, {_MIX_RATE_EXPR} AS rate
               FROM per, tot)
             , sampled AS (
               SELECT k.*, r2.rate
               FROM kept k JOIN rates r2 USING (source)
               WHERE r2.rate >= 1.0
-                 OR substr(md5(CAST(k.doc_id AS VARCHAR) || ':42'), 1, 8)
-                    < printf('%08x',
-                             CAST(floor(r2.rate * 4294967296.0)
-                                  AS BIGINT)))
-            , po AS (
-              SELECT doc_id, doc_id % 8 AS shard, n_tokens,
-                     row_number() OVER (PARTITION BY doc_id % 8
-                                        ORDER BY doc_id) AS rn
+                 OR {_ticket_pred_sql("k.", "r2.rate", _SAMPLE_SEED)})
+            , ps AS (
+              SELECT doc_id, doc_id % 8 AS shard, n_tokens
               FROM sampled)
-            , pg AS (
-              SELECT doc_id, shard, n_tokens, rn,
-                     CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
-              FROM po WHERE rn = 1
-              UNION ALL
-              SELECT po.doc_id, po.shard, po.n_tokens, po.rn,
-                     CASE WHEN pg.acc + po.n_tokens > 256
-                          THEN pg.pack_id + 1 ELSE pg.pack_id END,
-                     CASE WHEN pg.acc + po.n_tokens > 256
-                          THEN po.n_tokens ELSE pg.acc + po.n_tokens END
-              FROM pg JOIN po ON po.shard = pg.shard
-                             AND po.rn = pg.rn + 1)
+            , {_pack_cte_sql("ps", o="po", g="pg")}
             SELECT p.doc_id, s.source, s.lang, p.shard, p.pack_id,
                    CAST(p.n_tokens AS INT) AS n_tokens, s.quality,
                    round(s.rate, 6) AS rate,
@@ -2356,8 +2381,7 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    round(weight_micro / 1e6, 6) AS quality_mass,
                    round(10000.0 * weight_micro / total_micro, 4)
                      AS alloc_tokens,
-                   round(least(1.0, (10000.0 * weight_micro / total_micro)
-                               / n_tokens), 6) AS rate
+                   {_MIX_RATE_EXPR} AS rate
             FROM per, tot""",
 
         # α=½ temperature-scaled source mix: sqrt weight (the one
@@ -2421,22 +2445,7 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
               SELECT doc_id, doc_id % 8 AS shard,
                      len({_CORPUS_WORDS}) AS n_tokens
               FROM documents),
-            o AS (
-              SELECT doc_id, shard, n_tokens,
-                     row_number() OVER (PARTITION BY shard ORDER BY doc_id)
-                       AS rn
-              FROM d),
-            g AS (
-              SELECT doc_id, shard, n_tokens, rn,
-                     CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
-              FROM o WHERE rn = 1
-              UNION ALL
-              SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
-                     CASE WHEN g.acc + o.n_tokens > 256 THEN g.pack_id + 1
-                          ELSE g.pack_id END,
-                     CASE WHEN g.acc + o.n_tokens > 256 THEN o.n_tokens
-                          ELSE g.acc + o.n_tokens END
-              FROM g JOIN o ON o.shard = g.shard AND o.rn = g.rn + 1)
+            {_pack_cte_sql("d")}
             SELECT doc_id, shard, pack_id, CAST(n_tokens AS INT) AS n_tokens
             FROM g""",
 
