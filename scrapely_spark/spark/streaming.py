@@ -182,6 +182,83 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         "update", "NoTimeout"))
 
 
+def minhash_dedup_stream(spark: SparkSession, docs_dir: str,
+                         index_dir: str, pairs_dir: str,
+                         checkpoint_dir: str,
+                         max_files_per_trigger: int = 1,
+                         schema=None, available_now: bool = True):
+    """Streaming incremental near-dup detection over a docs landing zone.
+
+    The streaming twin of ``dedup.minhash_candidates_delta`` — the
+    production dedup loop of a continuously-ingesting corpus:  each
+    micro-batch (1) computes MinHash bands for its new documents only,
+    (2) probes the accumulated on-disk band index for candidate pairs
+    (new-vs-index AND new-vs-new; the historical index is never
+    re-paired against itself), (3) appends the pairs and its own bands.
+    State lives in storage (the parquet/Iceberg band index), not the
+    executor state store, so the deduped corpus can grow without bound
+    — the same state-table pattern as the crawl's URL-seen set.
+
+    Exactly-once across failures: both writes land in a
+    ``batch_id=N`` subdirectory with ``mode("overwrite")``, so a
+    replayed micro-batch (foreachBatch's at-least-once contract)
+    overwrites its own previous attempt instead of duplicating rows,
+    and the index probe reads only ``batch_id < N`` — a replay sees
+    the exact index the first attempt saw.
+
+    Returns the started streaming query handle (``availableNow`` by
+    default — the drain-and-compare mode the parity test uses; pass
+    ``available_now=False`` for a continuous tail).
+    """
+    from scrapely_spark.spark import dedup
+
+    stream = _read_parquet_stream(spark, docs_dir,
+                                  max_files_per_trigger, schema)
+
+    def _batch(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_df = batch_df.persist()   # bands are derived twice below
+        try:
+            prior = [p for p in _index_batches(sess, index_dir)
+                     if p[0] < batch_id]
+            if prior:
+                index = sess.read.parquet(*[p[1] for p in prior])
+            else:
+                index = dedup.minhash_bands(batch_df).limit(0)
+            pairs = dedup.minhash_candidates_delta(batch_df, index)
+            (pairs.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet("%s/batch_id=%d" % (pairs_dir, batch_id)))
+            (dedup.minhash_bands(batch_df)
+             .write.mode("overwrite")
+             .parquet("%s/batch_id=%d" % (index_dir, batch_id)))
+        finally:
+            batch_df.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .queryName("minhash_dedup_stream"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _index_batches(spark: SparkSession, index_dir: str):
+    """(batch_id, path) pairs already committed under ``index_dir``."""
+    import os
+    import re
+    if not os.path.isdir(index_dir):
+        return []
+    out = []
+    for name in os.listdir(index_dir):
+        m = re.fullmatch(r"batch_id=(\d+)", name)
+        if m:
+            out.append((int(m.group(1)),
+                        os.path.join(index_dir, name)))
+    return sorted(out)
+
+
 def curate_images_stream(spark: SparkSession, images_dir: str,
                          max_files_per_trigger: int = 8,
                          schema=None, **gate_kwargs) -> DataFrame:

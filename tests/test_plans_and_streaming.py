@@ -347,3 +347,62 @@ def test_streaming_curation_agrees_with_batch(spark, tmp_path):
     want = {tuple(r) for r in multimodal.curate_image_captions(
         spark.read.parquet(zone)).collect()}
     assert got == want and want
+
+
+def test_streaming_minhash_dedup_agrees_with_batch(spark, tmp_path):
+    """foreachBatch incremental MinHash dedup over a landing zone ==
+    batch candidates over the union — the streaming twin of
+    dedup.minhash_candidates_delta's invariant (valid while no band
+    bucket crosses the hot cap).  Cross-batch pairs carry
+    vs_index=true, within-batch pairs false; a full replay (fresh
+    checkpoint, same zone) overwrites its own batch_id subdirs and
+    leaves the result identical — the exactly-once contract.
+    """
+    import os
+    import time
+
+    from scrapely_spark.spark import dedup, streaming
+
+    def text(i):
+        k = i % 10
+        return " ".join("t%d_%d" % (k, j) for j in range(12))
+
+    zone = str(tmp_path / "docs_zone")
+    os.makedirs(zone)
+    batches = [[100 * b + j for j in range(30)] for b in range(3)]
+    for b, ids in enumerate(batches):
+        df = spark.createDataFrame([(i, text(i)) for i in ids],
+                                   "doc_id long, text string")
+        df.coalesce(1).write.mode("append").parquet(zone)
+        # one file per write; distinct mtimes pin micro-batch order
+        newest = max((os.path.join(zone, f) for f in os.listdir(zone)
+                      if f.endswith(".parquet")),
+                     key=os.path.getmtime)
+        os.utime(newest, (time.time() + b, time.time() + b))
+
+    index_dir = str(tmp_path / "band_index")
+    pairs_dir = str(tmp_path / "pairs")
+    q = streaming.minhash_dedup_stream(
+        spark, zone, index_dir, pairs_dir,
+        str(tmp_path / "ckpt_dedup"), max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {(r.doc_a, r.doc_b): r.vs_index
+           for r in spark.read.parquet(pairs_dir).collect()}
+    all_docs = spark.read.parquet(zone)
+    want = {(r.doc_a, r.doc_b)
+            for r in dedup.minhash_candidates(all_docs).collect()}
+    assert set(got) == want and want
+    batch_of = {i: b for b, ids in enumerate(batches) for i in ids}
+    for (a, b), vs_index in got.items():
+        assert vs_index == (batch_of[a] != batch_of[b])
+
+    # replay: fresh checkpoint, same zone — batch ids restart at 0 and
+    # every write overwrites its own subdir; the result is unchanged
+    q2 = streaming.minhash_dedup_stream(
+        spark, zone, index_dir, pairs_dir,
+        str(tmp_path / "ckpt_dedup_2"), max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    again = {(r.doc_a, r.doc_b): r.vs_index
+             for r in spark.read.parquet(pairs_dir).collect()}
+    assert again == got
