@@ -959,11 +959,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (32 + (F.col("doc_id") * 61) % 993).cast("int").alias("h"))
         return multimodal.aspect_buckets(imgs)
 
+    def q_bpe_merges(spark, sf):
+        # in-plan BPE merge training (corpus.bpe_train): iterative,
+        # data-dependent — genuinely non-SQL-expressible in one query,
+        # so this is a documented rows-only driver row; exactness is
+        # pinned by the pure-Python twin tests (test_curation_ops).
+        return corpus.bpe_merge_table(_t(spark, sf, "documents"),
+                                      n_merges=8)
+
     return {
         # never-driver-checked and recently-changed queries first:
         # the driver's correctness window covers the head of this
         # dict, so ordering is freshest-first, long-stable last
         "text_lm_perplexity": q_lm_perplexity,
+        "corpus_bpe_merges": q_bpe_merges,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,

@@ -75,6 +75,7 @@ HEADLINE = [
     "text_lm_perplexity",
     "corpus_dsir_weights",
     "image_aspect_buckets",
+    "corpus_bpe_merges",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

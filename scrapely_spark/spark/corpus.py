@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from scrapely_spark.spark.dedup import _unpersist_on_gc
+
 # drop n-grams present in more than this many train documents before the
 # contamination join: they are boilerplate, not leakage, and each one
 # would contribute O(df) join rows per test occurrence
@@ -336,6 +338,109 @@ def dsir_weights(docs: DataFrame, target_source: str,
                     F.round(F.col("s_micro") / 1e6, 6).alias("log_weight"),
                     ((F.col("s_micro").cast("double") / 1e6)
                      / F.col("n_words")).alias("avg_log_ratio")))
+
+
+def _apply_merge(syms, x: str, y: str):
+    """Left-to-right single-pass merge of adjacent (x, y) → x+y over a
+    symbol array — the re.sub semantics of the original BPE code
+    (non-overlapping, scan order), as one ``aggregate`` fold: the
+    accumulator holds the emitted prefix plus one held-back symbol."""
+    init = F.struct(F.array().cast("array<string>").alias("out"),
+                    F.lit("").alias("prev"))
+
+    def step(acc, s):
+        hit = (acc["prev"] == x) & (s == y)
+        return F.struct(
+            F.when(hit, F.concat(acc["out"], F.array(F.lit(x + y))))
+            .when(acc["prev"] == "", acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+            .alias("out"),
+            F.when(hit, F.lit("")).otherwise(s).alias("prev"))
+
+    def finish(acc):
+        return F.when(acc["prev"] == "", acc["out"]) \
+                .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              max_vocab_words: int = 50_000) -> "tuple[list, DataFrame]":
+    """Byte-pair-encoding merge training in-plan (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units").
+
+    The tokenizer-training pass of a pretraining pipeline: the corpus
+    is scanned ONCE into a (word, count) table; every merge iteration
+    then runs on that bounded vocabulary — explode each word's adjacent
+    symbol pairs weighted by word count, pick the most frequent pair
+    (ties lexicographic, so training is deterministic under any
+    partitioning), and apply it left-to-right to every segmentation.
+    Returns ``(merges, vocab)``: the ordered merge list
+    ``[(x, y, support), ...]`` and the final segmented vocabulary.
+
+    Scale shape: corpus-sized work is the single word count (map-side
+    combined); each of the ``n_merges`` iterations touches only the
+    vocabulary table (10^6-10^7 rows at web scale — broadcastable, and
+    the per-iteration argmax moves ONE row to the driver, the same
+    bounded driver action as the sketch-geometry probe).
+    ``max_vocab_words`` keeps a pathological vocabulary bounded: only
+    the most frequent words train merges (ties by word).
+
+    An iterative, data-dependent training loop is genuinely
+    non-SQL-expressible in one query (the ann_ivf_kmeans oracle unrolls
+    fixed iterations only because its input sample is fixed); the
+    driver row for this operator is therefore the documented rows-only
+    check, and exactness is pinned by the pure-Python twin test
+    (Spark == twin on random corpora, partitioning-invariant).
+    """
+    vocab = (docs.select(F.explode(_words()).alias("word"))
+             .where(F.length("word") > 0)
+             .groupBy("word").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("word"))
+             .limit(max_vocab_words)
+             .select("word", "n",
+                     F.transform(
+                         F.sequence(F.lit(1), F.length("word")),
+                         lambda i: F.col("word").substr(i, F.lit(1)))
+                     .alias("syms"))
+             .persist())
+    merges = []
+    cached = [vocab]
+    for _ in range(n_merges):
+        pair_starts = F.when(
+            F.size("syms") >= 2,
+            F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (vocab.select(
+            "n", F.explode(F.transform(
+                pair_starts,
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("x"),
+                    F.element_at("syms", i + 1).alias("y"))))
+            .alias("p"))
+            .groupBy("p.x", "p.y").agg(F.sum("n").alias("support"))
+            .orderBy(F.desc("support"), F.asc("x"), F.asc("y"))
+            .limit(1).collect())
+        if not pairs:
+            break
+        x, y, support = pairs[0].x, pairs[0].y, int(pairs[0].support)
+        merges.append((x, y, support))
+        vocab = vocab.select(
+            "word", "n", _apply_merge(F.col("syms"), x, y).alias("syms")
+        ).persist()
+        cached.append(vocab)
+    return merges, _unpersist_on_gc(vocab, cached)
+
+
+def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The trained merge list as a DataFrame — ``(rank, x, y, merged,
+    support)`` — plus determinism suitable for a driver rows-only row.
+    See :func:`bpe_train` for why no SQL oracle exists."""
+    merges, vocab = bpe_train(docs, n_merges)
+    spark = docs.sparkSession
+    rows = [(r + 1, x, y, x + y, s) for r, (x, y, s) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, x string, y string, merged string, support long")
 
 
 def clean_corpus(docs: DataFrame, min_quality: float = 0.4) -> DataFrame:

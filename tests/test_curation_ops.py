@@ -211,3 +211,85 @@ def test_lm_perplexity_approx_buckets_envelope(spark):
     tails = [approx[i].avg_nll for i in approx
              if approx[i].bucket == "tail"]
     assert max(heads) <= min(tails)
+
+
+# ----------------------------------------------------------- bpe_train
+
+def _bpe_twin(texts, n_merges):
+    """Independent pure-Python BPE trainer: same vocabulary weighting,
+    greedy left-to-right merge application, lexicographic tie-break."""
+    vocab = {}
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+        if not counts:
+            break
+        (x, y), support = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((x, y, support))
+        for w, syms in segs.items():
+            out, prev = [], ""
+            for s in syms:
+                if prev == x and s == y:
+                    out.append(x + y)
+                    prev = ""
+                else:
+                    if prev:
+                        out.append(prev)
+                    prev = s
+            if prev:
+                out.append(prev)
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_train_matches_python_twin(spark):
+    texts = ["low lower lowest low low newer new",
+             "low newer newest wider wide new"]
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    merges, vocab = corpus.bpe_train(_docs(spark, rows), n_merges=6)
+    twin_merges, twin_segs = _bpe_twin(texts, 6)
+    assert merges == twin_merges
+    got = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got == twin_segs
+    # the classic suffix factorization falls out
+    assert got["lower"] == ["low", "er"] and got["newest"][0] == "new"
+
+
+def test_bpe_train_partitioning_invariant(spark):
+    import random
+    rng = random.Random(11)
+    texts = [" ".join(rng.choice(["alpha", "alps", "alto", "beta",
+                                  "betas", "bet", "gamma"])
+                      for _ in range(20)) for _ in range(12)]
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    df = _docs(spark, rows)
+    m1, _ = corpus.bpe_train(df, n_merges=5)
+    m2, _ = corpus.bpe_train(df.repartition(7), n_merges=5)
+    assert m1 == m2 == _bpe_twin(texts, 5)[0]
+
+
+def test_bpe_merge_application_overlapping_runs(spark):
+    # re.sub semantics on a run: [a a a a] + merge (a,a) -> [aa aa],
+    # never the overlapping [aa, a, a]-then-[aa, aa, ...] confusion
+    rows = [(0, "aaaa aaa", "en", "s")]
+    merges, vocab = corpus.bpe_train(_docs(spark, rows), n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    got = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+
+
+def test_bpe_merge_table_shape(spark):
+    rows = [(0, "low lower low", "en", "s")]
+    out = corpus.bpe_merge_table(_docs(spark, rows), n_merges=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert all(r.merged == r.x + r.y and r.support >= 1 for r in out)
