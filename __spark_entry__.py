@@ -960,10 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.aspect_buckets(imgs)
 
     def q_bpe_merges(spark, sf):
-        # in-plan BPE merge training (corpus.bpe_train): iterative,
-        # data-dependent — genuinely non-SQL-expressible in one query,
-        # so this is a documented rows-only driver row; exactness is
-        # pinned by the pure-Python twin tests (test_curation_ops).
+        # in-plan BPE merge training (corpus.bpe_train); the oracle
+        # unrolls the loop as fixed CTE stages whose per-stage argmax
+        # is computed in-query (_bpe_oracle_sql), so even the
+        # data-dependent merge choice hash-checks
         return corpus.bpe_merge_table(_t(spark, sf, "documents"),
                                       n_merges=8)
 
@@ -1816,12 +1816,70 @@ def _aspect_sql() -> str:
         FROM bested"""
 
 
+def _bpe_oracle_sql(n_merges: int = 8, max_vocab: int = 50_000) -> str:
+    """corpus_bpe_merges oracle: the merge-training loop unrolled as
+    fixed CTE stages.  The WHICH-pair choice is data-dependent, but the
+    argmax itself is computable inside each stage, so a fixed iteration
+    count unrolls exactly (same trick as the kmeans trainer oracle).
+
+    Segmentations travel as a string with every symbol individually
+    wrapped in chr(31) (``\\x1fa\\x1f\\x1fb\\x1f``); merging pair (x, y)
+    is then ``replace(s, '\\x1fx\\x1f\\x1fy\\x1f', '\\x1fxy\\x1f')`` — SQL
+    ``replace`` scans left-to-right, non-overlapping, and resumes AFTER
+    the inserted text, which is bit-for-bit the fold semantics of
+    ``corpus._apply_merge`` (greedy single pass: 'aaaa' → 'aa','aa' but
+    'aaa' → 'aa','a').  An early-exhausted vocabulary (no adjacent
+    pairs left) empties m{{i}} and, through the cross join, every later
+    stage — matching the Spark loop's break."""
+    words = r"string_split_regex(trim(lower(text)), '\s+')"
+    parts = [f"""WITH v0 AS (
+    SELECT word, n,
+           regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s
+    FROM (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({words}) AS word FROM documents)
+        WHERE len(word) > 0
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT {max_vocab}
+    )
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""", p{i} AS (
+    SELECT x, y, CAST(SUM(n) AS BIGINT) AS support
+    FROM (
+        SELECT n, syms[i] AS x, syms[i + 1] AS y
+        FROM (SELECT n,
+                     string_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
+              FROM v{i - 1}),
+             UNNEST(range(1, len(syms))) AS t(i)
+    )
+    GROUP BY x, y
+), m{i} AS (
+    SELECT x, y, support FROM p{i} ORDER BY support DESC, x, y LIMIT 1
+), v{i} AS (
+    SELECT word, n,
+           replace(s, chr(31) || x || chr(31) || chr(31) || y || chr(31),
+                      chr(31) || x || y || chr(31)) AS s
+    FROM v{i - 1}, m{i}
+)""")
+    sel = "\nUNION ALL ".join(
+        f'SELECT CAST({i} AS INTEGER) AS "rank", x, y, '
+        f"x || y AS merged, support FROM m{i}"
+        for i in range(1, n_merges + 1))
+    return "".join(parts) + "\n" + sel
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # CCNet-style perplexity buckets: the oracle retrains the same
         # add-one bigram LM (model log-probs rounded to micro-nats at
         # the model level, per-doc sums exact integers) and replays the
         # per-language ntile on the identical (avg_nll, doc_id) order
+        # BPE merge training, unrolled: each stage computes its own
+        # argmax pair in-query, so the data-dependent loop still
+        # collapses to fixed CTEs (see _bpe_oracle_sql)
+        "corpus_bpe_merges": _bpe_oracle_sql(),
         "text_lm_perplexity": r"""
             WITH d AS (
               SELECT doc_id, lang,

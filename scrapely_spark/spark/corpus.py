@@ -386,12 +386,13 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     ``max_vocab_words`` keeps a pathological vocabulary bounded: only
     the most frequent words train merges (ties by word).
 
-    An iterative, data-dependent training loop is genuinely
-    non-SQL-expressible in one query (the ann_ivf_kmeans oracle unrolls
-    fixed iterations only because its input sample is fixed); the
-    driver row for this operator is therefore the documented rows-only
-    check, and exactness is pinned by the pure-Python twin test
-    (Spark == twin on random corpora, partitioning-invariant).
+    Though the loop is data-dependent in WHICH pair each iteration
+    merges, the argmax itself is computable inside a query, so a fixed
+    iteration count unrolls to SQL exactly (``__spark_entry__.
+    _bpe_oracle_sql`` — same trick as the kmeans trainer oracle, one
+    replace-based merge stage per iteration); exactness is additionally
+    pinned by the pure-Python twin test (Spark == twin on random
+    corpora, partitioning-invariant).
     """
     vocab = (docs.select(F.explode(_words()).alias("word"))
              .where(F.length("word") > 0)
@@ -434,8 +435,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
 
 def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     """The trained merge list as a DataFrame — ``(rank, x, y, merged,
-    support)`` — plus determinism suitable for a driver rows-only row.
-    See :func:`bpe_train` for why no SQL oracle exists."""
+    support)``; deterministic under any partitioning, so it
+    hash-checks against the unrolled SQL oracle."""
     merges, vocab = bpe_train(docs, n_merges)
     spark = docs.sparkSession
     rows = [(r + 1, x, y, x + y, s) for r, (x, y, s) in enumerate(merges)]
