@@ -365,8 +365,9 @@ def _apply_merge(syms, x: str, y: str):
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 8,
-              max_vocab_words: int = 50_000) -> "tuple[list, DataFrame]":
-    """Byte-pair-encoding merge training in-plan (Sennrich et al. 2016,
+              max_vocab_words: int = 50_000,
+              driver_max_words: int = 200_000) -> "tuple[list, DataFrame]":
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
     "Neural Machine Translation of Rare Words with Subword Units").
 
     The tokenizer-training pass of a pretraining pipeline: the corpus
@@ -379,20 +380,27 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     ``[(x, y, support), ...]`` and the final segmented vocabulary.
 
     Scale shape: corpus-sized work is the single word count (map-side
-    combined); each of the ``n_merges`` iterations touches only the
-    vocabulary table (10^6-10^7 rows at web scale — broadcastable, and
-    the per-iteration argmax moves ONE row to the driver, the same
-    bounded driver action as the sketch-geometry probe).
-    ``max_vocab_words`` keeps a pathological vocabulary bounded: only
-    the most frequent words train merges (ties by word).
+    combined); everything after it touches only the capped vocabulary.
+    Like ``dedup.dup_clusters``, the iterations are HYBRID — and here
+    the bound needs no probe, because ``limit(max_vocab_words)`` proves
+    it by construction:
 
-    Though the loop is data-dependent in WHICH pair each iteration
-    merges, the argmax itself is computable inside a query, so a fixed
-    iteration count unrolls to SQL exactly (``__spark_entry__.
-    _bpe_oracle_sql`` — same trick as the kmeans trainer oracle, one
-    replace-based merge stage per iteration); exactness is additionally
-    pinned by the pure-Python twin test (Spark == twin on random
-    corpora, partitioning-invariant).
+    * ``max_vocab_words <= driver_max_words`` (default): collect the
+      capped ``(word, n)`` table once and run the merge loop driver-side
+      — one Spark job total instead of one per merge, the same bounded
+      driver action as the union-find fast path.  This is also what
+      production tokenizer trainers do: the corpus-sized pass is the
+      word count; training itself is vocabulary-sized.
+    * larger caps: the in-plan loop — each iteration's pair explode +
+      argmax runs on executors and moves ONE row to the driver.
+
+    Both paths are pinned equal to the same pure-Python twin (and to
+    each other) by the test suite, on random corpora and under
+    repartitioning.  Though the loop is data-dependent in WHICH pair
+    each iteration merges, the argmax itself is computable inside a
+    query, so a fixed iteration count unrolls to SQL exactly
+    (``__spark_entry__._bpe_oracle_sql`` — same trick as the kmeans
+    trainer oracle, one replace-based merge stage per iteration).
     """
     vocab = (docs.select(F.explode(_words()).alias("word"))
              .where(F.length("word") > 0)
@@ -405,6 +413,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
                          lambda i: F.col("word").substr(i, F.lit(1)))
                      .alias("syms"))
              .persist())
+    if max_vocab_words <= driver_max_words:
+        return _bpe_train_driver(docs.sparkSession, vocab, n_merges)
     merges = []
     cached = [vocab]
     for _ in range(n_merges):
@@ -431,6 +441,52 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         ).persist()
         cached.append(vocab)
     return merges, _unpersist_on_gc(vocab, cached)
+
+
+def _bpe_train_driver(spark, vocab: DataFrame,
+                      n_merges: int) -> "tuple[list, DataFrame]":
+    """Driver-side merge loop over the (provably capped) vocabulary.
+
+    Semantics are the in-plan loop's exactly: pair support weighted by
+    word count, argmax by (support desc, pair lexicographic), single
+    left-to-right non-overlapping merge pass per word (the ``re.sub``
+    order of the original BPE code).  Integer arithmetic throughout,
+    so the two paths are bit-equal — asserted by the cross-path test.
+    """
+    rows = [(r["word"], int(r["n"]))
+            for r in vocab.select("word", "n").collect()]
+    vocab.unpersist()
+    weight = dict(rows)
+    segs = {w: list(w) for w, _ in rows}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, syms in segs.items():
+            nw = weight[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + nw
+        if not counts:
+            break
+        (x, y), support = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((x, y, int(support)))
+        for w, syms in segs.items():
+            out, prev = [], ""
+            for s in syms:
+                if prev == x and s == y:
+                    out.append(x + y)
+                    prev = ""
+                else:
+                    if prev:
+                        out.append(prev)
+                    prev = s
+            if prev:
+                out.append(prev)
+            segs[w] = out
+    out_df = spark.createDataFrame(
+        [(w, weight[w], segs[w]) for w, _ in rows],
+        "word string, n long, syms array<string>")
+    return merges, out_df
 
 
 def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:

@@ -277,6 +277,25 @@ def test_bpe_train_partitioning_invariant(spark):
     assert m1 == m2 == _bpe_twin(texts, 5)[0]
 
 
+def test_bpe_train_inplan_path_matches_driver_path(spark):
+    # driver_max_words=0 forces the in-plan executor loop; default
+    # forces the driver fast path — both must equal the twin bit-for-bit
+    import random
+    rng = random.Random(23)
+    texts = [" ".join(rng.choice(["stream", "streams", "stride",
+                                  "string", "strong", "str", "ring"])
+                      for _ in range(15)) for _ in range(10)]
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    df = _docs(spark, rows)
+    m_driver, v_driver = corpus.bpe_train(df, n_merges=5)
+    m_inplan, v_inplan = corpus.bpe_train(df, n_merges=5,
+                                          driver_max_words=0)
+    assert m_driver == m_inplan == _bpe_twin(texts, 5)[0]
+    got_d = {r.word: list(r.syms) for r in v_driver.collect()}
+    got_i = {r.word: list(r.syms) for r in v_inplan.collect()}
+    assert got_d == got_i
+
+
 def test_bpe_merge_application_overlapping_runs(spark):
     # re.sub semantics on a run: [a a a a] + merge (a,a) -> [aa aa],
     # never the overlapping [aa, a, a]-then-[aa, aa, ...] confusion
