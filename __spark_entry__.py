@@ -960,12 +960,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.aspect_buckets(imgs)
 
     def q_bpe_merges(spark, sf):
-        # in-plan BPE merge training (corpus.bpe_train); the oracle
-        # unrolls the loop as fixed CTE stages whose per-stage argmax
-        # is computed in-query (_bpe_oracle_sql), so even the
-        # data-dependent merge choice hash-checks
+        # BPE merge training (corpus.bpe_train, hybrid driver/in-plan);
+        # the oracle unrolls the loop as fixed CTE stages whose
+        # per-stage argmax is computed in-query (_bpe_oracle_sql), so
+        # even the data-dependent merge choice hash-checks
         return corpus.bpe_merge_table(_t(spark, sf, "documents"),
                                       n_merges=8)
+
+    def q_bpe_token_counts(spark, sf):
+        # train→apply: per-doc token counts under the trained BPE
+        # segmentation (corpus.bpe_tokenize_counts) — broadcast of the
+        # capped vocab onto the exploded corpus, OOV words fall back to
+        # character tokens; integer sums, so the hash is exact
+        return corpus.bpe_tokenize_counts(_t(spark, sf, "documents"),
+                                          n_merges=8)
 
     return {
         # never-driver-checked and recently-changed queries first:
@@ -973,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dict, so ordering is freshest-first, long-stable last
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
+        "corpus_bpe_token_counts": q_bpe_token_counts,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -1816,11 +1825,12 @@ def _aspect_sql() -> str:
         FROM bested"""
 
 
-def _bpe_oracle_sql(n_merges: int = 8, max_vocab: int = 50_000) -> str:
-    """corpus_bpe_merges oracle: the merge-training loop unrolled as
-    fixed CTE stages.  The WHICH-pair choice is data-dependent, but the
-    argmax itself is computable inside each stage, so a fixed iteration
-    count unrolls exactly (same trick as the kmeans trainer oracle).
+def _bpe_cte(n_merges: int = 8, max_vocab: int = 50_000) -> str:
+    """The BPE merge-training loop unrolled as fixed CTE stages, shared
+    by the merge-table and token-count oracles.  The WHICH-pair choice
+    is data-dependent, but the argmax itself is computable inside each
+    stage, so a fixed iteration count unrolls exactly (same trick as
+    the kmeans trainer oracle).
 
     Segmentations travel as a string with every symbol individually
     wrapped in chr(31) (``\\x1fa\\x1f\\x1fb\\x1f``); merging pair (x, y)
@@ -1829,8 +1839,9 @@ def _bpe_oracle_sql(n_merges: int = 8, max_vocab: int = 50_000) -> str:
     the inserted text, which is bit-for-bit the fold semantics of
     ``corpus._apply_merge`` (greedy single pass: 'aaaa' → 'aa','aa' but
     'aaa' → 'aa','a').  An early-exhausted vocabulary (no adjacent
-    pairs left) empties m{{i}} and, through the cross join, every later
-    stage — matching the Spark loop's break."""
+    pairs left) empties m{{i}}; the LEFT JOIN keeps v{{i}} at its last
+    segmentation — matching the Spark loop's break, which also keeps
+    the final vocab — while every later m stays empty."""
     words = r"string_split_regex(trim(lower(text)), '\s+')"
     parts = [f"""WITH v0 AS (
     SELECT word, n,
@@ -1859,15 +1870,43 @@ def _bpe_oracle_sql(n_merges: int = 8, max_vocab: int = 50_000) -> str:
     SELECT x, y, support FROM p{i} ORDER BY support DESC, x, y LIMIT 1
 ), v{i} AS (
     SELECT word, n,
-           replace(s, chr(31) || x || chr(31) || chr(31) || y || chr(31),
-                      chr(31) || x || y || chr(31)) AS s
-    FROM v{i - 1}, m{i}
+           CASE WHEN x IS NULL THEN s ELSE
+               replace(s, chr(31) || x || chr(31) || chr(31) || y || chr(31),
+                          chr(31) || x || y || chr(31)) END AS s
+    FROM v{i - 1} LEFT JOIN m{i} ON TRUE
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int = 8, max_vocab: int = 50_000) -> str:
+    """corpus_bpe_merges oracle: each unrolled stage's argmax row."""
     sel = "\nUNION ALL ".join(
         f'SELECT CAST({i} AS INTEGER) AS "rank", x, y, '
         f"x || y AS merged, support FROM m{i}"
         for i in range(1, n_merges + 1))
-    return "".join(parts) + "\n" + sel
+    return _bpe_cte(n_merges, max_vocab) + "\n" + sel
+
+
+def _bpe_tokens_oracle_sql(n_merges: int = 8,
+                           max_vocab: int = 50_000) -> str:
+    """corpus_bpe_token_counts oracle: the final segmented vocabulary's
+    symbol counts broadcast back onto the exploded corpus; a word
+    outside the capped vocabulary falls back to character tokens,
+    mirroring ``corpus.bpe_tokenize_counts``."""
+    words = r"string_split_regex(trim(lower(text)), '\s+')"
+    return _bpe_cte(n_merges, max_vocab) + f""",
+segs AS (
+    SELECT word,
+           len(string_split(trim(s, chr(31)), chr(31) || chr(31))) AS n_syms
+    FROM v{n_merges}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(n_syms, len(word))) AS BIGINT) AS bpe_tokens
+FROM (SELECT doc_id, unnest({words}) AS word FROM documents) dw
+LEFT JOIN segs USING (word)
+WHERE len(word) > 0
+GROUP BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1880,6 +1919,10 @@ def oracle_sql() -> dict[str, str]:
         # argmax pair in-query, so the data-dependent loop still
         # collapses to fixed CTEs (see _bpe_oracle_sql)
         "corpus_bpe_merges": _bpe_oracle_sql(),
+        # train→apply twin: the same unrolled CTE chain's final
+        # segmentation joined back onto the corpus (char-token fallback
+        # for out-of-vocabulary words)
+        "corpus_bpe_token_counts": _bpe_tokens_oracle_sql(),
         "text_lm_perplexity": r"""
             WITH d AS (
               SELECT doc_id, lang,

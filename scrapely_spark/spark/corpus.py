@@ -500,6 +500,37 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         rows, "rank int, x string, y string, merged string, support long")
 
 
+def bpe_tokenize_counts(docs: DataFrame, n_merges: int = 8,
+                        max_vocab_words: int = 50_000) -> DataFrame:
+    """Apply the trained BPE segmentation back to the corpus: per-doc
+    token counts under the learned merges — the train→apply loop of a
+    tokenizer pipeline, and the unit every packing / budget / mixing
+    operator downstream actually wants (true subword tokens, not the
+    whitespace proxy).
+
+    Emits ``(doc_id, n_words, bpe_tokens)``.  A word outside the capped
+    training vocabulary falls back to character-level tokens (its
+    untrained symbol count), so the count is total and deterministic.
+
+    Scale shape: ``bpe_train`` is vocabulary-sized after its one corpus
+    scan; application is a BROADCAST join of the capped ``(word,
+    size(syms))`` table onto the exploded corpus — no shuffle enters
+    until the final ``groupBy(doc_id)``, whose integer sums combine
+    map-side.  One corpus-sized shuffle total, keyed by doc_id (unique,
+    skew-free).
+    """
+    _, vocab = bpe_train(docs, n_merges, max_vocab_words)
+    seg = vocab.select("word", F.size("syms").alias("n_syms"))
+    words = (docs.select("doc_id", F.explode(_words()).alias("word"))
+             .where(F.length("word") > 0))
+    return (words.join(F.broadcast(seg), "word", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum(F.coalesce(F.col("n_syms"),
+                                  F.length("word")).cast("long"))
+                 .alias("bpe_tokens")))
+
+
 def clean_corpus(docs: DataFrame, min_quality: float = 0.4) -> DataFrame:
     """End-to-end cleaned-training-set selection.
 

@@ -296,6 +296,35 @@ def test_bpe_train_inplan_path_matches_driver_path(spark):
     assert got_d == got_i
 
 
+def test_bpe_tokenize_counts_matches_twin(spark):
+    texts = ["low lower lowest low low newer new",
+             "low newer newest wider wide new"]
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    got = {r.doc_id: (r.n_words, r.bpe_tokens)
+           for r in corpus.bpe_tokenize_counts(
+               _docs(spark, rows), n_merges=6).collect()}
+    _, segs = _bpe_twin(texts, 6)
+    want = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.strip().lower().split() if w]
+        want[i] = (len(ws), sum(len(segs[w]) for w in ws))
+    assert got == want
+
+
+def test_bpe_tokenize_counts_oov_char_fallback(spark):
+    # cap the training vocabulary to 2 word types: every other word is
+    # out-of-vocabulary and must count as character-level tokens
+    texts = ["aa aa aa bb bb zzz"]
+    rows = [(0, texts[0], "en", "s")]
+    got = corpus.bpe_tokenize_counts(
+        _docs(spark, rows), n_merges=2, max_vocab_words=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # vocab = {aa, bb}; merges fuse both into single tokens; zzz is OOV
+    # and falls back to its 3 characters
+    assert (r.n_words, r.bpe_tokens) == (6, 5 + 3)
+
+
 def test_bpe_merge_application_overlapping_runs(spark):
     # re.sub semantics on a run: [a a a a] + merge (a,a) -> [aa aa],
     # never the overlapping [aa, a, a]-then-[aa, aa, ...] confusion
