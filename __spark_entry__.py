@@ -975,6 +975,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus.bpe_tokenize_counts(_t(spark, sf, "documents"),
                                           n_merges=8)
 
+    def q_global_shuffle(spark, sf):
+        # deterministic epoch shuffle + shard assignment
+        # (corpus.global_shuffle): md5-ticket order within
+        # hash-assigned shards — the training-export primitive; total
+        # order (ticket, doc_id) makes the hash exact
+        return corpus.global_shuffle(_t(spark, sf, "documents"),
+                                     n_shards=16, seed=0)
+
     return {
         # never-driver-checked and recently-changed queries first:
         # the driver's correctness window covers the head of this
@@ -982,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
+        "corpus_global_shuffle": q_global_shuffle,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -1923,6 +1932,22 @@ def oracle_sql() -> dict[str, str]:
         # segmentation joined back onto the corpus (char-token fallback
         # for out-of-vocabulary words)
         "corpus_bpe_token_counts": _bpe_tokens_oracle_sql(),
+        # deterministic epoch shuffle: same md5 ticket spelling as the
+        # samplers; shard = first 60 ticket bits mod n_shards, pos =
+        # (ticket, doc_id) rank within the shard
+        "corpus_global_shuffle": """
+            WITH t AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':0') AS ticket
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(ticket, 1, 15) AS BIGINT) % 16
+                        AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY CAST('0x' || substr(ticket, 1, 15)
+                                          AS BIGINT) % 16
+                        ORDER BY ticket, doc_id) AS INTEGER) AS pos
+            FROM t""",
         "text_lm_perplexity": r"""
             WITH d AS (
               SELECT doc_id, lang,

@@ -77,6 +77,7 @@ HEADLINE = [
     "image_aspect_buckets",
     "corpus_bpe_merges",
     "corpus_bpe_token_counts",
+    "corpus_global_shuffle",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -500,6 +500,39 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         rows, "rank int, x string, y string, merged string, support long")
 
 
+def global_shuffle(docs: DataFrame, n_shards: int = 64,
+                   seed: int = 0) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the training
+    export primitive: a reproducible epoch order over the whole corpus,
+    written as ``n_shards`` independently readable shards.
+
+    Every doc draws the corpus-wide md5 ticket (:func:`_ticket_md5`,
+    shared with both samplers and their oracles); ``shard`` is the
+    ticket's first 60 bits mod ``n_shards`` and ``pos`` is the ticket
+    order within the shard (ties by doc_id — total order, so the
+    output is bit-stable across engines, runs and partitionings).
+    Reading shards ``0..n-1`` in ``pos`` order replays one global
+    permutation; a different ``seed`` draws an independent epoch.
+
+    Scale shape: ONE shuffle, keyed by shard.  md5 uniformity makes
+    shard sizes binomial(N, 1/n_shards) — skew-free by construction —
+    and at 10^10 docs you raise ``n_shards`` (100k+) so each window
+    sorts ~10^5 rows; no global sort, no driver involvement, only
+    (doc_id, ticket) ever moves.
+    """
+    t = _ticket_md5(seed)
+    keyed = docs.select(
+        "doc_id",
+        t.alias("_ticket"),
+        (F.conv(F.substring(t, 1, 15), 16, 10).cast("long")
+         % n_shards).cast("int").alias("shard"))
+    win = Window.partitionBy("shard").orderBy(
+        F.asc("_ticket"), F.asc("doc_id"))
+    return keyed.select(
+        "doc_id", "shard",
+        F.row_number().over(win).cast("int").alias("pos"))
+
+
 def bpe_tokenize_counts(docs: DataFrame, n_merges: int = 8,
                         max_vocab_words: int = 50_000) -> DataFrame:
     """Apply the trained BPE segmentation back to the corpus: per-doc

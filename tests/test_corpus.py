@@ -604,3 +604,42 @@ def test_temperature_rates_alpha_half_twin(spark):
     # the boost: small's keep-rate beats proportional allocation
     prop_small = 1000.0 * n["small"] / (n["big"] + n["small"]) / n["small"]
     assert got["small"].rate > prop_small
+
+
+# ------------------------------------------------------- global_shuffle
+
+def test_global_shuffle_is_a_sharded_permutation(spark):
+    import hashlib
+    texts = ["doc %d" % i for i in range(80)]
+    df = _docs(spark, texts)
+    out = corpus.global_shuffle(df, n_shards=8, seed=0).collect()
+    assert sorted(r.doc_id for r in out) == list(range(80))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        # pos is 1..len contiguous within the shard
+        assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+        # pos order IS ticket order (the twin recomputes the ticket)
+        tick = {r.doc_id: hashlib.md5(
+            ("%d:0" % r.doc_id).encode()).hexdigest() for r in rows}
+        want = sorted(rows, key=lambda r: (tick[r.doc_id], r.doc_id))
+        got = sorted(rows, key=lambda r: r.pos)
+        assert [r.doc_id for r in got] == [r.doc_id for r in want]
+        # shard assignment matches the first-60-bit rule
+        for r in rows:
+            assert int(tick[r.doc_id][:15], 16) % 8 == shard
+
+
+def test_global_shuffle_deterministic_and_seed_sensitive(spark):
+    texts = ["doc %d" % i for i in range(50)]
+    df = _docs(spark, texts)
+    a = {(r.doc_id, r.shard, r.pos)
+         for r in corpus.global_shuffle(df, 4, seed=1).collect()}
+    b = {(r.doc_id, r.shard, r.pos)
+         for r in corpus.global_shuffle(df.repartition(7), 4,
+                                        seed=1).collect()}
+    c = {(r.doc_id, r.shard, r.pos)
+         for r in corpus.global_shuffle(df, 4, seed=2).collect()}
+    assert a == b          # partitioning-invariant
+    assert a != c          # a new seed draws a new epoch
