@@ -975,6 +975,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus.bpe_tokenize_counts(_t(spark, sf, "documents"),
                                           n_merges=8)
 
+    def q_redirect_resolution(spark, sf):
+        # redirect-chain resolution by pointer doubling
+        # (graph.resolve_redirects): a deterministic u_n -> u_{n div 3}
+        # redirect forest derived from orders (terminals at n < 10)
+        # plus a literal 2-cycle exercising the unresolved path; the
+        # oracle unrolls the same 3 doubling rounds as CTEs
+        from scrapely_spark.spark import graph
+        ids = (_t(spark, sf, "orders")
+               .selectExpr("CAST(o_orderkey % 1000 AS BIGINT) AS n")
+               .where("n >= 10").distinct())
+        edges = ids.selectExpr(
+            "'u' || CAST(n AS STRING) AS src",
+            "'u' || CAST(n div 3 AS STRING) AS dst")
+        cyc = spark.createDataFrame(
+            [("c1", "c2"), ("c2", "c1")], "src string, dst string")
+        return graph.resolve_redirects(edges.union(cyc), max_hops=8)
+
     def q_global_shuffle(spark, sf):
         # deterministic epoch shuffle + shard assignment
         # (corpus.global_shuffle): md5-ticket order within
@@ -991,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
         "corpus_global_shuffle": q_global_shuffle,
+        "url_redirect_resolution": q_redirect_resolution,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -1948,6 +1966,35 @@ def oracle_sql() -> dict[str, str]:
                                           AS BIGINT) % 16
                         ORDER BY ticket, doc_id) AS INTEGER) AS pos
             FROM t""",
+        # pointer-doubling redirect resolution, the 3 rounds unrolled;
+        # hop counts accumulate through the coalesce so they stay
+        # exact, and the final left join against the distinct src set
+        # marks cycles/overlong chains unresolved
+        "url_redirect_resolution": """
+            WITH ids AS (
+              SELECT DISTINCT CAST(o_orderkey % 1000 AS BIGINT) AS n
+              FROM orders WHERE o_orderkey % 1000 >= 10),
+            e AS (
+              SELECT 'u' || CAST(n AS VARCHAR) AS src,
+                     'u' || CAST(n // 3 AS VARCHAR) AS dst
+              FROM ids
+              UNION ALL SELECT 'c1', 'c2'
+              UNION ALL SELECT 'c2', 'c1'),
+            r0 AS (SELECT src, dst, 1 AS hops FROM e),
+            r1 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+                          a.hops + COALESCE(b.hops, 0) AS hops
+                   FROM r0 a LEFT JOIN r0 b ON a.dst = b.src),
+            r2 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+                          a.hops + COALESCE(b.hops, 0) AS hops
+                   FROM r1 a LEFT JOIN r1 b ON a.dst = b.src),
+            r3 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+                          a.hops + COALESCE(b.hops, 0) AS hops
+                   FROM r2 a LEFT JOIN r2 b ON a.dst = b.src),
+            heads AS (SELECT DISTINCT src FROM e)
+            SELECT r3.src AS url, r3.dst AS final_url,
+                   CAST(r3.hops AS INTEGER) AS hops,
+                   h.src IS NULL AS resolved
+            FROM r3 LEFT JOIN heads h ON r3.dst = h.src""",
         "text_lm_perplexity": r"""
             WITH d AS (
               SELECT doc_id, lang,

@@ -78,6 +78,7 @@ HEADLINE = [
     "corpus_bpe_merges",
     "corpus_bpe_token_counts",
     "corpus_global_shuffle",
+    "url_redirect_resolution",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -278,3 +278,39 @@ def test_authority_buckets_distributed_ordinal_matches_twin(spark):
 def test_authority_buckets_empty_ranks(spark):
     df = spark.createDataFrame([], "node string, rank_micro long")
     assert graph.authority_buckets(df, 4).count() == 0
+
+
+# ---------------------------------------------------- resolve_redirects
+
+def test_resolve_redirects_chains_cycles_terminals(spark):
+    from scrapely_spark.spark import graph
+    # a->b->c->T (T terminal), s->T, cycle x<->y, long chain 9 hops
+    edges = [("a", "b"), ("b", "c"), ("c", "T"), ("s", "T"),
+             ("x", "y"), ("y", "x")]
+    edges += [("l%d" % i, "l%d" % (i + 1)) for i in range(9)]  # l0..l9
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.url: (r.final_url, r.hops, r.resolved)
+           for r in graph.resolve_redirects(df, max_hops=8).collect()}
+    assert out["a"] == ("T", 3, True)
+    assert out["b"] == ("T", 2, True)
+    assert out["s"] == ("T", 1, True)
+    # cycle: after exactly 2^3 hops back at itself, unresolved
+    assert out["x"] == ("x", 8, False)
+    assert out["y"] == ("y", 8, False)
+    # chain of 9 from l0: 8 hops reaches l8, which still redirects
+    assert out["l0"] == ("l8", 8, False)
+    assert out["l1"] == ("l9", 8, True)
+
+
+def test_resolve_redirects_partitioning_invariant(spark):
+    from scrapely_spark.spark import graph
+    edges = [("u%d" % n, "u%d" % (n // 3)) for n in range(10, 200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, graph.resolve_redirects(df, 8).collect()))
+    b = sorted(map(tuple,
+                   graph.resolve_redirects(df.repartition(13), 8)
+                   .collect()))
+    assert a == b
+    # every chain here is short; all resolved at a terminal (n < 10)
+    assert all(r[3] for r in a)
+    assert all(int(r[1][1:]) < 10 for r in a)
