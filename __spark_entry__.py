@@ -975,6 +975,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus.bpe_tokenize_counts(_t(spark, sf, "documents"),
                                           n_merges=8)
 
+    def q_unimax_allocation(spark, sf):
+        # UniMax epoch-capped water-filling (corpus.unimax_allocation):
+        # max_epochs=1.2 makes the small sources' caps genuinely bind
+        # at this budget, exercising both sides of the min; integer
+        # micro-token prefix sums + same-order IEEE divisions keep the
+        # doubles hash-exact
+        return corpus.unimax_allocation(_t(spark, sf, "documents"),
+                                        budget_tokens=30_000,
+                                        max_epochs=1.2)
+
     def q_redirect_resolution(spark, sf):
         # redirect-chain resolution by pointer doubling
         # (graph.resolve_redirects): a deterministic u_n -> u_{n div 3}
@@ -1009,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_token_counts": q_bpe_token_counts,
         "corpus_global_shuffle": q_global_shuffle,
         "url_redirect_resolution": q_redirect_resolution,
+        "corpus_unimax_allocation": q_unimax_allocation,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -1995,6 +2006,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r3.hops AS INTEGER) AS hops,
                    h.src IS NULL AS resolved
             FROM r3 LEFT JOIN heads h ON r3.dst = h.src""",
+        # UniMax water-filling: caps and prefix sums on the integer
+        # micro-token grid (max_epochs=1.2 -> eps_micro=1200000); the
+        # level is the max candidate (B - P_{k-1})/(N - k + 1), every
+        # division performed in the same order as the Spark plan
+        "corpus_unimax_allocation": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(SUM(len({_CORPUS_WORDS})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            caps AS (
+              SELECT source, n_tokens,
+                     n_tokens * CAST(1200000 AS BIGINT) AS cap_micro
+              FROM per),
+            staged AS (
+              SELECT source, n_tokens, cap_micro,
+                     CAST(CAST(30000 AS BIGINT) * 1000000
+                          - COALESCE(SUM(cap_micro) OVER (
+                                ORDER BY cap_micro, source
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS DOUBLE)
+                     / CAST(COUNT(*) OVER ()
+                            - ROW_NUMBER() OVER (
+                                  ORDER BY cap_micro, source)
+                            + 1 AS DOUBLE) AS cand
+              FROM caps)
+            SELECT source, n_tokens,
+                   LEAST(CAST(cap_micro AS DOUBLE),
+                         MAX(cand) OVER ()) / 1e6 AS alloc_tokens,
+                   (LEAST(CAST(cap_micro AS DOUBLE),
+                          MAX(cand) OVER ()) / 1e6)
+                   / CAST(n_tokens AS DOUBLE) AS epochs
+            FROM staged""",
         "text_lm_perplexity": r"""
             WITH d AS (
               SELECT doc_id, lang,

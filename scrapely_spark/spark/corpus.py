@@ -500,6 +500,66 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         rows, "rank int, x string, y string, merged string, support long")
 
 
+def unimax_allocation(docs: DataFrame, budget_tokens: int,
+                      max_epochs: float = 4.0) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spend a total token budget as UNIFORMLY as possible
+    across sources, subject to no source repeating more than
+    ``max_epochs`` epochs — exact water-filling in closed form, no
+    iterative loop.
+
+    With caps ``c_i = n_tokens_i · max_epochs`` sorted ascending and
+    prefix sums ``P_k``, the water level is
+    ``L = max_k (B − P_{k−1}) / (N − k + 1)`` (the max-form of the
+    capped-simplex projection: every candidate under-estimates the true
+    level except the one whose capped set is exactly right), and each
+    source takes ``alloc_i = min(c_i, L)``.  When ``B ≥ Σ c_i`` the
+    last candidate already exceeds ``c_N``, so every source is fully
+    capped — no special case.  Emits ``(source, n_tokens,
+    alloc_tokens, epochs)``.
+
+    Determinism: counts, caps and prefix sums live on the integer
+    micro-token grid; the two divisions (level candidates, epochs) are
+    single correctly-rounded IEEE ops the oracle performs in the same
+    order, so the doubles hash exactly.  (Past ~2^53 micro-tokens per
+    source the long→double cast would round; at that point switch the
+    grid to whole tokens.)
+
+    Scale shape: one corpus scan → groupBy(source) with map-side
+    combine; everything after runs on the source table (tens to
+    thousands of rows — the global windows are vocabulary-sized, the
+    same bounded-small-table discipline as the mixing allocator).
+    """
+    eps_micro = int(round(max_epochs * 1e6))
+    b_micro = int(budget_tokens) * 1_000_000
+    per = (docs.select("source", F.size(_words()).alias("t"))
+           .groupBy("source").agg(F.sum("t").alias("n_tokens")))
+    caps = per.select(
+        "source", "n_tokens",
+        (F.col("n_tokens") * F.lit(eps_micro)).alias("cap_micro"))
+    w = Window.orderBy(F.asc("cap_micro"), F.asc("source"))
+    everything = Window.partitionBy()
+    pre = F.coalesce(
+        F.sum("cap_micro").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"))
+    i = F.row_number().over(w)
+    n = F.count("*").over(everything)
+    cand = ((F.lit(b_micro) - pre).cast("double")
+            / (n - i + 1).cast("double"))
+    staged = caps.select("source", "n_tokens", "cap_micro",
+                         cand.alias("_cand"))
+    alloc_micro = F.least(F.col("cap_micro").cast("double"),
+                          F.max("_cand").over(everything))
+    return (staged
+            .select("source", "n_tokens",
+                    (alloc_micro / F.lit(1e6)).alias("alloc_tokens"))
+            .withColumn("epochs",
+                        F.col("alloc_tokens")
+                        / F.col("n_tokens").cast("double")))
+
+
 def global_shuffle(docs: DataFrame, n_shards: int = 64,
                    seed: int = 0) -> DataFrame:
     """Deterministic global shuffle + shard assignment — the training

@@ -643,3 +643,57 @@ def test_global_shuffle_deterministic_and_seed_sensitive(spark):
          for r in corpus.global_shuffle(df, 4, seed=2).collect()}
     assert a == b          # partitioning-invariant
     assert a != c          # a new seed draws a new epoch
+
+
+# ----------------------------------------------------- unimax_allocation
+
+def _unimax_twin(tok_by_source, budget, max_epochs):
+    eps = int(round(max_epochs * 1e6))
+    bm = budget * 1_000_000
+    items = sorted((n * eps, s, n) for s, n in tok_by_source.items())
+    n_src = len(items)
+    pre = 0
+    cands = []
+    for k, (cap, _, _) in enumerate(items):
+        cands.append(float(bm - pre) / float(n_src - k))
+        pre += cap
+    level = max(cands)
+    return {s: (min(float(cap), level) / 1e6,
+                (min(float(cap), level) / 1e6) / float(n))
+            for cap, s, n in items}
+
+
+def test_unimax_allocation_matches_twin_and_caps_bind(spark):
+    # sources sized so the smallest two hit their epoch caps
+    texts, srcs = [], []
+    sizes = {"sa": 4, "sb": 7, "sc": 40, "sd": 60}
+    for s, n_words in sizes.items():
+        texts.append(" ".join("w%d" % i for i in range(n_words)))
+        srcs.append(s)
+    rows = [(i, t, "en", srcs[i], len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r.source: (r.alloc_tokens, r.epochs)
+           for r in corpus.unimax_allocation(df, budget_tokens=100,
+                                             max_epochs=2.0).collect()}
+    want = _unimax_twin(sizes, 100, 2.0)
+    assert out == want
+    # caps bind exactly for the small sources
+    assert out["sa"] == (8.0, 2.0) and out["sb"] == (14.0, 2.0)
+    # the rest share the remaining 78 tokens at one uniform level
+    assert abs(out["sc"][0] - 39.0) < 1e-9
+    assert abs(out["sd"][0] - 39.0) < 1e-9
+    assert abs(sum(a for a, _ in out.values()) - 100.0) < 1e-9
+
+
+def test_unimax_allocation_budget_exceeds_all_caps(spark):
+    rows = [(0, "a b c", "en", "s1", 5), (1, "d e", "en", "s2", 3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r.source: (r.alloc_tokens, r.epochs)
+           for r in corpus.unimax_allocation(df, budget_tokens=1000,
+                                             max_epochs=3.0).collect()}
+    # every source fully capped at max_epochs
+    assert out == {"s1": (9.0, 3.0), "s2": (6.0, 3.0)}
