@@ -975,6 +975,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus.bpe_tokenize_counts(_t(spark, sf, "documents"),
                                           n_merges=8)
 
+    def q_phash_delta_dups(spark, sf):
+        # incremental image dedup (multimodal.phash_delta_dups): the
+        # increment (image_id >= 401) probes the materialized chunk
+        # index of the history (< 401) — O(batch) probes, append-only
+        # emission; the split is odd so the planted twin (400, 401)
+        # crosses it and exercises vs_index=true
+        from scrapely_spark.spark import multimodal
+        imgs = _synth_images(spark, sf)
+        return (multimodal.phash_delta_dups(
+                    imgs.where("image_id >= 401"),
+                    multimodal.phash_chunks(imgs.where("image_id < 401")))
+                .select(F.col("id_a").alias("doc_a"),
+                        F.col("id_b").alias("doc_b"),
+                        "hamming", "vs_index"))
+
     def q_unimax_allocation(spark, sf):
         # UniMax epoch-capped water-filling (corpus.unimax_allocation):
         # max_epochs=1.2 makes the small sources' caps genuinely bind
@@ -1020,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_global_shuffle": q_global_shuffle,
         "url_redirect_resolution": q_redirect_resolution,
         "corpus_unimax_allocation": q_unimax_allocation,
+        "image_phash_delta_dups": q_phash_delta_dups,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -2503,6 +2519,26 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
             FROM pairs
             WHERE bit_count(xor(pa, pb)) <= 3""",
+
+        # incremental delta over the same bands: the cap QUALIFY in the
+        # shared CTE already counts both sides of the union (it IS the
+        # union), so only the two-arm pair predicate and the min()
+        # collapse differ from the batch oracle
+        "image_phash_delta_dups": "WITH " + _PHASH_CTES + """
+            , nb AS (SELECT *, doc_id >= 401 AS is_new FROM bands)
+            SELECT doc_a, doc_b, hamming, vs_index FROM (
+              SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                     GREATEST(a.doc_id, b.doc_id) AS doc_b,
+                     MIN(CAST(bit_count(xor(a.phash, b.phash))
+                              AS INTEGER)) AS hamming,
+                     MIN(NOT b.is_new) AS vs_index
+              FROM nb a JOIN nb b
+                ON a.chunk_idx = b.chunk_idx
+               AND a.chunk_val = b.chunk_val
+               AND a.is_new AND a.doc_id != b.doc_id
+               AND (NOT b.is_new OR a.doc_id < b.doc_id)
+              GROUP BY 1, 2)
+            WHERE hamming <= 3""",
 
         # connected components over the VERIFIED phash pairs (hamming
         # gate applied before edges — dup_clusters consumes the

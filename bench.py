@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_global_shuffle",
     "url_redirect_resolution",
     "corpus_unimax_allocation",
+    "image_phash_delta_dups",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -113,6 +113,101 @@ def phash_column(images: DataFrame) -> DataFrame:
         kernel, _PHASH_SCHEMA)
 
 
+def _check_banding(max_hamming: int, n_chunks: int) -> None:
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            "banding with %d chunks guarantees recall only for "
+            "hamming <= %d; got max_hamming=%d"
+            % (n_chunks, n_chunks - 1, max_hamming))
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+
+
+def _chunk_structs(hash_col: str, n_chunks: int):
+    """The pigeonhole banding expression: the 64-bit hash split into
+    ``n_chunks`` equal (chunk_idx, chunk_val) bit-chunks — the ONE
+    spelling shared by the batch near-dup join, the materialized chunk
+    index, and the incremental delta probe."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftrightunsigned(F.col(hash_col), i * width)
+            .bitwiseAND(F.lit(mask)).alias("chunk_val"))
+        for i in range(n_chunks)])
+
+
+def phash_chunks(images: DataFrame, n_chunks: int = 4,
+                 id_col: str = "image_id", hash_col: str = "phash"
+                 ) -> DataFrame:
+    """The materialized phash chunk index: ``(image_id, phash,
+    chunk_idx, chunk_val)`` — the per-increment state table
+    :func:`phash_delta_dups` probes (append each crawl increment's
+    output, e.g. to an Iceberg table partitioned by chunk_idx)."""
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    return (images.select(F.col(id_col).alias("image_id"),
+                          F.col(hash_col).alias("phash"),
+                          F.explode(_chunk_structs(hash_col, n_chunks))
+                          .alias("c"))
+            .select("image_id", "phash", "c.chunk_idx", "c.chunk_val"))
+
+
+def phash_delta_dups(new_images: DataFrame, index_chunks: DataFrame,
+                     max_hamming: int = 3, n_chunks: int = 4,
+                     max_bucket: int = 4096,
+                     id_col: str = "image_id", hash_col: str = "phash"
+                     ) -> DataFrame:
+    """Incremental image dedup: a new crawl increment against the
+    accumulated phash chunk index — the image twin of
+    ``dedup.minhash_candidates_delta``, with the same append-only
+    contract: every emitted pair involves at least one new image, the
+    historical index never re-pairs against itself, and emission is
+    O(batch) probes of the materialized index.
+
+    Emits ``(id_a, id_b, hamming, vs_index)`` — exactly one row per
+    pair, hamming already verified exact (``bit_count(a XOR b)``, so
+    no separate verify stage is needed, unlike minhash); ``vs_index``
+    is true only when the pair is NOT discoverable within the batch
+    alone.  The hot-bucket cap counts BOTH sides of the union (one
+    logo mirrored across the crawl is hot regardless of arrival
+    time), preserving ``dups(old ∪ new) == dups(old) ∪ delta(new,
+    chunks(old))`` whenever no bucket crosses the cap between
+    increments.
+    """
+    _check_banding(max_hamming, n_chunks)
+    from scrapely_spark.spark.dedup import _cap_buckets, _unpersist_on_gc
+
+    new_chunks = (phash_chunks(new_images, n_chunks, id_col, hash_col)
+                  .withColumn("is_new", F.lit(True)).cache())
+    idx = (index_chunks
+           .select("image_id", "phash", "chunk_idx", "chunk_val")
+           .withColumn("is_new", F.lit(False)))
+    allb = _cap_buckets(new_chunks.unionByName(idx),
+                        ["chunk_idx", "chunk_val"], max_bucket)
+    a = allb.where("is_new").alias("a")
+    b = allb.alias("b")
+    # same two-arm collapse as the minhash delta: != guards
+    # re-ingestion, the (NOT b.is_new OR a < b) arm keeps new-vs-new
+    # pairs single-sided, min() prefers vs_index=false when a pair is
+    # reachable through both arms
+    pairs = (a.join(b, ["chunk_idx", "chunk_val"])
+             .where((F.col("a.image_id") != F.col("b.image_id"))
+                    & ((~F.col("b.is_new"))
+                       | (F.col("a.image_id") < F.col("b.image_id"))))
+             .groupBy(F.least("a.image_id", "b.image_id").alias("id_a"),
+                      F.greatest("a.image_id", "b.image_id")
+                      .alias("id_b"))
+             .agg(F.min(~F.col("b.is_new")).alias("vs_index"),
+                  F.min(F.bit_count(F.col("a.phash")
+                                    .bitwiseXOR(F.col("b.phash")))
+                        .cast("int")).alias("hamming"))
+             .where(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming", "vs_index"))
+    return _unpersist_on_gc(pairs, [new_chunks])
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 3,
                     n_chunks: int = 4, max_bucket: int = 4096,
                     id_col: str = "image_id", hash_col: str = "phash"
@@ -137,24 +232,11 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 3,
     (the pigeonhole bound); a looser threshold raises rather than
     silently under-recalling.
     """
-    if max_hamming > n_chunks - 1:
-        raise ValueError(
-            "banding with %d chunks guarantees recall only for "
-            "hamming <= %d; got max_hamming=%d"
-            % (n_chunks, n_chunks - 1, max_hamming))
-    if 64 % n_chunks:
-        raise ValueError("n_chunks must divide 64")
-    width = 64 // n_chunks
-    mask = (1 << width) - 1
-    chunks = F.array(*[
-        F.struct(
-            F.lit(i).alias("chunk_idx"),
-            F.shiftrightunsigned(F.col(hash_col), i * width)
-            .bitwiseAND(F.lit(mask)).alias("chunk_val"))
-        for i in range(n_chunks)])
+    _check_banding(max_hamming, n_chunks)
     bands = (images.select(F.col(id_col).alias("_id"),
                            F.col(hash_col).alias("_ph"),
-                           F.explode(chunks).alias("c"))
+                           F.explode(_chunk_structs(hash_col, n_chunks))
+                           .alias("c"))
              .select("_id", "_ph", "c.chunk_idx", "c.chunk_val"))
     from scrapely_spark.spark.dedup import _cap_buckets
     bands = _cap_buckets(bands, ["chunk_idx", "chunk_val"], max_bucket)

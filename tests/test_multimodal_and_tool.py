@@ -324,3 +324,60 @@ def test_curation_scan_prunes_bytes(spark, tmp_path):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "bytes" not in read_schema[0]
     assert df.count() == 1
+
+
+# ------------------------------------------------------ phash_delta_dups
+
+def _ph_rows(ids):
+    import hashlib
+    rows = []
+    for i in ids:
+        h = int(hashlib.md5(str(i // 2).encode()).hexdigest()[:16], 16)
+        if i % 2:
+            h ^= 32          # planted hamming-1 twin
+        if h >= 1 << 63:
+            h -= 1 << 64     # two's-complement into a Spark long
+        rows.append(("img%04d" % i, h))
+    return rows
+
+
+def test_phash_delta_equals_batch_union(spark):
+    old_ids, new_ids = list(range(0, 41)), list(range(41, 60))
+    old = spark.createDataFrame(_ph_rows(old_ids),
+                                "image_id string, phash long")
+    new = spark.createDataFrame(_ph_rows(new_ids),
+                                "image_id string, phash long")
+    both = spark.createDataFrame(_ph_rows(old_ids + new_ids),
+                                 "image_id string, phash long")
+    full = {(r.id_a, r.id_b, r.hamming)
+            for r in multimodal.phash_near_dups(both, 3).collect()}
+    old_pairs = {(r.id_a, r.id_b, r.hamming)
+                 for r in multimodal.phash_near_dups(old, 3).collect()}
+    delta = multimodal.phash_delta_dups(
+        new, multimodal.phash_chunks(old)).collect()
+    delta_pairs = {(r.id_a, r.id_b, r.hamming) for r in delta}
+    # append-only equivalence: full == old ∪ delta, disjointly
+    assert old_pairs | delta_pairs == full
+    assert not (old_pairs & delta_pairs)
+    # the boundary twin (40, 41) crosses the increment -> vs_index
+    vs = {(r.id_a, r.id_b): r.vs_index for r in delta}
+    assert vs[("img0040", "img0041")] is True
+    # a twin fully inside the batch is discoverable without the index
+    assert vs[("img0042", "img0043")] is False
+
+
+def test_phash_delta_reingestion_no_self_pair(spark):
+    ids = list(range(10))
+    old = spark.createDataFrame(_ph_rows(ids),
+                                "image_id string, phash long")
+    # re-ingest the same images: nothing new pairs with itself, and
+    # every twin collapses to ONE row preferring vs_index=false is
+    # impossible here (the twin is also in the index under the same
+    # id), so pairs keep vs_index semantics per arm collapse
+    delta = multimodal.phash_delta_dups(
+        old, multimodal.phash_chunks(old)).collect()
+    assert all(r.id_a != r.id_b for r in delta)
+    # twins re-found against the index or within the batch, once each
+    pairs = {(r.id_a, r.id_b) for r in delta}
+    assert ("img0000", "img0001") in pairs
+    assert len(pairs) == len(delta)
