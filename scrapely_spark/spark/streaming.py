@@ -244,6 +244,56 @@ def minhash_dedup_stream(spark: SparkSession, docs_dir: str,
     return writer.start()
 
 
+def phash_dedup_stream(spark: SparkSession, images_dir: str,
+                       index_dir: str, pairs_dir: str,
+                       checkpoint_dir: str,
+                       max_files_per_trigger: int = 1,
+                       schema=None, available_now: bool = True,
+                       max_hamming: int = 3):
+    """Streaming incremental IMAGE dedup over an images landing zone —
+    the payload twin of :func:`minhash_dedup_stream`, built on
+    ``multimodal.phash_delta_dups``: each micro-batch chunks its new
+    images' perceptual hashes, probes the accumulated on-disk chunk
+    index (new-vs-index AND new-vs-new; history never re-pairs), and
+    appends verified pairs plus its own chunks.  Same storage-resident
+    state and same exactly-once ``batch_id=N`` overwrite contract as
+    the text stream; see that docstring for the replay argument.
+    """
+    from scrapely_spark.spark import multimodal
+
+    stream = _read_parquet_stream(spark, images_dir,
+                                  max_files_per_trigger, schema)
+
+    def _batch(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_df = batch_df.persist()   # chunks are derived twice below
+        try:
+            prior = [p for p in _index_batches(sess, index_dir)
+                     if p[0] < batch_id]
+            if prior:
+                index = sess.read.parquet(*[p[1] for p in prior])
+            else:
+                index = multimodal.phash_chunks(batch_df).limit(0)
+            pairs = multimodal.phash_delta_dups(batch_df, index,
+                                                max_hamming=max_hamming)
+            (pairs.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet("%s/batch_id=%d" % (pairs_dir, batch_id)))
+            (multimodal.phash_chunks(batch_df)
+             .write.mode("overwrite")
+             .parquet("%s/batch_id=%d" % (index_dir, batch_id)))
+        finally:
+            batch_df.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .queryName("phash_dedup_stream"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _index_batches(spark: SparkSession, index_dir: str):
     """(batch_id, path) pairs already committed under ``index_dir``."""
     import os

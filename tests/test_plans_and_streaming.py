@@ -406,3 +406,63 @@ def test_streaming_minhash_dedup_agrees_with_batch(spark, tmp_path):
     again = {(r.doc_a, r.doc_b): r.vs_index
              for r in spark.read.parquet(pairs_dir).collect()}
     assert again == got
+
+
+def test_streaming_phash_dedup_agrees_with_batch(spark, tmp_path):
+    """The image-payload twin: foreachBatch incremental phash dedup
+    over a landing zone == batch phash_near_dups over the union, with
+    vs_index marking cross-batch pairs and the replay contract
+    holding.  Twins are planted both within and across micro-batches.
+    """
+    import hashlib
+    import os
+    import time
+
+    from scrapely_spark.spark import multimodal, streaming
+
+    def ph(i):
+        h = int(hashlib.md5(str(i // 2).encode()).hexdigest()[:16], 16)
+        if i % 2:
+            h ^= 32
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    zone = str(tmp_path / "img_zone")
+    os.makedirs(zone)
+    # batch 0: 0..20 (twin 20,21 crosses into batch 1), batch 1: 21..40
+    batches = [list(range(0, 21)), list(range(21, 41))]
+    for b, ids in enumerate(batches):
+        df = spark.createDataFrame(
+            [("img%04d" % i, ph(i)) for i in ids],
+            "image_id string, phash long")
+        df.coalesce(1).write.mode("append").parquet(zone)
+        newest = max((os.path.join(zone, f) for f in os.listdir(zone)
+                      if f.endswith(".parquet")),
+                     key=os.path.getmtime)
+        os.utime(newest, (time.time() + b, time.time() + b))
+
+    index_dir = str(tmp_path / "chunk_index")
+    pairs_dir = str(tmp_path / "img_pairs")
+    q = streaming.phash_dedup_stream(
+        spark, zone, index_dir, pairs_dir,
+        str(tmp_path / "ckpt_ph"), max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {(r.id_a, r.id_b): (r.hamming, r.vs_index)
+           for r in spark.read.parquet(pairs_dir).collect()}
+    want = {(r.id_a, r.id_b): r.hamming
+            for r in multimodal.phash_near_dups(
+                spark.read.parquet(zone), 3).collect()}
+    assert {k: v[0] for k, v in got.items()} == want and want
+    batch_of = {("img%04d" % i): b
+                for b, ids in enumerate(batches) for i in ids}
+    for (a, b), (_, vs_index) in got.items():
+        assert vs_index == (batch_of[a] != batch_of[b])
+    assert got[("img0020", "img0021")][1] is True
+
+    q2 = streaming.phash_dedup_stream(
+        spark, zone, index_dir, pairs_dir,
+        str(tmp_path / "ckpt_ph_2"), max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    again = {(r.id_a, r.id_b): (r.hamming, r.vs_index)
+             for r in spark.read.parquet(pairs_dir).collect()}
+    assert again == got
