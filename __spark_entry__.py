@@ -990,6 +990,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("id_b").alias("doc_b"),
                         "hamming", "vs_index"))
 
+    def q_caption_spam(spark, sf):
+        # spam-caption detection (multimodal.caption_spam): captions
+        # synthesized to repeat across doc groups ('cap N' for
+        # doc_id % 37, with case/whitespace noise the normalizer must
+        # fold), phashes from the shared closed-form synth — distinct
+        # visual content under a repeated caption flags it
+        from scrapely_spark.spark import multimodal
+        imgs = _synth_images(spark, sf).withColumn(
+            "caption",
+            F.expr("CASE WHEN image_id % 2 = 0 "
+                   "THEN 'Cap  ' || CAST(image_id % 37 AS STRING) "
+                   "ELSE 'cap ' || CAST(image_id % 37 AS STRING) || ' ' "
+                   "END"))
+        return multimodal.caption_spam(imgs, min_distinct_images=3)
+
     def q_unimax_allocation(spark, sf):
         # UniMax epoch-capped water-filling (corpus.unimax_allocation):
         # max_epochs=1.2 makes the small sources' caps genuinely bind
@@ -1036,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_redirect_resolution": q_redirect_resolution,
         "corpus_unimax_allocation": q_unimax_allocation,
         "image_phash_delta_dups": q_phash_delta_dups,
+        "image_caption_spam": q_caption_spam,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -2519,6 +2535,25 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
             FROM pairs
             WHERE bit_count(xor(pa, pb)) <= 3""",
+
+        # spam-caption detection over the same ph CTE: normalize the
+        # noisy caption spellings, count distinct visual content
+        "image_caption_spam": "WITH " + _PHASH_CTES + """
+            SELECT caption_norm,
+                   CAST(COUNT(*) AS BIGINT) AS n_images,
+                   CAST(COUNT(DISTINCT phash) AS BIGINT)
+                     AS n_distinct_phash
+            FROM (
+              SELECT regexp_replace(trim(lower(
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'Cap  ' || CAST(doc_id % 37 AS VARCHAR)
+                            ELSE 'cap ' || CAST(doc_id % 37 AS VARCHAR)
+                                 || ' ' END)), '\\s+', ' ', 'g')
+                       AS caption_norm,
+                     phash
+              FROM ph)
+            GROUP BY caption_norm
+            HAVING COUNT(DISTINCT phash) >= 3""",
 
         # incremental delta over the same bands: the cap QUALIFY in the
         # shared CTE already counts both sides of the union (it IS the

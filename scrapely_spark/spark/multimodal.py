@@ -257,6 +257,36 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 3,
             .select("id_a", "id_b", "hamming"))
 
 
+def caption_spam(images: DataFrame, min_distinct_images: int = 3
+                 ) -> DataFrame:
+    """Stock-photo / spam caption detection — the LAION-curation
+    counterpart of text boilerplate removal: one caption string
+    attached to MANY visually distinct images is template noise
+    ("click to enlarge", watermark boilerplate, SEO spam), and
+    image-caption training pairs under it teach the model nothing.
+
+    Captions compare whitespace-normalized and case-folded; visual
+    distinctness counts DISTINCT phash (byte-identical re-uploads of
+    one image do not make a caption spam).  Emits ``(caption_norm,
+    n_images, n_distinct_phash)`` for captions at or above the
+    threshold — feed the result as a broadcast anti-join to the
+    curation gate.
+
+    Scale shape: one scan, one groupBy(caption_norm) whose COUNT and
+    COUNT DISTINCT both combine map-side (Spark plans the distinct as
+    a two-level partial aggregate, so even a planet-hot caption key
+    arrives pre-collapsed); output is bounded by distinct spam
+    captions, which is what makes the anti-join broadcastable.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col("caption"))),
+                            r"\s+", " ")
+    return (images.select(norm.alias("caption_norm"), "phash")
+            .groupBy("caption_norm")
+            .agg(F.count("*").alias("n_images"),
+                 F.countDistinct("phash").alias("n_distinct_phash"))
+            .where(F.col("n_distinct_phash") >= min_distinct_images))
+
+
 _FRAME_SCHEMA = ("video_id string, frame_index int, frame_bytes binary")
 
 

@@ -381,3 +381,22 @@ def test_phash_delta_reingestion_no_self_pair(spark):
     pairs = {(r.id_a, r.id_b) for r in delta}
     assert ("img0000", "img0001") in pairs
     assert len(pairs) == len(delta)
+
+
+# --------------------------------------------------------- caption_spam
+
+def test_caption_spam_normalizes_and_counts_distinct_visuals(spark):
+    rows = [
+        # "buy now" under 3 visually distinct images, noisy spellings
+        ("a", 1, "Buy  Now"), ("b", 2, "buy now "), ("c", 3, "BUY\tNOW"),
+        # same caption but ONE image re-uploaded (same phash): not spam
+        ("d", 7, "lake sunset"), ("e", 7, "Lake  Sunset"),
+        # unique caption: not spam
+        ("f", 9, "a red bicycle"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "image_id string, phash long, "
+                               "caption string")
+    out = {r.caption_norm: (r.n_images, r.n_distinct_phash)
+           for r in multimodal.caption_spam(df, 3).collect()}
+    assert out == {"buy now": (3, 3)}
