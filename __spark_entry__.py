@@ -990,6 +990,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("id_b").alias("doc_b"),
                         "hamming", "vs_index"))
 
+    def q_sitemap_urls(spark, sf):
+        # sitemap drain (sitemaps.sitemap_urls): deterministic XML
+        # bodies built identically by both engines — every 10th doc is
+        # a <sitemapindex> naming two nested sitemaps, the rest are
+        # <urlset> files with three page locs (one wrapped in
+        # whitespace the extractor must trim)
+        from scrapely_spark.frontier import sitemaps
+        d = _t(spark, sf, "documents").select(
+            F.expr("'https://h' || CAST(doc_id % 40 AS STRING) "
+                   "|| '/sitemap' || CAST(doc_id AS STRING) || '.xml'")
+            .alias("sitemap_url"),
+            F.expr(
+                "CASE WHEN doc_id % 10 = 0 THEN "
+                "'<sitemapindex><sitemap><loc>https://h' "
+                "|| CAST(doc_id % 40 AS STRING) || '/s-a.xml</loc>"
+                "</sitemap><sitemap><loc> https://h' "
+                "|| CAST(doc_id % 40 AS STRING) || '/s-b.xml </loc>"
+                "</sitemap></sitemapindex>' "
+                "ELSE "
+                "'<urlset><url><loc>https://h' "
+                "|| CAST(doc_id % 40 AS STRING) || '/p' "
+                "|| CAST(doc_id AS STRING) || '-1</loc></url>"
+                "<url><loc>  https://h' "
+                "|| CAST(doc_id % 40 AS STRING) || '/p' "
+                "|| CAST(doc_id AS STRING) || '-2 </loc></url>"
+                "<url><loc>https://h' "
+                "|| CAST(doc_id % 40 AS STRING) || '/p' "
+                "|| CAST(doc_id AS STRING) || '-3</loc></url>"
+                "</urlset>' END").alias("body"))
+        return sitemaps.sitemap_urls(d)
+
     def q_caption_spam(spark, sf):
         # spam-caption detection (multimodal.caption_spam): captions
         # synthesized to repeat across doc groups ('cap N' for
@@ -1052,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unimax_allocation": q_unimax_allocation,
         "image_phash_delta_dups": q_phash_delta_dups,
         "image_caption_spam": q_caption_spam,
+        "url_sitemap_drain": q_sitemap_urls,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -2535,6 +2567,40 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
             FROM pairs
             WHERE bit_count(xor(pa, pb)) <= 3""",
+
+        # sitemap drain: identical closed-form XML bodies; the per-doc
+        # classification (index vs urlset) rides before the unnest
+        "url_sitemap_drain": r"""
+            WITH b AS (
+              SELECT 'https://h' || CAST(doc_id % 40 AS VARCHAR)
+                       || '/sitemap' || CAST(doc_id AS VARCHAR)
+                       || '.xml' AS sitemap_url,
+                     CASE WHEN doc_id % 10 = 0 THEN
+                       '<sitemapindex><sitemap><loc>https://h'
+                       || CAST(doc_id % 40 AS VARCHAR) || '/s-a.xml</loc>'
+                       || '</sitemap><sitemap><loc> https://h'
+                       || CAST(doc_id % 40 AS VARCHAR) || '/s-b.xml </loc>'
+                       || '</sitemap></sitemapindex>'
+                     ELSE
+                       '<urlset><url><loc>https://h'
+                       || CAST(doc_id % 40 AS VARCHAR) || '/p'
+                       || CAST(doc_id AS VARCHAR) || '-1</loc></url>'
+                       || '<url><loc>  https://h'
+                       || CAST(doc_id % 40 AS VARCHAR) || '/p'
+                       || CAST(doc_id AS VARCHAR) || '-2 </loc></url>'
+                       || '<url><loc>https://h'
+                       || CAST(doc_id % 40 AS VARCHAR) || '/p'
+                       || CAST(doc_id AS VARCHAR) || '-3</loc></url>'
+                       || '</urlset>' END AS body
+              FROM documents)
+            SELECT sitemap_url,
+                   trim(url) AS url,
+                   position('<sitemapindex' IN body) > 0 AS is_index
+            FROM (
+              SELECT sitemap_url, body,
+                     unnest(regexp_extract_all(
+                         body, '<loc>\s*([^<]+?)\s*</loc>', 1)) AS url
+              FROM b)""",
 
         # spam-caption detection over the same ph CTE: normalize the
         # noisy caption spellings, count distinct visual content

@@ -82,6 +82,7 @@ HEADLINE = [
     "corpus_unimax_allocation",
     "image_phash_delta_dups",
     "image_caption_spam",
+    "url_sitemap_drain",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -606,3 +606,28 @@ def test_authority_resume_after_kill(spark, tmp_path_factory,
     assert [(r.round_id, r.priority, r.canonical_url) for r in log] == \
         auth_oracle_run.fetch_order()
     shutil.rmtree(root)
+
+
+# ----------------------------------------------------------- sitemaps
+
+def test_sitemap_urls_extracts_and_classifies(spark):
+    from scrapely_spark.frontier import sitemaps
+    rows = [
+        ("https://a/s.xml",
+         "<urlset><url><loc>https://a/p1</loc></url>"
+         "<url><loc>\n   https://a/p2 \t</loc></url></urlset>"),
+        ("https://b/idx.xml",
+         "<sitemapindex><sitemap><loc>https://b/s1.xml</loc></sitemap>"
+         "<sitemap><loc> https://b/s2.xml</loc></sitemap>"
+         "</sitemapindex>"),
+        ("https://c/empty.xml", "<urlset></urlset>"),
+    ]
+    df = spark.createDataFrame(rows, "sitemap_url string, body string")
+    out = {(r.sitemap_url, r.url, r.is_index)
+           for r in sitemaps.sitemap_urls(df).collect()}
+    assert out == {
+        ("https://a/s.xml", "https://a/p1", False),
+        ("https://a/s.xml", "https://a/p2", False),
+        ("https://b/idx.xml", "https://b/s1.xml", True),
+        ("https://b/idx.xml", "https://b/s2.xml", True),
+    }
