@@ -990,6 +990,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("id_b").alias("doc_b"),
                         "hamming", "vs_index"))
 
+    def q_retry_schedule(spark, sf):
+        # exponential-backoff retry queue (politeness.retry_schedule)
+        # over the events log as a fetch log: url per user, 'error'
+        # events are failures; integer-microsecond doubling schedule
+        from scrapely_spark.frontier import politeness
+        log = _t(spark, sf, "events").select(
+            F.expr("'u' || CAST(user_id AS STRING)").alias("url"),
+            F.col("ts"),
+            (F.col("event_type") != "error").alias("ok"))
+        return politeness.retry_schedule(log, base_delay_s=60,
+                                         max_retries=5)
+
     def q_sitemap_urls(spark, sf):
         # sitemap drain (sitemaps.sitemap_urls): deterministic XML
         # bodies built identically by both engines — every 10th doc is
@@ -1084,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_delta_dups": q_phash_delta_dups,
         "image_caption_spam": q_caption_spam,
         "url_sitemap_drain": q_sitemap_urls,
+        "url_retry_schedule": q_retry_schedule,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -2567,6 +2580,30 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
             FROM pairs
             WHERE bit_count(xor(pa, pb)) <= 3""",
+
+        # exponential-backoff retry queue: trailing failure runs per
+        # url; all integer microseconds, doubling via bit shift
+        "url_retry_schedule": """
+            WITH log AS (
+              SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+                     epoch_us(ts) AS us,
+                     event_type != 'error' AS ok
+              FROM events),
+            m AS (
+              SELECT url, us, ok,
+                     MAX(CASE WHEN ok THEN us END)
+                       OVER (PARTITION BY url) AS ls
+              FROM log),
+            t AS (SELECT * FROM m
+                  WHERE NOT ok AND (ls IS NULL OR us > ls))
+            SELECT url,
+                   CAST(COUNT(*) AS BIGINT) AS n_failures,
+                   MAX(us) AS last_failure_us,
+                   MAX(us) + 60000000 * CAST(
+                       1 << (CAST(LEAST(COUNT(*), 5) AS INTEGER) - 1)
+                       AS BIGINT) AS next_attempt_us,
+                   COUNT(*) > 5 AS give_up
+            FROM t GROUP BY url""",
 
         # sitemap drain: identical closed-form XML bodies; the per-doc
         # classification (index vs urlset) rides before the unnest

@@ -69,3 +69,56 @@ def select_fetch_batch(candidates: DataFrame, n_salts: int = N_SALTS,
         .where(F.col("r2") <= budget)
         .drop("r2"))
     return phase2
+
+
+def retry_schedule(fetch_log: DataFrame, base_delay_s: int = 60,
+                   max_retries: int = 5,
+                   url_col: str = "url", ts_col: str = "ts",
+                   ok_col: str = "ok") -> DataFrame:
+    """Exponential-backoff retry queue from the fetch log — the
+    transient-failure half of frontier scheduling (politeness covers
+    the polite half).
+
+    For every URL whose TRAILING fetches failed (every failure after
+    its last success; a URL whose latest fetch succeeded is healthy
+    and emits nothing):
+
+    * ``n_failures`` — the length of the trailing failure run,
+    * ``next_attempt_us`` — ``last_failure + base · 2^(min(n,cap)−1)``
+      (the classic doubling schedule, exponent capped so the delay
+      stops growing at ``max_retries``),
+    * ``give_up`` — true past ``max_retries``; the scheduler parks the
+      URL instead of retrying.
+
+    All arithmetic is integer microseconds (``unix_micros`` /
+    ``shiftleft``), so the schedule is bit-stable across engines.
+
+    Scale shape: one shuffle — the window partitions by URL and the
+    groupBy reuses the same key's partitioning; only (url, ts, ok)
+    ever moves.  The trailing-run filter drops healthy URLs BEFORE the
+    aggregate, so the retry queue is bounded by currently-failing
+    URLs, not log size.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(url_col)
+    logged = fetch_log.select(
+        F.col(url_col).alias("url"), us.alias("_us"),
+        F.col(ok_col).cast("boolean").alias("_ok"))
+    logged = logged.withColumn(
+        "_ls", F.max(F.when(F.col("_ok"), F.col("_us"))).over(w))
+    trailing = logged.where(
+        (~F.col("_ok"))
+        & (F.col("_ls").isNull() | (F.col("_us") > F.col("_ls"))))
+    base_us = int(base_delay_s) * 1_000_000
+    n = F.count("*")
+    return (trailing.groupBy("url")
+            .agg(n.alias("n_failures"),
+                 F.max("_us").alias("last_failure_us"))
+            .select(
+                "url", "n_failures", "last_failure_us",
+                (F.col("last_failure_us")
+                 + F.lit(base_us)
+                 * F.expr("CAST(shiftleft(1, CAST(least(n_failures, %d)"
+                          " AS INT) - 1) AS BIGINT)" % max_retries))
+                .alias("next_attempt_us"),
+                (F.col("n_failures") > max_retries).alias("give_up")))

@@ -631,3 +631,36 @@ def test_sitemap_urls_extracts_and_classifies(spark):
         ("https://b/idx.xml", "https://b/s1.xml", True),
         ("https://b/idx.xml", "https://b/s2.xml", True),
     }
+
+
+# ------------------------------------------------------- retry_schedule
+
+def test_retry_schedule_trailing_runs_and_backoff(spark):
+    from datetime import datetime
+    from scrapely_spark.frontier import politeness
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # u1: fail, success, fail, fail -> trailing run of 2
+        ("u1", t(1), False), ("u1", t(2), True),
+        ("u1", t(3), False), ("u1", t(4), False),
+        # u2: never succeeded, 7 failures -> give_up, delay capped
+        *[("u2", t(i), False) for i in range(1, 8)],
+        # u3: latest fetch succeeded -> healthy, not emitted
+        ("u3", t(1), False), ("u3", t(2), True),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, "
+                                     "ok boolean")
+    out = {r.url: r for r in politeness.retry_schedule(
+        df, base_delay_s=60, max_retries=5).collect()}
+    assert set(out) == {"u1", "u2"}
+    u1 = out["u1"]
+    assert (u1.n_failures, u1.give_up) == (2, False)
+    # last failure at :04, backoff 60s * 2^(2-1) = 120s
+    assert u1.next_attempt_us - u1.last_failure_us == 120 * 1_000_000
+    u2 = out["u2"]
+    assert (u2.n_failures, u2.give_up) == (7, True)
+    # exponent capped at max_retries: 60s * 2^4
+    assert u2.next_attempt_us - u2.last_failure_us == 960 * 1_000_000
