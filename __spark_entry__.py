@@ -1002,6 +1002,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return politeness.retry_schedule(log, base_delay_s=60,
                                          max_retries=5)
 
+    def q_recrawl_schedule(spark, sf):
+        # freshness scheduling (politeness.recrawl_schedule): events as
+        # fetch history — every 3rd user's page content "changes" daily
+        # (hash of the fetch's epoch-day), the rest are static, so
+        # change ratios span both clamp edges
+        from scrapely_spark.frontier import politeness
+        day = ("(unix_micros(CAST(ts AS TIMESTAMP)) "
+               "- pmod(unix_micros(CAST(ts AS TIMESTAMP)), 86400000000))"
+               " div 86400000000")
+        hist = _t(spark, sf, "events").select(
+            F.expr("'u' || CAST(user_id AS STRING)").alias("url"),
+            F.col("ts"),
+            F.expr("CASE WHEN user_id % 3 = 0 THEN "
+                   "md5('d' || CAST(" + day + " AS STRING)) "
+                   "ELSE 'static' END").alias("content_hash"))
+        return politeness.recrawl_schedule(hist)
+
     def q_sitemap_urls(spark, sf):
         # sitemap drain (sitemaps.sitemap_urls): deterministic XML
         # bodies built identically by both engines — every 10th doc is
@@ -1097,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_spam": q_caption_spam,
         "url_sitemap_drain": q_sitemap_urls,
         "url_retry_schedule": q_retry_schedule,
+        "url_recrawl_schedule": q_recrawl_schedule,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -2604,6 +2622,44 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                        AS BIGINT) AS next_attempt_us,
                    COUNT(*) > 5 AS give_up
             FROM t GROUP BY url""",
+
+        # freshness scheduling: lag-transitions per url, interval
+        # stretched by 1/(ratio+0.1), explicit floor (Spark's
+        # double->long cast truncates, DuckDB's rounds), clamped
+        "url_recrawl_schedule": """
+            WITH h AS (
+              SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+                     epoch_us(ts) AS us,
+                     CASE WHEN user_id % 3 = 0 THEN
+                       md5('d' || CAST((epoch_us(ts)
+                           - epoch_us(ts) % 86400000000)
+                           // 86400000000 AS VARCHAR))
+                     ELSE 'static' END AS ch
+              FROM events),
+            m AS (
+              SELECT url, us, ch,
+                     lag(ch) OVER (PARTITION BY url ORDER BY us, ch)
+                       AS pch
+              FROM h),
+            a AS (
+              SELECT url,
+                     CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                     CAST(SUM(CASE WHEN pch IS NOT NULL AND ch != pch
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     MIN(us) AS f, MAX(us) AS l
+              FROM m GROUP BY url HAVING COUNT(*) >= 2)
+            SELECT url, n_fetches, n_changes,
+                   CAST(n_changes AS DOUBLE)
+                     / CAST(n_fetches - 1 AS DOUBLE) AS change_ratio,
+                   l + GREATEST(CAST(3600000000 AS BIGINT),
+                       LEAST(CAST(2592000000000 AS BIGINT),
+                         CAST(floor(
+                           (CAST(l - f AS DOUBLE)
+                            / CAST(n_fetches - 1 AS DOUBLE))
+                           / (CAST(n_changes AS DOUBLE)
+                              / CAST(n_fetches - 1 AS DOUBLE) + 0.1))
+                           AS BIGINT))) AS next_fetch_us
+            FROM a""",
 
         # sitemap drain: identical closed-form XML bodies; the per-doc
         # classification (index vs urlset) rides before the unnest

@@ -84,6 +84,7 @@ HEADLINE = [
     "image_caption_spam",
     "url_sitemap_drain",
     "url_retry_schedule",
+    "url_recrawl_schedule",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

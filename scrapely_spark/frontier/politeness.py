@@ -122,3 +122,64 @@ def retry_schedule(fetch_log: DataFrame, base_delay_s: int = 60,
                           " AS INT) - 1) AS BIGINT)" % max_retries))
                 .alias("next_attempt_us"),
                 (F.col("n_failures") > max_retries).alias("give_up")))
+
+
+def recrawl_schedule(fetch_history: DataFrame,
+                     min_interval_s: int = 3600,
+                     max_interval_s: int = 30 * 24 * 3600,
+                     url_col: str = "url", ts_col: str = "ts",
+                     hash_col: str = "content_hash") -> DataFrame:
+    """Change-rate-driven recrawl scheduling — the freshness half of
+    frontier scheduling (cf. Cho & Garcia-Molina, "Synchronizing a
+    database to improve freshness", 2000: revisit frequency should
+    track the page's observed change frequency).
+
+    From the fetch history ``(url, ts, content_hash)``, for every URL
+    fetched at least twice:
+
+    * ``n_changes`` — observed content transitions (hash differs from
+      the previous fetch's, in time order; ties broken by hash so the
+      count is total-order deterministic),
+    * ``change_ratio`` — ``n_changes / (n_fetches − 1)``,
+    * ``next_fetch_us`` — last fetch + the average observed interval
+      stretched by ``1 / (change_ratio + 0.1)`` (a page that changed
+      every visit is refetched at ~0.9× its observed cadence, a page
+      that never changed at ~10×), clamped to
+      ``[min_interval_s, max_interval_s]``.
+
+    Determinism: counts and spans are integer microseconds; the two
+    divisions and the floor back onto the integer grid are the same
+    correctly-rounded IEEE ops in both engines (floor is explicit —
+    Spark's double→long cast truncates while DuckDB's rounds, so a
+    bare cast is the classic cross-engine trap).
+
+    Scale shape: one shuffle — the lag window partitions by URL and
+    the groupBy reuses the key; only (url, ts, hash) moves, and the
+    output is one row per multi-fetch URL.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(url_col)
+         .orderBy(F.asc("_us"), F.asc("_h")))
+    rows = fetch_history.select(
+        F.col(url_col).alias("url"), us.alias("_us"),
+        F.col(hash_col).alias("_h"))
+    changed = (F.lag("_h").over(w).isNotNull()
+               & (F.col("_h") != F.lag("_h").over(w)))
+    agg = (rows.withColumn("_chg", changed.cast("long"))
+           .groupBy("url")
+           .agg(F.count("*").alias("n_fetches"),
+                F.sum("_chg").alias("n_changes"),
+                F.min("_us").alias("_first_us"),
+                F.max("_us").alias("_last_us"))
+           .where(F.col("n_fetches") >= 2))
+    avg_iv = ((F.col("_last_us") - F.col("_first_us")).cast("double")
+              / (F.col("n_fetches") - 1).cast("double"))
+    ratio = (F.col("n_changes").cast("double")
+             / (F.col("n_fetches") - 1).cast("double"))
+    iv = F.floor(avg_iv / (ratio + F.lit(0.1))).cast("long")
+    iv = F.greatest(F.lit(int(min_interval_s) * 1_000_000),
+                    F.least(F.lit(int(max_interval_s) * 1_000_000), iv))
+    return agg.select(
+        "url", "n_fetches", "n_changes",
+        ratio.alias("change_ratio"),
+        (F.col("_last_us") + iv).alias("next_fetch_us"))

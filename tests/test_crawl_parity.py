@@ -664,3 +664,41 @@ def test_retry_schedule_trailing_runs_and_backoff(spark):
     assert (u2.n_failures, u2.give_up) == (7, True)
     # exponent capped at max_retries: 60s * 2^4
     assert u2.next_attempt_us - u2.last_failure_us == 960 * 1_000_000
+
+
+# ----------------------------------------------------- recrawl_schedule
+
+def test_recrawl_schedule_change_rates_and_clamps(spark):
+    from datetime import datetime, timedelta
+    from scrapely_spark.frontier import politeness
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # hot: changes every fetch, 1h apart -> interval 1h/1.1 clamps UP
+    # to min_interval (1h)
+    for i in range(5):
+        rows.append(("hot", t0 + timedelta(hours=i), "h%d" % i))
+    # static: never changes, 1h apart -> 1h/0.1 = 10h
+    for i in range(5):
+        rows.append(("static", t0 + timedelta(hours=i), "same"))
+    # lazy: never changes, 20d apart -> 200d clamps DOWN to 30d max
+    for i in range(3):
+        rows.append(("lazy", t0 + timedelta(days=20 * i), "same"))
+    # once: single fetch -> excluded
+    rows.append(("once", t0, "x"))
+    df = spark.createDataFrame(rows, "url string, ts timestamp, "
+                                     "content_hash string")
+    out = {r.url: r for r in politeness.recrawl_schedule(df).collect()}
+    assert set(out) == {"hot", "static", "lazy"}
+    from pyspark.sql import functions as SF
+    last = {r.url: r.l for r in df.groupBy("url").agg(
+        SF.max(SF.unix_micros(SF.col("ts"))).alias("l")).collect()}
+    hour_us = 3600 * 1_000_000
+    hot = out["hot"]
+    assert (hot.n_fetches, hot.n_changes, hot.change_ratio) == (5, 4, 1.0)
+    assert hot.next_fetch_us - last["hot"] == hour_us  # clamped to min
+    st = out["static"]
+    assert (st.n_changes, st.change_ratio) == (0, 0.0)
+    assert st.next_fetch_us - last["static"] == 10 * hour_us
+    lz = out["lazy"]
+    assert lz.next_fetch_us - last["lazy"] == 30 * 24 * hour_us
