@@ -1002,6 +1002,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return politeness.retry_schedule(log, base_delay_s=60,
                                          max_retries=5)
 
+    def q_robots_sitemaps(spark, sf):
+        # robots.txt Sitemap: discovery (robots.robots_sitemaps):
+        # closed-form bodies with case variants, indentation, comments,
+        # and a sitemap-less host every 5th row
+        from scrapely_spark.frontier import robots
+        nl = F.lit("\n")
+        body = F.concat(
+            F.lit("User-agent: *"), nl,
+            F.lit("Disallow: /private"), nl,
+            F.when(F.col("doc_id") % 5 == 0, F.lit("# no sitemap here"))
+            .otherwise(F.concat(
+                F.lit("Sitemap: https://h"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit("/a.xml"), nl,
+                F.lit("  sitemap :  https://h"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit("/b.xml   # comment"))))
+        d = _t(spark, sf, "documents").select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+            .alias("host"),
+            body.alias("body"),
+            "doc_id")
+        return robots.robots_sitemaps(d)
+
     def q_recrawl_schedule(spark, sf):
         # freshness scheduling (politeness.recrawl_schedule): events as
         # fetch history — every 3rd user's page content "changes" daily
@@ -1115,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_sitemap_drain": q_sitemap_urls,
         "url_retry_schedule": q_retry_schedule,
         "url_recrawl_schedule": q_recrawl_schedule,
+        "url_robots_sitemaps": q_robots_sitemaps,
         "corpus_dsir_weights": q_dsir_weights,
         "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
@@ -2622,6 +2647,31 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                        AS BIGINT) AS next_attempt_us,
                    COUNT(*) > 5 AS give_up
             FROM t GROUP BY url""",
+
+        # robots Sitemap: discovery — identical closed-form bodies; the
+        # multiline case-insensitive extract + trim mirrors the Spark
+        # expression (RE2 and Java agree on (?im) and the char class)
+        "url_robots_sitemaps": """
+            WITH b AS (
+              SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+                     'User-agent: *' || chr(10)
+                     || 'Disallow: /private' || chr(10)
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN '# no sitemap here'
+                        ELSE 'Sitemap: https://h'
+                          || CAST(doc_id % 40 AS VARCHAR) || '/a.xml'
+                          || chr(10)
+                          || '  sitemap :  https://h'
+                          || CAST(doc_id % 40 AS VARCHAR)
+                          || '/b.xml   # comment' END AS body
+              FROM documents)
+            SELECT host, trim(u) AS sitemap_url
+            FROM (
+              SELECT host,
+                     unnest(regexp_extract_all(body,
+                       '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]+)', 1))
+                       AS u
+              FROM b)""",
 
         # freshness scheduling: lag-transitions per url, interval
         # stretched by 1/(ratio+0.1), explicit floor (Spark's

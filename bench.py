@@ -85,6 +85,7 @@ HEADLINE = [
     "url_sitemap_drain",
     "url_retry_schedule",
     "url_recrawl_schedule",
+    "url_robots_sitemaps",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -126,3 +126,26 @@ def parse_robots_df(bodies: DataFrame, agent: str = "*") -> DataFrame:
     return bodies.mapInPandas(
         kernel, "host string, allow array<string>, "
                 "disallow array<string>, crawl_delay double")
+
+
+_SITEMAP_LINE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]+)"
+
+
+def robots_sitemaps(bodies: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """Extract ``Sitemap:`` directives from fetched robots.txt bodies —
+    the discovery feed into :func:`sitemaps.sitemap_urls`.
+
+    Per the robots spec the directive is GROUP-INDEPENDENT (it applies
+    regardless of user-agent groups), so unlike the rules parser this
+    needs no group resolution and stays entirely JVM-side: one
+    multiline case-insensitive ``regexp_extract_all`` + one explode,
+    comments stripped by the pattern, surrounding whitespace trimmed.
+    Emits ``(host, sitemap_url)``; bodies without the directive emit
+    nothing.  Shuffle-free.
+    """
+    urls = F.regexp_extract_all(F.col(body_col),
+                                F.lit(_SITEMAP_LINE_RE), 1)
+    return (bodies.select(F.col(host_col).alias("host"),
+                          F.explode(urls).alias("sitemap_url"))
+            .select("host", F.trim("sitemap_url").alias("sitemap_url")))

@@ -702,3 +702,25 @@ def test_recrawl_schedule_change_rates_and_clamps(spark):
     assert st.next_fetch_us - last["static"] == 10 * hour_us
     lz = out["lazy"]
     assert lz.next_fetch_us - last["lazy"] == 30 * 24 * hour_us
+
+
+# ------------------------------------------------------ robots_sitemaps
+
+def test_robots_sitemaps_extraction(spark):
+    from scrapely_spark.frontier import robots
+    rows = [
+        ("a", "User-agent: *\nDisallow: /x\n"
+              "Sitemap: https://a/s1.xml\n"
+              "  SITEMAP :  https://a/s2.xml   # trailing comment\n"
+              "# Sitemap: https://a/commented.xml"),
+        ("b", "User-agent: bot\nDisallow: /"),
+        ("c", "sitemap:https://c/s.xml"),
+    ]
+    df = spark.createDataFrame(rows, "host string, body string")
+    out = {(r.host, r.sitemap_url)
+           for r in robots.robots_sitemaps(df).collect()}
+    assert out == {
+        ("a", "https://a/s1.xml"),
+        ("a", "https://a/s2.xml"),
+        ("c", "https://c/s.xml"),
+    }
