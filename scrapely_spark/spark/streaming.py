@@ -294,6 +294,49 @@ def phash_dedup_stream(spark: SparkSession, images_dir: str,
     return writer.start()
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> int:
+    """Compact an append-only ``batch_id=N`` index (the MinHash band /
+    phash chunk state the delta streams probe) — the maintenance job a
+    per-micro-batch index needs at production cadence, or every probe
+    eventually reads thousands of small files.
+
+    All batches EXCEPT the newest merge into one directory named after
+    the second-newest id; the newest batch is deliberately left alone
+    because it is the only batch foreachBatch may still replay
+    (checkpointing commits everything older), and a replay of batch N
+    must keep seeing exactly the ``batch_id < N`` rows it saw the
+    first time — which the compacted directory, carrying an id < N,
+    still provides.  Row multiset is preserved verbatim; only file
+    layout changes.  (On Iceberg this is ``rewrite_data_files``; here
+    the staging-dir + rename gives the same crash discipline: a killed
+    compaction leaves the staging dir, never a half-removed index.)
+
+    Returns the number of batch directories merged (0 = nothing to do).
+    """
+    import os
+    import shutil
+
+    batches = _index_batches(spark, index_dir)
+    if len(batches) <= 2:
+        return 0
+    to_merge = batches[:-1]
+    target_id = to_merge[-1][0]
+    staging = os.path.join(index_dir, "_compacting")
+    if os.path.isdir(staging):        # leftover from a killed run
+        shutil.rmtree(staging)
+    # pin the schema to one batch's real columns: a multi-path read can
+    # INFER a batch_id partition column from the directory names, which
+    # must not leak into the compacted files
+    cols = spark.read.parquet(to_merge[0][1]).columns
+    (spark.read.parquet(*[p for _, p in to_merge]).select(*cols)
+     .write.mode("overwrite").parquet(staging))
+    for _, p in to_merge:
+        shutil.rmtree(p)
+    os.rename(staging, os.path.join(index_dir,
+                                    "batch_id=%d" % target_id))
+    return len(to_merge)
+
+
 def _index_batches(spark: SparkSession, index_dir: str):
     """(batch_id, path) pairs already committed under ``index_dir``."""
     import os

@@ -466,3 +466,55 @@ def test_streaming_phash_dedup_agrees_with_batch(spark, tmp_path):
     again = {(r.id_a, r.id_b): (r.hamming, r.vs_index)
              for r in spark.read.parquet(pairs_dir).collect()}
     assert again == got
+
+
+def test_compact_index_preserves_delta_semantics(spark, tmp_path):
+    """Compacting all-but-the-newest batch dirs preserves the index row
+    multiset and the next delta batch's output exactly; the newest
+    batch stays replayable."""
+    import os
+
+    from scrapely_spark.spark import dedup, streaming
+
+    def text(i):
+        return " ".join("t%d_%d" % (i % 7, j) for j in range(12))
+
+    index_dir = str(tmp_path / "idx")
+    # three committed index batches, written the way the stream does
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(100 * b + j, text(100 * b + j)) for j in range(20)],
+            "doc_id long, text string")
+        (dedup.minhash_bands(df).write.mode("overwrite")
+         .parquet("%s/batch_id=%d" % (index_dir, b)))
+
+    before = sorted(map(tuple, spark.read.parquet(
+        *[p for _, p in streaming._index_batches(spark, index_dir)])
+        .select("doc_id", "band_id", "band_key").collect()))
+    new_docs = spark.createDataFrame(
+        [(900 + j, text(900 + j)) for j in range(20)],
+        "doc_id long, text string")
+    idx_df = spark.read.parquet(
+        *[p for _, p in streaming._index_batches(spark, index_dir)])
+    want_pairs = sorted(map(tuple, dedup.minhash_candidates_delta(
+        new_docs, idx_df).collect()))
+
+    merged = streaming.compact_index(spark, index_dir)
+    assert merged == 2
+    names = sorted(os.listdir(index_dir))
+    assert names == ["batch_id=1", "batch_id=2"]
+
+    after_batches = streaming._index_batches(spark, index_dir)
+    after = sorted(map(tuple, spark.read.parquet(
+        *[p for _, p in after_batches])
+        .select("doc_id", "band_id", "band_key").collect()))
+    assert after == before
+    # no inferred batch_id column leaked into the compacted files
+    assert "batch_id" not in spark.read.parquet(
+        index_dir + "/batch_id=1").columns
+    idx2 = spark.read.parquet(*[p for _, p in after_batches])
+    got_pairs = sorted(map(tuple, dedup.minhash_candidates_delta(
+        new_docs, idx2).collect()))
+    assert got_pairs == want_pairs
+    # idempotent / nothing left to do at <= 2 dirs
+    assert streaming.compact_index(spark, index_dir) == 0
