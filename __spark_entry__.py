@@ -241,6 +241,43 @@ def frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("canonical_url", "priority"))
 
 
+def cuckoo_seen_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletable URL-seen gate (frontier/cuckoo.py): insert the seen
+    set, evict the recrawl batch, probe the whole frontier through the
+    cuckoo prefilter, and fall through to the exact anti-join on the
+    maybe_seen side.  A filter false negative would emit a row the
+    oracle lacks — the hash check IS the no-false-negative gate; false
+    positives only route extra rows through the exact join and never
+    change the output."""
+    from scrapely_spark.frontier import cuckoo as ck
+    from scrapely_spark.frontier.canonical import canonicalize_df
+    spec = ck.CuckooSpec(n_shards=16, shard_buckets=512, bucket_slots=4)
+    orders = _t(spark, sf_dir, "orders")
+
+    def urls(pred=None):
+        src = orders.where(pred) if pred else orders
+        return canonicalize_df(
+            src.selectExpr("%s AS url" % _SPARK_RAW_URL)) \
+            .withColumn("url_key", F.hash("canonical_url"))
+
+    frontier = urls().select("canonical_url", "host", "url_key")
+    seen = urls("o_orderkey % 3 = 0").select("canonical_url", "url_key")
+    # recrawl eviction: a subset of seen (15 = lcm(3,5)) — satisfies
+    # the cuckoo delete contract (only previously-inserted keys)
+    evict = seen.join(urls("o_orderkey % 15 = 0").select("url_key"),
+                      "url_key", "left_semi")
+    state = ck.delete(ck.insert(None, seen, spec), evict, spec)
+    probed = ck.might_contain(frontier, state, spec)
+    live_seen = seen.join(evict, "url_key", "left_anti") \
+        .select("canonical_url")
+    return (probed.where(~F.col("maybe_seen"))
+            .select("canonical_url", "host")
+            .unionByName(
+                probed.where(F.col("maybe_seen"))
+                .join(live_seen, "canonical_url", "left_anti")
+                .select("canonical_url", "host")))
+
+
 # --------------------------------------------------------------------------
 # scalar refinement functions as vectorized column kernels
 # --------------------------------------------------------------------------
@@ -1128,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-checked and recently-changed queries first:
         # the driver's correctness window covers the head of this
         # dict, so ordering is freshest-first, long-stable last
+        "cuckoo_seen_gate": cuckoo_seen_gate,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
@@ -2279,6 +2317,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, host FROM urls
             WHERE canonical_url NOT IN (
               SELECT canonical_url FROM urls WHERE o_orderkey % 3 = 0)""",
+
+        # the cuckoo prefilter + exact fallthrough must equal plain
+        # set subtraction: seen = %3 keys minus the %15 recrawl batch
+        "cuckoo_seen_gate": _URLS_CTE + """
+            SELECT canonical_url, host FROM urls
+            WHERE canonical_url NOT IN (
+              SELECT canonical_url FROM urls
+              WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0)""",
 
         "politeness_topk": _URLS_CTE + """
             , ranked AS (

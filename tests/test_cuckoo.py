@@ -1,0 +1,157 @@
+"""Cuckoo-filter invariants: no false negatives, working deletion,
+bounded false positives, partitioning-independent state bytes.
+
+The cuckoo arm of the URL-seen pair (bloom.py is the append-only arm)
+must uphold the same prefilter contract — False is definitive — plus
+the one property the bloom cannot offer: deleting a previously-inserted
+key removes it without disturbing other keys' guarantees.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapely_spark.frontier import cuckoo as ck
+from scrapely_spark.frontier.cuckoo import CuckooSpec
+
+
+@pytest.fixture(scope="module")
+def spec():
+    # 16 shards × 128 buckets × 4 slots = 8192 slots for 5000 keys
+    # (~61% load) — realistic headroom, still forces some evictions
+    return CuckooSpec(n_shards=16, shard_buckets=128, bucket_slots=4)
+
+
+@pytest.fixture(scope="module")
+def inserted(spark, spec):
+    # F.hash produces negative keys too — guards the pmod/uint64
+    # alignment between the JVM shard routing and the numpy kernel
+    keys = spark.range(5000).select(
+        F.hash(F.col("id").cast("string")).alias("url_key")).cache()
+    state = ck.insert(None, keys, spec).cache()
+    return keys, state
+
+
+def test_state_one_row_per_shard(inserted, spec):
+    _keys, state = inserted
+    rows = state.collect()
+    assert len(rows) == len({r["shard"] for r in rows})
+    assert all(0 <= r["shard"] < spec.n_shards for r in rows)
+    assert all(len(r["slots"]) == spec.n_slots * 2 for r in rows)
+
+
+def test_no_false_negatives(inserted, spec):
+    keys, state = inserted
+    flagged = ck.might_contain(keys, state, spec)
+    assert flagged.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_false_positive_rate_bounded(spark, inserted, spec):
+    _keys, state = inserted
+    fresh = spark.range(5000, 25000).select(
+        F.hash(F.col("id").cast("string")).alias("url_key"))
+    fp = ck.might_contain(fresh, state, spec) \
+        .where(F.col("maybe_seen")).count()
+    # 16-bit fingerprints at ~61% load: expected FPR ≈ 2·4·0.61/2^16
+    # ≈ 0.007%; anything under 1% proves the fingerprinting works
+    assert fp / 20000 < 0.01
+
+
+def test_delete_then_probe(spark, inserted, spec):
+    keys, state = inserted
+    evicted = keys.where("url_key % 4 = 0").cache()
+    kept = keys.where("url_key % 4 != 0")
+    after = ck.delete(state, evicted, spec).cache()
+    # survivors keep the hard guarantee
+    assert ck.might_contain(kept, after, spec) \
+        .where(~F.col("maybe_seen")).count() == 0
+    # evicted keys are really gone (up to fingerprint collisions with
+    # surviving keys, which are FPs by construction — bound them)
+    n_ev = evicted.count()
+    still = ck.might_contain(evicted, after, spec) \
+        .where(F.col("maybe_seen")).count()
+    assert still / max(n_ev, 1) < 0.01
+    # state row count unchanged: deletion rewrites shards, never drops
+    assert after.count() == state.count()
+
+
+def test_partitioning_invariant(spark, spec):
+    """Final state bytes are a pure function of the key multiset —
+    the property that makes checkpoint replay byte-stable."""
+    keys = spark.range(3000).select(
+        F.hash(F.col("id").cast("string")).alias("url_key"))
+
+    def state_bytes(df):
+        rows = ck.insert(None, df, spec).collect()
+        return sorted((r["shard"], bytes(r["slots"]), bytes(r["stash"]))
+                      for r in rows)
+
+    a = state_bytes(keys.repartition(1))
+    b = state_bytes(keys.repartition(13, "url_key"))
+    assert a == b
+
+
+def test_stash_overflow_keeps_guarantee(spark):
+    """Past the load knee the wandering fingerprint lands in the stash
+    instead of failing the job — and stays findable."""
+    tiny = CuckooSpec(n_shards=2, shard_buckets=4, bucket_slots=1,
+                      max_kicks=8)
+    keys = spark.range(14).select(
+        F.hash(F.col("id").cast("string")).alias("url_key")).cache()
+    state = ck.insert(None, keys, tiny).cache()
+    stash_len = sum(len(r["stash"]) // 2 for r in state.collect())
+    assert stash_len > 0  # 14 keys into 8 slots must overflow
+    assert ck.might_contain(keys, state, tiny) \
+        .where(~F.col("maybe_seen")).count() == 0
+
+
+def test_incremental_insert_keeps_guarantee(spark, inserted, spec):
+    keys, _ = inserted
+    first = keys.where("url_key % 2 = 0")
+    second = keys.where("url_key % 2 != 0")
+    state = ck.insert(None, first, spec)
+    state = ck.insert(state, second, spec)
+    assert ck.might_contain(keys, state, spec) \
+        .where(~F.col("maybe_seen")).count() == 0
+
+
+def test_untouched_shards_pass_through_byte_identical(spark, spec):
+    keys = spark.range(2000).select(
+        F.hash(F.col("id").cast("string")).alias("url_key"))
+    state = ck.insert(None, keys, spec).cache()
+    before = {r["shard"]: (bytes(r["slots"]), bytes(r["stash"]))
+              for r in state.collect()}
+    # route one key; its shard changes, every other shard must not
+    one = spark.createDataFrame([(987654321,)], "url_key int")
+    shard, _, _ = ck.key_parts(np.array([987654321]), spec)
+    touched = int(shard[0])
+    after = {r["shard"]: (bytes(r["slots"]), bytes(r["stash"]))
+             for r in ck.insert(state, one, spec).collect()}
+    for s, blob in before.items():
+        if s != touched:
+            assert after[s] == blob
+
+
+def test_load_factor_stats(inserted, spec):
+    keys, state = inserted
+    stats = ck.load_factor(state, spec).collect()
+    total_occ = sum(r["occupied"] for r in stats)
+    total_stash = sum(r["stash_len"] for r in stats)
+    assert total_occ + total_stash == keys.distinct().count()
+    assert all(0.0 <= r["load"] <= 1.0 for r in stats)
+
+
+def test_bad_geometry_raises():
+    with pytest.raises(ValueError, match="power of two"):
+        CuckooSpec(shard_buckets=100)
+
+
+def test_probe_with_mismatched_spec_raises(spark, inserted, spec):
+    keys, state = inserted
+    other = CuckooSpec(n_shards=spec.n_shards,
+                       shard_buckets=spec.shard_buckets * 2,
+                       bucket_slots=spec.bucket_slots)
+    with pytest.raises(Exception, match="spec"):
+        ck.insert(state, keys, other).collect()
