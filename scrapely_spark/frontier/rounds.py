@@ -56,8 +56,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from scrapely_spark.frontier import bloom as bloomlib
 from scrapely_spark.frontier.bloom import BloomSpec
+from scrapely_spark.frontier.seenfilter import BloomSeenFilter
 from scrapely_spark.frontier.canonical import canonicalize_df
 from scrapely_spark.frontier.politeness import select_fetch_batch
 from scrapely_spark.frontier.robots import DEFAULT_CRAWL_DELAY, gate
@@ -67,7 +67,7 @@ from scrapely_spark.html.page import HtmlPage
 
 ENQUEUED = "enqueued"   # per-round frontier additions (gated, never-seen)
 SEEN = "seen"
-BLOOM = "bloom"
+BLOOM = "bloom"      # default seen-filter table (BloomSeenFilter.table)
 FETCH_LOG = "fetch_log"
 EXTRACTED = "extracted"
 LINKS = "links"         # per-round host-level link edges (src, dst) —
@@ -168,13 +168,14 @@ def _extract_kernel(plan_bc):
 
 
 def seed_round(spark, store: StateStore, seed_urls, robots: DataFrame,
-               spec: BloomSpec) -> None:
+               spec: BloomSpec, seen_filter=None) -> None:
     """Round 0: enqueue the seed list (idempotent if already committed).
 
     ``seed_urls`` is a Python list or a DataFrame with a ``url`` column —
     the DataFrame path keeps a multi-million seed list distributed
     instead of shipping it through the driver.
     """
+    flt = seen_filter or BloomSeenFilter(spec)
     if store.ledger()["rounds"]:
         return
     if isinstance(seed_urls, DataFrame):
@@ -192,7 +193,7 @@ def seed_round(spark, store: StateStore, seed_urls, robots: DataFrame,
     enqueued = gate(canon, robots).drop("crawl_delay") \
         .select(*_FRONTIER_COLS)
     seen = canon.select("canonical_url", "url_key")
-    delta = bloomlib.build_delta(seen, spec)
+    delta = flt.round_delta(seen, None, 0)
 
     n_canon = canon.count()  # materialize once; the writes below share it
     if n_seeded is None:
@@ -201,7 +202,7 @@ def seed_round(spark, store: StateStore, seed_urls, robots: DataFrame,
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = {
             ENQUEUED: pool.submit(store.stage_round, enqueued, ENQUEUED, 0),
-            BLOOM: pool.submit(store.stage_round, delta, BLOOM, 0),
+            flt.table: pool.submit(store.stage_round, delta, flt.table, 0),
             SEEN: pool.submit(store.stage_round, seen, SEEN, 0),
         }
         for table, fut in futures.items():
@@ -322,7 +323,7 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
               plan_bc, round_id: int, spec: BloomSpec,
               round_seconds: float = 10.0,
               auth: DataFrame | None = None, levels: int = 1,
-              template_budget: int = 0) -> dict:
+              template_budget: int = 0, seen_filter=None) -> dict:
     """Execute one committed crawl round; returns its metrics.
 
     ``pages`` must be keyed by canonical URL (see prepare_replay_store).
@@ -337,13 +338,15 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         return _commit_drained(store, round_id, w1)
     finish, _enqueue = _round_body(spark, store, pages, robots, plan_bc,
                                    round_id, spec, w1, levels=levels,
-                                   template_budget=template_budget)
+                                   template_budget=template_budget,
+                                   seen_filter=seen_filter)
     return finish()
 
 
 def _round_body(spark, store: StateStore, pages: DataFrame,
                 robots: DataFrame, plan_bc, round_id: int, spec: BloomSpec,
-                w1: dict, levels: int = 1, template_budget: int = 0):
+                w1: dict, levels: int = 1, template_budget: int = 0,
+                seen_filter=None):
     """Waves 2-3 of a round whose fetch batch is non-empty.
 
     Returns ``(finish, enqueue_ready)``: ``enqueue_ready()`` waits for
@@ -416,13 +419,14 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
                           F.col("host").alias("dst"))
                   .distinct())
 
-    # URL-seen: bloom prefilter, exact string anti-join only on maybes
+    # URL-seen: filter prefilter (bloom or cuckoo — the seenfilter
+    # seam), exact string anti-join only on maybes
+    flt = seen_filter or BloomSeenFilter(spec)
     seen = store.read_rounds(spark, SEEN)  # union of per-round deltas
-    # bloom = OR-merge of per-round delta bitmaps (n_blocks·rounds tiny
-    # rows); the merged filter then broadcasts into might_contain
-    bloom_state = bloomlib.merge_blocks(
-        None, store.read_rounds(spark, BLOOM), spec)
-    flagged = bloomlib.might_contain(candidates, bloom_state, spec).cache()
+    # bloom reads OR-merge the per-round delta bitmaps; cuckoo reads
+    # take the latest bytes per shard — both slim, both broadcastable
+    filter_rounds = store.read_rounds(spark, flt.table)
+    flagged = flt.prefilter(candidates, filter_rounds).cache()
     certain_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen.select("canonical_url"),
@@ -434,7 +438,7 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
         .select(*_FRONTIER_COLS)
 
     seen_delta = new_urls.select("canonical_url", "url_key")
-    bloom_delta = bloomlib.build_delta(new_urls, spec)
+    filter_delta = flt.round_delta(new_urls, filter_rounds, round_id)
 
     extracted = ext.select(
         F.lit(round_id).alias("round_id"), "canonical_url", "priority",
@@ -461,7 +465,7 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
     futures = {
         table: pool.submit(store.stage_round, df, table, round_id)
         for df, table in ((enqueue, ENQUEUED),
-                          (bloom_delta, BLOOM),
+                          (filter_delta, flt.table),
                           (link_edges, LINKS))}
     futures[EXTRACTED] = pool.submit(
         store.stage_round, extracted, EXTRACTED, round_id)
@@ -569,7 +573,8 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
           replay_buckets: int = REPLAY_BUCKETS,
           authority_levels: int = 1,
           authority_iters: int = 3,
-          template_budget: int = 0) -> StateStore:
+          template_budget: int = 0,
+          seen_filter=None) -> StateStore:
     """Run (or resume) a crawl to completion or ``max_rounds``.
 
     Resume: everything is derived from the store's ledger — a killed job
@@ -599,6 +604,7 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     guard (canonical.cap_template_families), oracle-mirrored.
     """
     spec = spec or BloomSpec()
+    flt = seen_filter or BloomSeenFilter(spec)
     plan_bc = spark.sparkContext.broadcast(plan)
     robots = robots.cache()
     # The replay page store is a *table*, not a cache (at 10^10 URLs it
@@ -609,7 +615,7 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     replay = _ensure_replay_table(spark, store, pages,
                                   n_buckets=replay_buckets)
     t = _trace(0, "replay store prep", t)
-    seed_round(spark, store, seed_urls, robots, spec)
+    seed_round(spark, store, seed_urls, robots, spec, seen_filter=flt)
     _trace(0, "seed round", t)
     rounds_so_far = store.round_metrics()
     if rounds_so_far and rounds_so_far[-1].get("drained"):
@@ -660,7 +666,8 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         finish, enqueue_ready = _round_body(spark, store, replay, robots,
                                             plan_bc, round_id, spec, w1,
                                             levels=authority_levels,
-                                            template_budget=template_budget)
+                                            template_budget=template_budget,
+                                            seen_filter=flt)
         will_compact = bool(compact_every
                             and round_id % compact_every == 0)
         if (round_id < max_rounds and not will_compact
@@ -676,7 +683,7 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
                                        round_id + 1, round_seconds)
         finish()
         if will_compact:
-            for table in (ENQUEUED, SEEN, FETCH_LOG, BLOOM, EXTRACTED):
+            for table in (ENQUEUED, SEEN, FETCH_LOG, flt.table, EXTRACTED):
                 store.compact_rounds(spark, table)
         if next_w1 is not None:
             frontier = frontier_view(spark, store)

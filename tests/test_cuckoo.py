@@ -155,3 +155,59 @@ def test_probe_with_mismatched_spec_raises(spark, inserted, spec):
                        bucket_slots=spec.bucket_slots)
     with pytest.raises(Exception, match="spec"):
         ck.insert(state, keys, other).collect()
+
+
+# -- the cuckoo arm driving the real crawl loop -----------------------------
+
+def test_crawl_parity_with_cuckoo_backend(spark, tmp_path_factory):
+    """The round loop with seen_filter='cuckoo' reproduces the oracle's
+    fetch order and seen set byte-for-byte — the prefilter swap must be
+    invisible (False definitive, True exact-checked)."""
+    from oracle import OracleCrawl
+    from scrapely_spark.frontier import rounds
+    from scrapely_spark.frontier.seenfilter import CuckooSeenFilter
+    from scrapely_spark.frontier.state import StateStore
+    from scrapely_spark.spark import datagen
+    from scrapely_spark.spark.extract import plan_from_templates
+
+    n, max_rounds = 200, 20
+    oracle = OracleCrawl(n, datagen.seeds(n)).run(max_rounds)
+    store = StateStore(str(tmp_path_factory.mktemp("cuckoocrawl")))
+    pages = datagen.pages_df(spark, n)
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    flt = CuckooSeenFilter(CuckooSpec(n_shards=8, shard_buckets=64))
+    rounds.crawl(spark, store, pages, robots, plan, datagen.seeds(n),
+                 max_rounds=max_rounds, seen_filter=flt)
+
+    log = (store.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    got = [(r.round_id, r.priority, r.canonical_url) for r in log]
+    assert got == oracle.fetch_order()
+    seen = store.read_rounds(spark, rounds.SEEN).collect()
+    assert sorted(r.canonical_url for r in seen) == oracle.seen_urls()
+    # the filter's state table really is the cuckoo one
+    assert store.read_rounds(spark, "cuckoo") is not None
+    assert store.read_rounds(spark, "bloom") is None
+
+
+def test_evict_delta_reopens_urls(spark, spec):
+    """Recrawl eviction: after evict_delta, the evicted keys pass the
+    prefilter as definitively-new again (no-false-positive not required,
+    bound it), while survivors stay flagged."""
+    from scrapely_spark.frontier.seenfilter import CuckooSeenFilter
+
+    flt = CuckooSeenFilter(spec)
+    keys = spark.range(4000).select(
+        F.hash(F.col("id").cast("string")).alias("url_key")).cache()
+    r1 = flt.round_delta(keys, None, 1).cache()
+    recrawl = keys.where("url_key % 3 = 0").cache()
+    r2 = flt.evict_delta(recrawl, r1, 2)
+    state_rounds = r1.unionByName(r2)
+    flagged = flt.prefilter(recrawl, state_rounds)
+    # evicted keys mostly read as new again (residual = fp collisions)
+    still = flagged.where(F.col("maybe_seen")).count()
+    assert still / max(recrawl.count(), 1) < 0.01
+    survivors = keys.where("url_key % 3 != 0")
+    kept = flt.prefilter(survivors, state_rounds)
+    assert kept.where(~F.col("maybe_seen")).count() == 0
