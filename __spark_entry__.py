@@ -820,6 +820,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vec, _ = _query_vec(spark, sf)
         return simsearch.sq8_topk(_t(spark, sf, "embeddings"), vec, 10)
 
+    def q_ann_recall_sq8(spark, sf):
+        # the ANN ladder's evaluation harness: recall@20 of the SQ8
+        # compressed scan against the exact brute-force neighborhood
+        # (simsearch.recall_at_k); both sides deterministic, so the
+        # overlap count is hash-checkable cross-engine
+        vec, _ = _query_vec(spark, sf)
+        emb = _t(spark, sf, "embeddings")
+        return simsearch.recall_at_k(
+            simsearch.sq8_topk(emb, vec, 20),
+            simsearch.cosine_topk(emb, vec, 20), 20)
+
+    def q_ann_recall_ivf(spark, sf):
+        # recall@20 of single-cell IVF probing vs the global exact
+        # top-k — the cell-quality number that decides nprobe at scale
+        vec, label = _query_vec(spark, sf)
+        emb = _t(spark, sf, "embeddings")
+        return simsearch.recall_at_k(
+            simsearch.ivf_topk(emb, vec, label, 20),
+            simsearch.cosine_topk(emb, vec, 20), 20)
+
     def q_running_totals(spark, sf):
         # batch twin of streaming.running_totals (the
         # applyInPandasWithState custom stateful operator); the
@@ -1166,6 +1186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver's correctness window covers the head of this
         # dict, so ordering is freshest-first, long-stable last
         "cuckoo_seen_gate": cuckoo_seen_gate,
+        "ann_recall_sq8": q_ann_recall_sq8,
+        "ann_recall_ivf": q_ann_recall_ivf,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
@@ -3280,6 +3302,65 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             SELECT vec_id, label, round(dot / (nx * nq), 6) AS score
             FROM s, qn
             ORDER BY score DESC, vec_id ASC LIMIT 10""",
+
+        # recall@20 harnesses: re-run the approx pipeline's oracle and
+        # the brute-force oracle at k=20 and count the vec_id overlap
+        "ann_recall_sq8": """
+            WITH ex AS (SELECT vec_id, label,
+                          generate_subscripts(embedding, 1) AS i,
+                          unnest(CAST(embedding AS DOUBLE[])) AS x
+                        FROM embeddings),
+            mm AS (SELECT i, min(x) AS lo, max(x) AS hi
+                   FROM ex GROUP BY i),
+            dq AS (SELECT vec_id, label, i,
+                     CASE WHEN hi > lo THEN
+                       lo + least(255.0, greatest(0.0,
+                              floor((x - lo) * 255.0 / (hi - lo) + 0.5)))
+                            * (hi - lo) / 255.0
+                     ELSE lo END AS xhat
+                   FROM ex JOIN mm USING (i)),
+            q0 AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+            s AS (SELECT d.vec_id,
+                         sum(d.xhat * q0.qx) AS dot,
+                         sqrt(sum(d.xhat * d.xhat)) AS nx
+                  FROM dq d JOIN q0 USING (i)
+                  GROUP BY d.vec_id),
+            qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM q0),
+            approx AS (SELECT vec_id,
+                         round(dot / (nx * nq), 6) AS score
+                       FROM s, qn
+                       ORDER BY score DESC, vec_id ASC LIMIT 20),
+            e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                  FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            exact AS (SELECT vec_id,
+                        round(CAST(list_cosine_similarity(v, qv)
+                                   AS DOUBLE), 6) AS score
+                      FROM e, q
+                      ORDER BY score DESC, vec_id ASC LIMIT 20)
+            SELECT CAST(20 AS INT) AS k, count(*) AS n_overlap,
+                   round(CAST(count(*) AS DOUBLE) / 20.0, 6) AS recall
+            FROM exact JOIN approx USING (vec_id)""",
+
+        "ann_recall_ivf": """
+            WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings),
+            q AS (SELECT v AS qv, label AS ql FROM e WHERE vec_id = 0),
+            approx AS (SELECT vec_id,
+                         round(CAST(list_cosine_similarity(v, qv)
+                                    AS DOUBLE), 6) AS score
+                       FROM e, q WHERE label = ql
+                       ORDER BY score DESC, vec_id ASC LIMIT 20),
+            exact AS (SELECT vec_id,
+                        round(CAST(list_cosine_similarity(v, qv)
+                                   AS DOUBLE), 6) AS score
+                      FROM e, q
+                      ORDER BY score DESC, vec_id ASC LIMIT 20)
+            SELECT CAST(20 AS INT) AS k, count(*) AS n_overlap,
+                   round(CAST(count(*) AS DOUBLE) / 20.0, 6) AS recall
+            FROM exact JOIN approx USING (vec_id)""",
 
         "events_running_totals": """
             SELECT user_id, count(*) AS n_events,

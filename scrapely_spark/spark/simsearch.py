@@ -56,6 +56,26 @@ def ivf_topk(embeddings: DataFrame, query: list, query_label: int,
         embeddings.where(F.col("label") == query_label), query, k, vec_col)
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate top-k against the exact one.
+
+    The ANN ladder's evaluation harness: ``|approx ∩ exact| / k`` over
+    the ``vec_id`` result sets — how much of the true neighborhood a
+    compressed or cell-probing scan keeps.  One semi-join over two
+    k-row inputs (driver-free, trivially cheap); both inputs are
+    deterministic top-k DataFrames, so the number is reproducible and
+    hash-checkable cross-engine.  Returns one row
+    ``(k int, n_overlap bigint, recall double)``.
+    """
+    overlap = exact.select("vec_id").join(
+        approx.select("vec_id"), "vec_id", "left_semi")
+    return (overlap.agg(F.count("*").alias("n_overlap"))
+            .select(F.lit(k).cast("int").alias("k"),
+                    "n_overlap",
+                    F.round(F.col("n_overlap") / F.lit(float(k)), 6)
+                    .alias("recall")))
+
+
 def kmeans_cells(embeddings: DataFrame, n_cells: int = 16,
                  sample: int = 4096, iters: int = 5, seed: int = 7,
                  vec_col: str = "embedding") -> list:
