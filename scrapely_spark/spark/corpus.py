@@ -935,7 +935,7 @@ def llm_corpus_build(docs: DataFrame, extracted: DataFrame,
             .join(scrubbed.select("doc_id", "lang", "quality"), "doc_id")
             .withColumn("n_tokens", F.size(_words()))
             .drop("text")
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
     rates = mixing_rates(kept, budget_tokens=budget_tokens)
     sampled = apply_mixing_rates(kept, rates.select("source", "rate"),
                                  seed=seed)

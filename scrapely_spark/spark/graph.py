@@ -25,15 +25,20 @@ map-side partial sums.  The dangling mass and N are 1-row aggregates
 cross-joined back (broadcast, never a driver collect), and every
 iteration ``localCheckpoint``s the rank table so iteration k's plan
 does not embed iterations 1..k-1 (same lineage-truncation discipline
-as dedup.dup_clusters).  The checkpoints are LAZY (``eager=False``):
-with a fixed iteration count there is no driver read inside the loop,
-so nothing forces per-iteration job submissions — the first action
-runs the whole unrolled DAG in one go, persisting each iteration's
-RDD as it is first computed (measured 2.7× less fixed overhead than
-eager checkpoints on a small graph; identical plans per iteration at
-scale, where compute dwarfs submission latency).  Per-iteration cost
-at 10^10 edges is the groupBy shuffle — the minimum any distributed
-PageRank pays.
+as dedup.dup_clusters).  The checkpoints are EAGER: lazy checkpoints
+(``eager=False``) measured 2.7× less fixed overhead on a small graph
+(one job submission for the whole unrolled loop), but a lazy
+checkpoint whose first materialization happens inside a
+broadcast-exchange thread — here, the 1-row dangling-mass aggregate
+the loop broadcasts each iteration — deadlocks against the DAG
+scheduler on the (RDDCheckpointData, RDD) monitor pair:
+``RDD.markCheckpointed`` and ``DAGScheduler.getCacheLocs`` take the
+two locks in opposite order (observed live as a Java-level deadlock
+under the full test suite).  Eager checkpoints materialize on the
+driver thread before any broadcast job can race them; the extra cost
+is one small job submission per iteration, invisible at scale where
+the groupBy shuffle — the minimum any distributed PageRank pays —
+dominates.
 """
 
 from __future__ import annotations
@@ -87,12 +92,12 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                        "left")
             .select("node",
                     F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
     n_total = F.broadcast(base.agg(F.count("*").alias("_n")))
     ranks = (base.crossJoin(n_total)
              .select("node", "outdeg",
                      (F.lit(1.0) / F.col("_n")).alias("rank"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     d = float(damping)
     for _ in range(iterations):
         contribs = (e.join(ranks.where(F.col("outdeg") > 0),
@@ -115,7 +120,7 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                       + d * (F.coalesce("contrib", F.lit(0.0))
                              + F.col("_dm") / F.col("_n")))
                      .alias("rank"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint(eager=True))
     return _unpersist_on_gc(ranks.select("node", "rank"), [e])
 
 
@@ -154,13 +159,13 @@ def pagerank_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
                        "left")
             .select("node",
                     F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
     n_total = F.broadcast(base.agg(F.count("*").alias("_n")))
     ranks = (base.crossJoin(n_total)
              .select("node", "outdeg", "_n",
                      (F.lit(RANK_ONE_MICRO) / F.col("_n"))
                      .cast("long").alias("rank_micro"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     for _ in range(iterations):
         contribs = (e.join(ranks.where(F.col("outdeg") > 0),
                            e["src"] == F.col("node"))
@@ -185,7 +190,7 @@ def pagerank_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
                                    + F.floor(F.col("_dm") / F.col("_n")))
                                 / F.lit(100)))
                      .cast("long").alias("rank_micro"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint(eager=True))
     return _unpersist_on_gc(ranks.select("node", "rank_micro"), [e])
 
 
