@@ -831,6 +831,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simsearch.sq8_topk(emb, vec, 20),
             simsearch.cosine_topk(emb, vec, 20), 20)
 
+    def q_ann_recall_bq(spark, sf):
+        # recall@20 of the 64-bit sign-signature hamming scan — the
+        # number that says how many exact-rerank candidates a BQ
+        # prefilter must keep at 10^10 rows
+        vec, _ = _query_vec(spark, sf)
+        emb = _t(spark, sf, "embeddings")
+        return simsearch.recall_at_k(
+            simsearch.bq_topk(emb, vec, 20),
+            simsearch.cosine_topk(emb, vec, 20), 20)
+
     def q_ann_recall_ivf(spark, sf):
         # recall@20 of single-cell IVF probing vs the global exact
         # top-k — the cell-quality number that decides nprobe at scale
@@ -1188,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
+        "ann_recall_bq": q_ann_recall_bq,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
@@ -3338,6 +3349,42 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                         round(CAST(list_cosine_similarity(v, qv)
                                    AS DOUBLE), 6) AS score
                       FROM e, q
+                      ORDER BY score DESC, vec_id ASC LIMIT 20)
+            SELECT CAST(20 AS INT) AS k, count(*) AS n_overlap,
+                   round(CAST(count(*) AS DOUBLE) / 20.0, 6) AS recall
+            FROM exact JOIN approx USING (vec_id)""",
+
+        "ann_recall_bq": """
+            WITH e AS (SELECT vec_id,
+                         CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            sig AS (
+              SELECT vec_id,
+                     CAST(coalesce(list_sum(list_transform(
+                       generate_series(1, 32),
+                       i -> CASE WHEN v[i] >= 0
+                            THEN 1 << (i - 1) ELSE 0 END)), 0)
+                       AS BIGINT) AS lo,
+                     CAST(coalesce(list_sum(list_transform(
+                       generate_series(33, 64),
+                       i -> CASE WHEN v[i] >= 0
+                            THEN 1 << (i - 33) ELSE 0 END)), 0)
+                       AS BIGINT) AS hi
+              FROM e),
+            qs AS (SELECT lo AS qlo, hi AS qhi FROM sig WHERE vec_id = 0),
+            approx AS (SELECT s.vec_id
+                       FROM sig s, qs
+                       ORDER BY bit_count(xor(s.lo, qs.qlo))
+                                + bit_count(xor(s.hi, qs.qhi)) ASC,
+                                s.vec_id ASC LIMIT 20),
+            ed AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                   FROM embeddings),
+            q AS (SELECT v AS qv FROM ed WHERE vec_id = 0),
+            exact AS (SELECT vec_id,
+                        round(CAST(list_cosine_similarity(v, qv)
+                                   AS DOUBLE), 6) AS score
+                      FROM ed, q
                       ORDER BY score DESC, vec_id ASC LIMIT 20)
             SELECT CAST(20 AS INT) AS k, count(*) AS n_overlap,
                    round(CAST(count(*) AS DOUBLE) / 20.0, 6) AS recall
