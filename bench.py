@@ -193,12 +193,15 @@ def run_queries(spark) -> dict:
 
 def run_crawl(spark, n_pages: int, max_rounds: int,
               n_hosts: int = CRAWL_HOSTS, n_seeds: int = 4096,
-              round_seconds: float = None, pages_path: str = None) -> dict:
+              round_seconds: float = None, pages_path: str = None,
+              seen_filter=None) -> dict:
     """Fixed crawl workload; returns throughput (URLs scheduled+extracted
     per second of crawl wall time).
 
     ``pages_path``: reuse a pre-materialized corpus (scaling runs share
     one corpus across parallelism levels instead of regenerating it).
+    ``seen_filter``: a frontier.seenfilter backend (default bloom) — the
+    cuckoo-vs-bloom A/B knob.
     """
     from scrapely_spark.frontier import rounds
     from scrapely_spark.frontier.bloom import BloomSpec
@@ -229,7 +232,8 @@ def run_crawl(spark, n_pages: int, max_rounds: int,
         rounds.crawl(spark, store, pages, robots, plan, seeds,
                      max_rounds=max_rounds,
                      spec=BloomSpec(n_blocks=4096, block_bytes=1024),
-                     round_seconds=round_seconds or CRAWL_ROUND_SECONDS)
+                     round_seconds=round_seconds or CRAWL_ROUND_SECONDS,
+                     seen_filter=seen_filter)
         wall = time.time() - t0
         metrics = store.round_metrics()
         fetched = sum(m.get("fetched", 0) for m in metrics)
