@@ -211,3 +211,52 @@ def test_evict_delta_reopens_urls(spark, spec):
     survivors = keys.where("url_key % 3 != 0")
     kept = flt.prefilter(survivors, state_rounds)
     assert kept.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_random_insert_delete_model(spark, spec):
+    """Model check: after any interleaved insert/delete batch sequence,
+    every key the model says is present must probe True (the hard
+    guarantee); keys the model says are absent probe True only at FP
+    rates.  Deterministic key streams (fixed seed equivalents via
+    F.hash of structured strings)."""
+    rng_batches = [
+        ("ins", "a", 0, 1500), ("ins", "b", 1000, 2600),  # overlap-free
+        ("del", "a", 0, 700),
+        ("ins", "c", 5000, 6200),
+        ("del", "b", 1500, 2600),
+        ("del", "c", 5000, 5400),
+    ]
+    present: set[int] = set()
+
+    def keys_df(tag, lo, hi):
+        return spark.range(lo, hi).select(
+            F.hash(F.concat(F.lit(tag + ":"),
+                            F.col("id").cast("string"))).alias("url_key"))
+
+    def keys_py(tag, lo, hi):
+        df = keys_df(tag, lo, hi)
+        return {r["url_key"] for r in df.collect()}
+
+    state = None
+    for op, tag, lo, hi in rng_batches:
+        df = keys_df(tag, lo, hi)
+        if op == "ins":
+            state = ck.insert(state, df, spec)
+            present |= keys_py(tag, lo, hi)
+        else:
+            state = ck.delete(state, df, spec)
+            present -= keys_py(tag, lo, hi)
+        state = state.cache()
+        state.count()  # materialize each step like a committed round
+
+    still = spark.createDataFrame([(k,) for k in sorted(present)],
+                                  "url_key int")
+    flagged = ck.might_contain(still, state, spec)
+    assert flagged.where(~F.col("maybe_seen")).count() == 0
+    gone_keys = sorted(keys_py("a", 0, 700) | keys_py("b", 1500, 2600)
+                       | keys_py("c", 5000, 5400))
+    gone = spark.createDataFrame([(k,) for k in gone_keys],
+                                 "url_key int")
+    fp = ck.might_contain(gone, state, spec) \
+        .where(F.col("maybe_seen")).count()
+    assert fp / max(len(gone_keys), 1) < 0.02
