@@ -260,3 +260,32 @@ def test_random_insert_delete_model(spark, spec):
     fp = ck.might_contain(gone, state, spec) \
         .where(F.col("maybe_seen")).count()
     assert fp / max(len(gone_keys), 1) < 0.02
+
+
+def test_cuckoo_backend_survives_compaction(spark, tmp_path_factory):
+    """compact_every folds the per-round delta chain into one base
+    snapshot; the cuckoo reader takes max_by(round_id) per shard, so
+    compaction must preserve the round_id column and the row set —
+    crawl results must be unchanged (reader-invariance contract)."""
+    from oracle import OracleCrawl
+    from scrapely_spark.frontier import rounds
+    from scrapely_spark.frontier.seenfilter import CuckooSeenFilter
+    from scrapely_spark.frontier.state import StateStore
+    from scrapely_spark.spark import datagen
+    from scrapely_spark.spark.extract import plan_from_templates
+
+    n, max_rounds = 150, 15
+    oracle = OracleCrawl(n, datagen.seeds(n)).run(max_rounds)
+    store = StateStore(str(tmp_path_factory.mktemp("cuckoocompact")))
+    flt = CuckooSeenFilter(CuckooSpec(n_shards=8, shard_buckets=64))
+    rounds.crawl(spark, store, datagen.pages_df(spark, n),
+                 datagen.robots_df(spark),
+                 plan_from_templates([datagen.template_body()]),
+                 datagen.seeds(n), max_rounds=max_rounds,
+                 compact_every=2, seen_filter=flt)
+    log = (store.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    assert [(r.round_id, r.priority, r.canonical_url)
+            for r in log] == oracle.fetch_order()
+    seen = store.read_rounds(spark, rounds.SEEN).collect()
+    assert sorted(r.canonical_url for r in seen) == oracle.seen_urls()
