@@ -92,8 +92,10 @@ class CatalogStateStore(abc.ABC):
         """Atomically publish a round's staged tables + metadata."""
 
     @abc.abstractmethod
-    def read_rounds(self, spark, table: str):
-        """All committed rows of a per-round table (None if empty)."""
+    def read_rounds(self, spark, table: str,
+                    as_of_round: int | None = None):
+        """All committed rows of a per-round table (None if empty);
+        ``as_of_round`` = snapshot-as-of time travel."""
 
     @abc.abstractmethod
     def compact_rounds(self, spark, table: str):
@@ -176,15 +178,29 @@ class StateStore(CatalogStateStore):
         df.write.mode("overwrite").parquet(path)
         return path, tag
 
-    def read_rounds(self, spark, table: str):
+    def read_rounds(self, spark, table: str,
+                    as_of_round: int | None = None):
         """All committed rows of a per-round table: compacted base (if
-        one exists) plus the deltas of every round after it."""
+        one exists) plus the deltas of every round after it.
+
+        ``as_of_round``: time travel — the row set as it stood after
+        that round committed (the Iceberg snapshot-as-of read).  A
+        historical read never consults the compacted base (whose
+        ``through_round`` may postdate the asked-for snapshot); it
+        unions the original per-round delta directories directly, which
+        compaction deliberately keeps (immutable history — expiring
+        them is the operator's ``expire_snapshots`` decision).
+        """
         ledger = self.ledger()
-        base = ledger.get("compacted", {}).get(table)
+        base = (None if as_of_round is not None
+                else ledger.get("compacted", {}).get(table))
         paths = []
         if base is not None:
             paths.append(self.path_of(table, base["version"]))
         for entry in ledger["rounds"]:
+            if as_of_round is not None \
+                    and entry["round_id"] > as_of_round:
+                continue
             if base is not None \
                     and entry["round_id"] <= base["through_round"]:
                 continue
