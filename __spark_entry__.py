@@ -251,8 +251,17 @@ def cuckoo_seen_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     change the output."""
     from scrapely_spark.frontier import cuckoo as ck
     from scrapely_spark.frontier.canonical import canonicalize_df
-    spec = ck.CuckooSpec(n_shards=16, shard_buckets=512, bucket_slots=4)
     orders = _t(spark, sf_dir, "orders")
+    # size the filter for ~40% load at this sf (seen ≈ |orders|/3);
+    # sizing changes only FP rates, never the output — the exact
+    # fallthrough decides membership — but an overfull filter routes
+    # every insert through the max_kicks eviction chain, which is the
+    # load knee the capacity rule exists to avoid
+    n_seen = max(orders.count() // 3, 1)
+    n_shards = 64  # the insert-parallelism knob: one task per shard
+    buckets = 1 << max(int(n_seen / n_shards / 4 / 0.4).bit_length(), 4)
+    spec = ck.CuckooSpec(n_shards=n_shards, shard_buckets=buckets,
+                         bucket_slots=4)
 
     def urls(pred=None):
         src = orders.where(pred) if pred else orders

@@ -86,6 +86,10 @@ HEADLINE = [
     "url_retry_schedule",
     "url_recrawl_schedule",
     "url_robots_sitemaps",
+    # r4 session 3: deletable URL-seen gate + ANN recall harness
+    "cuckoo_seen_gate",
+    "ann_recall_sq8",
+    "ann_recall_bq",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

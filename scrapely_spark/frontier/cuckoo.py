@@ -68,10 +68,30 @@ class CuckooSpec:
         self.shard_buckets = shard_buckets
         self.bucket_slots = bucket_slots
         self.max_kicks = max_kicks
+        self._fp_alt = None
+
+    def __getstate__(self):
+        # the alt table is derived state — recompute on the worker
+        # instead of shipping 512 KiB inside every serialized task
+        state = self.__dict__.copy()
+        state["_fp_alt"] = None
+        return state
 
     @property
     def n_slots(self) -> int:
         return self.shard_buckets * self.bucket_slots
+
+    @property
+    def fp_alt(self) -> np.ndarray:
+        """``mix(fp) % shard_buckets`` for every 16-bit fingerprint —
+        the xor offset to the partner bucket.  Precomputed once (128 KiB)
+        so the sequential insert/eviction loop does scalar table lookups
+        instead of building a numpy array per kick."""
+        if self._fp_alt is None:
+            self._fp_alt = (_mix64(np.arange(65536, dtype=np.int64))
+                            % np.uint64(self.shard_buckets)).astype(
+                                np.int64)
+        return self._fp_alt
 
 
 def key_parts(keys: np.ndarray, spec: CuckooSpec
@@ -94,9 +114,7 @@ def key_parts(keys: np.ndarray, spec: CuckooSpec
 def alt_bucket(bucket: np.ndarray, fp: np.ndarray, spec: CuckooSpec
                ) -> np.ndarray:
     """The partner bucket — from (bucket, fp) alone, an involution."""
-    h = (_mix64(fp.astype(np.int64)) % np.uint64(spec.shard_buckets)) \
-        .astype(np.int64)
-    return bucket ^ h
+    return bucket ^ spec.fp_alt[np.asarray(fp, dtype=np.int64)]
 
 
 def _empty_shard(spec: CuckooSpec) -> np.ndarray:
@@ -120,10 +138,12 @@ def _insert_into_shard(slots: np.ndarray, stash: list,
     """
     view = slots.reshape(spec.shard_buckets, spec.bucket_slots)
     bs = spec.bucket_slots
-    for b, f in zip(buckets.tolist(), fps.tolist()):
+    fp_alt = spec.fp_alt
+    alts = np.asarray(buckets, dtype=np.int64) ^ fp_alt[
+        np.asarray(fps, dtype=np.int64)]
+    for b, a, f in zip(buckets.tolist(), alts.tolist(), fps.tolist()):
         placed = False
-        for cand in (b, int(alt_bucket(np.array([b]), np.array(
-                [f], dtype=np.uint16), spec)[0])):
+        for cand in (b, a):
             row = view[cand]
             free = np.flatnonzero(row == 0)
             if len(free):
@@ -134,15 +154,14 @@ def _insert_into_shard(slots: np.ndarray, stash: list,
             continue
         # both buckets full: evict.  Deterministic victim rotation —
         # slot index cycles with the kick count, bucket alternates via
-        # the partial-key xor of the *evicted* fingerprint.
+        # the partial-key xor of the *evicted* fingerprint (scalar
+        # table lookup — no array construction inside the chain).
         cur_b, cur_f = b, f
         for kick in range(spec.max_kicks):
             row = view[cur_b]
             victim = kick % bs
             cur_f, row[victim] = int(row[victim]), cur_f
-            cur_b = int(alt_bucket(
-                np.array([cur_b]),
-                np.array([cur_f], dtype=np.uint16), spec)[0])
+            cur_b = cur_b ^ int(fp_alt[cur_f])
             row = view[cur_b]
             free = np.flatnonzero(row == 0)
             if len(free):
