@@ -840,6 +840,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simsearch.sq8_topk(emb, vec, 20),
             simsearch.cosine_topk(emb, vec, 20), 20)
 
+    def q_ann_recall_pq(spark, sf):
+        # recall@20 of the PQ-ADC scorer (m=8 trained subspaces) vs the
+        # exact neighborhood — quantization-loss measurement for the
+        # highest-compression exact-shape scan
+        vec, _ = _query_vec(spark, sf)
+        emb = _t(spark, sf, "embeddings")
+        books = simsearch.pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB,
+                                   sample=_PQ_SAMPLE, iters=_PQ_ITERS,
+                                   seed=_PQ_SEED)
+        return simsearch.recall_at_k(
+            simsearch.pq_topk(emb, vec, 20, codebooks=books),
+            simsearch.cosine_topk(emb, vec, 20), 20)
+
     def q_ann_recall_bq(spark, sf):
         # recall@20 of the 64-bit sign-signature hamming scan — the
         # number that says how many exact-rerank candidates a BQ
@@ -1208,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
         "ann_recall_bq": q_ann_recall_bq,
+        "ann_recall_pq": q_ann_recall_pq,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
@@ -1697,7 +1711,7 @@ _PQ_ITERS = 3
 _PQ_SEED = 7
 
 
-def _pq_sql() -> str:
+def _pq_sql(k: int = 10) -> str:
     """DuckDB twin of simsearch.pq_topk — including the PQ trainer.
 
     Like _ivf_kmeans_sql, the oracle re-RUNS training rather than
@@ -1776,7 +1790,7 @@ SELECT e.vec_id, e.label,
        round(t.dots / (sqrt(t.n2s) * qn.qnorm), 6) AS score
 FROM e JOIN tot t ON e.vec_id = t.vec_id, qn
 ORDER BY score DESC, e.vec_id ASC
-LIMIT 10""".format(sample=_PQ_SAMPLE,
+LIMIT {k}""".format(sample=_PQ_SAMPLE, k=k,
                    parts=",".join(parts),
                    contribs="\n  UNION ALL\n  ".join(contribs))
 
@@ -1819,6 +1833,30 @@ def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
         prev = "r%d" % i
     return sql + ("\n        SELECT node, round(pr, 6) AS pagerank "
                   "FROM %s" % prev)
+
+
+
+def _pq_recall_sql(k: int = 20) -> str:
+    """Recall@k oracle for PQ-ADC: the full _pq_sql trainer/scorer CTE
+    chain, with the final top-k re-expressed as a CTE joined against
+    the exact brute-force top-k."""
+    base = _pq_sql(k)
+    head, _tail = base.rsplit("SELECT e.vec_id, e.label,", 1)
+    return head + """, approx AS (
+  SELECT e.vec_id,
+         round(t.dots / (sqrt(t.n2s) * qn.qnorm), 6) AS score
+  FROM e JOIN tot t ON e.vec_id = t.vec_id, qn
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {k}),
+exact AS (
+  SELECT vec_id,
+         round(CAST(list_cosine_similarity(e2.v, q.v) AS DOUBLE), 6)
+           AS score
+  FROM e e2, q
+  ORDER BY score DESC, vec_id ASC LIMIT {k})
+SELECT CAST({k} AS INT) AS k, count(*) AS n_overlap,
+       round(CAST(count(*) AS DOUBLE) / {k}.0, 6) AS recall
+FROM exact JOIN approx USING (vec_id)""".format(k=k)
 
 
 def _pii_planted_text():
@@ -2577,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_semdedup": _semdedup_sql(),
 
         "ann_pq_topk": _pq_sql(),
+        "ann_recall_pq": _pq_recall_sql(),
 
         # sign-bit signature packed as two 32-bit halves on both
         # engines; hamming = bit_count(xor) per half; top-k by
