@@ -518,3 +518,29 @@ def test_compact_index_preserves_delta_semantics(spark, tmp_path):
     assert got_pairs == want_pairs
     # idempotent / nothing left to do at <= 2 dirs
     assert streaming.compact_index(spark, index_dir) == 0
+
+
+def test_cuckoo_probe_broadcasts_filter_state(spark):
+    """The cuckoo probe joins candidates against the shard table:
+    broadcast while the filter fits the threshold, and never a
+    BroadcastNestedLoopJoin — the shard id is an equi-key."""
+    from scrapely_spark.frontier import cuckoo as ck
+    from scrapely_spark.frontier.cuckoo import CuckooSpec
+
+    spec = CuckooSpec(n_shards=8, shard_buckets=64)
+    keys = spark.range(500).select(
+        F.hash(F.col("id").cast("string")).alias("url_key"))
+    state = ck.insert(None, keys, spec)
+    probe = ck.might_contain(keys, state, spec)
+    plan = _physical(probe)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_recall_at_k_is_one_small_join(spark):
+    """recall_at_k must not rescan the corpus: its plan joins two
+    already-limited top-k subtrees (TakeOrderedAndProject) and
+    aggregates — no extra Exchange beyond the top-k machinery."""
+    df = contract.queries()["ann_recall_sq8"](spark, SF_DIR)
+    plan = _physical(df)
+    assert plan.count("TakeOrderedAndProject") == 2, plan
