@@ -289,3 +289,42 @@ def test_cuckoo_backend_survives_compaction(spark, tmp_path_factory):
             for r in log] == oracle.fetch_order()
     seen = store.read_rounds(spark, rounds.SEEN).collect()
     assert sorted(r.canonical_url for r in seen) == oracle.seen_urls()
+
+
+# -- pure-numpy kernel properties (no Spark) --------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=0xFFFF),
+                min_size=0, max_size=200),
+       st.integers(min_value=2, max_value=6))
+def test_shard_insert_conserves_fingerprints(fps, log_buckets):
+    """Every inserted fingerprint ends up in exactly one slot or the
+    stash — cuckoo relocation moves fingerprints, never drops or
+    duplicates them (the multiset-conservation invariant behind
+    no-false-negatives)."""
+    spec = CuckooSpec(n_shards=1, shard_buckets=1 << log_buckets,
+                      bucket_slots=2, max_kicks=16)
+    fps_arr = np.asarray(fps, dtype=np.uint16)
+    _, buckets, _ = ck.key_parts(
+        np.arange(len(fps), dtype=np.int64), spec)
+    # use hypothesis fps with kernel-derived buckets
+    slots, stash = ck._empty_shard(spec), []
+    ck._insert_into_shard(slots, stash, buckets, fps_arr, spec)
+    from collections import Counter
+    got = Counter(slots[slots != 0].tolist()) + Counter(stash)
+    assert got == Counter(fps)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=0xFFFF),
+       st.integers(min_value=2, max_value=10))
+def test_alt_bucket_involution(fp, log_buckets):
+    spec = CuckooSpec(n_shards=1, shard_buckets=1 << log_buckets)
+    b = np.arange(spec.shard_buckets, dtype=np.int64)
+    f = np.full_like(b, fp).astype(np.uint16)
+    a = ck.alt_bucket(b, f, spec)
+    assert (ck.alt_bucket(a, f, spec) == b).all()
+    assert ((a >= 0) & (a < spec.shard_buckets)).all()
