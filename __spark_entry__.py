@@ -840,6 +840,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simsearch.sq8_topk(emb, vec, 20),
             simsearch.cosine_topk(emb, vec, 20), 20)
 
+    def q_boilerplate_lines(spark, sf):
+        # CCNet-style line-level boilerplate removal
+        # (textstats.remove_boilerplate_lines): docs are given a
+        # 4-line structure — per-source footer (25 docs at sf0.01,
+        # kept), the unique body (kept), a mod-7 promo line (~71 docs,
+        # stripped), a global copyright line (all docs, stripped)
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("footer of "), F.col("source")),
+                F.col("text"),
+                F.concat(F.lit("promo "),
+                         (F.col("doc_id") % 7).cast("string")),
+                F.lit("(c) example corp")).alias("text"))
+        return textstats.remove_boilerplate_lines(docs, min_docs=60)
+
     def q_ann_recall_pq(spark, sf):
         # recall@20 of the PQ-ADC scorer (m=8 trained subspaces) vs the
         # exact neighborhood — quantization-loss measurement for the
@@ -1222,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": q_ann_recall_ivf,
         "ann_recall_bq": q_ann_recall_bq,
         "ann_recall_pq": q_ann_recall_pq,
+        "text_boilerplate_lines": q_boilerplate_lines,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
@@ -3456,6 +3474,32 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             SELECT CAST(20 AS INT) AS k, count(*) AS n_overlap,
                    round(CAST(count(*) AS DOUBLE) / 20.0, 6) AS recall
             FROM exact JOIN approx USING (vec_id)""",
+
+        "text_boilerplate_lines": """
+            WITH d AS (
+              SELECT doc_id,
+                     'footer of ' || source || chr(10) || text || chr(10)
+                     || 'promo ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                     || '(c) example corp' AS t
+              FROM documents),
+            arr AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM d),
+            l AS (SELECT doc_id,
+                         generate_subscripts(a, 1) AS pos,
+                         unnest(a) AS line
+                  FROM arr),
+            hot AS (SELECT line FROM l
+                    GROUP BY line
+                    HAVING count(DISTINCT doc_id) >= 60),
+            kept AS (SELECT * FROM l
+                     WHERE line NOT IN (SELECT line FROM hot))
+            SELECT d.doc_id,
+                   coalesce(k.text_clean, '') AS text_clean,
+                   coalesce(k.n_lines_kept, 0) AS n_lines_kept
+            FROM d LEFT JOIN (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_lines_kept
+              FROM kept GROUP BY doc_id) k USING (doc_id)""",
 
         "events_running_totals": """
             SELECT user_id, count(*) AS n_events,
