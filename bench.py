@@ -86,10 +86,13 @@ HEADLINE = [
     "url_retry_schedule",
     "url_recrawl_schedule",
     "url_robots_sitemaps",
-    # r4 session 3: deletable URL-seen gate + ANN recall harness
+    # r4 session 3: deletable URL-seen gate, ANN recall harness,
+    # line-level boilerplate removal
     "cuckoo_seen_gate",
     "ann_recall_sq8",
     "ann_recall_bq",
+    "ann_recall_pq",
+    "text_boilerplate_lines",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",
