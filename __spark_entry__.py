@@ -840,6 +840,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simsearch.sq8_topk(emb, vec, 20),
             simsearch.cosine_topk(emb, vec, 20), 20)
 
+    def q_leakage_free_split(spark, sf):
+        # cluster-aware train/valid split (dedup.leakage_free_split):
+        # the split is a function of canonical_doc_id alone, so a
+        # near-dup pair can never straddle train and validation
+        docs = _t(spark, sf, "documents")
+        return dedup.leakage_free_split(
+            dedup.dup_clusters(docs, dedup.minhash_candidates(docs))
+            .drop("cluster_size"))
+
     def q_boilerplate_lines(spark, sf):
         # CCNet-style line-level boilerplate removal
         # (textstats.remove_boilerplate_lines): docs are given a
@@ -1240,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_bq": q_ann_recall_bq,
         "ann_recall_pq": q_ann_recall_pq,
         "text_boilerplate_lines": q_boilerplate_lines,
+        "corpus_leakage_free_split": q_leakage_free_split,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
@@ -2516,6 +2526,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canonical_doc_id,
                    count(*) OVER (PARTITION BY canonical_doc_id)
                      AS cluster_size
+            FROM comp""",
+
+        "corpus_leakage_free_split":
+        _BANDS_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
+            , cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM capped a JOIN capped b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id)
+            , cedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cands
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM cands)
+            , reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.src, r.lab
+                FROM reach r JOIN cedges e ON e.dst = r.node)
+            , comp AS (
+              SELECT node AS doc_id, min(lab) AS canonical_doc_id
+              FROM reach GROUP BY node)
+            SELECT doc_id, canonical_doc_id,
+                   CASE WHEN substr(md5(\'split0:\'
+                          || CAST(canonical_doc_id AS VARCHAR)), 1, 8)
+                        < \'e6666666\' THEN \'train\' ELSE \'valid\' END AS split
             FROM comp""",
 
         "dedup_ngram_jaccard": _BANDS_SQL + r"""

@@ -737,3 +737,29 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        hamming.alias("hamming")) \
         .where(F.col("hamming") <= max_hamming)
     return _unpersist_on_gc(out, [banded])
+
+
+def leakage_free_split(clusters: DataFrame, train_frac: float = 0.9,
+                       seed: int = 0) -> DataFrame:
+    """Cluster-aware train/validation split — the leakage guard.
+
+    Splitting documents independently leaks: two near-duplicates can
+    land one in train and one in validation, and the model is then
+    evaluated on (a paraphrase of) its own training data.  Assigning
+    the SPLIT to the duplicate cluster — a deterministic md5 coin flip
+    on ``canonical_doc_id`` alone — makes straddling impossible by
+    construction: every member inherits its canonical's draw.
+
+    Pure projection over :func:`dup_clusters` output (zero additional
+    shuffles); the 8-hex-char lexicographic threshold is the same
+    engine-portable U(0,1) convention as corpus.stratified_sample, so
+    any engine replays the identical split.
+    """
+    thr = format(min(int(train_frac * 2 ** 32), 2 ** 32 - 1), "08x")
+    ticket = F.substring(
+        F.md5(F.concat(F.lit("split%d:" % seed),
+                       F.col("canonical_doc_id").cast("string"))), 1, 8)
+    return clusters.select(
+        "doc_id", "canonical_doc_id",
+        F.when(ticket < thr, F.lit("train"))
+        .otherwise(F.lit("valid")).alias("split"))
