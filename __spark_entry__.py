@@ -840,6 +840,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simsearch.sq8_topk(emb, vec, 20),
             simsearch.cosine_topk(emb, vec, 20), 20)
 
+    def q_dedup_rates_by_source(spark, sf):
+        # curation analytics: per-source near-duplicate rates — which
+        # upstream source is flooding the corpus with copies.  Slim:
+        # clusters ⋈ (doc_id, source), one vocabulary-sized groupBy
+        docs = _t(spark, sf, "documents")
+        clusters = dedup.dup_clusters(docs, dedup.minhash_candidates(docs))
+        return (clusters.join(docs.select("doc_id", "source"), "doc_id")
+                .groupBy("source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.when(F.col("doc_id")
+                                  != F.col("canonical_doc_id"), 1)
+                           .otherwise(0)).cast("long").alias("n_dups"))
+                .select("source", "n_docs", "n_dups",
+                        F.round(F.col("n_dups") / F.col("n_docs"), 6)
+                        .alias("dup_rate")))
+
     def q_leakage_free_split(spark, sf):
         # cluster-aware train/valid split (dedup.leakage_free_split):
         # the split is a function of canonical_doc_id alone, so a
@@ -1250,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq": q_ann_recall_pq,
         "text_boilerplate_lines": q_boilerplate_lines,
         "corpus_leakage_free_split": q_leakage_free_split,
+        "dedup_rates_by_source": q_dedup_rates_by_source,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
@@ -2548,10 +2565,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT node AS doc_id, min(lab) AS canonical_doc_id
               FROM reach GROUP BY node)
             SELECT doc_id, canonical_doc_id,
-                   CASE WHEN substr(md5(\'split0:\'
+                   CASE WHEN substr(md5('split0:'
                           || CAST(canonical_doc_id AS VARCHAR)), 1, 8)
-                        < \'e6666666\' THEN \'train\' ELSE \'valid\' END AS split
+                        < 'e6666666' THEN 'train' ELSE 'valid' END AS split
             FROM comp""",
+
+        "dedup_rates_by_source":
+        _BANDS_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
+            , cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM capped a JOIN capped b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id)
+            , cedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cands
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM cands)
+            , reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.src, r.lab
+                FROM reach r JOIN cedges e ON e.dst = r.node)
+            , comp AS (
+              SELECT node AS doc_id, min(lab) AS canonical_doc_id
+              FROM reach GROUP BY node)
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN c.doc_id <> c.canonical_doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+                   round(CAST(sum(CASE WHEN c.doc_id <> c.canonical_doc_id
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS dup_rate
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+            GROUP BY d.source""",
 
         "dedup_ngram_jaccard": _BANDS_SQL + r"""
             , cands AS (
