@@ -1220,6 +1220,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "END"))
         return multimodal.caption_spam(imgs, min_distinct_images=3)
 
+    def q_caption_alignment(spark, sf):
+        # CLIP-style alignment gate (multimodal.caption_alignment):
+        # adjacent embedding rows stand in for the two towers' output
+        # (even vec_id = image embedding, vec_id+1 = its caption
+        # embedding — the equi-join is the pairing a decode stage
+        # would emit per-row); cosine folds JVM-side, gate at 0.15
+        from scrapely_spark.spark import multimodal
+        e = _t(spark, sf, "embeddings")
+        img = (e.where(F.col("vec_id") % 2 == 0)
+               .select(F.col("vec_id").alias("pair_id"),
+                       F.col("label").alias("image_label"),
+                       F.col("embedding").alias("image_emb")))
+        cap = e.select((F.col("vec_id") - 1).alias("pair_id"),
+                       F.col("label").alias("caption_label"),
+                       F.col("embedding").alias("caption_emb"))
+        pairs = img.join(cap, "pair_id")
+        return (multimodal.caption_alignment(pairs, min_score=0.15)
+                .select("pair_id", "image_label", "caption_label",
+                        "align_score"))
+
     def q_unimax_allocation(spark, sf):
         # UniMax epoch-capped water-filling (corpus.unimax_allocation):
         # max_epochs=1.2 makes the small sources' caps genuinely bind
@@ -1259,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-checked and recently-changed queries first:
         # the driver's correctness window covers the head of this
         # dict, so ordering is freshest-first, long-stable last
+        "image_caption_alignment": q_caption_alignment,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2232,6 +2253,21 @@ GROUP BY doc_id"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # CLIP-style alignment gate: the same adjacent-row pairing and
+        # double-cosine, rounded to 6 decimals (the ANN score contract)
+        "image_caption_alignment": """
+            WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings)
+            SELECT a.vec_id AS pair_id,
+                   a.label AS image_label,
+                   b.label AS caption_label,
+                   round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
+                         6) AS align_score
+            FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+            WHERE a.vec_id % 2 = 0
+              AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
+                        6) >= 0.15""",
         # CCNet-style perplexity buckets: the oracle retrains the same
         # add-one bigram LM (model log-probs rounded to micro-nats at
         # the model level, per-doc sums exact integers) and replays the

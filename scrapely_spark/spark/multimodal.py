@@ -287,6 +287,44 @@ def caption_spam(images: DataFrame, min_distinct_images: int = 3
             .where(F.col("n_distinct_phash") >= min_distinct_images))
 
 
+def caption_alignment(pairs: DataFrame, min_score: float = 0.15,
+                      image_col: str = "image_emb",
+                      caption_col: str = "caption_emb") -> DataFrame:
+    """CLIP-style image-caption alignment gate — the score LAION filters
+    on (clip-score >= threshold) to drop mis-paired alt-text before an
+    image-caption pair enters the training set.
+
+    Input: one row per candidate pair carrying BOTH embeddings (the
+    image tower's vector and the text tower's vector, same dimension,
+    ``array<float|double>``); the encoders themselves are upstream
+    models, out of scope here — this operator is the filter that
+    consumes their output.  Emits rows whose cosine alignment clears
+    ``min_score``, with the score rounded to 6 decimals so the value is
+    engine-portable (the same contract as the ANN family's scores).
+
+    Scale shape: a shuffle-free projection — the dot product and both
+    norms fold JVM-side over the array columns (``zip_with`` +
+    ``aggregate``, whole-stage codegen; no Python, no explode —
+    exploding a 768-dim vector would multiply the scan 768x).  Zero- or
+    NULL-norm vectors score NULL and are dropped by the gate rather
+    than dividing by zero.
+    """
+    a = F.col(image_col).cast("array<double>")
+    b = F.col(caption_col).cast("array<double>")
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda acc, x: acc + x)
+
+    dot = _fold(F.zip_with(a, b, lambda x, y: x * y))
+    na = F.sqrt(_fold(F.transform(a, lambda x: x * x)))
+    nb = F.sqrt(_fold(F.transform(b, lambda x: x * x)))
+    score = F.when((na > 0) & (nb > 0), dot / (na * nb))
+    keep = [c for c in pairs.columns if c not in (image_col, caption_col)]
+    return (pairs.select(*keep, F.round(score, 6).alias("align_score"))
+            .where(F.col("align_score") >= min_score))
+
+
 _FRAME_SCHEMA = ("video_id string, frame_index int, frame_bytes binary")
 
 

@@ -400,3 +400,38 @@ def test_caption_spam_normalizes_and_counts_distinct_visuals(spark):
     out = {r.caption_norm: (r.n_images, r.n_distinct_phash)
            for r in multimodal.caption_spam(df, 3).collect()}
     assert out == {"buy now": (3, 3)}
+
+
+# ---------------------------------------------------- caption_alignment
+
+def test_caption_alignment_scores_and_gates(spark):
+    rows = [
+        # parallel vectors: cosine 1.0 — passes any gate
+        ("p0", [1.0, 2.0, 2.0], [2.0, 4.0, 4.0]),
+        # orthogonal: cosine 0.0 — gated out at 0.15
+        ("p1", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        # anti-parallel: cosine -1.0 — gated out
+        ("p2", [1.0, 1.0, 0.0], [-1.0, -1.0, 0.0]),
+        # 3-4-5 triangle pair: cosine 0.6 exactly
+        ("p3", [3.0, 4.0, 0.0], [1.0, 0.0, 0.0]),
+        # zero-norm image vector: NULL score, dropped (no div-by-zero)
+        ("p4", [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id string, image_emb array<double>, "
+              "caption_emb array<double>")
+    out = {r.pair_id: r.align_score
+           for r in multimodal.caption_alignment(df).collect()}
+    assert out == {"p0": 1.0, "p3": 0.6}
+    # the gate is on the ROUNDED score (engine-portable contract)
+    strict = multimodal.caption_alignment(df, min_score=0.7).collect()
+    assert {r.pair_id for r in strict} == {"p0"}
+
+
+def test_caption_alignment_keeps_payload_drops_vectors(spark):
+    df = spark.createDataFrame(
+        [("p0", "cap", [1.0], [1.0])],
+        "pair_id string, caption string, image_emb array<double>, "
+        "caption_emb array<double>")
+    out = multimodal.caption_alignment(df, min_score=0.0)
+    assert out.columns == ["pair_id", "caption", "align_score"]
