@@ -1037,6 +1037,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("node",
                           F.round("rank", 6).alias("pagerank"))
 
+    def q_mirror_hosts(spark, sf):
+        # mirror detection (graph.mirror_hosts): hosts hN carry the
+        # docs with doc_id % 120 == N; mirrors mN re-serve the first
+        # ten hosts' content verbatim, so (hN, mN) pairs score
+        # Jaccard 1.0 over md5 content fingerprints while organic
+        # pairs share only the corpus's few exact-dup texts
+        from scrapely_spark.spark import graph
+        d = _t(spark, sf, "documents")
+        base = d.select(
+            F.concat(F.lit("h"),
+                     (F.col("doc_id") % 120).cast("string")).alias("host"),
+            F.md5(F.col("text")).alias("fingerprint"))
+        mirror = d.where(F.col("doc_id") % 120 < 10).select(
+            F.concat(F.lit("m"),
+                     (F.col("doc_id") % 120).cast("string")).alias("host"),
+            F.md5(F.col("text")).alias("fingerprint"))
+        return graph.mirror_hosts(base.unionAll(mirror),
+                                  min_jaccard=0.9)
+
     def q_cms_counts(spark, sf):
         # Count-Min frequency estimates for the user_id key space:
         # build shuffles only by the bounded (row, col) cell key (never
@@ -1280,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver's correctness window covers the head of this
         # dict, so ordering is freshest-first, long-stable last
         "image_caption_alignment": q_caption_alignment,
+        "host_mirror_pairs": q_mirror_hosts,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2268,6 +2288,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id % 2 = 0
               AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
                         6) >= 0.15""",
+        # mirror detection: same planted-mirror synth, Jaccard over
+        # distinct md5 fingerprint sets, hot fingerprints (>20 hosts)
+        # dropped before pairing exactly as the Spark cap does
+        "host_mirror_pairs": """
+            WITH hf AS (
+              SELECT DISTINCT
+                     'h' || CAST(doc_id % 120 AS VARCHAR) AS host,
+                     md5(text) AS fp
+              FROM documents
+              UNION
+              SELECT DISTINCT
+                     'm' || CAST(doc_id % 120 AS VARCHAR) AS host,
+                     md5(text) AS fp
+              FROM documents WHERE doc_id % 120 < 10),
+            sizes AS (SELECT host, COUNT(*) AS n FROM hf GROUP BY host),
+            ok AS (SELECT fp FROM hf GROUP BY fp
+                   HAVING COUNT(*) <= 20 AND COUNT(*) >= 2),
+            p AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     COUNT(*) AS shared
+              FROM hf a
+              JOIN ok USING (fp)
+              JOIN hf b USING (fp)
+              WHERE a.host < b.host
+              GROUP BY 1, 2)
+            SELECT host_a, host_b,
+                   CAST(shared AS BIGINT) AS shared_fp,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   round(CAST(shared AS DOUBLE)
+                         / CAST(sa.n + sb.n - shared AS DOUBLE),
+                         6) AS jaccard
+            FROM p
+            JOIN sizes sa ON sa.host = p.host_a
+            JOIN sizes sb ON sb.host = p.host_b
+            WHERE round(CAST(shared AS DOUBLE)
+                        / CAST(sa.n + sb.n - shared AS DOUBLE), 6)
+                  >= 0.9""",
         # CCNet-style perplexity buckets: the oracle retrains the same
         # add-one bigram LM (model log-probs rounded to micro-nats at
         # the model level, per-doc sums exact integers) and replays the

@@ -325,3 +325,72 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
                     F.col("dst").alias("final_url"),
                     "hops",
                     F.col("_head").isNull().alias("resolved")))
+
+
+def mirror_hosts(docs: DataFrame, host_col: str = "host",
+                 fp_col: str = "fingerprint",
+                 min_jaccard: float = 0.9,
+                 max_hosts_per_fp: int = 20) -> DataFrame:
+    """Mirror detection: host pairs serving (near-)identical content.
+
+    A crawl scheduler at 10^10 URLs wastes its politeness budget
+    re-fetching mirrors — the same site under several hostnames (CDN
+    aliases, country TLDs, scraped re-hosts).  The signal is set
+    overlap of per-host content fingerprints: Jaccard(host_a, host_b)
+    over their DISTINCT fingerprint sets at or above ``min_jaccard``
+    flags the pair for budget collapse (crawl one, map the others).
+
+    Scale shape — the inverted-index pattern shared with the dedup
+    family, never a host×host cross product:
+
+    * one scan → distinct (host, fp) pairs (map-side combine);
+    * fingerprints on more than ``max_hosts_per_fp`` hosts are dropped
+      BEFORE the self-join — those are boilerplate (empty pages, error
+      templates) shared planet-wide, and they alone make the join
+      quadratic; dropping them only lowers Jaccard for pairs that
+      share nothing distinctive (same cap discipline as the LSH
+      hot-bucket caps and boilerplate line removal);
+    * host pairs are generated INSIDE each fingerprint's collected
+      host array (sorted, then all i<j combinations via a JVM-side
+      nested ``transform``/``flatten`` — at most cap·(cap-1)/2 pairs
+      per fingerprint), so candidate generation costs no second
+      shuffle; pair counts combine map-side, and per-host set sizes
+      arrive by two slim joins Spark broadcasts at real scale
+      (|hosts| rows, orders of magnitude under the doc count).
+
+    Emits ``(host_a, host_b, shared_fp, n_a, n_b, jaccard)`` with
+    ``host_a < host_b``, Jaccard rounded to 6 decimals (the
+    engine-portable score contract).
+    """
+    hf = (docs.select(F.col(host_col).alias("_h"),
+                      F.col(fp_col).alias("_fp"))
+          .distinct())
+    sizes = hf.groupBy("_h").agg(F.count("*").alias("_n"))
+    inv = (hf.groupBy("_fp")
+           .agg(F.sort_array(F.collect_list("_h")).alias("_hosts"))
+           .where((F.size("_hosts") <= max_hosts_per_fp)
+                  & (F.size("_hosts") >= 2)))
+    combos = F.flatten(F.transform(
+        "_hosts",
+        lambda h, i: F.filter(
+            F.transform("_hosts",
+                        lambda g, j: F.when(j > i, F.struct(
+                            h.alias("host_a"), g.alias("host_b")))),
+            lambda s: s.isNotNull())))
+    shared = (inv.select(F.explode(combos).alias("_p"))
+              .groupBy(F.col("_p.host_a").alias("host_a"),
+                       F.col("_p.host_b").alias("host_b"))
+              .agg(F.count("*").alias("shared_fp")))
+    out = (shared
+           .join(sizes.withColumnRenamed("_h", "host_a")
+                 .withColumnRenamed("_n", "n_a"), "host_a")
+           .join(sizes.withColumnRenamed("_h", "host_b")
+                 .withColumnRenamed("_n", "n_b"), "host_b")
+           .withColumn(
+               "jaccard",
+               F.round(F.col("shared_fp").cast("double")
+                       / (F.col("n_a") + F.col("n_b")
+                          - F.col("shared_fp")).cast("double"), 6))
+           .where(F.col("jaccard") >= min_jaccard))
+    return out.select("host_a", "host_b", "shared_fp",
+                      "n_a", "n_b", "jaccard")

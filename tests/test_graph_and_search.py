@@ -314,3 +314,37 @@ def test_resolve_redirects_partitioning_invariant(spark):
     # every chain here is short; all resolved at a terminal (n < 10)
     assert all(r[3] for r in a)
     assert all(int(r[1][1:]) < 10 for r in a)
+
+
+# ----------------------------------------------------------- mirror_hosts
+
+def test_mirror_hosts_finds_planted_mirror(spark):
+    rows = (
+        # h0 and m0: identical 4-fingerprint sets (a true mirror)
+        [("h0", f"f{i}") for i in range(4)]
+        + [("m0", f"f{i}") for i in range(4)]
+        # h1 shares one fingerprint with h0 (jaccard 1/7) — below gate
+        + [("h1", "f0")] + [("h1", f"g{i}") for i in range(3)]
+        # duplicate (host, fp) rows must not inflate set sizes
+        + [("h0", "f0"), ("m0", "f3")]
+    )
+    df = spark.createDataFrame(rows, "host string, fingerprint string")
+    out = graph.mirror_hosts(df, min_jaccard=0.9).collect()
+    assert [(r.host_a, r.host_b, r.shared_fp, r.n_a, r.n_b, r.jaccard)
+            for r in out] == [("h0", "m0", 4, 4, 4, 1.0)]
+    # lowering the gate surfaces the weak pair with the exact ratio
+    low = {(r.host_a, r.host_b): r.jaccard
+           for r in graph.mirror_hosts(df, min_jaccard=0.1).collect()}
+    assert low[("h0", "h1")] == round(1 / 7, 6)
+
+
+def test_mirror_hosts_hot_fingerprint_capped(spark):
+    # one fingerprint on 30 hosts is boilerplate: with the cap at 20
+    # it must produce NO pairs (the quadratic blow-up is the point)
+    rows = [(f"h{i:02d}", "boiler") for i in range(30)]
+    rows += [("h00", "x"), ("h01", "x")]
+    df = spark.createDataFrame(rows, "host string, fingerprint string")
+    out = graph.mirror_hosts(df, min_jaccard=0.3, max_hosts_per_fp=20)
+    got = [(r.host_a, r.host_b, r.shared_fp) for r in out.collect()]
+    # the surviving pair comes only from the cold fingerprint 'x'
+    assert got == [("h00", "h01", 1)]
