@@ -1152,6 +1152,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return politeness.retry_schedule(log, base_delay_s=60,
                                          max_retries=5)
 
+    def q_adaptive_delay(spark, sf):
+        # latency-adaptive politeness (politeness.adaptive_crawl_delay):
+        # the events log stands in for a fetch log — host per user_id
+        # bucket, latency synthesized as floor(abs(value)·29989) µs so
+        # both engines derive identical integers; nearest-rank p95,
+        # ×2, clamped to [0.5s, 10s]
+        from scrapely_spark.frontier import politeness
+        log = _t(spark, sf, "events").select(
+            F.concat(F.lit("h"),
+                     (F.col("user_id") % 50).cast("string")).alias("host"),
+            F.floor(F.abs(F.col("value")) * 29989).alias("latency_us"))
+        return politeness.adaptive_crawl_delay(log)
+
     def q_robots_sitemaps(spark, sf):
         # robots.txt Sitemap: discovery (robots.robots_sitemaps):
         # closed-form bodies with case variants, indentation, comments,
@@ -1300,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dict, so ordering is freshest-first, long-stable last
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
+        "url_adaptive_delay": q_adaptive_delay,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2288,6 +2302,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id % 2 = 0
               AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
                         6) >= 0.15""",
+        # latency-adaptive politeness: identical integer-µs synth and
+        # the same nearest-rank (95n+99) div 100 selection — no floats
+        # anywhere in the schedule
+        "url_adaptive_delay": """
+            WITH l AS (
+              SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+                     CAST(floor(abs(value) * 29989) AS BIGINT) AS lat
+              FROM events),
+            r AS (
+              SELECT host, lat,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY lat) AS rn,
+                     COUNT(*) OVER (PARTITION BY host) AS n
+              FROM l)
+            SELECT host,
+                   CAST(n AS BIGINT) AS n_fetches,
+                   lat AS p95_latency_us,
+                   GREATEST(CAST(500000 AS BIGINT),
+                            LEAST(CAST(10000000 AS BIGINT),
+                                  lat * 2)) AS crawl_delay_us
+            FROM r
+            WHERE rn = (95 * n + 99) // 100""",
         # mirror detection: same planted-mirror synth, Jaccard over
         # distinct md5 fingerprint sets, hot fingerprints (>20 hosts)
         # dropped before pairing exactly as the Spark cap does

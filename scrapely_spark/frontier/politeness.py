@@ -183,3 +183,48 @@ def recrawl_schedule(fetch_history: DataFrame,
         "url", "n_fetches", "n_changes",
         ratio.alias("change_ratio"),
         (F.col("_last_us") + iv).alias("next_fetch_us"))
+
+
+def adaptive_crawl_delay(fetch_log: DataFrame,
+                         multiplier: int = 2,
+                         min_delay_us: int = 500_000,
+                         max_delay_us: int = 10_000_000,
+                         host_col: str = "host",
+                         latency_col: str = "latency_us") -> DataFrame:
+    """Latency-adaptive per-host crawl delay — the server-load half of
+    politeness.  A polite crawler backs off hosts that answer slowly
+    (slow responses mean the crawl IS the load): the next round's
+    delay is ``clamp(p95_latency · multiplier)``, the AIMD-flavored
+    rule production crawlers pair with robots.txt ``Crawl-delay``
+    (the larger of the two wins downstream).
+
+    The p95 is NEAREST-RANK on integer microseconds — rank
+    ``ceil(95·n/100)`` in the per-host latency order, computed as
+    ``(95·n + 99) div 100`` so no floating-point enters the schedule
+    and the output is bit-stable across engines (the same contract as
+    retry_schedule's integer-µs arithmetic).
+
+    Scale shape: ONE shuffle on host — the rank window and the per-host
+    count share the same partitioning, and only (host, latency) ever
+    moves.  Per-host row counts are bounded by politeness itself (a
+    host yields at most round_budget fetches per round), so the window
+    sort cannot skew the way a raw-log window would.
+    """
+    w = Window.partitionBy("_h")
+    log = fetch_log.select(
+        F.col(host_col).alias("_h"),
+        F.col(latency_col).cast("long").alias("_lat"))
+    ranked = (log
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("_h").orderBy("_lat")))
+              .withColumn("_n", F.count("*").over(w)))
+    p95 = ranked.where(F.col("_rn") == F.expr("(95 * _n + 99) div 100"))
+    delay = F.greatest(
+        F.lit(int(min_delay_us)).cast("long"),
+        F.least(F.lit(int(max_delay_us)).cast("long"),
+                F.col("_lat") * int(multiplier)))
+    return p95.select(
+        F.col("_h").alias("host"),
+        F.col("_n").alias("n_fetches"),
+        F.col("_lat").alias("p95_latency_us"),
+        delay.alias("crawl_delay_us"))

@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from oracle import OracleCrawl
-from scrapely_spark.frontier import rounds
+from scrapely_spark.frontier import politeness, rounds
 from scrapely_spark.frontier.bloom import BloomSpec
 from scrapely_spark.frontier.canonical import canonicalize, murmur3_32
 from scrapely_spark.frontier.state import StateStore
@@ -724,3 +724,35 @@ def test_robots_sitemaps_extraction(spark):
         ("a", "https://a/s2.xml"),
         ("c", "https://c/s.xml"),
     }
+
+
+# ------------------------------------------------- adaptive_crawl_delay
+
+def test_adaptive_crawl_delay_nearest_rank_and_clamp(spark):
+    rows = (
+        # h_fast: 20 fetches at 1..20ms — p95 = rank ceil(19)=19 → 19ms;
+        # 2×19ms = 38ms clamps UP to the 500ms floor
+        [("h_fast", i * 1000) for i in range(1, 21)]
+        # h_slow: 10 fetches at 1..10s — p95 = rank ceil(9.5)=10 → 10s;
+        # 2×10s = 20s clamps DOWN to the 10s ceiling
+        + [("h_slow", i * 1_000_000) for i in range(1, 11)]
+        # h_one: a single 3s fetch — p95 = rank 1 → 3s; 2×3s = 6s passes
+        + [("h_one", 3_000_000)]
+    )
+    df = spark.createDataFrame(rows, "host string, latency_us long")
+    out = {r.host: r for r in
+           politeness.adaptive_crawl_delay(df).collect()}
+    assert out["h_fast"].p95_latency_us == 19_000
+    assert out["h_fast"].crawl_delay_us == 500_000
+    assert out["h_slow"].p95_latency_us == 10_000_000
+    assert out["h_slow"].crawl_delay_us == 10_000_000
+    assert out["h_one"].n_fetches == 1
+    assert out["h_one"].crawl_delay_us == 6_000_000
+
+
+def test_adaptive_crawl_delay_rank_is_integer_exact(spark):
+    # n=100: rank (95*100+99) div 100 = 95 exactly (no float ceil)
+    df = spark.createDataFrame([("h", i) for i in range(1, 101)],
+                               "host string, latency_us long")
+    r, = politeness.adaptive_crawl_delay(df).collect()
+    assert (r.n_fetches, r.p95_latency_us) == (100, 95)
