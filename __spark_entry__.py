@@ -1152,6 +1152,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return politeness.retry_schedule(log, base_delay_s=60,
                                          max_retries=5)
 
+    def q_hll_distinct_users(spark, sf):
+        # HyperLogLog distinct users per event_type (sketches.hll_*):
+        # 256 registers in the explicit 48-bit md5 space; the harmonic
+        # sum is an exact BIGINT (Σ 2^(41−rho)), so even the estimate
+        # hash-matches the oracle bit-for-bit
+        from scrapely_spark.spark import sketches
+        ev = _t(spark, sf, "events").select("event_type", "user_id")
+        regs = sketches.hll_registers(ev, ["event_type"], "user_id")
+        return sketches.hll_estimate(regs, ["event_type"])
+
     def q_adaptive_delay(spark, sf):
         # latency-adaptive politeness (politeness.adaptive_crawl_delay):
         # the events log stands in for a fetch log — host per user_id
@@ -1314,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
+        "sketch_hll_distinct_users": q_hll_distinct_users,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2302,6 +2313,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id % 2 = 0
               AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
                         6) >= 0.15""",
+        # HyperLogLog: identical md5 register/rho derivation (rho via
+        # base-2 string length, no log), integer harmonic sum, one
+        # shared numerator literal; ln only in the linear-counting
+        # branch, rounded to micro-nats
+        "sketch_hll_distinct_users": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 12) AS BIGINT) AS h
+              FROM events),
+            r AS (
+              SELECT event_type, h >> 40 AS reg,
+                     CASE WHEN h % 1099511627776 = 0 THEN 41
+                          ELSE 41 - length(bin(h % 1099511627776))
+                     END AS rho
+              FROM h),
+            m AS (SELECT event_type, reg, MAX(rho) AS rho
+                  FROM r GROUP BY 1, 2),
+            g AS (SELECT event_type,
+                         CAST(SUM(CAST(1 AS BIGINT) << (41 - rho))
+                              AS BIGINT) AS s_present,
+                         COUNT(*) AS n_present
+                  FROM m GROUP BY 1),
+            e AS (SELECT event_type,
+                         1.0351398986589102e+17
+                         / CAST(s_present
+                                + (256 - n_present)
+                                  * (CAST(1 AS BIGINT) << 41)
+                                AS DOUBLE) AS raw,
+                         256 - n_present AS empty
+                  FROM g)
+            SELECT event_type,
+                   round(CASE WHEN raw <= 640.0 AND empty > 0
+                         THEN 256.0 * round(ln(256.0 / empty), 6)
+                         ELSE raw END, 4) AS hll_distinct
+            FROM e""",
         # latency-adaptive politeness: identical integer-µs synth and
         # the same nearest-rank (95n+99) div 100 selection — no floats
         # anywhere in the schedule

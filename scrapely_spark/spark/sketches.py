@@ -183,3 +183,80 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
             .groupBy(value_col)
             .agg(F.min(F.coalesce("cnt", F.lit(0)))
                  .alias("est_count")))
+
+
+# --------------------------------------------------------- HyperLogLog
+
+_HLL_P = 8                      # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_REM_BITS = 48 - _HLL_P     # 40-bit remainder per hash
+_HLL_RHO_MAX = _HLL_REM_BITS + 1
+# alpha_m * m^2 * 2^RHO_MAX for m=256, embedded as ONE literal so both
+# engines parse the identical double and the estimate's only float ops
+# are a single divide (+ the rounded ln in the linear-counting branch)
+_HLL_NUMERATOR = 1.0351398986589102e+17
+
+
+def hll_registers(df: DataFrame, group_cols: list[str],
+                  value_col) -> DataFrame:
+    """HLL register table per group: ``(group…, _reg, _rho)``.
+
+    The classic HLL layout (Flajolet et al., "HyperLogLog: the analysis
+    of a near-optimal cardinality estimation algorithm", AofA 2007) on
+    the repo's explicit 48-bit md5 hash space: the top ``p=8`` bits
+    pick one of 256 registers, and rho is the 1-based position of the
+    remainder's highest set bit counted from the top — computed as
+    ``41 − bit_length(remainder)`` entirely on integers (bit_length
+    via base-2 ``conv``, no log), so Spark and DuckDB derive identical
+    registers.
+
+    Mergeable by construction: ``max(_rho)`` per (group, register) —
+    union of sketches is elementwise max, which is what makes this a
+    one-pass distributed operator (partials combine map-side; the only
+    shuffle key is (group, register), at most 256 rows per group no
+    matter how many billions of values arrived).
+    """
+    h = kmv_hash(F.col(value_col) if isinstance(value_col, str)
+                 else value_col)
+    rem = h % F.lit(1 << _HLL_REM_BITS)
+    rho = (F.when(rem == 0, F.lit(_HLL_RHO_MAX))
+           .otherwise(F.lit(_HLL_RHO_MAX)
+                      - F.length(F.conv(rem.cast("string"), 10, 2))))
+    return (df.select(*group_cols,
+                      F.shiftright(h, _HLL_REM_BITS).alias("_reg"),
+                      rho.cast("int").alias("_rho"))
+            .groupBy(*group_cols, "_reg")
+            .agg(F.max("_rho").alias("_rho")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate per group from an HLL register table.
+
+    Integer-exact harmonic sum: every float-order trap in HLL's
+    ``Σ 2^−M_j`` is avoided by scaling to ``Σ 2^(41−M_j)`` — each term
+    a BIGINT power of two, the empty registers contributing ``2^41``
+    apiece, the whole sum ≤ 2^49 so it is exact in both engines.  The
+    estimate is then ONE double division of a shared literal
+    (``alpha·m²·2^41``) by that integer, plus the standard
+    linear-counting correction ``m·ln(m/V)`` when the raw estimate is
+    under ``2.5m`` with empty registers (ln rounded to 6 decimals —
+    the micro-nat discipline the perplexity oracle uses); the result
+    rounds to 4 decimals.  Relative error ≈ 1.04/√m ≈ 6.5% at m=256.
+    """
+    g = (registers.groupBy(*group_cols)
+         .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), %d - _rho)"
+                           % _HLL_RHO_MAX))
+              .alias("_s_present"),
+              F.count("*").alias("_n_present")))
+    empty = F.lit(_HLL_M) - F.col("_n_present")
+    s = (F.col("_s_present")
+         + empty * F.lit(1 << _HLL_RHO_MAX).cast("long"))
+    raw = F.lit(_HLL_NUMERATOR) / s.cast("double")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (empty > 0),
+        F.lit(float(_HLL_M))
+        * F.round(F.log(F.lit(float(_HLL_M)) / empty.cast("double")), 6)
+    ).otherwise(raw)
+    return g.select(*group_cols,
+                    F.round(corrected, 4).alias("hll_distinct"))

@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as contract
-from scrapely_spark.spark import simsearch
+from scrapely_spark.spark import simsearch, sketches
 from scrapely_spark.spark.joins import asof_join, range_join
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -640,3 +640,42 @@ def test_range_join_rejects_reserved_column_clash(spark):
     with pytest.raises(ValueError, match="reserved"):
         range_join(p, i, key="k", ts="ts",
                    start_col="start", end_col="end")
+
+
+# ---------------------------------------------------------- HyperLogLog
+
+def test_hll_estimate_within_error_bound(spark):
+    # 5000 distinct values, m=256 → stderr ≈ 6.5%; assert within 4σ
+    df = spark.createDataFrame([(i % 2, f"v{i}") for i in range(5000)],
+                               "g int, v string")
+    out = {r.g: r.hll_distinct for r in sketches.hll_estimate(
+        sketches.hll_registers(df, ["g"], "v"), ["g"]).collect()}
+    for g in (0, 1):
+        assert abs(out[g] - 2500) / 2500 < 0.26, out
+
+
+def test_hll_registers_merge_is_elementwise_max(spark):
+    # sketch(whole) == max-merge(sketch(half1), sketch(half2)) — the
+    # property that makes HLL a one-pass distributed operator
+    import pyspark.sql.functions as F
+    rows = [(0, f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    whole = sketches.hll_registers(df, ["g"], "v")
+    h1 = sketches.hll_registers(df.where("substring(v,2) % 2 = 0"),
+                                ["g"], "v")
+    h2 = sketches.hll_registers(df.where("substring(v,2) % 2 = 1"),
+                                ["g"], "v")
+    merged = (h1.unionByName(h2).groupBy("g", "_reg")
+              .agg(F.max("_rho").alias("_rho")))
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
+
+
+def test_hll_linear_counting_small_range(spark):
+    # 3 distinct values: raw estimate far under 2.5m with empty
+    # registers → the m·ln(m/V) correction fires and lands near 3
+    df = spark.createDataFrame([(0, v) for v in "abc"],
+                               "g int, v string")
+    r, = sketches.hll_estimate(
+        sketches.hll_registers(df, ["g"], "v"), ["g"]).collect()
+    assert 2.9 <= r.hll_distinct <= 3.1
