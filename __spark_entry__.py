@@ -1152,6 +1152,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return politeness.retry_schedule(log, base_delay_s=60,
                                          max_retries=5)
 
+    def q_crawl_budget(spark, sf):
+        # weighted water-filling of the round's global fetch budget
+        # (politeness.crawl_budget_allocation): demand = pending URLs
+        # per host bucket, weight = closed-form authority grade; the
+        # budget (5000) binds, so the level, the capped set and the
+        # proportional splits are all exercised
+        from scrapely_spark.frontier import politeness
+        hosts = (_t(spark, sf, "orders")
+                 .select((F.col("o_orderkey") % 89).alias("hn"))
+                 .groupBy("hn").agg(F.count("*").alias("demand"))
+                 .select(F.concat(F.lit("h"),
+                                  F.col("hn").cast("string")).alias("host"),
+                         "demand",
+                         (1 + F.col("hn") % 7).cast("long")
+                         .alias("weight_micro")))
+        return politeness.crawl_budget_allocation(hosts,
+                                                  budget_fetches=5000)
+
     def q_hll_distinct_users(spark, sf):
         # HyperLogLog distinct users per event_type (sketches.hll_*):
         # 256 registers in the explicit 48-bit md5 space; the harmonic
@@ -1325,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
         "sketch_hll_distinct_users": q_hll_distinct_users,
+        "url_crawl_budget": q_crawl_budget,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2313,6 +2332,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id % 2 = 0
               AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
                         6) >= 0.15""",
+        # weighted water-filling: same demand/weight synth, the same
+        # prefix-sum level candidates in the same (ratio, host) order,
+        # every division a single mirrored IEEE op
+        "url_crawl_budget": """
+            WITH per AS (
+              SELECT o_orderkey % 89 AS hn, COUNT(*) AS demand
+              FROM orders GROUP BY 1),
+            h AS (
+              SELECT 'h' || CAST(hn AS VARCHAR) AS host,
+                     CAST(demand AS BIGINT) AS demand,
+                     CAST(1 + hn % 7 AS BIGINT) AS w
+              FROM per),
+            s AS (
+              SELECT host, demand, w,
+                     COALESCE(SUM(demand) OVER (
+                       ORDER BY CAST(demand AS DOUBLE)
+                                / CAST(w AS DOUBLE), host
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS pre_d,
+                     COALESCE(SUM(w) OVER (
+                       ORDER BY CAST(demand AS DOUBLE)
+                                / CAST(w AS DOUBLE), host
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS pre_w,
+                     SUM(w) OVER () AS w_tot
+              FROM h),
+            c AS (
+              SELECT host, demand, w,
+                     (5000.0 - CAST(pre_d AS DOUBLE))
+                     / CAST(w_tot - pre_w AS DOUBLE) AS cand
+              FROM s)
+            SELECT host, demand, w AS weight_micro,
+                   round(LEAST(CAST(demand AS DOUBLE),
+                               MAX(cand) OVER ()
+                               * CAST(w AS DOUBLE)), 6)
+                     AS alloc_fetches
+            FROM c""",
         # HyperLogLog: identical md5 register/rho derivation (rho via
         # base-2 string length, no log), integer harmonic sum, one
         # shared numerator literal; ln only in the linear-counting

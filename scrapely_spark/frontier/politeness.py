@@ -228,3 +228,63 @@ def adaptive_crawl_delay(fetch_log: DataFrame,
         F.col("_n").alias("n_fetches"),
         F.col("_lat").alias("p95_latency_us"),
         delay.alias("crawl_delay_us"))
+
+
+def crawl_budget_allocation(hosts: DataFrame, budget_fetches: int,
+                            host_col: str = "host",
+                            demand_col: str = "demand",
+                            weight_col: str = "weight_micro"
+                            ) -> DataFrame:
+    """Weighted water-filling of a global per-round fetch budget across
+    hosts — the scheduler step between authority scoring and the
+    politeness top-k: spend ``budget_fetches`` proportionally to each
+    host's weight (authority × freshness, on an integer micro grid),
+    but never give a host more than its ``demand`` (pending URLs).
+
+    Exact closed form, no iterative loop (the weighted sibling of
+    corpus.unimax_allocation's capped-simplex projection): sort hosts
+    by ``demand/weight`` ascending; with demand prefix sums ``P_k``
+    and weight prefix sums ``W_k``, the water level is
+    ``L = max_k (B − P_{k−1}) / (W_N − W_{k−1})`` and each host takes
+    ``alloc = min(demand, L · weight)``.  When ``B ≥ Σ demand`` every
+    host is fully served (the last candidate clears every ratio).
+
+    Determinism: demands and weights are integers; the sort ratio, the
+    level candidates and the final ``L·w`` are single IEEE ops the
+    oracle performs in the same order, ties broken by host — so the
+    emitted doubles hash exactly.
+
+    Scale shape: the input here is the HOST table (one row per host —
+    already orders of magnitude under the URL count), so the global
+    windows sort a bounded-small table, the same discipline as the
+    mixing allocators; upstream demand/weight aggregation is the
+    callers' one groupBy(host).
+    """
+    b = float(int(budget_fetches))
+    w_order = Window.orderBy(
+        F.asc(F.col("_d").cast("double") / F.col("_w").cast("double")),
+        F.asc("_h"))
+    everything = Window.partitionBy()
+    staged = hosts.select(F.col(host_col).alias("_h"),
+                          F.col(demand_col).cast("long").alias("_d"),
+                          F.col(weight_col).cast("long").alias("_w"))
+    pre_d = F.coalesce(
+        F.sum("_d").over(w_order.rowsBetween(Window.unboundedPreceding,
+                                             -1)),
+        F.lit(0).cast("long"))
+    pre_w = F.coalesce(
+        F.sum("_w").over(w_order.rowsBetween(Window.unboundedPreceding,
+                                             -1)),
+        F.lit(0).cast("long"))
+    w_tot = F.sum("_w").over(everything)
+    cand = ((F.lit(b) - pre_d.cast("double"))
+            / (w_tot - pre_w).cast("double"))
+    staged = staged.select("_h", "_d", "_w", cand.alias("_cand"))
+    level = F.max("_cand").over(everything)
+    alloc = F.least(F.col("_d").cast("double"),
+                    level * F.col("_w").cast("double"))
+    return staged.select(
+        F.col("_h").alias("host"),
+        F.col("_d").alias("demand"),
+        F.col("_w").alias("weight_micro"),
+        F.round(alloc, 6).alias("alloc_fetches"))

@@ -756,3 +756,53 @@ def test_adaptive_crawl_delay_rank_is_integer_exact(spark):
                                "host string, latency_us long")
     r, = politeness.adaptive_crawl_delay(df).collect()
     assert (r.n_fetches, r.p95_latency_us) == (100, 95)
+
+
+# --------------------------------------------- crawl_budget_allocation
+
+def test_crawl_budget_weighted_water_filling(spark):
+    # B=100 over three hosts: big (demand 1000, w 1), hot (demand 10,
+    # w 10), mid (demand 60, w 2).  hot caps at 10 (ratio 1);
+    # remaining 90 split 1:2 by weight → big 30, mid 60 (mid exactly
+    # caps).  Σ alloc == B.
+    df = spark.createDataFrame(
+        [("big", 1000, 1), ("hot", 10, 10), ("mid", 60, 2)],
+        "host string, demand long, weight_micro long")
+    out = {r.host: r.alloc_fetches for r in
+           politeness.crawl_budget_allocation(df, 100).collect()}
+    assert out == {"hot": 10.0, "mid": 60.0, "big": 30.0}
+    assert abs(sum(out.values()) - 100) < 1e-9
+
+
+def test_crawl_budget_surplus_serves_all_demand(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("b", 7, 3)],
+        "host string, demand long, weight_micro long")
+    out = {r.host: r.alloc_fetches for r in
+           politeness.crawl_budget_allocation(df, 1000).collect()}
+    assert out == {"a": 5.0, "b": 7.0}
+
+
+def test_crawl_budget_matches_simulation(spark):
+    # property vs a direct bisection solve of Σ min(d, L·w) = B
+    import random
+    rng = random.Random(7)
+    rows = [(f"h{i}", rng.randint(1, 500), rng.randint(1, 20))
+            for i in range(40)]
+    B = 3000
+    lo, hi = 0.0, 1e9
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(d, mid * w) for _, d, w in rows) < B:
+            lo = mid
+        else:
+            hi = mid
+    want = {h: min(d, hi * w) for h, d, w in rows}
+    df = spark.createDataFrame(rows,
+                               "host string, demand long, "
+                               "weight_micro long")
+    got = {r.host: r.alloc_fetches for r in
+           politeness.crawl_budget_allocation(df, B).collect()}
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-3, (h, got[h], want[h])
+    assert abs(sum(got.values()) - B) < 1e-3
