@@ -1152,6 +1152,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return politeness.retry_schedule(log, base_delay_s=60,
                                          max_retries=5)
 
+    def q_image_corpus_build(spark, sf):
+        # the IMAGE integration row (multimodal.image_corpus_build):
+        # curation → spam anti-join → phash near-dups → clusters →
+        # canonical election → aspect buckets, one lineage; dims and
+        # phash use the shared closed-form synth, and every 41st
+        # caption is replaced by a planted spam string so the
+        # anti-join leg is exercised, not vacuous
+        from scrapely_spark.spark import multimodal
+        d = _t(spark, sf, "documents")
+        b = F.expr("CAST((doc_id - doc_id % 2) / 2 AS BIGINT) % 509")
+        ph = (F.shiftleft(b, 49)
+              .bitwiseXOR(F.shiftleft(b, 33))
+              .bitwiseXOR(F.shiftleft(b, 17))
+              .bitwiseXOR(b)
+              .bitwiseXOR(F.when(F.col("doc_id") % 2 == 1, F.lit(32))
+                          .otherwise(F.lit(0)).cast("long")))
+        imgs = d.select(
+            F.col("doc_id").alias("image_id"),
+            (32 + (F.col("doc_id") * 37) % 993).cast("int").alias("w"),
+            (32 + (F.col("doc_id") * 61) % 993).cast("int").alias("h"),
+            F.when(F.col("doc_id") % 41 == 0, F.lit("click to enlarge"))
+            .otherwise(F.col("text")).alias("caption"),
+            ph.cast("long").alias("phash"))
+        return multimodal.image_corpus_build(imgs)
+
     def q_crawl_budget(spark, sf):
         # weighted water-filling of the round's global fetch budget
         # (politeness.crawl_budget_allocation): demand = pending URLs
@@ -1344,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_adaptive_delay": q_adaptive_delay,
         "sketch_hll_distinct_users": q_hll_distinct_users,
         "url_crawl_budget": q_crawl_budget,
+        "image_corpus_build": q_image_corpus_build,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2198,6 +2224,95 @@ def _llm_corpus_build_sql() -> str:
                       JOIN documents d USING (doc_id)"""
 
 
+def _image_build_sql() -> str:
+    """image_corpus_build oracle: the full composed chain — curation,
+    spam anti-join, banded phash pairs, recursive connected components,
+    canonical election, aspect buckets — with the ladder CASE chain
+    generated from the SAME multimodal.ASPECT_LADDER as the operator."""
+    from scrapely_spark.spark.multimodal import ASPECT_LADDER
+    diffs = ["abs(ar - %s)" % repr(float(bw) / float(bh))
+             for _, bw, bh in ASPECT_LADDER]
+    best = "least(%s)" % ", ".join(diffs)
+    pick = lambda vals: " ".join(  # noqa: E731
+        "WHEN %s = best THEN %s" % (diffs[i], v)
+        for i, v in enumerate(vals))
+    names = pick(["'%s'" % n for n, _, _ in ASPECT_LADDER])
+    ws = pick([str(bw) for _, bw, _ in ASPECT_LADDER])
+    hs = pick([str(bh) for _, _, bh in ASPECT_LADDER])
+    return f"""
+        WITH RECURSIVE img AS (
+          SELECT doc_id AS image_id,
+                 CAST(32 + (doc_id * 37) % 993 AS INT) AS w,
+                 CAST(32 + (doc_id * 61) % 993 AS INT) AS h,
+                 CASE WHEN doc_id % 41 = 0 THEN 'click to enlarge'
+                      ELSE text END AS caption,
+                 xor(xor(xor(xor(b << 49, b << 33), b << 17), b),
+                     CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 0 END)
+                   AS phash
+          FROM (SELECT doc_id, text,
+                       CAST((doc_id - doc_id % 2) / 2 AS BIGINT) % 509
+                         AS b
+                FROM documents)),
+        cur AS (
+          SELECT * FROM img
+          WHERE w >= 64 AND h >= 64
+            AND round(CAST(w AS DOUBLE) / h, 6) BETWEEN 0.5 AND 2.0
+            AND len(string_split_regex(trim(lower(caption)), '\\s+'))
+                BETWEEN 3 AND 77),
+        spam AS (
+          SELECT regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g')
+                   AS cn
+          FROM cur GROUP BY 1
+          HAVING COUNT(DISTINCT phash) >= 3),
+        clean AS (
+          SELECT * FROM cur
+          WHERE regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g')
+                NOT IN (SELECT cn FROM spam)),
+        bands AS (
+          SELECT image_id, phash, chunk_idx,
+                 (phash >> (16 * chunk_idx)) & 65535 AS chunk_val
+          FROM clean, (VALUES (0), (1), (2), (3)) AS c(chunk_idx)
+          QUALIFY count(*) OVER (PARTITION BY chunk_idx,
+                   (phash >> (16 * chunk_idx)) & 65535) <= 4096),
+        vpairs AS (
+          SELECT DISTINCT a.image_id AS doc_a, b.image_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.chunk_idx = b.chunk_idx
+                      AND a.chunk_val = b.chunk_val
+                      AND a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        cedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM vpairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+        reach(node, lab) AS (
+            SELECT image_id, image_id FROM clean
+          UNION
+            SELECT e.src, r.lab
+            FROM reach r JOIN cedges e ON e.dst = r.node),
+        comp AS (
+          SELECT node AS image_id, min(lab) AS canon
+          FROM reach GROUP BY node),
+        keep AS (
+          SELECT image_id, cluster_size FROM (
+            SELECT image_id, canon,
+                   count(*) OVER (PARTITION BY canon) AS cluster_size
+            FROM comp)
+          WHERE image_id = canon),
+        scored AS (
+          SELECT c.image_id, c.w, c.h,
+                 CAST(c.w AS DOUBLE) / CAST(c.h AS DOUBLE) AS ar,
+                 c.caption, k.cluster_size
+          FROM clean c JOIN keep k ON k.image_id = c.image_id),
+        bested AS (SELECT *, {best} AS best FROM scored)
+        SELECT image_id, w, h, round(ar, 6) AS aspect,
+               CASE {names} END AS bucket,
+               CASE {ws} END AS target_w,
+               CASE {hs} END AS target_h,
+               cluster_size, caption
+        FROM bested"""
+
+
 def _aspect_sql() -> str:
     """image_aspect_buckets oracle, generated from the SAME ladder the
     Spark operator uses (multimodal.ASPECT_LADDER) so the two can never
@@ -2332,6 +2447,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id % 2 = 0
               AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
                         6) >= 0.15""",
+        # the image integration chain, replayed end to end (recursive
+        # CTE for the cluster reachability; ladder CASE generated from
+        # the shared ASPECT_LADDER)
+        "image_corpus_build": _image_build_sql(),
         # weighted water-filling: same demand/weight synth, the same
         # prefix-sum level candidates in the same (ratio, host) order,
         # every division a single mirrored IEEE op

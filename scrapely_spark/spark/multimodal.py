@@ -427,3 +427,57 @@ def aspect_buckets(images: DataFrame,
         F.round(ar, 6).alias("aspect"),
         bucket.alias("bucket"),
         tgt_w.alias("target_w"), tgt_h.alias("target_h"))
+
+
+def image_corpus_build(images: DataFrame, min_dim: int = 64,
+                       max_hamming: int = 3,
+                       spam_min_distinct: int = 3) -> DataFrame:
+    """The end-to-end image-caption corpus build — the image-payload
+    sibling of ``corpus.llm_corpus_build``, operators composed:
+
+    curation gate (dims/aspect/caption window) → spam-caption anti-join
+    → phash near-dup pairs → connected-component clusters → canonical
+    survivor election → SDXL aspect-bucket assignment.
+
+    Every stage is the SAME operator verified piecewise elsewhere
+    (:func:`curate_image_captions`, :func:`caption_spam`,
+    :func:`phash_near_dups`, ``dedup.dup_clusters``,
+    :func:`aspect_buckets`); this function is the integration point
+    proving they compose in one lineage.  One row per surviving
+    canonical image: ``(image_id, w, h, aspect, bucket, target_w,
+    target_h, cluster_size, caption)`` — the training-ready record a
+    variable-aspect trainer shards by bucket.
+
+    Scan discipline: every stage reads METADATA columns only (dims,
+    caption, phash) — the binary column is never touched, so each
+    re-read of the clean set is a pruned columnar scan, and the only
+    shuffles are the ones the piecewise operators already pay (spam
+    groupBy, band groupBy, cluster election).  At 10^10 images the
+    expensive legs are the banded phash self-join and clustering,
+    both capped/bounded by construction.
+    """
+    from scrapely_spark.spark import dedup
+
+    cur = images.join(
+        curate_image_captions(images, min_dim=min_dim)
+        .select("image_id"), "image_id")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("caption"))),
+                            r"\s+", " ")
+    spam = (caption_spam(cur, spam_min_distinct)
+            .select(F.col("caption_norm").alias("_cn")))
+    clean = (cur.withColumn("_cn", norm)
+             .join(spam, "_cn", "left_anti").drop("_cn"))
+    pairs = (phash_near_dups(clean, max_hamming=max_hamming)
+             .select(F.col("id_a").alias("doc_a"),
+                     F.col("id_b").alias("doc_b")))
+    clusters = dedup.dup_clusters(
+        clean.select(F.col("image_id").alias("doc_id")), pairs)
+    keepers = (clusters
+               .where(F.col("doc_id") == F.col("canonical_doc_id"))
+               .select(F.col("doc_id").alias("image_id"),
+                       "cluster_size"))
+    return (aspect_buckets(clean)
+            .join(keepers, "image_id")
+            .join(clean.select("image_id", "caption"), "image_id")
+            .select("image_id", "w", "h", "aspect", "bucket",
+                    "target_w", "target_h", "cluster_size", "caption"))

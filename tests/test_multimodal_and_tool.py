@@ -435,3 +435,32 @@ def test_caption_alignment_keeps_payload_drops_vectors(spark):
         "caption_emb array<double>")
     out = multimodal.caption_alignment(df, min_score=0.0)
     assert out.columns == ["pair_id", "caption", "align_score"]
+
+
+# --------------------------------------------------- image_corpus_build
+
+def test_image_corpus_build_every_leg_bites(spark):
+    rows = [
+        # a hamming-0 twin pair: one canonical survives, size 2
+        (1, 512, 512, "a lake at dawn", 0xABC0),
+        (2, 512, 512, "a lake at sunset", 0xABC0),
+        # spam caption on 3 visually distinct images: all dropped
+        (3, 300, 300, "click to enlarge", 0x111),
+        (4, 300, 300, "click to enlarge", 0x222),
+        (5, 300, 300, "click to enlarge", 0x333),
+        # too small: curation drops it
+        (6, 32, 512, "tiny thumbnail image", 0x444),
+        # caption too short (< 3 tokens): curation drops it
+        (7, 512, 512, "cat", 0x555),
+        # clean singleton: survives as its own cluster
+        (8, 800, 400, "a wide mountain panorama", 0x666),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, w int, h int, caption string, phash long")
+    out = {r.image_id: r for r in
+           multimodal.image_corpus_build(df).collect()}
+    assert set(out) == {1, 8}
+    assert out[1].cluster_size == 2
+    assert out[8].cluster_size == 1
+    assert out[8].bucket == "2:1" and out[8].target_w == 1472
+    assert out[1].caption == "a lake at dawn"
