@@ -93,6 +93,15 @@ HEADLINE = [
     "ann_recall_bq",
     "ann_recall_pq",
     "text_boilerplate_lines",
+    # r4 session 4: CLIP-style alignment gate, mirror detection,
+    # adaptive politeness, HLL, budget water-filling, and the image
+    # integration row
+    "image_caption_alignment",
+    "host_mirror_pairs",
+    "url_adaptive_delay",
+    "sketch_hll_distinct_users",
+    "url_crawl_budget",
+    "image_corpus_build",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",
