@@ -1152,6 +1152,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return politeness.retry_schedule(log, base_delay_s=60,
                                          max_retries=5)
 
+    def q_rfc9309_gate(spark, sf):
+        # RFC 9309 wildcard robots evaluation (robots.rfc9309_gate):
+        # three wildcard/anchored rules per host; URL paths synthesized
+        # to hit every branch (blocked prefix, allow override, $-anchor
+        # hit and near-miss, no-rule default)
+        from scrapely_spark.frontier import robots
+        d = _t(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+        hosts = d.select(host.alias("host")).distinct()
+        rules = hosts.selectExpr(
+            "host",
+            "explode(array("
+            "  struct('disallow' AS rule_type, '/private/*' AS pattern),"
+            "  struct('allow' AS rule_type, '/private/pub*' AS pattern),"
+            "  struct('disallow' AS rule_type, '/*.pdf$' AS pattern)"
+            ")) AS r"
+        ).select("host", "r.rule_type", "r.pattern")
+        path = (F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.lit("/private/x"), F.col("doc_id")))
+                .when(F.col("doc_id") % 5 == 1,
+                      F.concat(F.lit("/private/pub"), F.col("doc_id")))
+                .when(F.col("doc_id") % 5 == 2,
+                      F.concat(F.lit("/doc/r"), F.col("doc_id"),
+                               F.lit(".pdf")))
+                .when(F.col("doc_id") % 5 == 3,
+                      F.concat(F.lit("/doc/r"), F.col("doc_id"),
+                               F.lit(".pdfx")))
+                .otherwise(F.concat(F.lit("/open/"), F.col("doc_id"))))
+        urls = d.select(host.alias("host"),
+                        F.concat(F.lit("http://"), host, path)
+                        .alias("url"))
+        return robots.rfc9309_gate(urls, rules)
+
     def q_image_corpus_build(spark, sf):
         # the IMAGE integration row (multimodal.image_corpus_build):
         # curation → spam anti-join → phash near-dups → clusters →
@@ -1370,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct_users": q_hll_distinct_users,
         "url_crawl_budget": q_crawl_budget,
         "image_corpus_build": q_image_corpus_build,
+        "url_rfc9309_gate": q_rfc9309_gate,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2447,6 +2481,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id % 2 = 0
               AND round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE),
                         6) >= 0.15""",
+        # RFC 9309: identical regex compilation in SQL (escape class →
+        # splice .* → re-anchor $), identical 2·len+is_allow precedence
+        "url_rfc9309_gate": r"""
+            WITH hosts AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host
+              FROM documents),
+            rules AS (
+              SELECT host, rule_type, pattern
+              FROM hosts, (VALUES ('disallow', '/private/*'),
+                                  ('allow', '/private/pub*'),
+                                  ('disallow', '/*.pdf$'))
+                   AS r(rule_type, pattern)),
+            rx AS (
+              SELECT host,
+                     '^' || replace(regexp_replace(
+                         CASE WHEN pattern LIKE '%$'
+                              THEN left(pattern, len(pattern) - 1)
+                              ELSE pattern END,
+                         '([.+?()\[\]{}|^$\\])', '\\\1', 'g'),
+                       '*', '.*')
+                     || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END
+                       AS _rx,
+                     2 * len(pattern)
+                     + CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END
+                       AS _key
+              FROM rules),
+            urls AS (
+              SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/doc/r' || CAST(doc_id AS VARCHAR)
+                                   || '.pdf'
+                       WHEN 3 THEN '/doc/r' || CAST(doc_id AS VARCHAR)
+                                   || '.pdfx'
+                       ELSE '/open/' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents),
+            matched AS (
+              SELECT u.host, u.path, MAX(r._key) AS _best
+              FROM urls u JOIN rx r ON r.host = u.host
+              WHERE regexp_matches(u.path, r._rx)
+              GROUP BY u.host, u.path)
+            SELECT u.host,
+                   'http://' || u.host || u.path AS url,
+                   COALESCE(m._best // 2, CAST(0 AS BIGINT)) AS rule_len,
+                   COALESCE(m._best % 2 = 1, TRUE) AS allowed
+            FROM urls u
+            LEFT JOIN matched m ON m.host = u.host AND m.path = u.path""",
         # the image integration chain, replayed end to end (recursive
         # CTE for the cluster reachability; ladder CASE generated from
         # the shared ASPECT_LADDER)

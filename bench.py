@@ -102,6 +102,7 @@ HEADLINE = [
     "sketch_hll_distinct_users",
     "url_crawl_budget",
     "image_corpus_build",
+    "url_rfc9309_gate",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -149,3 +149,81 @@ def robots_sitemaps(bodies: DataFrame, host_col: str = "host",
     return (bodies.select(F.col(host_col).alias("host"),
                           F.explode(urls).alias("sitemap_url"))
             .select("host", F.trim("sitemap_url").alias("sitemap_url")))
+
+
+def rfc9309_gate(urls: DataFrame, rules: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """RFC 9309 wildcard rule evaluation — the full robots matching the
+    prefix-only :func:`gate` approximates: ``*`` matches any character
+    run, a trailing ``$`` anchors the rule at the URL's end, and among
+    ALL matching rules the most specific (longest pattern) wins, ties
+    going to ``allow`` (RFC 9309 §2.2.2).  No matching rule → allowed.
+
+    ``rules``: one row per rule, ``(host, rule_type 'allow'|'disallow',
+    pattern)``; empty patterns are dropped (an empty Disallow means
+    "allow all" at the parser level, not a match-everything rule).
+
+    Engine-portable by construction: the pattern→regex compilation is
+    pure string algebra (escape the metacharacter class, splice ``.*``
+    for ``*``, re-attach ``$``) that Spark and the SQL oracle perform
+    identically, and precedence is the single integer
+    ``2·len(pattern) + is_allow`` whose per-URL ``max`` decides the
+    verdict — allow wins length ties because of the low bit.
+
+    Scale shape: rules broadcast (the rules table is robots.txt-sized,
+    never URL-sized); one slim groupBy(url) of the matched pairs with
+    map-side max; verdicts rejoin the URL set on its own key.  The
+    per-row regex evaluation happens only on (url × same-host-rule)
+    pairs — bounded by rules-per-host, not by the rule universe.
+
+    Emits every input row + ``(rule_len, allowed)``.
+    """
+    ends = F.col("pattern").endswith("$")
+    core = F.when(ends, F.expr("left(pattern, length(pattern) - 1)")) \
+            .otherwise(F.col("pattern"))
+    esc = F.regexp_replace(core, r"([.+?()\[\]{}|^$\\])", r"\\$1")
+    rx = F.concat(F.lit("^"),
+                  F.replace(esc, F.lit("*"), F.lit(".*")),
+                  F.when(ends, F.lit("$")).otherwise(F.lit("")))
+    key = (F.length("pattern").cast("long") * 2
+           + (F.col("rule_type") == "allow").cast("long"))
+    r = (rules.where(F.length("pattern") > 0)
+         .select("host", rx.alias("_rx"), key.alias("_key")))
+    path = F.coalesce(
+        F.regexp_extract(F.col(url_col),
+                         r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)",
+                         1),
+        F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    matched = (urls.select(url_col, "host", path.alias("_path"))
+               .join(F.broadcast(r), "host")
+               .where(F.expr("regexp_like(_path, _rx)"))
+               .groupBy(url_col)
+               .agg(F.max("_key").alias("_best")))
+    return (urls.join(matched, url_col, "left")
+            .select(*urls.columns,
+                    F.coalesce(F.expr("_best div 2"),
+                               F.lit(0).cast("long")).alias("rule_len"),
+                    F.coalesce(F.col("_best") % 2 == 1, F.lit(True))
+                    .alias("allowed")))
+
+
+def is_allowed_rfc9309(path: str, rules: list) -> bool:
+    """Pure-python twin of :func:`rfc9309_gate` for tests/oracles.
+
+    ``rules``: (rule_type, pattern) tuples for ONE host.
+    """
+    import re
+
+    best = None
+    for rule_type, pattern in rules:
+        if not pattern:
+            continue
+        ends = pattern.endswith("$")
+        core = pattern[:-1] if ends else pattern
+        rx = "^" + re.sub(r"([.+?()\[\]{}|^$\\])", r"\\\1",
+                          core).replace("*", ".*") + ("$" if ends else "")
+        if re.search(rx, path):
+            k = 2 * len(pattern) + (1 if rule_type == "allow" else 0)
+            best = k if best is None else max(best, k)
+    return True if best is None else best % 2 == 1

@@ -806,3 +806,59 @@ def test_crawl_budget_matches_simulation(spark):
     for h in want:
         assert abs(got[h] - want[h]) < 1e-3, (h, got[h], want[h])
     assert abs(sum(got.values()) - B) < 1e-3
+
+
+# ------------------------------------------------------- rfc9309_gate
+
+def test_rfc9309_wildcard_and_anchor_semantics(spark):
+    from scrapely_spark.frontier import robots as rb
+    rules = spark.createDataFrame(
+        [("h", "disallow", "/private/*"),
+         ("h", "allow", "/private/pub*"),      # longer → wins inside
+         ("h", "disallow", "/*.pdf$"),          # anchored extension ban
+         ("h", "disallow", "")],                # empty: ignored
+        "host string, rule_type string, pattern string")
+    urls = spark.createDataFrame(
+        [("h", "http://h/private/secret"),     # blocked
+         ("h", "http://h/private/pub/ok"),     # allow overrides
+         ("h", "http://h/doc/report.pdf"),     # blocked ($ anchor)
+         ("h", "http://h/doc/report.pdfx"),    # NOT blocked ($ anchor)
+         ("h", "http://h/open/page"),          # no rule → allowed
+         ("h", "http://h")],                   # empty path → "/"
+        "host string, url string")
+    out = {r.url: (r.allowed, r.rule_len)
+           for r in rb.rfc9309_gate(urls, rules).collect()}
+    assert out["http://h/private/secret"] == (False, 10)
+    assert out["http://h/private/pub/ok"] == (True, 13)
+    assert out["http://h/doc/report.pdf"] == (False, 7)
+    assert out["http://h/doc/report.pdfx"] == (True, 0)
+    assert out["http://h/open/page"] == (True, 0)
+    assert out["http://h"] == (True, 0)
+
+
+def test_rfc9309_gate_matches_python_twin_randomized(spark):
+    import random
+    from scrapely_spark.frontier import robots as rb
+    rng = random.Random(11)
+    segs = ["a", "bb", "c1", "img", "cal", "x.y", "p+q"]
+    pats = []
+    for _ in range(25):
+        p = "/" + "/".join(rng.choice(segs)
+                           for _ in range(rng.randint(1, 3)))
+        if rng.random() < 0.5:
+            p = p.replace("/", "/*", 1) if rng.random() < 0.5 else p + "*"
+        if rng.random() < 0.3:
+            p += "$"
+        pats.append((rng.choice(["allow", "disallow"]), p))
+    paths = ["/" + "/".join(rng.choice(segs)
+                            for _ in range(rng.randint(1, 4)))
+             for _ in range(60)]
+    rules = spark.createDataFrame([("h", t, p) for t, p in pats],
+                                  "host string, rule_type string, "
+                                  "pattern string")
+    urls = spark.createDataFrame([("h", "http://h" + p) for p in paths],
+                                 "host string, url string")
+    got = {r.url: r.allowed
+           for r in rb.rfc9309_gate(urls, rules).collect()}
+    for p in paths:
+        assert got["http://h" + p] == rb.is_allowed_rfc9309(p, pats), p
