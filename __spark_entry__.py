@@ -1185,6 +1185,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("url"))
         return robots.rfc9309_gate(urls, rules)
 
+    def q_robots_pipeline(spark, sf):
+        # END-TO-END robots: raw robots.txt text → wildcard_rules_df
+        # (JVM-side parse, RFC 9309 group selection) → rfc9309_gate.
+        # Even hosts publish a scrapelybot group (private ban + pub
+        # carve-out) AND a * group (pdf ban); odd hosts only a * group
+        # (calendar-trap ban + carve-out).  Parsing as 'scrapelybot'
+        # must pick the exact group on even hosts (so the pdf ban is
+        # IGNORED there) and fall back to * on odd hosts — group
+        # exclusivity is what the oracle replays line-for-line.
+        from scrapely_spark.frontier import robots
+        d = _t(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+        nl = "\n"
+        even_body = nl.join([
+            "# synthetic robots", "User-agent: scrapelybot",
+            "Disallow: /private/*   # keep out",
+            "Allow: /private/pub*", "", "User-agent: *",
+            "Disallow: /*.pdf$"])
+        odd_body = nl.join([
+            "User-agent: *", "Disallow: /cal*",
+            "Allow: /cal/ok*", "Disallow:"])
+        hosts = d.select(host.alias("host")).distinct()
+        bodies = hosts.select(
+            "host",
+            F.when(F.substring("host", 2, 10).cast("long") % 2 == 0,
+                   F.lit(even_body)).otherwise(F.lit(odd_body))
+            .alias("body"))
+        rules = robots.wildcard_rules_df(bodies, "scrapelybot")
+        # 5 branches, coprime with host parity (doc_id %% 2), so every
+        # branch lands on BOTH body variants — the allow carve-outs and
+        # the group-exclusivity negatives all fire
+        path = (F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.lit("/private/x"), F.col("doc_id")))
+                .when(F.col("doc_id") % 5 == 1,
+                      F.concat(F.lit("/private/pub"), F.col("doc_id")))
+                .when(F.col("doc_id") % 5 == 2,
+                      F.concat(F.lit("/doc/r"), F.col("doc_id"),
+                               F.lit(".pdf")))
+                .when(F.col("doc_id") % 5 == 3,
+                      F.concat(F.lit("/cal/x"), F.col("doc_id")))
+                .otherwise(F.concat(F.lit("/cal/ok"), F.col("doc_id"))))
+        urls = d.select(host.alias("host"),
+                        F.concat(F.lit("http://"), host, path)
+                        .alias("url"))
+        return robots.rfc9309_gate(urls, rules)
+
     def q_image_corpus_build(spark, sf):
         # the IMAGE integration row (multimodal.image_corpus_build):
         # curation → spam anti-join → phash near-dups → clusters →
@@ -1404,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_crawl_budget": q_crawl_budget,
         "image_corpus_build": q_image_corpus_build,
         "url_rfc9309_gate": q_rfc9309_gate,
+        "url_robots_pipeline": q_robots_pipeline,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2517,6 +2564,118 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 3 THEN '/doc/r' || CAST(doc_id AS VARCHAR)
                                    || '.pdfx'
                        ELSE '/open/' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents),
+            matched AS (
+              SELECT u.host, u.path, MAX(r._key) AS _best
+              FROM urls u JOIN rx r ON r.host = u.host
+              WHERE regexp_matches(u.path, r._rx)
+              GROUP BY u.host, u.path)
+            SELECT u.host,
+                   'http://' || u.host || u.path AS url,
+                   COALESCE(m._best // 2, CAST(0 AS BIGINT)) AS rule_len,
+                   COALESCE(m._best % 2 = 1, TRUE) AS allowed
+            FROM urls u
+            LEFT JOIN matched m ON m.host = u.host AND m.path = u.path""",
+        # End-to-end robots: the ORACLE re-parses the raw bodies
+        # line-for-line (comment strip, key/val split, lag-window group
+        # boundaries, first-exact-else-first-star group selection) and
+        # then replays the wildcard gate — the whole Spark lineage
+        # raw text → rules → verdict is inside the hash
+        "url_robots_pipeline": r"""
+            WITH hosts AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host
+              FROM documents),
+            bodies AS (
+              SELECT host,
+                     CASE WHEN CAST(substr(host, 2) AS BIGINT) % 2 = 0
+                       THEN '# synthetic robots' || chr(10)
+                         || 'User-agent: scrapelybot' || chr(10)
+                         || 'Disallow: /private/*   # keep out' || chr(10)
+                         || 'Allow: /private/pub*' || chr(10)
+                         || '' || chr(10)
+                         || 'User-agent: *' || chr(10)
+                         || 'Disallow: /*.pdf$'
+                       ELSE 'User-agent: *' || chr(10)
+                         || 'Disallow: /cal*' || chr(10)
+                         || 'Allow: /cal/ok*' || chr(10)
+                         || 'Disallow:'
+                     END AS body
+              FROM hosts),
+            split AS (
+              SELECT host, string_split(body, chr(10)) AS ls
+              FROM bodies),
+            lines0 AS (
+              SELECT host, unnest(generate_series(1, len(ls))) AS pos,
+                     unnest(ls) AS raw
+              FROM split),
+            kv AS (
+              SELECT host, pos,
+                     lower(trim(split_part(line, ':', 1))) AS key,
+                     trim(substr(line, strpos(line, ':') + 1)) AS val
+              FROM (SELECT host, pos,
+                           trim(regexp_replace(raw, '#.*', '')) AS line
+                    FROM lines0)
+              WHERE contains(line, ':')),
+            kept AS (
+              SELECT *, key = 'user-agent' AS is_ua FROM kv
+              WHERE key IN ('user-agent', 'allow', 'disallow',
+                            'crawl-delay')),
+            lagged AS (
+              SELECT *,
+                     CASE WHEN is_ua AND COALESCE(
+                            NOT lag(is_ua) OVER
+                              (PARTITION BY host ORDER BY pos), TRUE)
+                          THEN 1 ELSE 0 END AS starts
+              FROM kept),
+            grp AS (
+              SELECT *,
+                     SUM(starts) OVER
+                       (PARTITION BY host ORDER BY pos) AS g
+              FROM lagged),
+            flags AS (
+              SELECT host, g,
+                     MAX(CASE WHEN is_ua AND lower(val) = 'scrapelybot'
+                              THEN 1 ELSE 0 END) AS ex,
+                     MAX(CASE WHEN is_ua AND val = '*'
+                              THEN 1 ELSE 0 END) AS st
+              FROM grp WHERE g > 0 GROUP BY host, g),
+            chosen AS (
+              SELECT * FROM (
+                SELECT host,
+                       COALESCE(MIN(CASE WHEN ex = 1 THEN g END),
+                                MIN(CASE WHEN st = 1 THEN g END)) AS g
+                FROM flags GROUP BY host)
+              WHERE g IS NOT NULL),
+            rules AS (
+              SELECT r.host, r.key AS rule_type, r.val AS pattern
+              FROM grp r JOIN chosen c
+                ON c.host = r.host AND c.g = r.g
+              WHERE NOT r.is_ua AND r.key IN ('allow', 'disallow')
+                AND len(r.val) > 0),
+            rx AS (
+              SELECT host,
+                     '^' || replace(regexp_replace(
+                         CASE WHEN pattern LIKE '%$'
+                              THEN left(pattern, len(pattern) - 1)
+                              ELSE pattern END,
+                         '([.+?()\[\]{}|^$\\])', '\\\1', 'g'),
+                       '*', '.*')
+                     || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END
+                       AS _rx,
+                     2 * len(pattern)
+                     + CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END
+                       AS _key
+              FROM rules),
+            urls AS (
+              SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/doc/r' || CAST(doc_id AS VARCHAR)
+                                   || '.pdf'
+                       WHEN 3 THEN '/cal/x' || CAST(doc_id AS VARCHAR)
+                       ELSE '/cal/ok' || CAST(doc_id AS VARCHAR)
                      END AS path
               FROM documents),
             matched AS (

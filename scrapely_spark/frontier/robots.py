@@ -208,6 +208,119 @@ def rfc9309_gate(urls: DataFrame, rules: DataFrame,
                     .alias("allowed")))
 
 
+def wildcard_rules_df(bodies: DataFrame, agent: str = "*",
+                      host_col: str = "host",
+                      body_col: str = "body") -> DataFrame:
+    """Raw fetched robots.txt bodies → the per-rule table
+    :func:`rfc9309_gate` consumes: ``(host, rule_type, pattern)``.
+
+    Entirely JVM-side (no Python kernel, unlike :func:`parse_robots_df`
+    which feeds the prefix gate's array schema): split lines, strip
+    ``#`` comments, classify ``User-agent``/``Allow``/``Disallow``/
+    ``Crawl-delay`` lines, then resolve groups with ONE window per
+    host — a ``User-agent`` line following a rule line starts a new
+    group, consecutive ``User-agent`` lines share one group.  Group
+    selection matches :func:`parse_robots_body`: the first group
+    naming ``agent`` exactly (case-insensitive) wins, else the first
+    ``*`` group; hosts with neither emit no rules (= allow all at the
+    gate).  Empty rule values are dropped (empty ``Disallow:`` means
+    allow-all).  ``Crawl-delay`` lines count as rules for group
+    BOUNDARIES (as in :func:`parse_robots_body`) but are not emitted.
+
+    Scale shape: the window partitions by host and robots bodies are
+    bounded (500 KiB per RFC 9309 §2.4), so no partition is ever
+    large; group flags and the chosen-group pick are host-bounded
+    aggregations; the output is robots-sized and broadcastable
+    straight into the gate.  Engine-portable: every step is string
+    algebra + lag/sum windows the SQL oracle replays identically.
+    """
+    from pyspark.sql import Window
+
+    lines = (bodies
+             .select(F.col(host_col).alias("host"),
+                     F.posexplode(F.split(
+                         F.coalesce(F.col(body_col), F.lit("")),
+                         r"\r?\n")).alias("pos", "raw"))
+             .withColumn("line",
+                         F.trim(F.regexp_replace("raw", "#.*", "")))
+             .where(F.col("line").contains(":"))
+             .withColumn("key", F.lower(F.trim(
+                 F.substring_index("line", ":", 1))))
+             .withColumn("val", F.trim(F.expr(
+                 "substring(line, instr(line, ':') + 1)")))
+             .withColumn("is_ua", F.col("key") == "user-agent")
+             .where(F.col("is_ua")
+                    | F.col("key").isin("allow", "disallow",
+                                        "crawl-delay")))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (lines
+               .withColumn("start",
+                           F.col("is_ua")
+                           & F.coalesce(~F.lag("is_ua").over(w),
+                                        F.lit(True)))
+               .withColumn("grp",
+                           F.sum(F.col("start").cast("int")).over(w))
+               .where(F.col("grp") > 0))
+    flags = (grouped.groupBy("host", "grp")
+             .agg(F.max((F.col("is_ua")
+                         & (F.lower("val") == agent.lower()))
+                        .cast("int")).alias("ex"),
+                  F.max((F.col("is_ua") & (F.col("val") == "*"))
+                        .cast("int")).alias("st")))
+    chosen = (flags.groupBy("host")
+              .agg(F.min(F.when(F.col("ex") == 1, F.col("grp")))
+                   .alias("g_ex"),
+                   F.min(F.when(F.col("st") == 1, F.col("grp")))
+                   .alias("g_st"))
+              .select("host",
+                      F.coalesce("g_ex", "g_st").alias("grp"))
+              .where(F.col("grp").isNotNull()))
+    return (grouped.join(chosen, ["host", "grp"])
+            .where(~F.col("is_ua")
+                   & F.col("key").isin("allow", "disallow")
+                   & (F.length("val") > 0))
+            .select("host", F.col("key").alias("rule_type"),
+                    F.col("val").alias("pattern")))
+
+
+def wildcard_rules_py(body: str, agent: str = "*") -> list:
+    """Pure-python twin of :func:`wildcard_rules_df` for ONE body —
+    returns ``[(rule_type, pattern), ...]`` for randomized parity
+    tests; composes with :func:`is_allowed_rfc9309`.
+    """
+    import re
+
+    rows = []
+    for pos, raw in enumerate(re.split(r"\r?\n", body or "")):
+        line = re.sub(r"#.*", "", raw).strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent" or key in ("allow", "disallow",
+                                          "crawl-delay"):
+            rows.append((key == "user-agent", key, val))
+    grp, prev_ua, groups = 0, False, {}
+    for is_ua, key, val in rows:
+        if is_ua and not prev_ua:
+            grp += 1
+        prev_ua = is_ua
+        if grp > 0:
+            groups.setdefault(grp, []).append((is_ua, key, val))
+    g_ex = g_st = None
+    for g in sorted(groups):
+        names = [v.lower() for ua, k, v in groups[g] if ua]
+        if g_ex is None and agent.lower() in names:
+            g_ex = g
+        if g_st is None and "*" in names:
+            g_st = g
+    g = g_ex if g_ex is not None else g_st
+    if g is None:
+        return []
+    return [(k, v) for ua, k, v in groups[g]
+            if not ua and k in ("allow", "disallow") and v]
+
+
 def is_allowed_rfc9309(path: str, rules: list) -> bool:
     """Pure-python twin of :func:`rfc9309_gate` for tests/oracles.
 

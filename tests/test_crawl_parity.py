@@ -862,3 +862,102 @@ def test_rfc9309_gate_matches_python_twin_randomized(spark):
            for r in rb.rfc9309_gate(urls, rules).collect()}
     for p in paths:
         assert got["http://h" + p] == rb.is_allowed_rfc9309(p, pats), p
+
+
+# --------------------------------------------------- wildcard_rules_df
+
+_ROBOTS_BODY = (
+    "# synthetic robots\r\n"
+    "User-agent: scrapelybot\n"
+    "User-agent: otherbot\n"          # consecutive UA lines: one group
+    "Disallow: /private/*   # inline comment\n"
+    "Allow: /private/pub*\n"
+    "Crawl-delay: 5\n"
+    "User-agent: scrapelybot\n"       # later exact group: first wins
+    "Disallow: /never\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /*.pdf$\n"
+    "Disallow:\n"                     # empty value: dropped
+    "noise line without separator\n")
+
+
+def test_wildcard_rules_group_selection(spark):
+    from scrapely_spark.frontier import robots as rb
+    bodies = spark.createDataFrame([("h", _ROBOTS_BODY)],
+                                   "host string, body string")
+    got = sorted((r.rule_type, r.pattern) for r in
+                 rb.wildcard_rules_df(bodies, "ScrapelyBot").collect())
+    # first exact group wins (not the later scrapelybot group, not *)
+    assert got == [("allow", "/private/pub*"),
+                   ("disallow", "/private/*")]
+    star = sorted((r.rule_type, r.pattern) for r in
+                  rb.wildcard_rules_df(bodies, "unknownbot").collect())
+    assert star == [("disallow", "/*.pdf$")]
+    # python twin agrees on both agents
+    assert sorted(rb.wildcard_rules_py(_ROBOTS_BODY, "ScrapelyBot")) == got
+    assert sorted(rb.wildcard_rules_py(_ROBOTS_BODY, "unknownbot")) == star
+
+
+def test_wildcard_rules_crawl_delay_splits_groups(spark):
+    from scrapely_spark.frontier import robots as rb
+    # crawl-delay counts as a rule for boundaries (parse_robots_body
+    # parity): UA after it starts a NEW group
+    body = ("User-agent: a\nCrawl-delay: 2\n"
+            "User-agent: b\nDisallow: /x\n")
+    bodies = spark.createDataFrame([("h", body)],
+                                   "host string, body string")
+    assert rb.wildcard_rules_df(bodies, "a").count() == 0
+    got = [(r.rule_type, r.pattern) for r in
+           rb.wildcard_rules_df(bodies, "b").collect()]
+    assert got == [("disallow", "/x")]
+    assert rb.wildcard_rules_py(body, "a") == []
+    assert rb.wildcard_rules_py(body, "b") == [("disallow", "/x")]
+    # no group at all -> no rows (allow-all at the gate)
+    none = spark.createDataFrame([("h", "Disallow: /pre-group\n")],
+                                 "host string, body string")
+    assert rb.wildcard_rules_df(none, "a").count() == 0
+
+
+def test_wildcard_rules_randomized_parity(spark):
+    import random
+    from scrapely_spark.frontier import robots as rb
+    rng = random.Random(23)
+    agents = ["alpha", "beta", "*"]
+    keys = ["Allow", "Disallow", "Crawl-delay"]
+    bodies = []
+    for h in range(30):
+        lines = []
+        for _ in range(rng.randint(0, 14)):
+            roll = rng.random()
+            if roll < 0.3:
+                lines.append("User-agent: %s" % rng.choice(agents))
+            elif roll < 0.85:
+                val = rng.choice(["/a/*", "/b$", "", "/c/d", "/*.gif$"])
+                lines.append("%s: %s" % (rng.choice(keys), val))
+            else:
+                lines.append(rng.choice(["# comment", "junk", ""]))
+        bodies.append(("h%d" % h, "\n".join(lines)))
+    df = spark.createDataFrame(bodies, "host string, body string")
+    got = {}
+    for r in rb.wildcard_rules_df(df, "beta").collect():
+        got.setdefault(r.host, []).append((r.rule_type, r.pattern))
+    for h, body in bodies:
+        want = rb.wildcard_rules_py(body, "beta")
+        assert sorted(got.get(h, [])) == sorted(want), (h, body)
+
+
+def test_wildcard_rules_feed_gate_end_to_end(spark):
+    from scrapely_spark.frontier import robots as rb
+    bodies = spark.createDataFrame([("h", _ROBOTS_BODY)],
+                                   "host string, body string")
+    urls = spark.createDataFrame(
+        [("h", "http://h/private/pub/ok"), ("h", "http://h/private/x"),
+         ("h", "http://h/never")],
+        "host string, url string")
+    rules = rb.wildcard_rules_df(bodies, "scrapelybot")
+    out = {r.url: r.allowed
+           for r in rb.rfc9309_gate(urls, rules).collect()}
+    assert out == {"http://h/private/pub/ok": True,
+                   "http://h/private/x": False,
+                   "http://h/never": True}  # second group's rule ignored
