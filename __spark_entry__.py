@@ -1231,6 +1231,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("url"))
         return robots.rfc9309_gate(urls, rules)
 
+    def q_dust_rules(spark, sf):
+        # DUST mining (canonical.dust_param_rules): per-host URLs with
+        # three query params — page DETERMINES the fingerprint,
+        # sessionid/ref never do — so the miner must emit exactly
+        # (irrelevant=false, true, true) per host with full witness
+        # counts.  40 hosts x 3 params = bounded output.
+        from scrapely_spark.frontier.canonical import dust_param_rules
+        d = _t(spark, sf, "documents")
+        # independent mixed-radix digits of doc_id (NOT coupled moduli:
+        # residues mod 40/7/11/3 make every residual group a singleton
+        # at small sf) so each (host, page, ref) class really sees
+        # several sessionid values and witnesses fire
+        page = F.expr("CAST(doc_id % 3 AS STRING)")
+        sess = F.expr("CAST((doc_id div 3) % 5 AS STRING)")
+        ref = F.expr("CAST((doc_id div 15) % 2 AS STRING)")
+        host = F.concat(F.lit("h"),
+                        F.expr("CAST((doc_id div 30) % 8 AS STRING)"))
+        url = F.concat(F.lit("http://"), host, F.lit("/p?page="), page,
+                       F.lit("&sessionid="), sess, F.lit("&ref="), ref)
+        fp = F.md5(F.concat(host, F.lit("-"), page))
+        obs = d.select(host.alias("host"), url.alias("url"),
+                       fp.alias("fingerprint"))
+        return dust_param_rules(obs)
+
     def q_image_corpus_build(spark, sf):
         # the IMAGE integration row (multimodal.image_corpus_build):
         # curation → spam anti-join → phash near-dups → clusters →
@@ -1451,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_corpus_build": q_image_corpus_build,
         "url_rfc9309_gate": q_rfc9309_gate,
         "url_robots_pipeline": q_robots_pipeline,
+        "url_dust_rules": q_dust_rules,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -2689,6 +2714,49 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(m._best % 2 = 1, TRUE) AS allowed
             FROM urls u
             LEFT JOIN matched m ON m.host = u.host AND m.path = u.path""",
+        # DUST mining: the oracle replays the same list algebra —
+        # explode pairs (list-unnest), residual = base?join(filter(
+        # pairs, key != exploded key)), two grouped countDistincts
+        "url_dust_rules": """
+            WITH obs AS (
+              SELECT 'h' || CAST((doc_id // 30) % 8 AS VARCHAR) AS host,
+                     'http://h' || CAST((doc_id // 30) % 8 AS VARCHAR)
+                       || '/p' AS base,
+                     ['page=' || CAST(doc_id % 3 AS VARCHAR),
+                      'sessionid='
+                        || CAST((doc_id // 3) % 5 AS VARCHAR),
+                      'ref=' || CAST((doc_id // 15) % 2 AS VARCHAR)]
+                       AS ls,
+                     md5('h' || CAST((doc_id // 30) % 8 AS VARCHAR)
+                         || '-' || CAST(doc_id % 3 AS VARCHAR)) AS fp
+              FROM documents),
+            e AS (SELECT host, base, ls, fp, unnest(ls) AS pair
+                  FROM obs),
+            x AS (
+              SELECT host, fp,
+                     split_part(pair, '=', 1) AS param,
+                     substr(pair, strpos(pair, '=') + 1) AS val,
+                     base || '?' || array_to_string(list_filter(ls,
+                       p -> split_part(p, '=', 1)
+                            != split_part(pair, '=', 1)), '&')
+                       AS residual
+              FROM e),
+            groups AS (
+              SELECT host, param, residual,
+                     COUNT(DISTINCT val) AS nv,
+                     COUNT(DISTINCT fp) AS nf
+              FROM x GROUP BY host, param, residual)
+            SELECT host, param,
+                   COUNT(*) AS n_groups,
+                   SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END)
+                     AS n_witness,
+                   SUM(CASE WHEN nv >= 2 AND nf = 1 THEN 1 ELSE 0 END)
+                     AS n_clean,
+                   (SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) >= 1
+                    AND SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END)
+                        = SUM(CASE WHEN nv >= 2 AND nf = 1
+                              THEN 1 ELSE 0 END)) AS irrelevant
+            FROM groups GROUP BY host, param""",
         # the image integration chain, replayed end to end (recursive
         # CTE for the cluster reachability; ladder CASE generated from
         # the shared ASPECT_LADDER)

@@ -251,3 +251,69 @@ def cap_template_families(candidates, max_urls: int):
          .orderBy(F.col("priority").asc(), F.col("canonical_url").asc()))
     return (candidates.withColumn("_tr", F.row_number().over(w))
             .where(F.col("_tr") <= max_urls).drop("_tr"))
+
+
+def dust_param_rules(observations, url_col: str = "url",
+                     fp_col: str = "fingerprint",
+                     host_col: str = "host",
+                     min_witness: int = 1):
+    """DUST mining — learn which query parameters never change content
+    ("Do Not Crawl in the DUST", Bar-Yossef et al., WWW'07 — rule form
+    only; the learning here is exact witness counting, not sampling).
+
+    Input: one row per fetched URL observation with a content
+    ``fingerprint``.  For every (host, param) the URL set is grouped
+    by the URL WITH THAT PARAM REMOVED (other params kept in order): a
+    *witness group* is a residual URL observed with ≥2 distinct values
+    of the param.  The param is ``irrelevant`` on the host iff every
+    witness group shows exactly one distinct fingerprint and at least
+    ``min_witness`` witness groups exist — then the crawler can strip
+    it at canonicalization and collapse the whole DUST family.
+
+    Emits per (host, param): ``n_groups`` (residual groups),
+    ``n_witness``, ``n_clean`` (witness groups with one fingerprint),
+    ``irrelevant``.
+
+    Scale shape: one explode bounded by params-per-URL (single
+    digits), then two slim groupBys — (host, param, residual) and
+    (host, param) — both with map-side partials; output is bounded by
+    distinct (host, param), never by URLs.  Entirely JVM-side; the
+    oracle replays the same list algebra.
+    """
+    from pyspark.sql import functions as F
+
+    base = F.substring_index(F.col(url_col), "?", 1)
+    query = F.regexp_extract(F.col(url_col), r"\?(.*)$", 1)
+    pairs = F.split(query, "&")
+    obs = (observations
+           .where(F.col(url_col).contains("?"))
+           .select(F.col(host_col).alias("host"),
+                   base.alias("_base"), pairs.alias("_pairs"),
+                   F.col(fp_col).alias("_fp"))
+           .select("host", "_base", "_pairs", "_fp",
+                   F.explode("_pairs").alias("_pair"))
+           .select("host", "_fp",
+                   F.substring_index("_pair", "=", 1).alias("param"),
+                   F.expr("substring(_pair, instr(_pair, '=') + 1)")
+                   .alias("_val"),
+                   F.concat(
+                       F.col("_base"), F.lit("?"),
+                       F.array_join(
+                           F.filter(
+                               "_pairs",
+                               lambda p: F.substring_index(p, "=", 1)
+                               != F.substring_index(F.col("_pair"),
+                                                    "=", 1)),
+                           "&")).alias("_residual")))
+    groups = (obs.groupBy("host", "param", "_residual")
+              .agg(F.countDistinct("_val").alias("_nv"),
+                   F.countDistinct("_fp").alias("_nf")))
+    return (groups.groupBy("host", "param")
+            .agg(F.count("*").alias("n_groups"),
+                 F.sum((F.col("_nv") >= 2).cast("long"))
+                 .alias("n_witness"),
+                 F.sum(((F.col("_nv") >= 2) & (F.col("_nf") == 1))
+                       .cast("long")).alias("n_clean"))
+            .withColumn("irrelevant",
+                        (F.col("n_witness") >= min_witness)
+                        & (F.col("n_clean") == F.col("n_witness"))))

@@ -961,3 +961,54 @@ def test_wildcard_rules_feed_gate_end_to_end(spark):
     assert out == {"http://h/private/pub/ok": True,
                    "http://h/private/x": False,
                    "http://h/never": True}  # second group's rule ignored
+
+
+# --------------------------------------------------- dust_param_rules
+
+def test_dust_param_rules_semantics(spark):
+    from scrapely_spark.frontier.canonical import dust_param_rules
+    # sessionid never changes content; page does; ref is irrelevant
+    # but has only singleton groups on host h2 (no witness -> not a rule)
+    rows = []
+    for page in range(3):
+        for sess in range(3):
+            rows.append(("h1",
+                         "http://h1/p?page=%d&sessionid=%d" % (page, sess),
+                         "fp-%d" % page))
+    rows += [("h2", "http://h2/p?ref=%d&x=%d" % (i, i), "fp") for i in
+             range(3)]
+    rows.append(("h2", "http://h2/noquery", "fp"))  # dropped (no '?')
+    df = spark.createDataFrame(rows, "host string, url string, "
+                                     "fingerprint string")
+    got = {(r.host, r.param): r for r in dust_param_rules(df).collect()}
+    sess = got[("h1", "sessionid")]
+    assert (sess.n_groups, sess.n_witness, sess.n_clean,
+            sess.irrelevant) == (3, 3, 3, True)
+    page = got[("h1", "page")]
+    assert (page.n_groups, page.n_witness, page.n_clean,
+            page.irrelevant) == (3, 3, 0, False)
+    # h2: ref/x residuals are all distinct -> no witness groups
+    assert got[("h2", "ref")].irrelevant is False
+    assert got[("h2", "ref")].n_witness == 0
+    assert ("h2", "") not in got  # the no-query row contributed nothing
+
+
+def test_dust_param_rules_mixed_and_repeated(spark):
+    from scrapely_spark.frontier.canonical import dust_param_rules
+    rows = [
+        # repeated key in one URL: both values strip to one residual
+        ("h", "http://h/p?a=1&a=2&b=7", "f1"),
+        ("h", "http://h/p?a=3&b=7", "f1"),
+        # b witnesses with DIFFERENT fingerprints -> dirty witness
+        ("h", "http://h/q?b=1&c=5", "g1"),
+        ("h", "http://h/q?b=2&c=5", "g2"),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, "
+                                     "fingerprint string")
+    got = {(r.host, r.param): r for r in dust_param_rules(df).collect()}
+    a = got[("h", "a")]
+    assert a.n_witness == 1 and a.n_clean == 1 and a.irrelevant
+    b = got[("h", "b")]
+    # b has one dirty witness group (the /q pair) and one clean
+    # non-witness (/p group has b=7 twice -> 1 distinct value)
+    assert b.n_witness == 1 and b.n_clean == 0 and not b.irrelevant
