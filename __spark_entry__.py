@@ -558,6 +558,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), _LSH_THRESHOLD,
             planes=simsearch.hyperplanes(_EMB_DIM, _LSH_PLANES))
 
+    def q_hard_negatives(spark, sf):
+        # CLIP-style hard-negative mining (simsearch.hard_negatives):
+        # per-anchor top-3 most-similar non-duplicates out of the LSH
+        # buckets; dup threshold 0.5 sits just under the synthetic
+        # table's max pairwise cosine so the exclusion branch fires
+        return simsearch.hard_negatives(
+            _t(spark, sf, "embeddings"), k=3, dup_threshold=_HARDNEG_DUP,
+            planes=simsearch.hyperplanes(_EMB_DIM, _LSH_PLANES))
+
     def q_tokens(spark, sf):
         return textstats.token_stats(_t(spark, sf, "documents"))
 
@@ -1476,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_rfc9309_gate": q_rfc9309_gate,
         "url_robots_pipeline": q_robots_pipeline,
         "url_dust_rules": q_dust_rules,
+        "embedding_hard_negatives": q_hard_negatives,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -1641,6 +1651,9 @@ _IVF_SEED = 7
 _LSH_PLANES = 16       # 4 bands × 4 hyperplanes
 _LSH_BAND = 4
 _LSH_THRESHOLD = 0.4
+_HARDNEG_DUP = 0.5     # hard-negative dup-exclusion threshold: the
+#                        synthetic embeddings' max pairwise cosine is
+#                        ~0.51, so a few pairs DO get excluded
 
 # corpus-assembly knobs shared by the Spark queries and their oracles
 _SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.2, "fr": 0.2, "zh": 0.1}
@@ -1808,7 +1821,7 @@ def _lsh_near_dups_sql() -> str:
     banded_union = "\n  UNION ALL\n".join(
         "  SELECT vec_id, v, norm, %d AS band_id, band_%d AS band_key "
         "FROM sgn" % (b, b) for b in range(_LSH_PLANES // _LSH_BAND))
-    return """
+    prefix = """
         WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
                    FROM embeddings),
@@ -1823,7 +1836,10 @@ def _lsh_near_dups_sql() -> str:
             SELECT *, count(*) OVER (PARTITION BY band_id, band_key)
                    AS _bn
             FROM banded)
-          WHERE _bn <= %d)
+          WHERE _bn <= %d)""" % (
+        ",\n                       ".join(band_exprs), banded_union,
+        _LSH_MAX_BUCKET)
+    return prefix + """
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
                  AS cosine
@@ -1832,9 +1848,30 @@ def _lsh_near_dups_sql() -> str:
           ON a.band_id = b.band_id AND a.band_key = b.band_key
         WHERE a.vec_id < b.vec_id
           AND round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
-              >= %s""" % (",\n                       ".join(band_exprs),
-                          banded_union, _LSH_MAX_BUCKET,
-                          repr(_LSH_THRESHOLD))
+              >= %s""" % repr(_LSH_THRESHOLD)
+
+
+def _hard_negatives_sql() -> str:
+    """DuckDB twin of simsearch.hard_negatives — same banded prefix as
+    _lsh_near_dups_sql (identical plane literals), directed candidate
+    pairs, dup exclusion below the threshold, per-anchor top-k window.
+    """
+    prefix = _lsh_near_dups_sql()
+    prefix = prefix[:prefix.index("\n        SELECT DISTINCT")]
+    return prefix + """,
+        cand AS (
+          SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+                 round(list_dot_product(a.v, b.v) / (a.norm * b.norm),
+                       6) AS cosine
+          FROM capped a
+          JOIN capped b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+          WHERE a.vec_id != b.vec_id)
+        SELECT anchor_id, neg_id, cosine, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cosine DESC, neg_id ASC) AS rank
+              FROM cand WHERE cosine < %s)
+        WHERE rank <= 3""" % repr(_HARDNEG_DUP)
 
 
 def _kmeans_train_ctes() -> str:
@@ -3369,6 +3406,8 @@ def oracle_sql() -> dict[str, str]:
                         6) >= 0.4""",
 
         "embedding_lsh_near_dups": _lsh_near_dups_sql(),
+        # directed banded candidates, dup exclusion, per-anchor top-k
+        "embedding_hard_negatives": _hard_negatives_sql(),
 
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
 

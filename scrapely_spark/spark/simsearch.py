@@ -273,6 +273,69 @@ def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
             .where(F.col("cosine") >= threshold))
 
 
+def hard_negatives(embeddings: DataFrame, k: int = 3,
+                   dup_threshold: float = 0.98,
+                   n_planes: int = 16, band_size: int = 4,
+                   planes: list | None = None,
+                   max_bucket: int = MAX_BUCKET,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive (CLIP-style) training:
+    for every anchor embedding, the ``k`` most-similar OTHER items
+    that are NOT near-duplicates (``cosine < dup_threshold`` — a
+    near-dup is a false negative that would push apart two views of
+    the same content).
+
+    Same signed-random-projection bucketing as
+    :func:`hyperplane_near_dups` — hard negatives are by definition
+    high-similarity items, exactly what LSH buckets collide — but the
+    pair set is DIRECTED (each anchor ranks its own candidates) and
+    the verdict is a per-anchor top-k window over (cosine desc,
+    neg_id asc) instead of a global threshold.
+
+    Scale shape: candidates exist only inside capped buckets (the
+    all-pairs matrix never materializes); the window partitions by
+    anchor over a candidate list bounded by bands × max_bucket; output
+    is O(anchors · k).  Anchors whose buckets hold no non-dup
+    neighbor emit nothing — at training time they fall back to
+    in-batch negatives.  Deterministic planes (fixed seed) keep the
+    whole lineage SQL-replayable.
+    """
+    if planes is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = hyperplanes(dim, n_planes)
+    keys = _band_keys(vec_col, planes, band_size)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band_id"), kk.alias("band_key"))
+        for i, kk in enumerate(keys)])
+    banded = (embeddings.select(
+        "vec_id", v.alias("v"),
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                           lambda acc, x: acc + x)).alias("norm"),
+        F.explode(band_arr).alias("b"))
+        .select("vec_id", "v", "norm", "b.band_id", "b.band_key"))
+    wb = Window.partitionBy("band_id", "band_key")
+    banded = (banded.withColumn("_bn", F.count("*").over(wb))
+              .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = (a.join(b, ["band_id", "band_key"])
+            .where(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("anchor_id"),
+                    F.col("b.vec_id").alias("neg_id"),
+                    F.round(dot / (F.col("a.norm") * F.col("b.norm")),
+                            6).alias("cosine"))
+            .distinct()
+            .where(F.col("cosine") < dup_threshold))
+    wr = (Window.partitionBy("anchor_id")
+          .orderBy(F.col("cosine").desc(), F.col("neg_id").asc()))
+    return (cand.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k))
+
+
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
              vec_col: str = "embedding", max_queries: int = 4096) -> DataFrame:
     """KNN *join*: cosine top-k corpus neighbors for EVERY query row.

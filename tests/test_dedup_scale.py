@@ -630,3 +630,65 @@ def test_minhash_delta_reingestion_no_self_pairs(spark):
         dedup.minhash_bands(every.where("doc_id = 0")),  # 0 re-ingested
         max_bucket=10_000).collect()
     assert [(r.doc_a, r.doc_b, r.vs_index) for r in got2] == [(0, 2, False)]
+
+
+def test_hard_negatives_matches_numpy_twin(spark):
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((30, 16))
+    dups = base[:8] + 0.01 * rng.standard_normal((8, 16))  # near-dups
+    vecs = np.vstack([base, dups])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = simsearch.hyperplanes(16, 16)
+    K, DUP = 3, 0.98
+    got = {}
+    for r in simsearch.hard_negatives(df, k=K, dup_threshold=DUP,
+                                      planes=planes).collect():
+        got.setdefault(r.anchor_id, []).append(
+            (r.rank, r.neg_id, r.cosine))
+
+    v = vecs.astype(np.float32).astype(np.float64)
+    p = np.array(planes)
+    bits = (v @ p.T >= 0).astype(int)
+    keys = ["".join(map(str, row)) for row in bits]
+    norms = np.sqrt((v * v).sum(axis=1))
+    n = len(v)
+    expected = {}
+    for a in range(n):
+        cands = []
+        for b in range(n):
+            if a == b:
+                continue
+            share = any(keys[a][4 * j:4 * j + 4] == keys[b][4 * j:4 * j + 4]
+                        for j in range(4))
+            if not share:
+                continue
+            cos = round(float(v[a] @ v[b] / (norms[a] * norms[b])), 6)
+            if cos < DUP:
+                cands.append((-cos, b))
+        cands.sort()
+        if cands:
+            expected[a] = [(i + 1, b, -negcos)
+                           for i, (negcos, b) in enumerate(cands[:K])]
+    assert set(got) == set(expected) and expected
+    for a in expected:
+        assert sorted(got[a]) == [(r, b, round(c, 6))
+                                  for r, b, c in expected[a]], a
+    # near-dups excluded: a planted dup pair must never be a negative
+    for a, negs in got.items():
+        for _, b, c in negs:
+            assert c < DUP
+
+
+def test_hard_negatives_k_and_direction(spark):
+    # directed: anchor 0 gets negatives even when its id is smallest;
+    # k caps the list per anchor
+    rows = [(i, [1.0, float(i) * 0.01]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = simsearch.hyperplanes(2, 8)
+    out = simsearch.hard_negatives(df, k=2, dup_threshold=1.1,
+                                   planes=planes)
+    counts = {r[0]: r[1] for r in
+              out.groupBy("anchor_id").count().collect()}
+    assert counts and all(c <= 2 for c in counts.values())
+    assert 0 in counts  # smallest id still anchors
