@@ -1046,6 +1046,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("node",
                           F.round("rank", 6).alias("pagerank"))
 
+    def q_crawl_tiers(spark, sf):
+        from scrapely_spark.frontier import politeness
+        # tiered crawl scheduling (politeness.crawl_tiers): composite
+        # host score = PageRank authority (same 5-iteration run as
+        # graph_pagerank) × mean document length on the host; ntile
+        # into 4 tiers with geometric budget shares.  Host spaces
+        # intersect on h0..h96 ∩ h-of-docs; inner join keeps hosts
+        # with both signals
+        from scrapely_spark.spark import graph
+        edges = _t(spark, sf, "orders").selectExpr(
+            "'h' || CAST(o_orderkey % 89 AS STRING) AS src",
+            "'h' || CAST(o_custkey % 97 AS STRING) AS dst")
+        pr = (graph.pagerank(edges, iterations=5, damping=0.85)
+              .select(F.col("node").alias("host"),
+                      F.round("rank", 6).alias("authority")))
+        qual = (_t(spark, sf, "documents")
+                .groupBy(F.concat(F.lit("h"),
+                                  (F.col("doc_id") % 97).cast("string"))
+                         .alias("host"))
+                .agg((F.sum(F.length("text")).cast("double")
+                      / F.count("*").cast("double")).alias("avg_len")))
+        scored = (pr.join(qual, "host")
+                  .withColumn("score",
+                              F.round(F.col("authority")
+                                      * F.col("avg_len"), 6)))
+        return politeness.crawl_tiers(scored, n_tiers=4)
+
     def q_mirror_hosts(spark, sf):
         # mirror detection (graph.mirror_hosts): hosts hN carry the
         # docs with doc_id % 120 == N; mirrors mN re-serve the first
@@ -1486,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_robots_pipeline": q_robots_pipeline,
         "url_dust_rules": q_dust_rules,
         "embedding_hard_negatives": q_hard_negatives,
+        "url_crawl_tiers": q_crawl_tiers,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -4446,6 +4474,30 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
               PARTITION BY lang ORDER BY arrival, doc_id) <= 100""",
 
         "graph_pagerank": _pagerank_sql(),
+        # tier assignment: the full pagerank CTE chain re-run as a
+        # subquery, host quality re-aggregated, ntile over the same
+        # (score desc, host) total order, geometric shares
+        "url_crawl_tiers": """
+            WITH pr AS (SELECT * FROM (%s) t),
+            qual AS (
+              SELECT 'h' || CAST(doc_id %% 97 AS VARCHAR) AS host,
+                     CAST(SUM(len(text)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avg_len
+              FROM documents GROUP BY 1),
+            scored AS (
+              SELECT p.node AS host, p.pagerank AS authority,
+                     q.avg_len,
+                     round(p.pagerank * q.avg_len, 6) AS score
+              FROM pr p JOIN qual q ON q.host = p.node),
+            tiered AS (
+              SELECT *, ntile(4) OVER (ORDER BY score DESC, host ASC)
+                     AS tier
+              FROM scored)
+            SELECT host, authority, avg_len, score,
+                   CAST(tier AS INT) AS tier,
+                   power(2.0, CAST(4 - tier AS DOUBLE)) / 15.0
+                     AS tier_share
+            FROM tiered""" % _pagerank_sql(),
 
         # doc-side keywords (search.tfidf_keywords): df derived from
         # the deduplicated (doc, term) counts, idf = ln(N/df),

@@ -288,3 +288,34 @@ def crawl_budget_allocation(hosts: DataFrame, budget_fetches: int,
         F.col("_d").alias("demand"),
         F.col("_w").alias("weight_micro"),
         F.round(alloc, 6).alias("alloc_fetches"))
+
+
+def crawl_tiers(hosts: DataFrame, n_tiers: int = 4,
+                score_col: str = "score",
+                host_col: str = "host") -> DataFrame:
+    """Tiered crawl scheduling: rank hosts by a composite score and
+    split them into ``n_tiers`` crawl tiers with geometric budget
+    shares — tier 1 (the head: high-authority, high-quality hosts)
+    gets half the fetch budget, tier 2 a quarter, and so on
+    (share(t) = 2^(n−t) / (2^n − 1), an exact double for small n).
+
+    The caller supplies the composite ``score`` (e.g. PageRank
+    authority × mean document quality — see the ``url_crawl_tiers``
+    driver row); this function owns only the deterministic ranking:
+    ``ntile(n_tiers)`` over the total order (score desc, host asc) —
+    ties broken by host so the assignment is engine-portable.
+
+    Scale note: the ntile window is a single global sort — correct
+    here because the input is HOST-level (bounded ~10^7 rows, a few
+    hundred MB), never URL-level; feeding URLs through this would be
+    the wrong plan.  Per-URL budgeting stays in
+    :func:`crawl_budget_allocation` / :func:`select_fetch_batch`.
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(host_col).asc())
+    denom = float(2 ** n_tiers - 1)
+    return (hosts
+            .withColumn("tier", F.ntile(n_tiers).over(w))
+            .withColumn("tier_share",
+                        F.pow(F.lit(2.0),
+                              (F.lit(n_tiers) - F.col("tier"))
+                              .cast("double")) / F.lit(denom)))

@@ -1012,3 +1012,26 @@ def test_dust_param_rules_mixed_and_repeated(spark):
     # b has one dirty witness group (the /q pair) and one clean
     # non-witness (/p group has b=7 twice -> 1 distinct value)
     assert b.n_witness == 1 and b.n_clean == 0 and not b.irrelevant
+
+
+# ------------------------------------------------------- crawl_tiers
+
+def test_crawl_tiers_assignment_and_shares(spark):
+    from scrapely_spark.frontier.politeness import crawl_tiers
+    rows = [("h%d" % i, float(100 - i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "host string, score double")
+    got = {r.host: (r.tier, r.tier_share)
+           for r in crawl_tiers(df, n_tiers=4).collect()}
+    # 8 hosts into 4 tiers of 2, in score order
+    assert got["h0"][0] == 1 and got["h1"][0] == 1
+    assert got["h6"][0] == 4 and got["h7"][0] == 4
+    # geometric shares: 8/15, 4/15, 2/15, 1/15
+    assert abs(got["h0"][1] - 8 / 15) < 1e-12
+    assert abs(got["h7"][1] - 1 / 15) < 1e-12
+    shares = {t: s for t, s in got.values()}
+    assert abs(sum(shares.values()) - 1.0) < 1e-12
+    # tie on score -> host ascending breaks it deterministically
+    tied = spark.createDataFrame([("b", 1.0), ("a", 1.0)],
+                                 "host string, score double")
+    t = {r.host: r.tier for r in crawl_tiers(tied, n_tiers=2).collect()}
+    assert t == {"a": 1, "b": 2}
