@@ -498,6 +498,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("id_a").alias("doc_a"),
                           F.col("id_b").alias("doc_b"), "hamming")
 
+    def q_phash_recall(spark, sf):
+        # the image twin of the ann_recall_* harness: pigeonhole
+        # banding (4 chunks) GUARANTEES recall 1.0 at hamming ≤ 3 —
+        # this row proves the guarantee on data instead of asserting
+        # it in prose.  Brute side is a bounded eval subset (ids with
+        # doc_id % 10 < 2, keeping the planted hamming-1 twins), the
+        # documented shape for ground-truth eval at any scale
+        from scrapely_spark.spark import multimodal
+        imgs = _synth_images(spark, sf).where(F.col("image_id") % 10 < 2)
+        banded = (multimodal.phash_near_dups(imgs, max_hamming=3)
+                  .select("id_a", "id_b").withColumn("_f", F.lit(1)))
+        a, b = imgs.alias("a"), imgs.alias("b")
+        ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+        brute = (a.join(b, F.col("a.image_id") < F.col("b.image_id"))
+                 .where(ham <= 3)
+                 .select(F.col("a.image_id").alias("id_a"),
+                         F.col("b.image_id").alias("id_b")))
+        return (brute.join(banded, ["id_a", "id_b"], "left")
+                .agg(F.count("*").alias("n_true"),
+                     F.sum(F.coalesce(F.col("_f"), F.lit(0)))
+                     .cast("long").alias("n_found"))
+                .select("n_true", "n_found",
+                        F.round(F.col("n_found").cast("double")
+                                / F.col("n_true").cast("double"), 6)
+                        .alias("recall")))
+
     def q_image_clusters(spark, sf):
         # the image-dedup endgame: connected components over the
         # verified phash near-dup pairs → canonical image per cluster.
@@ -1514,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dust_rules": q_dust_rules,
         "embedding_hard_negatives": q_hard_negatives,
         "url_crawl_tiers": q_crawl_tiers,
+        "image_phash_recall": q_phash_recall,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -3573,6 +3600,45 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # mirror of multimodal.phash_near_dups: same closed-form phash,
         # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
         # match Spark's bitwise ops on non-negative BIGINT)
+        # recall harness: banding + exact brute force on the same
+        # bounded subset; the guarantee (recall = 1.0 at hamming ≤
+        # n_chunks − 1) is measured, not asserted
+        "image_phash_recall": """
+            WITH ph AS (
+              SELECT doc_id AS image_id,
+                     xor(xor(xor(xor(b << 49, b << 33), b << 17), b),
+                         CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 0 END)
+                       AS phash
+              FROM (SELECT doc_id,
+                           CAST((doc_id - doc_id % 2) / 2 AS BIGINT)
+                             % 509 AS b
+                    FROM documents WHERE doc_id % 10 < 2)),
+            bands AS (
+              SELECT image_id, phash, chunk_idx,
+                     (phash >> (16 * chunk_idx)) & 65535 AS chunk_val
+              FROM ph, (VALUES (0), (1), (2), (3)) AS c(chunk_idx)
+              QUALIFY count(*) OVER (PARTITION BY chunk_idx,
+                       (phash >> (16 * chunk_idx)) & 65535) <= 4096),
+            banded AS (
+              SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+              FROM bands a
+              JOIN bands b ON a.chunk_idx = b.chunk_idx
+                          AND a.chunk_val = b.chunk_val
+                          AND a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+            brute AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM ph a JOIN ph b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+            SELECT CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(SUM(CASE WHEN f.id_a IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+                   round(CAST(SUM(CASE WHEN f.id_a IS NOT NULL
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS recall
+            FROM brute t
+            LEFT JOIN banded f
+              ON f.id_a = t.id_a AND f.id_b = t.id_b""",
         "image_phash_near_dups": "WITH " + _PHASH_CTES + """
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(pa, pb)) AS INT) AS hamming

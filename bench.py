@@ -107,6 +107,7 @@ HEADLINE = [
     "url_dust_rules",
     "embedding_hard_negatives",
     "url_crawl_tiers",
+    "image_phash_recall",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",
