@@ -1099,6 +1099,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       * F.col("avg_len"), 6)))
         return politeness.crawl_tiers(scored, n_tiers=4)
 
+    def q_snapshot_churn(spark, sf):
+        # snapshot churn (politeness.snapshot_diff) aggregated to
+        # per-host rates: old round = all docs; new round drops ids
+        # % 10 == 0 (removed), rewrites text for ids % 7 == 0
+        # (changed), and adds a +1M id echo for ids % 13 == 0
+        from scrapely_spark.frontier import politeness
+        d = _t(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        url = F.concat(F.lit("http://"), host, F.lit("/u"),
+                       F.col("doc_id").cast("string"))
+        old = d.select(url.alias("url"), host.alias("host"),
+                       F.md5("text").alias("content_hash"))
+        survivors = d.where(F.col("doc_id") % 10 != 0)
+        new = survivors.select(
+            url.alias("url"), host.alias("host"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.md5(F.concat(F.lit("v2:"), F.col("text"))))
+            .otherwise(F.md5("text")).alias("content_hash"))
+        added = (d.where(F.col("doc_id") % 13 == 0)
+                 .select(F.concat(F.lit("http://"), host, F.lit("/u"),
+                                  (F.col("doc_id") + 1000000)
+                                  .cast("string")).alias("url"),
+                         host.alias("host"),
+                         F.md5(F.concat(F.lit("new:"), F.col("text")))
+                         .alias("content_hash")))
+        diff = politeness.snapshot_diff(old, new.unionByName(added))
+        return (diff.groupBy("host")
+                .agg(F.count("*").alias("n_urls"),
+                     F.sum((F.col("status") == "changed").cast("long"))
+                     .alias("n_changed"),
+                     F.sum((F.col("status") == "added").cast("long"))
+                     .alias("n_added"),
+                     F.sum((F.col("status") == "removed").cast("long"))
+                     .alias("n_removed"))
+                .withColumn("churn_ratio",
+                            F.round((F.col("n_changed")
+                                     + F.col("n_added")
+                                     + F.col("n_removed"))
+                                    .cast("double")
+                                    / F.col("n_urls").cast("double"),
+                                    6)))
+
     def q_mirror_hosts(spark, sf):
         # mirror detection (graph.mirror_hosts): hosts hN carry the
         # docs with doc_id % 120 == N; mirrors mN re-serve the first
@@ -1541,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hard_negatives": q_hard_negatives,
         "url_crawl_tiers": q_crawl_tiers,
         "image_phash_recall": q_phash_recall,
+        "url_snapshot_churn": q_snapshot_churn,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -3600,6 +3643,46 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # mirror of multimodal.phash_near_dups: same closed-form phash,
         # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
         # match Spark's bitwise ops on non-negative BIGINT)
+        # churn: full-outer join replay with identical status CASE,
+        # aggregated to per-host rates
+        "url_snapshot_churn": """
+            WITH d AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                     'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '/u' || CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM documents),
+            old AS (SELECT url, host, md5(text) AS h FROM d),
+            new AS (
+              SELECT url, host,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN md5('v2:' || text)
+                          ELSE md5(text) END AS h
+              FROM d WHERE doc_id % 10 != 0
+              UNION ALL
+              SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '/u' || CAST(doc_id + 1000000 AS VARCHAR),
+                     host, md5('new:' || text)
+              FROM d WHERE doc_id % 13 = 0),
+            diff AS (
+              SELECT COALESCE(n.host, o.host) AS host,
+                     CASE WHEN o.h IS NULL THEN 'added'
+                          WHEN n.h IS NULL THEN 'removed'
+                          WHEN o.h = n.h THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM old o FULL OUTER JOIN new n ON n.url = o.url)
+            SELECT host, COUNT(*) AS n_urls,
+                   SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                     AS n_changed,
+                   SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                     AS n_added,
+                   SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                     AS n_removed,
+                   round(CAST(SUM(CASE WHEN status != 'unchanged'
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS churn_ratio
+            FROM diff GROUP BY host""",
         # recall harness: banding + exact brute force on the same
         # bounded subset; the guarantee (recall = 1.0 at hamming ≤
         # n_chunks − 1) is measured, not asserted

@@ -108,6 +108,7 @@ HEADLINE = [
     "embedding_hard_negatives",
     "url_crawl_tiers",
     "image_phash_recall",
+    "url_snapshot_churn",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -319,3 +319,35 @@ def crawl_tiers(hosts: DataFrame, n_tiers: int = 4,
                         F.pow(F.lit(2.0),
                               (F.lit(n_tiers) - F.col("tier"))
                               .cast("double")) / F.lit(denom)))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  url_col: str = "url", hash_col: str = "content_hash",
+                  host_col: str = "host") -> DataFrame:
+    """Classify per-URL churn between two crawl snapshots: ``added``
+    (new round only), ``removed`` (old only), ``changed`` (both, hash
+    differs), ``unchanged``.  The churn feed for
+    :func:`recrawl_schedule` and for host-level freshness analytics
+    (a host whose content churns every round wants a faster recrawl
+    tier; one that never changes wants the slow tier).
+
+    One full-outer sort-merge join on the URL key is the whole plan —
+    and when both snapshots come from the crawl's bucketed replay
+    store (CLUSTERED BY url) it is exchange-free on both sides.
+    Output carries (url, host, status); rates are one grouped count
+    away and stay bounded by hosts.
+    """
+    o = old.select(F.col(url_col).alias("url"),
+                   F.col(host_col).alias("_host_o"),
+                   F.col(hash_col).alias("_old"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.col(host_col).alias("_host_n"),
+                   F.col(hash_col).alias("_new"))
+    status = (F.when(F.col("_old").isNull(), F.lit("added"))
+              .when(F.col("_new").isNull(), F.lit("removed"))
+              .when(F.col("_old") == F.col("_new"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (o.join(n, "url", "full_outer")
+            .select("url",
+                    F.coalesce("_host_n", "_host_o").alias("host"),
+                    status.alias("status")))

@@ -1035,3 +1035,21 @@ def test_crawl_tiers_assignment_and_shares(spark):
                                  "host string, score double")
     t = {r.host: r.tier for r in crawl_tiers(tied, n_tiers=2).collect()}
     assert t == {"a": 1, "b": 2}
+
+
+# ----------------------------------------------------- snapshot_diff
+
+def test_snapshot_diff_statuses(spark):
+    from scrapely_spark.frontier.politeness import snapshot_diff
+    old = spark.createDataFrame(
+        [("u1", "h", "a"), ("u2", "h", "b"), ("u3", "h", "c")],
+        "url string, host string, content_hash string")
+    new = spark.createDataFrame(
+        [("u1", "h", "a"), ("u2", "h", "B2"), ("u4", "h", "d")],
+        "url string, host string, content_hash string")
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "removed", "u4": "added"}
+    # host survives on both exclusive sides
+    hosts = {r.url: r.host for r in snapshot_diff(old, new).collect()}
+    assert hosts["u3"] == "h" and hosts["u4"] == "h"
