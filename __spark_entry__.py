@@ -1099,6 +1099,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       * F.col("avg_len"), 6)))
         return politeness.crawl_tiers(scored, n_tiers=4)
 
+    def q_warc_records(spark, sf):
+        # WARC source roundtrip (warc.parse_warc_segments): segments
+        # rendered JVM-side (10 records each, ordered by doc_id),
+        # parsed back through the real length-driven Arrow kernel.
+        # The oracle states the roundtrip IDENTITY — records in ==
+        # records out — which only holds if the parser consumes
+        # exactly Content-Length characters per record
+        from scrapely_spark.spark import warc
+        d = _t(spark, sf, "documents")
+        seg = (F.col("doc_id") - F.col("doc_id") % 10) / 10
+        uri = F.concat(F.lit("http://h"),
+                       (F.col("doc_id") % 20).cast("string"),
+                       F.lit("/u"), F.col("doc_id").cast("string"))
+        rendered = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+                  "WARC-Target-URI: "), uri,
+            F.lit("\r\nContent-Length: "),
+            F.length("text").cast("string"),
+            F.lit("\r\n\r\n"), F.col("text"), F.lit("\r\n\r\n"))
+        segments = (d.select(seg.cast("long").alias("sid"),
+                             F.struct(F.col("doc_id").alias("k"),
+                                      rendered.alias("r")).alias("s"))
+                    .groupBy("sid")
+                    .agg(F.array_join(
+                        F.transform(F.array_sort(F.collect_list("s")),
+                                    lambda x: x.getField("r")), "")
+                        .alias("segment"))
+                    .select(F.concat(F.lit("seg"),
+                                     F.col("sid").cast("string"))
+                            .alias("segment_id"), "segment"))
+        return warc.parse_warc_segments(segments)
+
     def q_snapshot_churn(spark, sf):
         # snapshot churn (politeness.snapshot_diff) aggregated to
         # per-host rates: old round = all docs; new round drops ids
@@ -1584,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_crawl_tiers": q_crawl_tiers,
         "image_phash_recall": q_phash_recall,
         "url_snapshot_churn": q_snapshot_churn,
+        "warc_record_roundtrip": q_warc_records,
         "cuckoo_seen_gate": cuckoo_seen_gate,
         "ann_recall_sq8": q_ann_recall_sq8,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -3643,6 +3676,23 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # mirror of multimodal.phash_near_dups: same closed-form phash,
         # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
         # match Spark's bitwise ops on non-negative BIGINT)
+        # WARC roundtrip identity: the oracle derives the record rows
+        # straight from documents — equality holds only if the Spark
+        # side's render→parse through the length-driven kernel is
+        # lossless record-for-record
+        "warc_record_roundtrip": """
+            SELECT 'seg' || CAST((doc_id - doc_id % 10) // 10
+                                 AS VARCHAR) AS segment_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY (doc_id - doc_id % 10) // 10
+                       ORDER BY doc_id) - 1 AS INT) AS record_idx,
+                   'response' AS warc_type,
+                   'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                     || '/u' || CAST(doc_id AS VARCHAR) AS target_uri,
+                   CAST(len(text) AS INT) AS content_length,
+                   text AS payload,
+                   FALSE AS truncated
+            FROM documents""",
         # churn: full-outer join replay with identical status CASE,
         # aggregated to per-host rates
         "url_snapshot_churn": """

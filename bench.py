@@ -109,6 +109,7 @@ HEADLINE = [
     "url_crawl_tiers",
     "image_phash_recall",
     "url_snapshot_churn",
+    "warc_record_roundtrip",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -1,0 +1,65 @@
+"""WARC-style record parsing — length-driven correctness."""
+import pytest
+
+from scrapely_spark.spark.warc import (build_warc_segment,
+                                       parse_warc_segment,
+                                       parse_warc_segments)
+
+
+def test_parse_roundtrip_with_hostile_payloads():
+    recs = [
+        ("response", "http://a/1", "hello world"),
+        # payload CONTAINS a fake record header — a delimiter-split
+        # parser would shear here; the length-driven one must not
+        ("response", "http://a/2",
+         "WARC/1.0\r\nWARC-Type: fake\r\n\r\ngotcha"),
+        ("request", "http://a/3", ""),
+        ("response", "http://a/4", "x" * 1000),
+    ]
+    seg = build_warc_segment(recs)
+    got = parse_warc_segment(seg)
+    assert len(got) == 4
+    for i, (t, u, p) in enumerate(recs):
+        idx, typ, uri, length, payload, trunc = got[i]
+        assert (idx, typ, uri, length, payload, trunc) == \
+            (i, t, u, len(p), p, False)
+
+
+def test_parse_truncation_and_garbage():
+    seg = build_warc_segment([("response", "http://a/1", "abcdef")])
+    # cut inside the payload
+    cut = seg[:seg.index("abcdef") + 3]
+    got = parse_warc_segment(cut)
+    assert len(got) == 1
+    assert got[0][4] == "abc" and got[0][5] is True
+    # missing content-length header
+    bad = "WARC/1.0\r\nWARC-Type: response\r\n\r\nrest"
+    got = parse_warc_segment(bad)
+    assert got[0][5] is True and got[0][3] is None
+    # leading garbage before the first magic is skipped
+    got = parse_warc_segment("garbage" + seg)
+    assert len(got) == 1 and got[0][5] is False
+    assert parse_warc_segment("") == []
+    assert parse_warc_segment(None) == []
+
+
+def test_parse_warc_segments_spark(spark):
+    segs = []
+    for s in range(6):
+        recs = [("response", "http://h%d/u%d" % (s, i),
+                 ("payload %d:%d " % (s, i)) * (i + 1))
+                for i in range(s + 1)]
+        segs.append(("seg%d" % s, build_warc_segment(recs)))
+    df = spark.createDataFrame(segs, "segment_id string, segment string")
+    out = parse_warc_segments(df).collect()
+    assert len(out) == sum(s + 1 for s in range(6))
+    by_seg = {}
+    for r in out:
+        by_seg.setdefault(r.segment_id, []).append(r)
+    for sid, body in segs:
+        want = parse_warc_segment(body)
+        got = sorted(by_seg[sid], key=lambda r: r.record_idx)
+        assert [(r.record_idx, r.warc_type, r.target_uri,
+                 r.content_length, r.payload, r.truncated)
+                for r in got] == want
+        assert all(not r.truncated for r in got)
