@@ -1333,21 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from scrapely_spark.frontier import robots
         d = _t(spark, sf, "documents")
         host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
-        nl = "\n"
-        even_body = nl.join([
-            "# synthetic robots", "User-agent: scrapelybot",
-            "Disallow: /private/*   # keep out",
-            "Allow: /private/pub*", "", "User-agent: *",
-            "Disallow: /*.pdf$"])
-        odd_body = nl.join([
-            "User-agent: *", "Disallow: /cal*",
-            "Allow: /cal/ok*", "Disallow:"])
         hosts = d.select(host.alias("host")).distinct()
-        bodies = hosts.select(
-            "host",
-            F.when(F.substring("host", 2, 10).cast("long") % 2 == 0,
-                   F.lit(even_body)).otherwise(F.lit(odd_body))
-            .alias("body"))
+        bodies = hosts.select("host", _robots_body_expr().alias("body"))
         rules = robots.wildcard_rules_df(bodies, "scrapelybot")
         # 5 branches, coprime with host parity (doc_id %% 2), so every
         # branch lands on BOTH body variants — the allow carve-outs and
@@ -1366,6 +1353,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.concat(F.lit("http://"), host, path)
                         .alias("url"))
         return robots.rfc9309_gate(urls, rules)
+
+    def q_crawl_delays(spark, sf):
+        # crawl-delay extraction (robots.crawl_delay_df) from the SAME
+        # bodies as url_robots_pipeline: even hosts resolve the exact
+        # group's 2.5 (never the * group's 9), h%4==3 hosts fall back
+        # to the 1.0 default on the non-numeric value, other odd hosts
+        # carry 0.<h%7>
+        from scrapely_spark.frontier import robots
+        d = _t(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+        hosts = d.select(host.alias("host")).distinct()
+        bodies = hosts.select("host", _robots_body_expr().alias("body"))
+        return robots.crawl_delay_df(bodies, "scrapelybot")
 
     def q_dust_rules(spark, sf):
         # DUST mining (canonical.dust_param_rules): per-host URLs with
@@ -1612,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_rfc9309_gate": q_rfc9309_gate,
         "url_robots_pipeline": q_robots_pipeline,
         "url_dust_rules": q_dust_rules,
+        "url_crawl_delays": q_crawl_delays,
         "embedding_hard_negatives": q_hard_negatives,
         "url_crawl_tiers": q_crawl_tiers,
         "image_phash_recall": q_phash_recall,
@@ -2225,6 +2226,111 @@ LIMIT {k}""".format(sample=_PQ_SAMPLE, k=k,
                    contribs="\n  UNION ALL\n  ".join(contribs))
 
 
+def _robots_body_expr():
+    """Spark twin of _ROBOTS_BODIES_SQL — the ONE robots body synth
+    shared by url_robots_pipeline and url_crawl_delays (even hosts:
+    exact scrapelybot group with Crawl-delay 2.5 + a * group with
+    delay 9; odd hosts: * group only, delay '0.<h%7>' or the
+    non-numeric 'fast' on h%4==3)."""
+    h = F.substring("host", 2, 10).cast("long")
+    nl = "\n"
+    even_body = F.lit(nl.join([
+        "# synthetic robots", "User-agent: scrapelybot",
+        "Crawl-delay: 2.5",
+        "Disallow: /private/*   # keep out",
+        "Allow: /private/pub*", "", "User-agent: *",
+        "Crawl-delay: 9", "Disallow: /*.pdf$"]))
+    delay_line = F.when(h % 4 == 3, F.lit("Crawl-delay: fast")) \
+        .otherwise(F.concat(F.lit("Crawl-delay: 0."),
+                            (h % 7).cast("string")))
+    odd_body = F.concat(
+        F.lit("User-agent: *" + nl), delay_line,
+        F.lit(nl + "Disallow: /cal*" + nl + "Allow: /cal/ok*"
+              + nl + "Disallow:"))
+    return F.when(h % 2 == 0, even_body).otherwise(odd_body)
+
+
+_ROBOTS_BODIES_SQL = """
+              SELECT host,
+                     CASE WHEN CAST(substr(host, 2) AS BIGINT) % 2 = 0
+                       THEN '# synthetic robots' || chr(10)
+                         || 'User-agent: scrapelybot' || chr(10)
+                         || 'Crawl-delay: 2.5' || chr(10)
+                         || 'Disallow: /private/*   # keep out' || chr(10)
+                         || 'Allow: /private/pub*' || chr(10)
+                         || '' || chr(10)
+                         || 'User-agent: *' || chr(10)
+                         || 'Crawl-delay: 9' || chr(10)
+                         || 'Disallow: /*.pdf$'
+                       ELSE 'User-agent: *' || chr(10)
+                         || CASE WHEN CAST(substr(host, 2) AS BIGINT)
+                                      % 4 = 3
+                            THEN 'Crawl-delay: fast' || chr(10)
+                            ELSE 'Crawl-delay: 0.'
+                                 || CAST(CAST(substr(host, 2) AS BIGINT)
+                                         % 7 AS VARCHAR) || chr(10)
+                            END
+                         || 'Disallow: /cal*' || chr(10)
+                         || 'Allow: /cal/ok*' || chr(10)
+                         || 'Disallow:'
+                     END AS body
+              FROM hosts"""
+
+
+def _robots_group_ctes(agent: str) -> str:
+    """Shared SQL CTE block replaying robots._robots_chosen_group: a
+    ``bodies(host, body)`` CTE must already be in scope; appends the
+    line parse, lag-window group boundaries and the first-exact-else-
+    first-star chosen group (CTEs ``grp`` and ``chosen`` for callers).
+    """
+    return """
+            split AS (
+              SELECT host, string_split(body, chr(10)) AS ls
+              FROM bodies),
+            lines0 AS (
+              SELECT host, unnest(generate_series(1, len(ls))) AS pos,
+                     unnest(ls) AS raw
+              FROM split),
+            kv AS (
+              SELECT host, pos,
+                     lower(trim(split_part(line, ':', 1))) AS key,
+                     trim(substr(line, strpos(line, ':') + 1)) AS val
+              FROM (SELECT host, pos,
+                           trim(regexp_replace(raw, '#.*', '')) AS line
+                    FROM lines0)
+              WHERE contains(line, ':')),
+            kept AS (
+              SELECT *, key = 'user-agent' AS is_ua FROM kv
+              WHERE key IN ('user-agent', 'allow', 'disallow',
+                            'crawl-delay')),
+            lagged AS (
+              SELECT *,
+                     CASE WHEN is_ua AND COALESCE(
+                            NOT lag(is_ua) OVER
+                              (PARTITION BY host ORDER BY pos), TRUE)
+                          THEN 1 ELSE 0 END AS starts
+              FROM kept),
+            grp AS (
+              SELECT *,
+                     SUM(starts) OVER
+                       (PARTITION BY host ORDER BY pos) AS g
+              FROM lagged),
+            flags AS (
+              SELECT host, g,
+                     MAX(CASE WHEN is_ua AND lower(val) = '%s'
+                              THEN 1 ELSE 0 END) AS ex,
+                     MAX(CASE WHEN is_ua AND val = '*'
+                              THEN 1 ELSE 0 END) AS st
+              FROM grp WHERE g > 0 GROUP BY host, g),
+            chosen AS (
+              SELECT * FROM (
+                SELECT host,
+                       COALESCE(MIN(CASE WHEN ex = 1 THEN g END),
+                                MIN(CASE WHEN st = 1 THEN g END)) AS g
+                FROM flags GROUP BY host)
+              WHERE g IS NOT NULL)""" % agent
+
+
 def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
     """Power iteration unrolled as SQL CTEs — an independent evaluation
     of the same recurrence graph.pagerank runs distributed (same edge
@@ -2775,71 +2881,14 @@ def oracle_sql() -> dict[str, str]:
         # boundaries, first-exact-else-first-star group selection) and
         # then replays the wildcard gate — the whole Spark lineage
         # raw text → rules → verdict is inside the hash
-        "url_robots_pipeline": r"""
+        "url_robots_pipeline": (
+            """
             WITH hosts AS (
-              SELECT DISTINCT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host
+              SELECT DISTINCT 'h' || CAST(doc_id % 40 AS VARCHAR)
+                     AS host
               FROM documents),
-            bodies AS (
-              SELECT host,
-                     CASE WHEN CAST(substr(host, 2) AS BIGINT) % 2 = 0
-                       THEN '# synthetic robots' || chr(10)
-                         || 'User-agent: scrapelybot' || chr(10)
-                         || 'Disallow: /private/*   # keep out' || chr(10)
-                         || 'Allow: /private/pub*' || chr(10)
-                         || '' || chr(10)
-                         || 'User-agent: *' || chr(10)
-                         || 'Disallow: /*.pdf$'
-                       ELSE 'User-agent: *' || chr(10)
-                         || 'Disallow: /cal*' || chr(10)
-                         || 'Allow: /cal/ok*' || chr(10)
-                         || 'Disallow:'
-                     END AS body
-              FROM hosts),
-            split AS (
-              SELECT host, string_split(body, chr(10)) AS ls
-              FROM bodies),
-            lines0 AS (
-              SELECT host, unnest(generate_series(1, len(ls))) AS pos,
-                     unnest(ls) AS raw
-              FROM split),
-            kv AS (
-              SELECT host, pos,
-                     lower(trim(split_part(line, ':', 1))) AS key,
-                     trim(substr(line, strpos(line, ':') + 1)) AS val
-              FROM (SELECT host, pos,
-                           trim(regexp_replace(raw, '#.*', '')) AS line
-                    FROM lines0)
-              WHERE contains(line, ':')),
-            kept AS (
-              SELECT *, key = 'user-agent' AS is_ua FROM kv
-              WHERE key IN ('user-agent', 'allow', 'disallow',
-                            'crawl-delay')),
-            lagged AS (
-              SELECT *,
-                     CASE WHEN is_ua AND COALESCE(
-                            NOT lag(is_ua) OVER
-                              (PARTITION BY host ORDER BY pos), TRUE)
-                          THEN 1 ELSE 0 END AS starts
-              FROM kept),
-            grp AS (
-              SELECT *,
-                     SUM(starts) OVER
-                       (PARTITION BY host ORDER BY pos) AS g
-              FROM lagged),
-            flags AS (
-              SELECT host, g,
-                     MAX(CASE WHEN is_ua AND lower(val) = 'scrapelybot'
-                              THEN 1 ELSE 0 END) AS ex,
-                     MAX(CASE WHEN is_ua AND val = '*'
-                              THEN 1 ELSE 0 END) AS st
-              FROM grp WHERE g > 0 GROUP BY host, g),
-            chosen AS (
-              SELECT * FROM (
-                SELECT host,
-                       COALESCE(MIN(CASE WHEN ex = 1 THEN g END),
-                                MIN(CASE WHEN st = 1 THEN g END)) AS g
-                FROM flags GROUP BY host)
-              WHERE g IS NOT NULL),
+            bodies AS (""" + _ROBOTS_BODIES_SQL + """),"""
+            + _robots_group_ctes("scrapelybot") + r""",
             rules AS (
               SELECT r.host, r.key AS rule_type, r.val AS pattern
               FROM grp r JOIN chosen c
@@ -2881,7 +2930,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(m._best // 2, CAST(0 AS BIGINT)) AS rule_len,
                    COALESCE(m._best % 2 = 1, TRUE) AS allowed
             FROM urls u
-            LEFT JOIN matched m ON m.host = u.host AND m.path = u.path""",
+            LEFT JOIN matched m
+              ON m.host = u.host AND m.path = u.path"""),
+        # crawl-delay from the SAME bodies and group resolution: first
+        # numeric Crawl-delay line (arg_min on pos) of the chosen
+        # group, default 1.0 otherwise
+        "url_crawl_delays": (
+            """
+            WITH hosts AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 40 AS VARCHAR)
+                     AS host
+              FROM documents),
+            bodies AS (""" + _ROBOTS_BODIES_SQL + """),"""
+            + _robots_group_ctes("scrapelybot") + """,
+            first AS (
+              SELECT r.host,
+                     arg_min(TRY_CAST(r.val AS DOUBLE), r.pos) AS d
+              FROM grp r JOIN chosen c
+                ON c.host = r.host AND c.g = r.g
+              WHERE r.key = 'crawl-delay'
+                AND TRY_CAST(r.val AS DOUBLE) IS NOT NULL
+              GROUP BY r.host)
+            SELECT h.host, COALESCE(f.d, 1.0) AS crawl_delay
+            FROM hosts h LEFT JOIN first f ON f.host = h.host"""),
         # DUST mining: the oracle replays the same list algebra —
         # explode pairs (list-unnest), residual = base?join(filter(
         # pairs, key != exploded key)), two grouped countDistincts

@@ -104,6 +104,7 @@ HEADLINE = [
     "image_corpus_build",
     "url_rfc9309_gate",
     "url_robots_pipeline",
+    "url_crawl_delays",
     "url_dust_rules",
     "embedding_hard_negatives",
     "url_crawl_tiers",

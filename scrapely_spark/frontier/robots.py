@@ -234,6 +234,21 @@ def wildcard_rules_df(bodies: DataFrame, agent: str = "*",
     straight into the gate.  Engine-portable: every step is string
     algebra + lag/sum windows the SQL oracle replays identically.
     """
+    grouped, chosen = _robots_chosen_group(bodies, agent, host_col,
+                                           body_col)
+    return (grouped.join(chosen, ["host", "grp"])
+            .where(~F.col("is_ua")
+                   & F.col("key").isin("allow", "disallow")
+                   & (F.length("val") > 0))
+            .select("host", F.col("key").alias("rule_type"),
+                    F.col("val").alias("pattern")))
+
+
+def _robots_chosen_group(bodies: DataFrame, agent: str,
+                         host_col: str, body_col: str):
+    """Shared group resolution for :func:`wildcard_rules_df` and
+    :func:`crawl_delay_df`: (grouped classified lines, chosen group
+    per host)."""
     from pyspark.sql import Window
 
     lines = (bodies
@@ -275,12 +290,37 @@ def wildcard_rules_df(bodies: DataFrame, agent: str = "*",
               .select("host",
                       F.coalesce("g_ex", "g_st").alias("grp"))
               .where(F.col("grp").isNotNull()))
-    return (grouped.join(chosen, ["host", "grp"])
-            .where(~F.col("is_ua")
-                   & F.col("key").isin("allow", "disallow")
-                   & (F.length("val") > 0))
-            .select("host", F.col("key").alias("rule_type"),
-                    F.col("val").alias("pattern")))
+    return grouped, chosen
+
+
+def crawl_delay_df(bodies: DataFrame, agent: str = "*",
+                   host_col: str = "host", body_col: str = "body",
+                   default: float = DEFAULT_CRAWL_DELAY) -> DataFrame:
+    """Per-host ``Crawl-delay`` from raw robots.txt bodies, resolved
+    with the SAME group selection as :func:`wildcard_rules_df` (first
+    exact agent group, else first ``*`` group) — completing the
+    JVM-side robots pipeline: rules feed :func:`rfc9309_gate`, delays
+    feed the politeness scheduler.
+
+    The chosen group's FIRST ``Crawl-delay`` line wins (line order,
+    like the sequential reference parser); non-numeric values fall
+    back to ``default`` via ``try_cast``.  Emits one row per input
+    host (hosts with no usable directive carry ``default``), so the
+    output joins 1:1 onto the frontier's host table.
+    """
+    grouped, chosen = _robots_chosen_group(bodies, agent, host_col,
+                                           body_col)
+    hosts = bodies.select(F.col(host_col).alias("host")).distinct()
+    first = (grouped.join(chosen, ["host", "grp"])
+             .where((F.col("key") == "crawl-delay")
+                    & F.expr("try_cast(val AS DOUBLE)").isNotNull())
+             .groupBy("host")
+             .agg(F.min_by(F.expr("try_cast(val AS DOUBLE)"),
+                           F.col("pos")).alias("_d")))
+    return (hosts.join(first, "host", "left")
+            .select("host",
+                    F.coalesce("_d", F.lit(float(default)))
+                    .alias("crawl_delay")))
 
 
 def wildcard_rules_py(body: str, agent: str = "*") -> list:

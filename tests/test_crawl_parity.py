@@ -1053,3 +1053,29 @@ def test_snapshot_diff_statuses(spark):
     # host survives on both exclusive sides
     hosts = {r.url: r.host for r in snapshot_diff(old, new).collect()}
     assert hosts["u3"] == "h" and hosts["u4"] == "h"
+
+
+# ---------------------------------------------------- crawl_delay_df
+
+def test_crawl_delay_group_resolution(spark):
+    from scrapely_spark.frontier import robots as rb
+    bodies = spark.createDataFrame([
+        # exact group carries delay 2.5; * group carries 9 — exact wins
+        ("h1", "User-agent: bot\nCrawl-delay: 2.5\nDisallow: /x\n"
+               "User-agent: *\nCrawl-delay: 9\n"),
+        # first crawl-delay line in the group wins
+        ("h2", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7\n"),
+        # non-numeric -> default
+        ("h3", "User-agent: *\nCrawl-delay: fast\n"),
+        # no directive at all -> default
+        ("h4", "User-agent: *\nDisallow: /y\n"),
+        # no group for us -> default
+        ("h5", "User-agent: elsebot\nCrawl-delay: 4\n"),
+    ], "host string, body string")
+    got = {r.host: r.crawl_delay
+           for r in rb.crawl_delay_df(bodies, "bot").collect()}
+    assert got == {"h1": 2.5, "h2": 3.0, "h3": 1.0, "h4": 1.0,
+                   "h5": 1.0}
+    # parse_robots_body agreement on the exact-group case
+    body1 = bodies.collect()[0].body
+    assert rb.parse_robots_body(body1, "bot")["crawl_delay"] == 2.5
