@@ -1600,9 +1600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      n_shards=16, seed=0)
 
     return {
-        # never-driver-checked and recently-changed queries first:
-        # the driver's correctness window covers the head of this
-        # dict, so ordering is freshest-first, long-stable last
+        # ORDER MATTERS: the driver's correctness window checks the FIRST
+        # ~50 rows — never-driver-green queries lead (this round's new
+        # operators and the r3 tail), then the 6 demoted trivial-oracle
+        # rows, then r2-only-green, then long-stable rows.
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -1625,21 +1626,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq": q_ann_recall_pq,
         "text_boilerplate_lines": q_boilerplate_lines,
         "corpus_leakage_free_split": q_leakage_free_split,
-        "dedup_rates_by_source": q_dedup_rates_by_source,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "corpus_bpe_token_counts": q_bpe_token_counts,
-        "corpus_global_shuffle": q_global_shuffle,
         "url_redirect_resolution": q_redirect_resolution,
         "corpus_unimax_allocation": q_unimax_allocation,
         "image_phash_delta_dups": q_phash_delta_dups,
-        "image_caption_spam": q_caption_spam,
         "url_sitemap_drain": q_sitemap_urls,
-        "url_retry_schedule": q_retry_schedule,
         "url_recrawl_schedule": q_recrawl_schedule,
-        "url_robots_sitemaps": q_robots_sitemaps,
         "corpus_dsir_weights": q_dsir_weights,
-        "image_aspect_buckets": q_aspect_buckets,
         "asof_purchase_view": q_asof_purchase_view,
         "knn_join_topk": q_knn_join,
         "ann_sq8_topk": q_ann_sq8,
@@ -1656,18 +1651,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_bm25,
         "search_tfidf_keywords": q_tfidf,
         "corpus_mixing_rates": q_mixing_rates,
+        "llm_corpus_build": q_llm_corpus_build,
+        "embedding_semdedup": q_embedding_semdedup,
+        "corpus_temperature_rates": q_temperature_rates,
+        "url_robots_sitemaps": q_robots_sitemaps,
+        "url_retry_schedule": q_retry_schedule,
+        "corpus_global_shuffle": q_global_shuffle,
+        "image_aspect_buckets": q_aspect_buckets,
+        "dedup_rates_by_source": q_dedup_rates_by_source,
+        "image_caption_spam": q_caption_spam,
         "join_top_nations": q_top_nations,
         "window_top_orders": q_window_orders,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessions,
         "events_session_windows": q_session_windows,
         "events_json_extract": q_events_json,
-        # new this round: the end-to-end corpus-build integration row
-        # and SemDeDup-style semantic dedup
-        "llm_corpus_build": q_llm_corpus_build,
-        "embedding_semdedup": q_embedding_semdedup,
-        "corpus_temperature_rates": q_temperature_rates,
-        # long-stable rows (hash-green in prior rounds)
         "ibl_extract_docs": ibl_extract_docs,
         "set_except_customers": q_set_except,
         "set_intersect_customers": q_set_intersect,
