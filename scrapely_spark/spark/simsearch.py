@@ -308,32 +308,49 @@ def hard_negatives(embeddings: DataFrame, k: int = 3,
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band_id"), kk.alias("band_key"))
         for i, kk in enumerate(keys)])
+    # slim-id banding: unlike the undirected near-dup path, the
+    # directed pair set is 2× the size, so the vectors must NOT ride
+    # the band self-join — dedup (anchor, neg) on bare ids first, then
+    # re-join the normalized vectors by key (the standard re-join
+    # shape; cuts the band shuffle to two longs per row and computes
+    # each surviving pair's dot product exactly once)
     banded = (embeddings.select(
+        "vec_id", F.explode(band_arr).alias("b"))
+        .select("vec_id", "b.band_id", "b.band_key"))
+    wb = Window.partitionBy("band_id", "band_key")
+    # cache: both sides of the self-join would otherwise recompute the
+    # 16 interpreted hyperplane dot products per row (the banding is
+    # the expensive half, the cached table is three slim columns)
+    banded = (banded.withColumn("_bn", F.count("*").over(wb))
+              .where(F.col("_bn") <= max_bucket).drop("_bn").cache())
+    pairs = (banded.alias("a")
+             .join(banded.alias("b"), ["band_id", "band_key"])
+             .where(F.col("a.vec_id") != F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("anchor_id"),
+                     F.col("b.vec_id").alias("neg_id"))
+             .distinct())
+    vecs = embeddings.select(
         "vec_id", v.alias("v"),
         F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
-                           lambda acc, x: acc + x)).alias("norm"),
-        F.explode(band_arr).alias("b"))
-        .select("vec_id", "v", "norm", "b.band_id", "b.band_key"))
-    wb = Window.partitionBy("band_id", "band_key")
-    banded = (banded.withColumn("_bn", F.count("*").over(wb))
-              .where(F.col("_bn") <= max_bucket).drop("_bn"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+                           lambda acc, x: acc + x)).alias("norm"))
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(F.col("va.v"), F.col("vb.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
-    cand = (a.join(b, ["band_id", "band_key"])
-            .where(F.col("a.vec_id") != F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("anchor_id"),
-                    F.col("b.vec_id").alias("neg_id"),
-                    F.round(dot / (F.col("a.norm") * F.col("b.norm")),
+    cand = (pairs
+            .join(vecs.alias("va"),
+                  F.col("anchor_id") == F.col("va.vec_id"))
+            .join(vecs.alias("vb"),
+                  F.col("neg_id") == F.col("vb.vec_id"))
+            .select("anchor_id", "neg_id",
+                    F.round(dot / (F.col("va.norm") * F.col("vb.norm")),
                             6).alias("cosine"))
-            .distinct()
             .where(F.col("cosine") < dup_threshold))
     wr = (Window.partitionBy("anchor_id")
           .orderBy(F.col("cosine").desc(), F.col("neg_id").asc()))
-    return (cand.withColumn("rank", F.row_number().over(wr))
-            .where(F.col("rank") <= k))
+    from scrapely_spark.spark.dedup import _unpersist_on_gc
+    return _unpersist_on_gc(
+        cand.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k), [banded])
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
