@@ -249,28 +249,41 @@ def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band_id"), k.alias("band_key"))
         for i, k in enumerate(keys)])
+    # slim-id banding (see hard_negatives for the measured audit): the
+    # self-join and the pair dedup carry two longs per row, the
+    # normalized vectors re-join by key, and the capped banded table
+    # is cached so both join sides stop re-evaluating the n_planes
+    # interpreted dot products per row
     banded = (embeddings.select(
-        "vec_id", v.alias("v"),
-        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
-                           lambda acc, x: acc + x)).alias("norm"),
-        F.explode(band_arr).alias("b"))
-        .select("vec_id", "v", "norm", "b.band_id", "b.band_key"))
+        "vec_id", F.explode(band_arr).alias("b"))
+        .select("vec_id", "b.band_id", "b.band_key"))
     w = Window.partitionBy("band_id", "band_key")
     banded = (banded.withColumn("_bn", F.count("*").over(w))
-              .where(F.col("_bn") <= max_bucket).drop("_bn"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+              .where(F.col("_bn") <= max_bucket).drop("_bn").cache())
+    pairs = (banded.alias("a")
+             .join(banded.alias("b"), ["band_id", "band_key"])
+             .where(F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"))
+             .distinct())
+    vecs = embeddings.select(
+        "vec_id", v.alias("v"),
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                           lambda acc, x: acc + x)).alias("norm"))
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(F.col("va.v"), F.col("vb.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
-    return (a.join(b, ["band_id", "band_key"])
-            .where(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
-                    .alias("cosine"))
-            .distinct()
-            .where(F.col("cosine") >= threshold))
+    from scrapely_spark.spark.dedup import _unpersist_on_gc
+    out = (pairs
+           .join(vecs.alias("va"),
+                 F.col("vec_a") == F.col("va.vec_id"))
+           .join(vecs.alias("vb"),
+                 F.col("vec_b") == F.col("vb.vec_id"))
+           .select("vec_a", "vec_b",
+                   F.round(dot / (F.col("va.norm") * F.col("vb.norm")),
+                           6).alias("cosine"))
+           .where(F.col("cosine") >= threshold))
+    return _unpersist_on_gc(out, [banded])
 
 
 def hard_negatives(embeddings: DataFrame, k: int = 3,
