@@ -1354,6 +1354,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("url"))
         return robots.rfc9309_gate(urls, rules)
 
+    def q_meta_robots(spark, sf):
+        # in-page robots directives (htmlmeta.meta_robots): six HTML
+        # variants per doc — quoted/unquoted values, both attribute
+        # orders, the 'none' shorthand, an absent tag, and a
+        # first-tag-wins conflict
+        from scrapely_spark.frontier import htmlmeta
+        d = _t(spark, sf, "documents")
+        html = (F.when(F.col("doc_id") % 6 == 0, F.lit(
+                    '<html><META NAME="robots" CONTENT='
+                    '"NOINDEX, nofollow"><p>'))
+                .when(F.col("doc_id") % 6 == 1, F.lit(
+                    "<meta content='nofollow' name=robots><p>x</p>"))
+                .when(F.col("doc_id") % 6 == 2, F.lit(
+                    '<meta name="robots" content="index, follow">'))
+                .when(F.col("doc_id") % 6 == 3, F.lit(
+                    '<meta name=viewport content=w1><p>none</p>'))
+                .when(F.col("doc_id") % 6 == 4, F.lit(
+                    "<meta name=robots content=none>"))
+                .otherwise(F.lit(
+                    '<meta name=robots content="noindex">'
+                    '<meta name=robots content="index">')))
+        pages = d.select(F.concat(F.lit("u"),
+                                  F.col("doc_id").cast("string"))
+                         .alias("url"), html.alias("html"))
+        return htmlmeta.meta_robots(pages).drop("html")
+
+    def q_rel_canonical(spark, sf):
+        # rel=canonical extraction + site-declared dup-chain chase
+        # (htmlmeta.rel_canonical → graph.resolve_redirects): pages in
+        # blocks of 4 form canonical chains u(4k+3)→u(4k+2)→u(4k+1)→
+        # u(4k); the oracle states the closed-form final target and
+        # exact hop count — correct only if extraction (both attr
+        # orders, distractor links) AND the doubling join are right
+        from scrapely_spark.frontier import htmlmeta
+        from scrapely_spark.spark.graph import resolve_redirects
+        d = _t(spark, sf, "documents")
+        target = F.concat(F.lit("u"),
+                          (F.col("doc_id") - 1).cast("string"))
+        link = (F.when(F.col("doc_id") % 2 == 0,
+                       F.concat(F.lit('<link rel="canonical" href="'),
+                                target, F.lit('">')))
+                .otherwise(F.concat(F.lit("<link href='"), target,
+                                    F.lit("' rel=canonical>"))))
+        html = F.concat(
+            F.lit('<link rel="stylesheet" href="s.css">'),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("<p>base</p>"))
+            .otherwise(link))
+        pages = d.select(F.concat(F.lit("u"),
+                                  F.col("doc_id").cast("string"))
+                         .alias("url"), html.alias("html"))
+        edges = (htmlmeta.rel_canonical(pages)
+                 .where(F.col("canonical_href").isNotNull())
+                 .select(F.col("url").alias("src"),
+                         F.col("canonical_href").alias("dst")))
+        return resolve_redirects(edges)
+
     def q_crawl_delays(spark, sf):
         # crawl-delay extraction (robots.crawl_delay_df) from the SAME
         # bodies as url_robots_pipeline: even hosts resolve the exact
@@ -1614,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_robots_pipeline": q_robots_pipeline,
         "url_dust_rules": q_dust_rules,
         "url_crawl_delays": q_crawl_delays,
+        "url_meta_robots": q_meta_robots,
+        "url_rel_canonical": q_rel_canonical,
         "embedding_hard_negatives": q_hard_negatives,
         "url_crawl_tiers": q_crawl_tiers,
         "image_phash_recall": q_phash_recall,
@@ -1628,10 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
-        "corpus_bpe_token_counts": q_bpe_token_counts,
         "url_redirect_resolution": q_redirect_resolution,
         "corpus_unimax_allocation": q_unimax_allocation,
-        "image_phash_delta_dups": q_phash_delta_dups,
         "url_sitemap_drain": q_sitemap_urls,
         "url_recrawl_schedule": q_recrawl_schedule,
         "corpus_dsir_weights": q_dsir_weights,
@@ -1654,6 +1710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_corpus_build": q_llm_corpus_build,
         "embedding_semdedup": q_embedding_semdedup,
         "corpus_temperature_rates": q_temperature_rates,
+        "image_phash_delta_dups": q_phash_delta_dups,
+        "corpus_bpe_token_counts": q_bpe_token_counts,
         "url_robots_sitemaps": q_robots_sitemaps,
         "url_retry_schedule": q_retry_schedule,
         "corpus_global_shuffle": q_global_shuffle,
@@ -2222,6 +2280,49 @@ ORDER BY score DESC, e.vec_id ASC
 LIMIT {k}""".format(sample=_PQ_SAMPLE, k=k,
                    parts=",".join(parts),
                    contribs="\n  UNION ALL\n  ".join(contribs))
+
+
+def _meta_robots_sql() -> str:
+    """DuckDB twin of htmlmeta.meta_robots over the six synthesized
+    HTML variants — the regexp literals are imported from the module
+    (one source of truth, like the LSH planes), coalesced in the same
+    quoted/unquoted × attribute-order precedence."""
+    from scrapely_spark.frontier import htmlmeta as hm
+    pats = [hm._META_NC_Q, hm._META_NC_U, hm._META_CN_Q, hm._META_CN_U]
+    ex = "''"
+    for pat in reversed(pats):
+        lit = pat.replace("'", "''")
+        ex = ("CASE WHEN regexp_extract(html, '%s', 1) != '' "
+              "THEN regexp_extract(html, '%s', 1) ELSE %s END"
+              % (lit, lit, ex))
+    return """
+        WITH pages AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE doc_id %% 6
+                   WHEN 0 THEN '<html><META NAME="robots" CONTENT='
+                               || '"NOINDEX, nofollow"><p>'
+                   WHEN 1 THEN '<meta content=''nofollow'' '
+                               || 'name=robots><p>x</p>'
+                   WHEN 2 THEN '<meta name="robots" content='
+                               || '"index, follow">'
+                   WHEN 3 THEN '<meta name=viewport content=w1>'
+                               || '<p>none</p>'
+                   WHEN 4 THEN '<meta name=robots content=none>'
+                   ELSE '<meta name=robots content="noindex">'
+                        || '<meta name=robots content="index">'
+                 END AS html
+          FROM documents),
+        c AS (
+          SELECT url,
+                 string_split(regexp_replace(lower(%s),
+                              '\\s+', '', 'g'), ',') AS toks
+          FROM pages)
+        SELECT url,
+               (list_contains(toks, 'noindex')
+                OR list_contains(toks, 'none')) AS noindex,
+               (list_contains(toks, 'nofollow')
+                OR list_contains(toks, 'none')) AS nofollow
+        FROM c""" % ex
 
 
 def _robots_body_expr():
@@ -3745,6 +3846,19 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # mirror of multimodal.phash_near_dups: same closed-form phash,
         # same 4x16-bit banding, same bit_count verify (DuckDB xor/>>/&
         # match Spark's bitwise ops on non-negative BIGINT)
+        # in-page robots directives: same regexp literals, same
+        # quoted/unquoted × attr-order precedence, same token logic
+        "url_meta_robots": _meta_robots_sql(),
+        # canonical chase: closed-form final target + exact hop count
+        # for the synthesized 4-block chains — an independent
+        # derivation the doubling join must reproduce
+        "url_rel_canonical": """
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   'u' || CAST(doc_id - doc_id % 4 AS VARCHAR)
+                     AS final_url,
+                   CAST(doc_id % 4 AS INT) AS hops,
+                   TRUE AS resolved
+            FROM documents WHERE doc_id % 4 != 0""",
         # WARC roundtrip identity: the oracle derives the record rows
         # straight from documents — equality holds only if the Spark
         # side's render→parse through the length-driven kernel is

@@ -105,6 +105,8 @@ HEADLINE = [
     "url_rfc9309_gate",
     "url_robots_pipeline",
     "url_crawl_delays",
+    "url_meta_robots",
+    "url_rel_canonical",
     "url_dust_rules",
     "embedding_hard_negatives",
     "url_crawl_tiers",

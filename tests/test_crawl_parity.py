@@ -1079,3 +1079,48 @@ def test_crawl_delay_group_resolution(spark):
     # parse_robots_body agreement on the exact-group case
     body1 = bodies.collect()[0].body
     assert rb.parse_robots_body(body1, "bot")["crawl_delay"] == 2.5
+
+
+# --------------------------------------------------------- htmlmeta
+
+def test_meta_robots_flags(spark):
+    from scrapely_spark.frontier import htmlmeta
+    rows = [
+        ("p1", '<html><META NAME="robots" content="NOINDEX, nofollow">'),
+        ("p2", "<meta content='nofollow' name=robots><p>x</p>"),
+        ("p3", '<meta name="robots" content="index, follow">'),
+        ("p4", '<meta name="viewport" content="w=1"><p>no robots</p>'),
+        ("p5", "<meta name=robots content=none>"),
+        # first tag wins over a later contradictory one
+        ("p6", '<meta name=robots content="noindex">'
+               '<meta name=robots content="index">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r.url: (r.noindex, r.nofollow)
+           for r in htmlmeta.meta_robots(df).collect()}
+    assert got == {"p1": (True, True), "p2": (False, True),
+                   "p3": (False, False), "p4": (False, False),
+                   "p5": (True, True), "p6": (True, False)}
+
+
+def test_rel_canonical_and_chain(spark):
+    from scrapely_spark.frontier import htmlmeta
+    from scrapely_spark.spark.graph import resolve_redirects
+    rows = [
+        ("http://h/a", '<link rel="canonical" href="http://h/b">'),
+        ("http://h/b", "<link href='http://h/c' rel=canonical>"),
+        ("http://h/c", "<p>terminal</p>"),
+        ("http://h/d", '<link rel="stylesheet" href="http://h/css">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r.url: r.canonical_href
+           for r in htmlmeta.rel_canonical(df).collect()}
+    assert out == {"http://h/a": "http://h/b",
+                   "http://h/b": "http://h/c",
+                   "http://h/c": None, "http://h/d": None}
+    edges = (htmlmeta.rel_canonical(df)
+             .where("canonical_href IS NOT NULL")
+             .selectExpr("url AS src", "canonical_href AS dst"))
+    chased = {r.url: (r.final_url, r.hops, r.resolved)
+              for r in resolve_redirects(edges).collect()}
+    assert chased["http://h/a"] == ("http://h/c", 2, True)
