@@ -1131,6 +1131,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             .alias("segment_id"), "segment"))
         return warc.parse_warc_segments(segments)
 
+    def q_exif_meta(spark, sf):
+        # EXIF binary roundtrip (codec.exif_bytes → multimodal.
+        # exif_extract): real TIFF 6.0 IFD0 blobs built in one Arrow
+        # kernel, parsed back by another; every 9th payload is junk
+        # and must come back flagged invalid, not crash.  The oracle
+        # states the closed-form identity — correct only if both the
+        # byte LAYOUT and the walker agree with the TIFF spec
+        from scrapely_spark.spark import multimodal
+        from scrapely_spark.spark.codec import exif_bytes
+        d = _t(spark, sf, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+            for b in batches:
+                ids = b["doc_id"]
+                blobs = []
+                for i in ids:
+                    if i % 9 == 0:
+                        blobs.append(b"junk-payload-%d" % i)
+                    else:
+                        blobs.append(exif_bytes(
+                            1 + i % 8,
+                            "2024:01:%02d %02d:00:00"
+                            % (1 + i % 28, i % 24),
+                            "Cam%d" % (i % 5)))
+                yield pd.DataFrame({"image_id": ids, "exif": blobs})
+
+        imgs = d.mapInPandas(build, "image_id long, exif binary")
+        return multimodal.exif_extract(imgs)
+
     def q_snapshot_churn(spark, sf):
         # snapshot churn (politeness.snapshot_diff) aggregated to
         # per-host rates: old round = all docs; new round drops ids
@@ -1675,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hard_negatives": q_hard_negatives,
         "url_crawl_tiers": q_crawl_tiers,
         "image_phash_recall": q_phash_recall,
+        "image_exif_meta": q_exif_meta,
         "url_snapshot_churn": q_snapshot_churn,
         "warc_record_roundtrip": q_warc_records,
         "cuckoo_seen_gate": cuckoo_seen_gate,
@@ -1683,7 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_bq": q_ann_recall_bq,
         "ann_recall_pq": q_ann_recall_pq,
         "text_boilerplate_lines": q_boilerplate_lines,
-        "corpus_leakage_free_split": q_leakage_free_split,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "url_redirect_resolution": q_redirect_resolution,
@@ -1710,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_corpus_build": q_llm_corpus_build,
         "embedding_semdedup": q_embedding_semdedup,
         "corpus_temperature_rates": q_temperature_rates,
+        "corpus_leakage_free_split": q_leakage_free_split,
         "image_phash_delta_dups": q_phash_delta_dups,
         "corpus_bpe_token_counts": q_bpe_token_counts,
         "url_robots_sitemaps": q_robots_sitemaps,
@@ -3859,6 +3890,26 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(doc_id % 4 AS INT) AS hops,
                    TRUE AS resolved
             FROM documents WHERE doc_id % 4 != 0""",
+        # EXIF roundtrip identity (see WARC): closed-form expected
+        # metadata per image; junk payloads expected invalid
+        "image_exif_meta": """
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST(1 + doc_id % 8 AS INT)
+                   END AS orientation,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE '2024:01:'
+                          || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                  2, '0')
+                          || ' '
+                          || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                          || ':00:00'
+                   END AS taken_at,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS make,
+                   doc_id % 9 != 0 AS exif_valid
+            FROM documents""",
         # WARC roundtrip identity: the oracle derives the record rows
         # straight from documents — equality holds only if the Spark
         # side's render→parse through the length-driven kernel is

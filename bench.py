@@ -111,6 +111,7 @@ HEADLINE = [
     "embedding_hard_negatives",
     "url_crawl_tiers",
     "image_phash_recall",
+    "image_exif_meta",
     "url_snapshot_churn",
     "warc_record_roundtrip",
     # bench-only approximate twins of the exact operators (see

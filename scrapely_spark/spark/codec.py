@@ -164,3 +164,68 @@ def average_hash(pixels: np.ndarray) -> int:
         value = (value << 1) | int(bit)
     # interpret as signed int64 for BIGINT columns
     return value - (1 << 64) if value >= (1 << 63) else value
+
+
+# --------------------------------------------------------------- EXIF
+
+_TIFF_II = b"II*\x00"
+_TAG_MAKE, _TAG_ORIENT, _TAG_DATETIME = 271, 274, 306
+
+
+def exif_bytes(orientation: int, datetime: str, make: str) -> bytes:
+    """Build a REAL little-endian TIFF/EXIF IFD0 blob (ISO 12234-2 /
+    TIFF 6.0 layout): header, 3-entry IFD (Make ASCII via offset,
+    Orientation SHORT in-place, DateTime ASCII via offset), zero next-
+    IFD pointer, then the out-of-line ASCII data.  Unlike the pixel
+    codec there is nothing stubbed here — this is the actual on-disk
+    byte layout camera JPEGs embed, parseable by any EXIF reader.
+    """
+    import struct
+
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime.encode("ascii") + b"\x00"
+    # header(8) + count(2) + 3*12 + next(4) = 50; data follows
+    make_off = 50
+    dt_off = make_off + len(make_b)
+    ifd = struct.pack("<H", 3)
+    ifd += struct.pack("<HHII", _TAG_MAKE, 2, len(make_b), make_off)
+    ifd += struct.pack("<HHII", _TAG_ORIENT, 3, 1, orientation & 0xFFFF)
+    ifd += struct.pack("<HHII", _TAG_DATETIME, 2, len(dt_b), dt_off)
+    ifd += struct.pack("<I", 0)
+    return _TIFF_II + struct.pack("<I", 8) + ifd + make_b + dt_b
+
+
+def exif_meta(data: bytes) -> tuple:
+    """Parse ``(orientation, datetime, make, valid)`` from a
+    little-endian TIFF/EXIF blob — walks IFD0, resolves out-of-line
+    ASCII values, tolerates unknown tags, returns ``(None, None,
+    None, False)`` on any malformed structure instead of raising
+    (a crawl sees arbitrary junk in image payloads).
+    """
+    import struct
+
+    try:
+        if not data or len(data) < 14 or data[:4] != _TIFF_II:
+            return (None, None, None, False)
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+        (count,) = struct.unpack_from("<H", data, ifd_off)
+        orient = dt = make = None
+        for i in range(count):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, n, val = struct.unpack_from("<HHII", data, base)
+            if tag == _TAG_ORIENT and typ == 3:
+                orient = val & 0xFFFF
+            elif typ == 2 and tag in (_TAG_MAKE, _TAG_DATETIME):
+                raw = (data[base + 8:base + 12] if n <= 4
+                       else data[val:val + n])
+                if len(raw) < n:
+                    return (None, None, None, False)
+                text = raw[:n].split(b"\x00")[0].decode(
+                    "ascii", "replace")
+                if tag == _TAG_MAKE:
+                    make = text
+                else:
+                    dt = text
+        return (orient, dt, make, True)
+    except (struct.error, IndexError):
+        return (None, None, None, False)

@@ -464,3 +464,39 @@ def test_image_corpus_build_every_leg_bites(spark):
     assert out[8].cluster_size == 1
     assert out[8].bucket == "2:1" and out[8].target_w == 1472
     assert out[1].caption == "a lake at dawn"
+
+
+# ------------------------------------------------------------- EXIF
+
+def test_exif_roundtrip_and_junk(spark):
+    from scrapely_spark.spark import multimodal
+    from scrapely_spark.spark.codec import exif_bytes
+    rows = [
+        (1, exif_bytes(1, "2024:01:02 03:04:05", "CamA")),
+        (2, exif_bytes(8, "2020:12:31 23:59:59", "Cam B Corp")),
+        (3, b"not exif at all"),
+        (4, b""),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, exif binary")
+    got = {r.image_id: (r.orientation, r.taken_at, r.make, r.exif_valid)
+           for r in multimodal.exif_extract(df).collect()}
+    assert got[1] == (1, "2024:01:02 03:04:05", "CamA", True)
+    assert got[2] == (8, "2020:12:31 23:59:59", "Cam B Corp", True)
+    assert got[3] == (None, None, None, False)
+    assert got[4] == (None, None, None, False)
+
+
+def test_exif_parser_tolerates_unknown_tags():
+    import struct
+    from scrapely_spark.spark.codec import (exif_bytes, exif_meta,
+                                            _TIFF_II)
+    # hand-build an IFD with an extra unknown tag before orientation
+    ifd = struct.pack("<H", 2)
+    ifd += struct.pack("<HHII", 999, 3, 1, 7)      # unknown: skipped
+    ifd += struct.pack("<HHII", 274, 3, 1, 5)      # orientation 5
+    ifd += struct.pack("<I", 0)
+    blob = _TIFF_II + struct.pack("<I", 8) + ifd
+    assert exif_meta(blob) == (5, None, None, True)
+    # truncated out-of-line ASCII -> invalid, not a crash
+    good = exif_bytes(3, "2024:01:01 00:00:00", "X")
+    assert exif_meta(good[:-5])[3] is False
