@@ -1131,6 +1131,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             .alias("segment_id"), "segment"))
         return warc.parse_warc_segments(segments)
 
+    def q_lastmod_refetch(spark, sf):
+        # sitemap lastmod refetch (sitemaps.sitemap_lastmod_refetch):
+        # per-host urlset bodies rendered JVM-side; entries omit the
+        # lastmod (id%5==0), carry garbage (id%11==0) or a March date;
+        # fetch state covers id%3!=0 at March 15 — so 'new', 'stale',
+        # fresh-dropped, and both unknown-lastmod branches all fire
+        from scrapely_spark.frontier import sitemaps
+        d = _t(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        url = F.concat(F.lit("http://"), host, F.lit("/u"),
+                       F.col("doc_id").cast("string"))
+        lastmod = (F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+                   .when(F.col("doc_id") % 11 == 0,
+                         F.lit("<lastmod>garbage</lastmod>"))
+                   .otherwise(F.concat(
+                       F.lit("<lastmod>2024-03-"),
+                       F.lpad((1 + F.col("doc_id") % 28).cast("string"),
+                              2, "0"),
+                       F.lit("T00:00:00</lastmod>"))))
+        entry = F.concat(F.lit("<url><loc>"), url, F.lit("</loc>"),
+                         lastmod, F.lit("</url>"))
+        bodies = (d.select(host.alias("h"),
+                           F.struct(F.col("doc_id").alias("k"),
+                                    entry.alias("e")).alias("s"))
+                  .groupBy("h")
+                  .agg(F.concat(
+                      F.lit("<urlset>"),
+                      F.array_join(F.transform(
+                          F.array_sort(F.collect_list("s")),
+                          lambda x: x.getField("e")), ""),
+                      F.lit("</urlset>")).alias("body"))
+                  .select(F.concat(F.lit("http://"), F.col("h"),
+                                   F.lit("/sitemap.xml"))
+                          .alias("sitemap_url"), "body"))
+        state = (d.where(F.col("doc_id") % 3 != 0)
+                 .select(url.alias("url"),
+                         F.lit("2024-03-15 00:00:00").cast("timestamp")
+                         .alias("fetched_at")))
+        out = sitemaps.sitemap_lastmod_refetch(bodies, state)
+        return out.select(
+            "sitemap_url", "url",
+            F.unix_micros("lastmod").alias("lastmod_us"),
+            F.unix_micros("fetched_at").alias("fetched_us"), "reason")
+
     def q_exif_meta(spark, sf):
         # EXIF binary roundtrip (codec.exif_bytes → multimodal.
         # exif_extract): real TIFF 6.0 IFD0 blobs built in one Arrow
@@ -1706,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_crawl_tiers": q_crawl_tiers,
         "image_phash_recall": q_phash_recall,
         "image_exif_meta": q_exif_meta,
+        "url_lastmod_refetch": q_lastmod_refetch,
         "url_snapshot_churn": q_snapshot_churn,
         "warc_record_roundtrip": q_warc_records,
         "cuckoo_seen_gate": cuckoo_seen_gate,
@@ -1713,7 +1758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": q_ann_recall_ivf,
         "ann_recall_bq": q_ann_recall_bq,
         "ann_recall_pq": q_ann_recall_pq,
-        "text_boilerplate_lines": q_boilerplate_lines,
         "text_lm_perplexity": q_lm_perplexity,
         "corpus_bpe_merges": q_bpe_merges,
         "url_redirect_resolution": q_redirect_resolution,
@@ -1741,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_semdedup": q_embedding_semdedup,
         "corpus_temperature_rates": q_temperature_rates,
         "corpus_leakage_free_split": q_leakage_free_split,
+        "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
         "corpus_bpe_token_counts": q_bpe_token_counts,
         "url_robots_sitemaps": q_robots_sitemaps,
@@ -3890,6 +3935,38 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(doc_id % 4 AS INT) AS hops,
                    TRUE AS resolved
             FROM documents WHERE doc_id % 4 != 0""",
+        # lastmod refetch: closed-form reasons — 'new' when unfetched,
+        # 'stale' when the declared March day post-dates the 15th,
+        # fresh/unknown-lastmod rows absent
+        "url_lastmod_refetch": """
+            WITH base AS (
+              SELECT doc_id,
+                     'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '/sitemap.xml' AS sitemap_url,
+                     'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '/u' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 5 = 0 OR doc_id % 11 = 0
+                          THEN NULL
+                          ELSE epoch_us(CAST('2024-03-'
+                            || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                    2, '0')
+                            || ' 00:00:00' AS TIMESTAMP))
+                     END AS lastmod_us,
+                     doc_id % 3 != 0 AS fetched
+              FROM documents)
+            SELECT sitemap_url, url, lastmod_us,
+                   CASE WHEN fetched THEN epoch_us(
+                        CAST('2024-03-15 00:00:00' AS TIMESTAMP))
+                   END AS fetched_us,
+                   CASE WHEN NOT fetched THEN 'new'
+                        WHEN lastmod_us > epoch_us(
+                          CAST('2024-03-15 00:00:00' AS TIMESTAMP))
+                        THEN 'stale'
+                   END AS reason
+            FROM base
+            WHERE NOT fetched
+               OR (lastmod_us IS NOT NULL AND lastmod_us > epoch_us(
+                     CAST('2024-03-15 00:00:00' AS TIMESTAMP)))""",
         # EXIF roundtrip identity (see WARC): closed-form expected
         # metadata per image; junk payloads expected invalid
         "image_exif_meta": """

@@ -113,6 +113,7 @@ HEADLINE = [
     "image_phash_recall",
     "image_exif_meta",
     "url_snapshot_churn",
+    "url_lastmod_refetch",
     "warc_record_roundtrip",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described

@@ -48,3 +48,49 @@ def sitemap_urls(bodies: DataFrame, url_col: str = "sitemap_url",
             # never differ between engines
             .select("sitemap_url", F.trim("url").alias("url"),
                     "is_index"))
+
+
+_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+
+
+def sitemap_lastmod_refetch(bodies: DataFrame, fetch_state: DataFrame,
+                            url_col: str = "sitemap_url",
+                            body_col: str = "body") -> DataFrame:
+    """lastmod-driven refetch selection: parse ``<url><loc>/<lastmod>``
+    entry pairs out of urlset sitemaps and join them against the crawl
+    state ``(url, fetched_at)`` — a URL needs (re)fetching when it was
+    never fetched (``reason = 'new'``) or its declared ``lastmod``
+    post-dates the stored fetch (``'stale'``).  Fresh URLs are NOT
+    emitted: at frontier scale the refetch set is the small side.
+
+    Entry-pair extraction is JVM-side: explode the ``<url>`` blocks
+    (entry-scoped, so a loc can never pair with a neighbor's lastmod),
+    then extract loc + optional lastmod per block; a missing or
+    unparsable lastmod is treated as unknown → refetch only if never
+    fetched (the conservative read of the protocol, which makes
+    lastmod advisory).  One shuffle: the left join on the URL key.
+    """
+    blocks = F.regexp_extract_all(F.col(body_col),
+                                  F.lit(_URL_BLOCK_RE), 1)
+    entry = (bodies
+             .select(F.col(url_col).alias("sitemap_url"),
+                     F.explode(blocks).alias("_b"))
+             .select("sitemap_url",
+                     F.trim(F.regexp_extract("_b", _LOC_RE, 1))
+                     .alias("url"),
+                     F.expr("try_cast(regexp_extract(_b, "
+                            "'<lastmod>\\\\s*([^<]+?)\\\\s*</lastmod>',"
+                            " 1) AS TIMESTAMP)").alias("lastmod"))
+             .where(F.col("url") != ""))
+    st = fetch_state.select(F.col("url"),
+                            F.col("fetched_at").cast("timestamp")
+                            .alias("_fetched"))
+    j = entry.join(st, "url", "left")
+    reason = (F.when(F.col("_fetched").isNull(), F.lit("new"))
+              .when(F.col("lastmod").isNotNull()
+                    & (F.col("lastmod") > F.col("_fetched")),
+                    F.lit("stale")))
+    return (j.withColumn("reason", reason)
+            .where(F.col("reason").isNotNull())
+            .select("sitemap_url", "url", "lastmod",
+                    F.col("_fetched").alias("fetched_at"), "reason"))

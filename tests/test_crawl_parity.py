@@ -1124,3 +1124,31 @@ def test_rel_canonical_and_chain(spark):
     chased = {r.url: (r.final_url, r.hops, r.resolved)
               for r in resolve_redirects(edges).collect()}
     assert chased["http://h/a"] == ("http://h/c", 2, True)
+
+
+# ------------------------------------------- sitemap_lastmod_refetch
+
+def test_sitemap_lastmod_refetch(spark):
+    from scrapely_spark.frontier.sitemaps import sitemap_lastmod_refetch
+    body = ("<urlset>"
+            "<url><loc> http://h/a </loc>"
+            "<lastmod>2024-03-01T00:00:00</lastmod></url>"
+            "<url><loc>http://h/b</loc>"
+            "<lastmod>2024-01-01T00:00:00</lastmod></url>"
+            "<url><loc>http://h/c</loc></url>"          # no lastmod
+            "<url><loc>http://h/d</loc>"
+            "<lastmod>garbage</lastmod></url>"          # unparsable
+            "<url><loc>http://h/e</loc>"
+            "<lastmod>2024-03-01T00:00:00</lastmod></url>"
+            "</urlset>")
+    bodies = spark.createDataFrame([("http://h/sm.xml", body)],
+                                   "sitemap_url string, body string")
+    state = spark.createDataFrame(
+        [("http://h/a", "2024-02-01 00:00:00"),   # stale (lastmod newer)
+         ("http://h/b", "2024-02-01 00:00:00"),   # fresh -> dropped
+         ("http://h/c", "2024-02-01 00:00:00"),   # no lastmod -> dropped
+         ("http://h/d", "2024-02-01 00:00:00")],  # junk lastmod -> dropped
+        "url string, fetched_at string")
+    got = {r.url: r.reason
+           for r in sitemap_lastmod_refetch(bodies, state).collect()}
+    assert got == {"http://h/a": "stale", "http://h/e": "new"}
