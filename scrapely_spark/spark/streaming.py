@@ -371,3 +371,24 @@ def curate_images_stream(spark: SparkSession, images_dir: str,
     stream = _read_parquet_stream(spark, images_dir,
                                   max_files_per_trigger, schema)
     return multimodal.curate_image_captions(stream, **gate_kwargs)
+
+
+def warc_records_stream(spark: SparkSession, segments_dir: str,
+                        max_files_per_trigger: int = 8,
+                        schema=None) -> DataFrame:
+    """Archive-ingest shape: tail a parquet landing zone of WARC
+    segments and parse each micro-batch through
+    :func:`warc.parse_warc_segments`.
+
+    The parser is a stateless per-segment kernel (records never span
+    segments — ISO 28500 makes the segment file the container), so the
+    streamed record set equals the batch parse of the same files by
+    construction, pinned by the parity test; no watermark or state
+    store exists to size.  This is how a 100 TB Common-Crawl-style
+    drop ingests: segments land, records append.
+    """
+    from scrapely_spark.spark import warc
+
+    stream = _read_parquet_stream(spark, segments_dir,
+                                  max_files_per_trigger, schema)
+    return warc.parse_warc_segments(stream)

@@ -544,3 +544,36 @@ def test_recall_at_k_is_one_small_join(spark):
     df = contract.queries()["ann_recall_sq8"](spark, SF_DIR)
     plan = _physical(df)
     assert plan.count("TakeOrderedAndProject") == 2, plan
+
+
+def test_streaming_warc_ingest_agrees_with_batch(spark, tmp_path):
+    """Stateless length-driven record parse: streamed records over a
+    segment landing zone == batch parse of the same files."""
+    import os
+
+    from scrapely_spark.spark import streaming, warc
+
+    zone = str(tmp_path / "warc_zone")
+    os.makedirs(zone)
+    segs = []
+    for s in range(9):
+        recs = [("response", "http://h%d/u%d" % (s, i),
+                 "payload WARC/1.0\r\n fake %d:%d " % (s, i) * (i + 1))
+                for i in range(s % 4 + 1)]
+        segs.append(("seg%d" % s, warc.build_warc_segment(recs)))
+    df = spark.createDataFrame(segs, "segment_id string, segment string")
+    df.repartition(3).write.parquet(zone, mode="overwrite")
+
+    q = streaming.run_available_now(
+        streaming.warc_records_stream(spark, zone,
+                                      max_files_per_trigger=1),
+        "warc_stream_q", str(tmp_path / "ckpt_warc"),
+        output_mode="append")
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql(
+        "select * from warc_stream_q").collect()}
+    want = {tuple(r) for r in warc.parse_warc_segments(
+        spark.read.parquet(zone)).collect()}
+    assert got == want and want
+    assert all(not r[-1] for r in want)  # nothing truncated
