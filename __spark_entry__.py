@@ -1729,6 +1729,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus.global_shuffle(_t(spark, sf, "documents"),
                                      n_shards=16, seed=0)
 
+    def q_fetch_shards(spark, sf):
+        # rendezvous (HRW) hashing of hosts onto 16 fetch shards
+        # (politeness.rendezvous_shards): zero-shuffle literal-struct
+        # argmax over the 48-bit md5 weight space; the oracle replays
+        # the same weights with a cross join + QUALIFY argmax
+        from scrapely_spark.frontier.politeness import rendezvous_shards
+        hosts = (_t(spark, sf, "orders")
+                 .selectExpr("'h' || CAST(o_orderkey % 499 AS STRING) "
+                             "|| '.example.com' AS host")
+                 .distinct())
+        return rendezvous_shards(hosts, n_shards=16)
+
     return {
         # ORDER MATTERS: the driver's correctness window checks the FIRST
         # ~50 rows — never-driver-green queries lead (this round's new
@@ -1784,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_corpus_build": q_llm_corpus_build,
         "embedding_semdedup": q_embedding_semdedup,
         "corpus_temperature_rates": q_temperature_rates,
+        "url_fetch_shards": q_fetch_shards,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -3502,6 +3515,27 @@ def oracle_sql() -> dict[str, str]:
 
         "url_canonicalize": _URLS_CTE
         + " SELECT url, canonical_url, host FROM urls",
+
+        # rendezvous (HRW) fetch-shard assignment: identical 48-bit
+        # md5 weight space (Spark conv(hex,16,10) == DuckDB
+        # CAST('0x..' AS BIGINT)), identical (weight DESC, shard ASC)
+        # argmax tie-break
+        "url_fetch_shards": """
+            WITH hosts AS (
+              SELECT DISTINCT 'h' || CAST(o_orderkey % 499 AS VARCHAR)
+                     || '.example.com' AS host
+              FROM orders),
+            scored AS (
+              SELECT host, CAST(s.shard AS INT) AS shard,
+                     CAST('0x' || substr(md5(host || ':' ||
+                              CAST(s.shard AS VARCHAR)), 1, 12)
+                          AS BIGINT) AS hrw_weight
+              FROM hosts
+              CROSS JOIN (SELECT unnest(range(16)) AS shard) s)
+            SELECT host, shard, hrw_weight
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY host
+                ORDER BY hrw_weight DESC, shard ASC) = 1""",
 
         # spider-trap analysis (canonical.url_template_stats): path
         # with digit runs collapsed to N, grouped per host

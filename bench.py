@@ -115,6 +115,8 @@ HEADLINE = [
     "url_snapshot_churn",
     "url_lastmod_refetch",
     "warc_record_roundtrip",
+    # r4 session 5: rendezvous fetch-shard assignment
+    "url_fetch_shards",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -351,3 +351,51 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
             .select("url",
                     F.coalesce("_host_n", "_host_o").alias("host"),
                     status.alias("status")))
+
+
+def rendezvous_shards(hosts: DataFrame, n_shards: int = 16,
+                      host_col: str = "host") -> DataFrame:
+    """Assign each host to a fetch shard by rendezvous (HRW) hashing.
+
+    At cluster scale the fetch fleet is a fixed set of ``n_shards``
+    worker groups, and every URL of a host must land on the SAME group
+    so per-host politeness (one connection, one delay clock) is
+    enforced locally instead of through a global coordination service.
+    Highest-random-weight hashing gives that mapping two properties a
+    plain ``hash(host) % n_shards`` lacks:
+
+    * **minimal remapping** — growing the fleet to ``n_shards + 1``
+      moves only the hosts whose new shard's weight wins (~1/(n+1) of
+      them); a modulo remaps almost everything, invalidating every
+      warm robots/DNS/connection cache in the fleet;
+    * **no coordination state** — the assignment is a pure function of
+      (host, shard), so any executor recomputes it locally; nothing is
+      stored, nothing can go stale.
+
+    Plan shape: the weight argmax is computed map-side with an
+    ``array_max`` over ``n_shards`` literal structs — zero shuffle, no
+    explode, no window.  The 48-bit weight space is the engine's
+    standard ``conv(substr(md5(..),1,12),16,10)`` so a SQL oracle can
+    replay it bit-for-bit.  Struct comparison is lexicographic, so
+    ``(weight, -shard)`` makes the argmax total even on 48-bit ties.
+
+    Returns (host, shard, hrw_weight) — one row per input row.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1, got %d" % n_shards)
+
+    def weight(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(host_col), F.lit(i))),
+                1, 12),
+            16, 10).cast("long")
+
+    best = F.array_max(F.array(*[
+        F.struct(weight(i).alias("w"),
+                 F.lit(-i).cast("int").alias("neg_shard"))
+        for i in range(n_shards)]))
+    return hosts.select(
+        F.col(host_col).alias("host"),
+        (-best["neg_shard"]).cast("int").alias("shard"),
+        best["w"].alias("hrw_weight"))

@@ -577,3 +577,57 @@ def test_streaming_warc_ingest_agrees_with_batch(spark, tmp_path):
         spark.read.parquet(zone)).collect()}
     assert got == want and want
     assert all(not r[-1] for r in want)  # nothing truncated
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (HRW) fetch-shard assignment
+# ---------------------------------------------------------------------------
+
+def _hrw_hosts(spark, n=500):
+    return spark.range(n).selectExpr(
+        "'h' || CAST(id AS STRING) || '.example.com' AS host")
+
+
+def test_rendezvous_matches_python_twin(spark):
+    """The Spark argmax replays hashlib md5 bit-for-bit."""
+    import hashlib
+    from scrapely_spark.frontier.politeness import rendezvous_shards
+
+    rows = rendezvous_shards(_hrw_hosts(spark, 64), n_shards=8).collect()
+    assert len(rows) == 64
+    for r in rows:
+        weights = [
+            (int(hashlib.md5(("%s:%d" % (r.host, s)).encode())
+                 .hexdigest()[:12], 16), -s)
+            for s in range(8)]
+        w, neg = max(weights)
+        assert (r.shard, r.hrw_weight) == (-neg, w), r
+
+
+def test_rendezvous_minimal_remapping(spark):
+    """Growing the fleet n->n+1 only moves hosts to the NEW shard."""
+    from scrapely_spark.frontier.politeness import rendezvous_shards
+
+    hosts = _hrw_hosts(spark, 500)
+    a = {r.host: r.shard
+         for r in rendezvous_shards(hosts, n_shards=8).collect()}
+    b = {r.host: r.shard
+         for r in rendezvous_shards(hosts, n_shards=9).collect()}
+    moved = {h for h in a if a[h] != b[h]}
+    assert moved, "some hosts must move to the new shard"
+    assert all(b[h] == 8 for h in moved)  # only ever TO the new shard
+    # ~1/9 of hosts move; allow generous binomial slack
+    assert len(moved) < 500 * 2.5 / 9
+
+
+def test_rendezvous_balance_and_shuffle_free(spark):
+    """Loads are near-uniform and the plan has no exchange at all."""
+    from scrapely_spark.frontier.politeness import rendezvous_shards
+
+    df = rendezvous_shards(_hrw_hosts(spark, 512), n_shards=16)
+    assert "Exchange" not in _physical(df)  # pure map-side projection
+    loads = [r["cnt"] for r in
+             df.groupBy("shard").count()
+               .selectExpr("count AS cnt").collect()]
+    assert len(loads) == 16
+    assert max(loads) < 2 * (512 / 16)  # binomial tail, mean 32
