@@ -1729,6 +1729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus.global_shuffle(_t(spark, sf, "documents"),
                                      n_shards=16, seed=0)
 
+    def q_quality_classifier(spark, sf):
+        # fastText-shape hashed bag-of-words linear quality filter
+        # (textstats.quality_classifier): bucket weights derived from
+        # the shared 48-bit md5 space so the oracle materializes the
+        # identical model; BIGINT raw sum, one rounded IEEE division
+        return textstats.quality_classifier(_t(spark, sf, "documents"))
+
     def q_fetch_shards(spark, sf):
         # rendezvous (HRW) hashing of hosts onto 16 fetch shards
         # (politeness.rendezvous_shards): zero-shuffle literal-struct
@@ -1797,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_semdedup": q_embedding_semdedup,
         "corpus_temperature_rates": q_temperature_rates,
         "url_fetch_shards": q_fetch_shards,
+        "text_quality_classifier": q_quality_classifier,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4323,6 +4331,31 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             FROM d""",
 
         "text_quality": _QUALITY_SQL,
+
+        # hashed bag-of-words linear classifier: the oracle derives the
+        # SAME weight table from the shared 48-bit md5 space (bucket =
+        # h48(token) % 1024, weight = h48('w:'||bucket) % 2001 - 1000),
+        # sums it exactly in the integer domain, and shares the one
+        # rounded IEEE division
+        "text_quality_classifier": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(words) AS n_tokens,
+                     CAST(list_sum(list_transform(words, t ->
+                       (CAST('0x' || substr(md5('w:' || CAST(
+                            CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)
+                            % 1024 AS VARCHAR)), 1, 12) AS BIGINT)
+                        % 2001) - 1000)) AS BIGINT) AS raw_score
+              FROM d)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   raw_score,
+                   round(CAST(raw_score AS DOUBLE) / (1000.0 * n_tokens),
+                         6) AS score,
+                   raw_score >= 0 AS keep
+            FROM s""",
 
         "text_langid": _LANGID_SQL,
 

@@ -348,3 +348,52 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 60,
                     F.coalesce("text_clean", F.lit("")).alias("text_clean"),
                     F.coalesce("n_lines_kept", F.lit(0))
                     .cast("long").alias("n_lines_kept")))
+
+
+def quality_classifier(docs: DataFrame, n_buckets: int = 1024,
+                       text_col: str = "text") -> DataFrame:
+    """Hashed bag-of-words linear quality classifier (fastText shape).
+
+    The CCNet/GPT-3-style quality filter is a linear classifier over
+    hashed token features: each token is hashed into one of
+    ``n_buckets`` feature buckets and the document score is the mean
+    bucket weight.  Here the weight table itself is derived
+    deterministically from the bucket id (a 48-bit md5 slice mapped to
+    the integer grid [-1000, 1000]) so both engines — and the DuckDB
+    oracle — materialize the SAME model without shipping one: the
+    point under test is the feature-hashing plumbing, not the weights.
+
+    Plan shape: token hashing, bucket lookup and the weight sum all
+    run inside ONE higher-order ``aggregate`` over the split-array —
+    a single JVM Project over a pruned (doc_id, text) scan, no
+    explode, no shuffle, no Python.  At 100 TB the classifier is a
+    map-only pass; the weight table of a real model would ride along
+    as a broadcast literal array exactly like the derived one here.
+
+    Integer-exact: the raw score is a BIGINT sum of integer weights;
+    the only float op is one IEEE division rounded to 6 decimals.
+
+    Returns (doc_id, n_tokens, raw_score, score, keep).
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def _w(tok):
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 12), 16, 10).cast("long"),
+            F.lit(n_buckets))
+        return (F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("w:"), bucket.cast("string"))),
+                1, 12), 16, 10).cast("long"),
+            F.lit(2001)) - F.lit(1000))
+
+    raw = F.aggregate(words, F.lit(0).cast("long"),
+                      lambda acc, tok: acc + _w(tok))
+    n = F.size(words)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        raw.alias("raw_score"),
+        F.round(raw.cast("double") / (F.lit(1000.0) * n), 6)
+        .alias("score"),
+        (raw >= 0).alias("keep"))

@@ -341,3 +341,44 @@ def test_bpe_merge_table_shape(spark):
     out = corpus.bpe_merge_table(_docs(spark, rows), n_merges=3).collect()
     assert [r.rank for r in out] == [1, 2, 3]
     assert all(r.merged == r.x + r.y and r.support >= 1 for r in out)
+
+
+# ------------------------------------------- quality_classifier (r4)
+
+def _qc_twin(text, n_buckets=1024):
+    """Independent twin of the hashed bag-of-words linear classifier:
+    bucket = md5-48bit(token) % n_buckets, weight = md5-48bit('w:'+
+    bucket) % 2001 - 1000, raw = exact integer sum."""
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+    words = __import__("re").split(r"\s+", text.strip().lower())
+    raw = 0
+    for t in words:
+        b = h48(t) % n_buckets
+        raw += h48("w:%d" % b) % 2001 - 1000
+    return len(words), raw
+
+
+def test_quality_classifier_matches_python_twin(spark):
+    rows = [(0, "the quick brown fox", "en", "s"),
+            (1, "THE  Quick\tbrown FOX", "en", "s"),
+            (2, "zzz", "en", "s"),
+            (3, "alpha beta gamma delta epsilon zeta", "en", "s")]
+    got = {r.doc_id: r for r in
+           textstats.quality_classifier(_docs(spark, rows)).collect()}
+    for i, t, _, _ in rows:
+        n, raw = _qc_twin(t)
+        r = got[i]
+        assert (r.n_tokens, r.raw_score) == (n, raw), (i, t)
+        assert r.score == _r(raw / (1000.0 * n), 6)
+        assert r.keep == (raw >= 0)
+
+
+def test_quality_classifier_case_and_whitespace_invariant(spark):
+    # lowering + \s+ split: case and interior whitespace cannot move
+    # the score
+    rows = [(0, "Hello World", "en", "s"),
+            (1, "  hello   \t world  ", "en", "s")]
+    got = {r.doc_id: (r.n_tokens, r.raw_score) for r in
+           textstats.quality_classifier(_docs(spark, rows)).collect()}
+    assert got[0] == got[1]
