@@ -1736,6 +1736,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_image_format_sniff(spark, sf):
+        # magic-byte format sniffing + declared-format validation
+        # (multimodal.sniff_format): REAL container headers (JPEG SOI,
+        # PNG signature, GIF89a, TIFF II*, RIFF/WEBP, BMP) synthesized
+        # deterministically with planted mislabels (doc_id%7==0 gets
+        # the next format's header, doc_id%13==0 garbage bytes) — the
+        # oracle builds the identical blobs via from_hex and sniffs
+        # with the same hex-prefix CASE ladder.  Map-only, no Python.
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        fmts = F.array(*[F.lit(x) for x in
+                         ("jpeg", "png", "gif", "tiff", "webp", "bmp")])
+        hdrs = F.array(*[F.lit(x) for x in (
+            "FFD8FFE000104A46494600", "89504E470D0A1A0A",
+            "474946383961", "49492A00",
+            "524946462400000057454250", "424D")])
+        actual = ((did + F.when(did % 7 == 0, 1).otherwise(0)) % 6
+                  + 1).cast("int")
+        hdr = (F.when(did % 13 == 0, F.lit("DEADBEEF"))
+               .otherwise(F.element_at(hdrs, actual)))
+        imgs = _t(spark, sf, "documents").select(
+            did.alias("image_id"),
+            F.element_at(fmts, (did % 6 + 1).cast("int")).alias("fmt"),
+            F.unhex(F.concat(hdr, F.substring(
+                F.md5(did.cast("string")), 1, 24))).alias("bytes"))
+        return multimodal.sniff_format(imgs)
+
     def q_fetch_shards(spark, sf):
         # rendezvous (HRW) hashing of hosts onto 16 fetch shards
         # (politeness.rendezvous_shards): zero-shuffle literal-struct
@@ -1805,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_rates": q_temperature_rates,
         "url_fetch_shards": q_fetch_shards,
         "text_quality_classifier": q_quality_classifier,
+        "image_format_sniff": q_image_format_sniff,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4355,6 +4383,51 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    round(CAST(raw_score AS DOUBLE) / (1000.0 * n_tokens),
                          6) AS score,
                    raw_score >= 0 AS keep
+            FROM s""",
+
+        # magic-byte sniffing: builds the IDENTICAL blobs via from_hex
+        # (same header table, same planted mislabels/garbage, same
+        # md5-derived body) and sniffs with the same hex-prefix ladder
+        "image_format_sniff": """
+            WITH base AS (
+              SELECT doc_id,
+                     ['jpeg','png','gif','tiff','webp','bmp']
+                       [CAST(doc_id % 6 AS INT) + 1] AS declared_fmt,
+                     (CASE WHEN doc_id % 13 = 0 THEN 'DEADBEEF'
+                           ELSE ['FFD8FFE000104A46494600',
+                                 '89504E470D0A1A0A', '474946383961',
+                                 '49492A00',
+                                 '524946462400000057454250', '424D']
+                             [CAST((doc_id + CASE WHEN doc_id % 7 = 0
+                                             THEN 1 ELSE 0 END) % 6
+                                   AS INT) + 1] END
+                      || substr(md5(CAST(doc_id AS VARCHAR)), 1, 24))
+                     AS hx
+              FROM documents),
+            b AS (
+              SELECT doc_id, declared_fmt,
+                     upper(hex(from_hex(hx))) AS h,
+                     octet_length(from_hex(hx)) AS n_bytes
+              FROM base),
+            s AS (
+              SELECT doc_id, declared_fmt, n_bytes,
+                     CASE
+                       WHEN substr(h,1,8) = '52494646'
+                        AND substr(h,17,8) = '57454250' THEN 'webp'
+                       WHEN substr(h,1,6) = 'FFD8FF' THEN 'jpeg'
+                       WHEN substr(h,1,16) = '89504E470D0A1A0A'
+                         THEN 'png'
+                       WHEN substr(h,1,12) IN ('474946383761',
+                                               '474946383961')
+                         THEN 'gif'
+                       WHEN substr(h,1,8) IN ('49492A00','4D4D002A')
+                         THEN 'tiff'
+                       WHEN substr(h,1,4) = '424D' THEN 'bmp'
+                       ELSE 'unknown' END AS sniffed_fmt
+              FROM b)
+            SELECT doc_id AS image_id, declared_fmt, sniffed_fmt,
+                   CAST(n_bytes AS BIGINT) AS n_bytes,
+                   declared_fmt = sniffed_fmt AS fmt_ok
             FROM s""",
 
         "text_langid": _LANGID_SQL,

@@ -500,3 +500,39 @@ def test_exif_parser_tolerates_unknown_tags():
     # truncated out-of-line ASCII -> invalid, not a crash
     good = exif_bytes(3, "2024:01:01 00:00:00", "X")
     assert exif_meta(good[:-5])[3] is False
+
+
+def test_sniff_format_magic_table(spark):
+    # one real header per format, plus truncation/garbage/mislabels
+    cases = [
+        ("jpg-ok",   "jpeg", bytes.fromhex("FFD8FFE000104A46494600") + b"x"),
+        ("png-ok",   "png",  bytes.fromhex("89504E470D0A1A0A") + b"IHDR"),
+        ("gif87",    "gif",  b"GIF87a" + b"\x01\x00"),
+        ("gif89",    "gif",  b"GIF89a" + b"\x01\x00"),
+        ("tiff-le",  "tiff", b"II*\x00" + b"\x08\x00\x00\x00"),
+        ("tiff-be",  "tiff", b"MM\x00*" + b"\x00\x00\x00\x08"),
+        ("webp-ok",  "webp", b"RIFF\x24\x00\x00\x00WEBPVP8 "),
+        ("bmp-ok",   "bmp",  b"BM" + b"\x36\x00\x00\x00"),
+        # RIFF without the WEBP FourCC (a WAV) must NOT sniff as webp
+        ("wav",      "webp", b"RIFF\x24\x00\x00\x00WAVEfmt "),
+        # declared png, actual jpeg: the mislabel the gate exists for
+        ("mislabel", "png",  bytes.fromhex("FFD8FFE1") + b"Exif"),
+        ("garbage",  "jpeg", b"\xde\xad\xbe\xef\x00\x00"),
+        ("tiny",     "png",  b"\x89P"),  # truncated before the magic ends
+    ]
+    df = spark.createDataFrame(
+        [(i, f, bytearray(b)) for i, f, b in cases],
+        "image_id string, fmt string, bytes binary")
+    got = {r.image_id: r for r in multimodal.sniff_format(df).collect()}
+    want = {"jpg-ok": "jpeg", "png-ok": "png", "gif87": "gif",
+            "gif89": "gif", "tiff-le": "tiff", "tiff-be": "tiff",
+            "webp-ok": "webp", "bmp-ok": "bmp", "wav": "unknown",
+            "mislabel": "jpeg", "garbage": "unknown", "tiny": "unknown"}
+    for iid, fmt, blob in cases:
+        r = got[iid]
+        assert r.sniffed_fmt == want[iid], iid
+        assert r.n_bytes == len(blob)
+        assert r.fmt_ok == (r.declared_fmt == r.sniffed_fmt)
+    ok = [i for i, r in got.items() if r.fmt_ok]
+    assert sorted(ok) == ["bmp-ok", "gif87", "gif89", "jpg-ok",
+                          "png-ok", "tiff-be", "tiff-le", "webp-ok"]
