@@ -1736,6 +1736,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_anchor_text(spark, sf):
+        # per-target anchor-text profile (search.anchor_text_profile):
+        # top-3 anchors per URL by distinct linking pages — the Brin &
+        # Page off-page relevance signal.  The synthetic link table
+        # exercises every leg: messy casing/whitespace that must
+        # normalize together, empty anchors, and the generic stoplist
+        from scrapely_spark.spark import search
+        phrases = F.array(*[F.lit(x) for x in _ANCHOR_PHRASES])
+        li = _t(spark, sf, "lineitem")
+        links = li.select(
+            F.concat(F.lit("p"), F.col("l_orderkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("u"), (F.col("l_partkey") % 199)
+                     .cast("string")).alias("dst"),
+            F.element_at(phrases, (F.col("l_suppkey") % 12 + 1)
+                         .cast("int")).alias("anchor"))
+        return search.anchor_text_profile(links, k=3)
+
     def q_image_format_sniff(spark, sf):
         # magic-byte format sniffing + declared-format validation
         # (multimodal.sniff_format): REAL container headers (JPEG SOI,
@@ -1833,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_fetch_shards": q_fetch_shards,
         "text_quality_classifier": q_quality_classifier,
         "image_format_sniff": q_image_format_sniff,
+        "url_anchor_text": q_anchor_text,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -1956,6 +1975,14 @@ _BANDS_SQL = _SHINGLE_CTE + """
 
 
 _EMB_DIM = 64          # synthetic embeddings table dimension
+# synthetic anchor vocabulary for url_anchor_text: indexes 1/3, 4/8,
+# 11/12 normalize together; 2/6/9 hit the generic stoplist; 5 is empty
+_ANCHOR_PHRASES = (
+    "Spark Tutorial", "click HERE", "  spark   tutorial ",
+    "data engineering", "", "Read More", "vector search",
+    "Data  Engineering", "home", "image dataset", "PySpark guide",
+    "pyspark GUIDE")
+
 _IVF_N_CELLS = 8       # learned-quantizer cells in q_ann_ivf_kmeans
 _IVF_N_PROBE = 6
 _IVF_SAMPLE = 4096     # mirror of simsearch.kmeans_cells defaults
@@ -4429,6 +4456,43 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(n_bytes AS BIGINT) AS n_bytes,
                    declared_fmt = sniffed_fmt AS fmt_ok
             FROM s""",
+
+        # anchor-text profile: same normalization (trim/lower/collapse,
+        # NOTE the 'g' flag — Spark's regexp_replace is global by
+        # default, DuckDB's is first-match-only), same stoplist, same
+        # distinct-source weighting and (n_sources desc, anchor) cut
+        "url_anchor_text": r"""
+            WITH raw AS (
+              SELECT 'p' || CAST(l_orderkey AS VARCHAR) AS src,
+                     'u' || CAST(l_partkey % 199 AS VARCHAR) AS dst,
+                     ['Spark Tutorial', 'click HERE',
+                      '  spark   tutorial ', 'data engineering', '',
+                      'Read More', 'vector search',
+                      'Data  Engineering', 'home', 'image dataset',
+                      'PySpark guide', 'pyspark GUIDE']
+                       [CAST(l_suppkey % 12 AS INT) + 1] AS anchor0
+              FROM lineitem),
+            n AS (
+              SELECT DISTINCT src, dst,
+                     regexp_replace(trim(lower(anchor0)),
+                                    '\s+', ' ', 'g') AS anchor
+              FROM raw),
+            c AS (
+              SELECT dst, anchor, COUNT(*) AS n_sources
+              FROM n
+              WHERE anchor <> ''
+                AND anchor NOT IN ('click here', 'here', 'read more',
+                                   'more', 'link', 'this', 'next',
+                                   'previous', 'home')
+              GROUP BY dst, anchor),
+            r AS (
+              SELECT dst, anchor, n_sources,
+                     ROW_NUMBER() OVER (PARTITION BY dst
+                       ORDER BY n_sources DESC, anchor ASC) AS rank
+              FROM c)
+            SELECT dst, anchor, CAST(n_sources AS BIGINT) AS n_sources,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3""",
 
         "text_langid": _LANGID_SQL,
 

@@ -118,3 +118,62 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
            .where(F.col("rank") <= k)
            .select("doc_id", "term", "score", "rank"))
     return _unpersist_on_gc(out, [tf])
+
+
+# the classic generic-anchor stoplist: anchors that describe the ACT
+# of linking, not the target, carry no relevance signal (Brin & Page
+# 1998 §2.2 aggregate anchor text into the target's index entry;
+# generic anchors are the noise term every production system drops)
+GENERIC_ANCHORS = ("click here", "here", "read more", "more", "link",
+                   "this", "next", "previous", "home")
+
+
+def anchor_text_profile(links: DataFrame, k: int = 3,
+                        src_col: str = "src", dst_col: str = "dst",
+                        anchor_col: str = "anchor") -> DataFrame:
+    """Per-target anchor-text profile: top-k anchors by distinct
+    linking pages.
+
+    Anchor text is the strongest off-page relevance signal a crawl
+    produces — the web describing each page in other authors' words —
+    and feeds both ranked retrieval (index-time field) and crawl
+    prioritization (targets accumulating diverse anchors are worth
+    fetching sooner).  Weighting by DISTINCT linking pages rather than
+    raw edge count is the standard spam resistance: a link farm
+    repeating one anchor a million times from one page counts once.
+
+    Semantics: anchors are normalized (trim, lower, interior
+    whitespace collapsed), empties and the generic stoplist dropped;
+    per (dst, anchor) the weight is ``count(distinct src)``; the top-k
+    per dst are ranked by (n_sources desc, anchor asc) so the cut is
+    deterministic.
+
+    Scale shape (plan-audited): three exchanges over strictly
+    shrinking data — dedup shuffles by (src, dst, anchor) with
+    map-side partials, the count shuffles the already-deduped pairs by
+    (dst, anchor) — never by dst alone, so a hot target (every
+    homepage) spreads across its anchor vocabulary instead of
+    hot-spotting one reducer — and only the per-(dst, anchor) counts
+    (one row per distinct pair) reach the per-dst window, where the
+    rank cut keeps k rows per target.  No all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.col(anchor_col))), r"\s+", " ")
+    cleaned = (links
+               .select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"),
+                       norm.alias("anchor"))
+               .where((F.col("anchor") != "")
+                      & ~F.col("anchor").isin(*GENERIC_ANCHORS)))
+    counts = (cleaned.distinct()
+              .groupBy("dst", "anchor")
+              .agg(F.count("*").alias("n_sources")))
+    w = Window.partitionBy("dst").orderBy(
+        F.desc("n_sources"), F.asc("anchor"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("dst", "anchor",
+                    F.col("n_sources").cast("long").alias("n_sources"),
+                    F.col("rank").cast("int").alias("rank")))

@@ -348,3 +348,36 @@ def test_mirror_hosts_hot_fingerprint_capped(spark):
     got = [(r.host_a, r.host_b, r.shared_fp) for r in out.collect()]
     # the surviving pair comes only from the cold fingerprint 'x'
     assert got == [("h00", "h01", 1)]
+
+
+# ----------------------------------------------------- anchor_text
+
+def test_anchor_profile_distinct_source_weighting(spark):
+    from scrapely_spark.spark.search import anchor_text_profile
+    # one page spamming the same anchor 5x counts ONCE; three distinct
+    # pages with a messier casing of the same phrase count three
+    rows = ([("spam", "t", "Buy Now")] * 5
+            + [("p1", "t", "buy   now"), ("p2", "t", "BUY NOW"),
+               ("p3", "t", "buy now"),
+               ("p1", "t", "click here"),      # stoplisted
+               ("p2", "t", "   "),             # empty after trim
+               ("p1", "t", "great product"),
+               ("p2", "t", "great product")])
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = anchor_text_profile(df, k=3).collect()
+    by_anchor = {(r.dst, r.anchor): (r.n_sources, r.rank) for r in got}
+    assert by_anchor[("t", "buy now")] == (4, 1)       # spam + p1..p3
+    assert by_anchor[("t", "great product")] == (2, 2)
+    assert len(got) == 2
+
+
+def test_anchor_profile_k_cut_and_tiebreak(spark):
+    from scrapely_spark.spark.search import anchor_text_profile
+    rows = [("p%d" % i, "t", a) for a in ("aa", "bb", "cc", "dd")
+            for i in range(2)]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = sorted(anchor_text_profile(df, k=3).collect(),
+                 key=lambda r: r.rank)
+    # all tie at n_sources=2: deterministic lexicographic cut at k=3
+    assert [(r.anchor, r.rank) for r in got] == [
+        ("aa", 1), ("bb", 2), ("cc", 3)]
