@@ -1736,6 +1736,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_graph_hits(spark, sf):
+        # Kleinberg HITS on the same derived host graph as
+        # graph_pagerank (graph.hits_micro): 3 iterations entirely on
+        # the 64-bit integer micro grid with max-normalization, so
+        # sums are exact under any partitioning and the oracle's
+        # unrolled CTEs (_hits_oracle_sql) match bit for bit.  The
+        # h89..h96 dangling dsts exercise the hub=0 leg; auth=0 falls
+        # on src-only nodes
+        from scrapely_spark.spark import graph
+        edges = _t(spark, sf, "orders").selectExpr(
+            "'h' || CAST(o_orderkey % 89 AS STRING) AS src",
+            "'h' || CAST(o_custkey % 97 AS STRING) AS dst")
+        return graph.hits_micro(edges, iterations=3)
+
     def q_anchor_text(spark, sf):
         # per-target anchor-text profile (search.anchor_text_profile):
         # top-3 anchors per URL by distinct linking pages — the Brin &
@@ -1852,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": q_quality_classifier,
         "image_format_sniff": q_image_format_sniff,
         "url_anchor_text": q_anchor_text,
+        "graph_hits": q_graph_hits,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -1975,6 +1990,41 @@ _BANDS_SQL = _SHINGLE_CTE + """
 
 
 _EMB_DIM = 64          # synthetic embeddings table dimension
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled DuckDB twin of graph.hits_micro over the same derived
+    host graph: one (auth-step, hub-step) CTE pair per iteration, all
+    arithmetic on the BIGINT micro grid with `//` floor division —
+    the exact integer expressions the Spark plan evaluates."""
+    parts = ["""WITH e AS (
+      SELECT DISTINCT 'h' || CAST(o_orderkey % 89 AS VARCHAR) AS src,
+                      'h' || CAST(o_custkey % 97 AS VARCHAR) AS dst
+      FROM orders),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS auth,
+                  CAST(1000000 AS BIGINT) AS hub FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""",
+    a{i}r AS (SELECT e.dst AS node, SUM(p.hub) AS raw
+              FROM e JOIN s{p} p ON p.node = e.src GROUP BY e.dst),
+    a{i}m AS (SELECT GREATEST(MAX(raw), 1) AS m FROM a{i}r),
+    a{i} AS (SELECT n.node,
+                    (COALESCE(r.raw, 0) * 1000000)
+                      // (SELECT m FROM a{i}m) AS auth
+             FROM nodes n LEFT JOIN a{i}r r ON r.node = n.node),
+    h{i}r AS (SELECT e.src AS node, SUM(a.auth) AS raw
+              FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+    h{i}m AS (SELECT GREATEST(MAX(raw), 1) AS m FROM h{i}r),
+    s{i} AS (SELECT a.node, a.auth,
+                    (COALESCE(h.raw, 0) * 1000000)
+                      // (SELECT m FROM h{i}m) AS hub
+             FROM a{i} a LEFT JOIN h{i}r h ON h.node = a.node)""")
+    parts.append(f"""
+    SELECT node, auth AS auth_micro, hub AS hub_micro
+    FROM s{iterations}""")
+    return "".join(parts)
+
+
 # synthetic anchor vocabulary for url_anchor_text: indexes 1/3, 4/8,
 # 11/12 normalize together; 2/6/9 hit the generic stoplist; 5 is empty
 _ANCHOR_PHRASES = (
@@ -4456,6 +4506,10 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(n_bytes AS BIGINT) AS n_bytes,
                    declared_fmt = sniffed_fmt AS fmt_ok
             FROM s""",
+
+        # HITS: the full 3-iteration unroll in integer arithmetic —
+        # see _hits_oracle_sql
+        "graph_hits": _hits_oracle_sql(3),
 
         # anchor-text profile: same normalization (trim/lower/collapse,
         # NOTE the 'g' flag — Spark's regexp_replace is global by

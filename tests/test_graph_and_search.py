@@ -381,3 +381,45 @@ def test_anchor_profile_k_cut_and_tiebreak(spark):
     # all tie at n_sources=2: deterministic lexicographic cut at k=3
     assert [(r.anchor, r.rank) for r in got] == [
         ("aa", 1), ("bb", 2), ("cc", 3)]
+
+
+# ------------------------------------------------------- hits_micro
+
+def test_hits_micro_exact_twin_random_graph(spark):
+    import random
+    rng = random.Random(23)
+    hosts = ["h%d" % i for i in range(25)]
+    edges = sorted({(rng.choice(hosts), rng.choice(hosts))
+                    for _ in range(120)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.auth_micro, r.hub_micro)
+           for r in graph.hits_micro(df, 3).collect()}
+    assert got == graph.hits_micro_py(edges, 3)
+
+
+def test_hits_micro_hub_authority_separation(spark):
+    # bipartite star: d is the only hub (points at everything), the
+    # a* nodes are pure authorities (no out-edges -> hub 0); d has no
+    # in-edges -> auth 0.  Max-normalization pins the tops at 10^6.
+    edges = [("d", "a1"), ("d", "a2"), ("d", "a3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.auth_micro, r.hub_micro)
+           for r in graph.hits_micro(df, 2).collect()}
+    assert got["d"] == (0, 1_000_000)
+    for a in ("a1", "a2", "a3"):
+        assert got[a] == (1_000_000, 0)
+
+
+def test_hits_micro_partitioning_invariance(spark):
+    import random
+    rng = random.Random(7)
+    hosts = ["h%d" % i for i in range(20)]
+    edges = sorted({(rng.choice(hosts), rng.choice(hosts))
+                    for _ in range(90)})
+    df1 = spark.createDataFrame(edges, "src string, dst string")
+    df32 = df1.repartition(32)
+    r1 = {r.node: (r.auth_micro, r.hub_micro)
+          for r in graph.hits_micro(df1, 3).collect()}
+    r32 = {r.node: (r.auth_micro, r.hub_micro)
+           for r in graph.hits_micro(df32, 3).collect()}
+    assert r1 == r32
