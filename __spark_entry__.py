@@ -1736,6 +1736,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_c4_filters(spark, sf):
+        # the C4 cleaning battery (textstats.c4_filters) over docs
+        # given a 6-line structure that exercises every rule: a
+        # punctuated head, a 2-word stub (word-count drop), a
+        # punctuated tail that only long docs keep, an unpunctuated
+        # full line (punct drop), a planted "lorem ipsum" page
+        # (doc_id%31), a planted code brace page (doc_id%37)
+        did = F.col("doc_id")
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.substring("text", 1, 60), F.lit(".")),
+                F.lit("short line"),
+                F.concat(F.substring("text", 61, 60), F.lit(" ok.")),
+                F.lit("this line has no terminal punctuation at all"),
+                F.when(did % 31 == 0,
+                       F.lit("lorem ipsum dolor sit amet consectetur."))
+                .otherwise(F.lit(
+                    "a perfectly normal closing sentence appears here.")),
+                F.when(did % 37 == 0,
+                       F.lit("function() { return 42; }")))
+            .alias("text"))
+        return textstats.c4_filters(docs)
+
     def q_graph_hits(spark, sf):
         # Kleinberg HITS on the same derived host graph as
         # graph_pagerank (graph.hits_micro): 3 iterations entirely on
@@ -1867,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_format_sniff": q_image_format_sniff,
         "url_anchor_text": q_anchor_text,
         "graph_hits": q_graph_hits,
+        "text_c4_filters": q_c4_filters,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4510,6 +4536,52 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql
         "graph_hits": _hits_oracle_sql(3),
+
+        # C4 battery: same 6-line construction (concat_ws skips the
+        # NULL brace line in both engines), same per-line word-count +
+        # terminal-punct tests, same sentence count (note the 'g'
+        # flag) and page-level lorem/brace drops
+        "text_c4_filters": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       substr(text, 1, 60) || '.',
+                       'short line',
+                       substr(text, 61, 60) || ' ok.',
+                       'this line has no terminal punctuation at all',
+                       CASE WHEN doc_id % 31 = 0
+                         THEN 'lorem ipsum dolor sit amet consectetur.'
+                         ELSE 'a perfectly normal closing sentence appears here.'
+                       END,
+                       CASE WHEN doc_id % 37 = 0
+                         THEN 'function() { return 42; }' END) AS text
+              FROM documents),
+            f AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)), l ->
+                       len(string_split_regex(trim(l), '\s+')) >= 5
+                       AND regexp_matches(trim(l), '[.!?"]$'))
+                     AS kept
+              FROM built),
+            s AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     len(kept) AS n_lines_kept,
+                     array_to_string(kept, chr(10)) AS text_clean,
+                     length(regexp_replace(
+                       array_to_string(kept, chr(10)),
+                       '[^.!?]', '', 'g')) AS n_sentences,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{') AS has_brace
+              FROM f)
+            SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   has_lorem, has_brace,
+                   (n_lines_kept >= 1 AND n_sentences >= 3
+                    AND NOT has_lorem AND NOT has_brace) AS keep,
+                   text_clean
+            FROM s""",
 
         # anchor-text profile: same normalization (trim/lower/collapse,
         # NOTE the 'g' flag — Spark's regexp_replace is global by

@@ -117,6 +117,13 @@ HEADLINE = [
     "warc_record_roundtrip",
     # r4 session 5: rendezvous fetch-shard assignment
     "url_fetch_shards",
+    # r4 session 6: hashed-BoW quality classifier, magic-byte format
+    # sniffing, anchor-text profiles, integer-exact HITS
+    "text_quality_classifier",
+    "image_format_sniff",
+    "url_anchor_text",
+    "graph_hits",
+    "text_c4_filters",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -397,3 +397,52 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 1024,
         F.round(raw.cast("double") / (F.lit(1000.0) * n), 6)
         .alias("score"),
         (raw >= 0).alias("keep"))
+
+
+def c4_filters(docs: DataFrame, min_words_per_line: int = 5,
+               min_sentences: int = 3,
+               text_col: str = "text") -> DataFrame:
+    """The C4 cleaning battery (Raffel et al., "Exploring the Limits
+    of Transfer Learning with a Unified Text-to-Text Transformer",
+    JMLR 2020, §2.2) — the other canonical web-corpus filter stack
+    next to Gopher's (:func:`repetition_stats`):
+
+    * keep only lines that end in terminal punctuation,
+    * drop lines with fewer than ``min_words_per_line`` words,
+    * drop any page containing "lorem ipsum" placeholder text,
+    * drop any page containing a curly brace (code, not prose),
+    * drop pages left with fewer than ``min_sentences`` sentences
+      (counted as terminal-punctuation marks in the cleaned text).
+
+    Everything is one JVM Project over a pruned (doc_id, text) scan:
+    the line split, the per-line word/punctuation tests and the
+    rejoin all run inside higher-order array functions — no explode,
+    no shuffle, no Python — so at 100 TB the battery rides the ingest
+    scan exactly like :func:`quality_classifier`.
+
+    Returns (doc_id, n_lines, n_lines_kept, n_sentences, has_lorem,
+    has_brace, keep, text_clean); downstream filters on ``keep`` and
+    carries ``text_clean`` forward.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _good(l):
+        t = F.trim(l)
+        return ((F.size(F.split(t, r"\s+")) >= min_words_per_line)
+                & t.rlike('[.!?"]$'))
+
+    kept = F.filter(lines, _good)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((F.size(kept) >= 1) & (n_sent >= min_sentences)
+         & ~has_lorem & ~has_brace).alias("keep"),
+        clean.alias("text_clean"))

@@ -382,3 +382,38 @@ def test_quality_classifier_case_and_whitespace_invariant(spark):
     got = {r.doc_id: (r.n_tokens, r.raw_score) for r in
            textstats.quality_classifier(_docs(spark, rows)).collect()}
     assert got[0] == got[1]
+
+
+# ------------------------------------------------- c4_filters (r4)
+
+def test_c4_filters_each_rule_bites(spark):
+    rows = [
+        # keeps: 3 punctuated >=5-word lines
+        (0, "one two three four five.\nsix seven eight nine ten!\n"
+            "a b c d e?", "en", "s"),
+        # line rules: short line + unpunctuated line stripped, one
+        # survivor -> fails min_sentences
+        (1, "tiny line.\nthis has five words here\n"
+            "good line with five words.", "en", "s"),
+        # lorem page: structurally fine but dropped
+        (2, "one two three four five.\nsix seven eight nine ten.\n"
+            "lorem ipsum dolor sit amet.", "en", "s"),
+        # brace page: dropped
+        (3, "one two three four five.\nsix seven eight nine ten.\n"
+            "if (x) { return 1; } else quit now.", "en", "s"),
+        # everything stripped -> keep false, empty clean text
+        (4, "no punct here at all\nshort.", "en", "s"),
+    ]
+    got = {r.doc_id: r for r in
+           textstats.c4_filters(_docs(spark, rows)).collect()}
+    assert got[0].keep and got[0].n_lines_kept == 3
+    assert got[0].n_sentences == 3
+    assert not got[1].keep and got[1].n_lines_kept == 1
+    assert not got[2].keep and got[2].has_lorem
+    assert not got[3].keep and got[3].has_brace
+    assert not got[4].keep and got[4].n_lines_kept == 0
+    assert got[4].text_clean == ""
+    # the quote-terminated line rule: C4 keeps dialogue lines
+    rows2 = [(9, 'he said "this is five words."', "en", "s")]
+    r9 = textstats.c4_filters(_docs(spark, rows2)).collect()[0]
+    assert r9.n_lines_kept == 1
