@@ -1736,6 +1736,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_encoding_gate(spark, sf):
+        # encoding-damage gate (textstats.encoding_gate) with planted
+        # damage: mojibake digraphs on doc_id%11, a U+FFFD on
+        # doc_id%17, a BEL control char on doc_id%19 — the oracle
+        # plants identically (chr(65533)/chr(7)) and counts with the
+        # same RE2-parity patterns
+        did = F.col("doc_id")
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(did % 11 == 0, F.lit(" cafÃ© naÃ¯ve â€™"))
+                .otherwise(F.lit("")),
+                F.when(did % 17 == 0, F.lit("�")).otherwise(F.lit("")),
+                F.when(did % 19 == 0, F.lit("\x07")).otherwise(F.lit("")))
+            .alias("text"))
+        return textstats.encoding_gate(docs)
+
     def q_c4_filters(spark, sf):
         # the C4 cleaning battery (textstats.c4_filters) over docs
         # given a 6-line structure that exercises every rule: a
@@ -1893,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_anchor_text": q_anchor_text,
         "graph_hits": q_graph_hits,
         "text_c4_filters": q_c4_filters,
+        "text_encoding_gate": q_encoding_gate,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4536,6 +4555,37 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql
         "graph_hits": _hits_oracle_sql(3),
+
+        # encoding gate: identical plants (chr(65533) is U+FFFD,
+        # chr(7) the BEL) and identical literal-alternation patterns;
+        # counts via len(regexp_extract_all) == Spark's regexp_count
+        "text_encoding_gate": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' cafÃ© naÃ¯ve â€™' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                             THEN chr(65533) ELSE '' END
+                     || CASE WHEN doc_id % 19 = 0
+                             THEN chr(7) ELSE '' END AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len(regexp_extract_all(text, chr(65533)))
+                       AS n_replacement,
+                     len(regexp_extract_all(text,
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS n_control,
+                     len(regexp_extract_all(text,
+                       'Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|â€™|â€œ|Â«|Â»')) AS n_mojibake
+              FROM built)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_replacement AS BIGINT) AS n_replacement,
+                   CAST(n_control AS BIGINT) AS n_control,
+                   CAST(n_mojibake AS BIGINT) AS n_mojibake,
+                   (n_replacement = 0 AND n_control = 0
+                    AND n_mojibake = 0) AS keep
+            FROM s""",
 
         # C4 battery: same 6-line construction (concat_ws skips the
         # NULL brace line in both engines), same per-line word-count +

@@ -124,6 +124,7 @@ HEADLINE = [
     "url_anchor_text",
     "graph_hits",
     "text_c4_filters",
+    "text_encoding_gate",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

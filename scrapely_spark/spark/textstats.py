@@ -446,3 +446,45 @@ def c4_filters(docs: DataFrame, min_words_per_line: int = 5,
         ((F.size(kept) >= 1) & (n_sent >= min_sentences)
          & ~has_lorem & ~has_brace).alias("keep"),
         clean.alias("text_clean"))
+
+
+# UTF-8-decoded-as-Latin-1 signatures: the high-frequency mojibake
+# digraphs (é → Ã©, ’ → â€™, « → Â«, …).  Literal alternation, no
+# regex classes, so Java regex and RE2 read it identically.
+MOJIBAKE_PATTERN = "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|â€™|â€œ|Â«|Â»"
+_CONTROL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def encoding_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-damage gate: U+FFFD, control chars, mojibake digraphs.
+
+    Web text arrives through charset guessing, and the failures leave
+    three fingerprints: U+FFFD replacement characters (a decoder gave
+    up), C0/C1 control characters (binary junk or wrong codepage), and
+    mojibake digraphs (UTF-8 bytes decoded as Latin-1 — ``é``
+    becoming ``Ã©``).  Damaged documents poison tokenizers (every
+    mojibake digraph fragments into rare tokens), so every production
+    corpus pipeline gates on them before training.
+
+    All three counters are JVM ``regexp_count`` calls over patterns
+    spelled for Java-regex == RE2 parity (literal alternations and
+    explicit ``\\x`` ranges, no ``\\p`` classes) — one shuffle-free
+    Project, same 100 TB shape as :func:`c4_filters`.  The gate is
+    strict (keep = all three counters zero): repair is a separate
+    concern (ftfy-style fixers are transcoders, not filters) and at
+    corpus scale dropping the damaged tail is the standard call.
+
+    Returns (doc_id, n_chars, n_replacement, n_control, n_mojibake,
+    keep).
+    """
+    t = F.col(text_col)
+    n_repl = F.regexp_count(t, F.lit("�"))
+    n_ctrl = F.regexp_count(t, F.lit(_CONTROL_PATTERN))
+    n_moji = F.regexp_count(t, F.lit(MOJIBAKE_PATTERN))
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        n_moji.cast("long").alias("n_mojibake"),
+        ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0)).alias("keep"))

@@ -417,3 +417,25 @@ def test_c4_filters_each_rule_bites(spark):
     rows2 = [(9, 'he said "this is five words."', "en", "s")]
     r9 = textstats.c4_filters(_docs(spark, rows2)).collect()[0]
     assert r9.n_lines_kept == 1
+
+
+# --------------------------------------------- encoding_gate (r4)
+
+def test_encoding_gate_counts_each_damage_class(spark):
+    rows = [
+        (0, "perfectly clean ascii text here", "en", "s"),
+        (1, "cafÃ© is mojibake for café", "en", "s"),
+        (2, "lost bytes �� here", "en", "s"),
+        (3, "bell\x07 and escape\x1b chars", "en", "s"),
+        (4, "tabs\tand\nnewlines are NOT control damage", "en", "s"),
+        (5, "aéb real accents are fine", "en", "s"),
+    ]
+    got = {r.doc_id: r for r in
+           textstats.encoding_gate(_docs(spark, rows)).collect()}
+    assert got[0].keep
+    assert got[1].n_mojibake == 1 and not got[1].keep
+    assert got[2].n_replacement == 2 and not got[2].keep
+    assert got[3].n_control == 2 and not got[3].keep
+    assert got[4].keep  # \t \n \r are whitespace, not damage
+    assert got[5].keep  # properly-decoded accents pass
+    assert got[0].n_chars == len(rows[0][1])
