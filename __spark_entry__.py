@@ -1736,6 +1736,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_image_size_gate(spark, sf):
+        # byte-size plausibility gate (multimodal.size_gate) over
+        # synthesized metadata: plausible sizes at half the format's
+        # max compression, planted truncations at 4x over it
+        # (doc_id%23), sub-header stubs (doc_id%29), 36 MP bombs
+        # (doc_id%41).  Pure integer arithmetic end to end
+        from scrapely_spark.spark import multimodal
+        base = _t(spark, sf, "documents").selectExpr(
+            "doc_id AS image_id",
+            "CAST(doc_id % 6 AS INT) AS fi",
+            "CASE WHEN doc_id % 41 = 0 THEN CAST(6000 AS BIGINT)"
+            " ELSE 32 + (doc_id * 37) % 2000 END AS w",
+            "CASE WHEN doc_id % 41 = 0 THEN CAST(6000 AS BIGINT)"
+            " ELSE 32 + (doc_id * 61) % 2000 END AS h")
+        meta = base.selectExpr(
+            "image_id",
+            "element_at(array('jpeg','png','gif','tiff','webp','bmp'),"
+            " fi + 1) AS fmt",
+            "CAST(w AS INT) AS w", "CAST(h AS INT) AS h",
+            "CASE WHEN image_id % 29 = 0 THEN CAST(50 AS BIGINT)"
+            " WHEN image_id % 23 = 0 THEN (w * h * 3)"
+            "   div (element_at(array(100,50,60,20,150,2), fi+1) * 4)"
+            " ELSE (w * h * 3 * 2)"
+            "   div element_at(array(100,50,60,20,150,2), fi+1) + 600"
+            " END AS n_bytes")
+        return multimodal.size_gate(meta)
+
     def q_encoding_gate(spark, sf):
         # encoding-damage gate (textstats.encoding_gate) with planted
         # damage: mojibake digraphs on doc_id%11, a U+FFFD on
@@ -1912,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "text_c4_filters": q_c4_filters,
         "text_encoding_gate": q_encoding_gate,
+        "image_size_gate": q_image_size_gate,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4555,6 +4583,45 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql
         "graph_hits": _hits_oracle_sql(3),
+
+        # size gate: identical synthesis (same ratio table, same
+        # plants) and the same integer inequalities — `//` is DuckDB's
+        # floor division == Spark's `div` on BIGINTs
+        "image_size_gate": """
+            WITH base AS (
+              SELECT doc_id AS image_id,
+                     CAST(doc_id % 6 AS INT) AS fi,
+                     CASE WHEN doc_id % 41 = 0 THEN CAST(6000 AS BIGINT)
+                          ELSE 32 + (doc_id * 37) % 2000 END AS w,
+                     CASE WHEN doc_id % 41 = 0 THEN CAST(6000 AS BIGINT)
+                          ELSE 32 + (doc_id * 61) % 2000 END AS h
+              FROM documents),
+            meta AS (
+              SELECT image_id,
+                     ['jpeg','png','gif','tiff','webp','bmp'][fi+1]
+                       AS fmt,
+                     CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+                     CASE WHEN image_id % 29 = 0 THEN CAST(50 AS BIGINT)
+                          WHEN image_id % 23 = 0 THEN (w * h * 3)
+                            // ([100,50,60,20,150,2][fi+1] * 4)
+                          ELSE (w * h * 3 * 2)
+                            // [100,50,60,20,150,2][fi+1] + 600
+                     END AS n_bytes,
+                     [100,50,60,20,150,2][fi+1] AS rmax
+              FROM base),
+            s AS (
+              SELECT image_id, fmt, w, h, n_bytes,
+                     n_bytes < 100 AS too_small,
+                     CAST(w AS BIGINT) * h > 25000000 AS bomb,
+                     n_bytes * rmax
+                       < CAST(w AS BIGINT) * h * 3 AS truncated
+              FROM meta)
+            SELECT image_id, fmt, w, h,
+                   CAST(n_bytes AS BIGINT) AS n_bytes,
+                   too_small, bomb, truncated,
+                   (NOT too_small AND NOT bomb AND NOT truncated)
+                     AS keep
+            FROM s""",
 
         # encoding gate: identical plants (chr(65533) is U+FFFD,
         # chr(7) the BEL) and identical literal-alternation patterns;

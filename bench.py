@@ -125,6 +125,7 @@ HEADLINE = [
     "graph_hits",
     "text_c4_filters",
     "text_encoding_gate",
+    "image_size_gate",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

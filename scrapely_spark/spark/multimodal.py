@@ -580,3 +580,62 @@ def sniff_format(images: DataFrame, bytes_col: str = "bytes",
         sniffed.alias("sniffed_fmt"),
         F.length(F.col(bytes_col)).cast("long").alias("n_bytes"),
         (F.col(fmt_col) == sniffed).alias("fmt_ok"))
+
+
+# max plausible compression ratio (raw RGB bytes / file bytes) per
+# container — an image whose file is smaller than raw/ratio cannot be
+# a complete encoding of the declared dimensions.  The table is the
+# spec: JPEG quality floors around 100:1, PNG's DEFLATE rarely beats
+# 50:1 on photographic content, BMP is uncompressed (+header slack).
+SIZE_GATE_MAX_RATIO = {"jpeg": 100, "png": 50, "gif": 60,
+                       "webp": 150, "tiff": 20, "bmp": 2}
+SIZE_GATE_MAX_PIXELS = 25_000_000     # 25 MP decode ceiling
+SIZE_GATE_MIN_BYTES = 100             # below any valid header+payload
+
+
+def size_gate(images: DataFrame, n_bytes_col: str = "n_bytes",
+              bytes_col: str = "bytes") -> DataFrame:
+    """Byte-size plausibility gate over (w, h, fmt, size) metadata.
+
+    Two of the highest-yield drops in an image-curation pipeline need
+    no decode at all: *truncated downloads* (the file is too small to
+    be a complete encoding of the declared dimensions — the decoder
+    would fail or emit a half-gray frame) and *decompression bombs*
+    (declared pixel count large enough that decoding DoSes the
+    executor: the classic 40000×40000 PNG that is 4 KB on disk).  Both
+    fall out of integer arithmetic on columns the ingest already has,
+    so the gate runs BEFORE bytes are ever shipped to a decode stage —
+    at 100 TB this ordering is the difference between pruning the
+    blob column at the scan and paying full I/O for garbage.
+
+    Flags (all integer-exact, no floats):
+    * ``too_small``  — n_bytes < 100 (below any valid header),
+    * ``bomb``       — w·h > 25 MP (decode ceiling),
+    * ``truncated``  — n_bytes · max_ratio(fmt) < w·h·3, with the
+      per-format plausible-compression table above; unknown formats
+      use the most permissive ratio (150) so the gate never
+      false-positives on a container it doesn't know.
+
+    If ``n_bytes_col`` is absent, falls back to ``length(bytes)``.
+    Returns (image_id, fmt, w, h, n_bytes, too_small, bomb,
+    truncated, keep).
+    """
+    nb = (F.col(n_bytes_col) if n_bytes_col in images.columns
+          else F.length(F.col(bytes_col))).cast("long")
+    ratio = F.lit(150)
+    for f, r in SIZE_GATE_MAX_RATIO.items():
+        ratio = F.when(F.col("fmt") == f, F.lit(r)).otherwise(ratio)
+    raw = (F.col("w").cast("long") * F.col("h").cast("long") * 3)
+    px = F.col("w").cast("long") * F.col("h").cast("long")
+    too_small = nb < SIZE_GATE_MIN_BYTES
+    bomb = px > SIZE_GATE_MAX_PIXELS
+    truncated = (nb * ratio) < raw
+    return images.select(
+        "image_id", "fmt",
+        F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        nb.alias("n_bytes"),
+        too_small.alias("too_small"),
+        bomb.alias("bomb"),
+        truncated.alias("truncated"),
+        (~too_small & ~bomb & ~truncated).alias("keep"))

@@ -536,3 +536,40 @@ def test_sniff_format_magic_table(spark):
     ok = [i for i, r in got.items() if r.fmt_ok]
     assert sorted(ok) == ["bmp-ok", "gif87", "gif89", "jpg-ok",
                           "png-ok", "tiff-be", "tiff-le", "webp-ok"]
+
+
+def test_size_gate_each_flag_bites(spark):
+    rows = [
+        # 1000x800 jpeg, raw=2.4MB: plausible at 48KB (ratio 50)
+        ("ok",        "jpeg", 1000, 800, 48_000),
+        # same image but 8KB -> ratio 300 > jpeg's 100: truncated
+        ("trunc",     "jpeg", 1000, 800, 8_000),
+        # bmp is uncompressed: even ratio 3 is implausible
+        ("bmp-trunc", "bmp",  100,  100, 10_000),
+        ("bmp-ok",    "bmp",  100,  100, 30_100),
+        # 36 MP: decode bomb regardless of byte size
+        ("bomb",      "png",  6000, 6000, 50_000_000),
+        # sub-header stub
+        ("stub",      "png",  64,   64,  50),
+        # unknown container: most permissive ratio, never truncated
+        # here (raw 12288, 12288 <= 150*100)
+        ("mystery",   "heic", 64,   64,  100),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, fmt string, w int, h int, n_bytes long")
+    got = {r.image_id: r for r in multimodal.size_gate(df).collect()}
+    assert got["ok"].keep
+    assert got["trunc"].truncated and not got["trunc"].keep
+    assert got["bmp-trunc"].truncated
+    assert got["bmp-ok"].keep
+    assert got["bomb"].bomb and not got["bomb"].keep
+    assert got["stub"].too_small
+    assert got["mystery"].keep
+
+
+def test_size_gate_falls_back_to_blob_length(spark):
+    df = spark.createDataFrame(
+        [("a", "png", 8, 8, bytearray(b"\x00" * 300))],
+        "image_id string, fmt string, w int, h int, bytes binary")
+    r = multimodal.size_gate(df).collect()[0]
+    assert r.n_bytes == 300 and r.keep  # raw 192 < 300*50
