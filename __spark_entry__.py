@@ -1736,6 +1736,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_image_ingest_gates(spark, sf):
+        # the composed ingest gate (multimodal.ingest_gates): format
+        # sniff + size gate fused into ONE shuffle-free Project —
+        # real header bytes from the sniff synthesis, (w, h, n_bytes)
+        # metadata from the size synthesis, joined in construction
+        # (same doc_id), so every gate leg fires on the same rows
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        fmts = F.array(*[F.lit(x) for x in
+                         ("jpeg", "png", "gif", "tiff", "webp", "bmp")])
+        hdrs = F.array(*[F.lit(x) for x in (
+            "FFD8FFE000104A46494600", "89504E470D0A1A0A",
+            "474946383961", "49492A00",
+            "524946462400000057454250", "424D")])
+        actual = ((did + F.when(did % 7 == 0, 1).otherwise(0)) % 6
+                  + 1).cast("int")
+        hdr = (F.when(did % 13 == 0, F.lit("DEADBEEF"))
+               .otherwise(F.element_at(hdrs, actual)))
+        base = _t(spark, sf, "documents").select(
+            did.alias("image_id"),
+            F.element_at(fmts, (did % 6 + 1).cast("int")).alias("fmt"),
+            F.unhex(F.concat(hdr, F.substring(
+                F.md5(did.cast("string")), 1, 24))).alias("bytes"),
+            (did % 6).cast("int").alias("fi"),
+            F.when(did % 41 == 0, F.lit(6000).cast("long"))
+            .otherwise(32 + (did * 37) % 2000).alias("w0"),
+            F.when(did % 41 == 0, F.lit(6000).cast("long"))
+            .otherwise(32 + (did * 61) % 2000).alias("h0"))
+        meta = base.selectExpr(
+            "image_id", "fmt", "bytes",
+            "CAST(w0 AS INT) AS w", "CAST(h0 AS INT) AS h",
+            "CASE WHEN image_id % 29 = 0 THEN CAST(50 AS BIGINT)"
+            " WHEN image_id % 23 = 0 THEN (w0 * h0 * 3)"
+            "   div (element_at(array(100,50,60,20,150,2), fi+1) * 4)"
+            " ELSE (w0 * h0 * 3 * 2)"
+            "   div element_at(array(100,50,60,20,150,2), fi+1) + 600"
+            " END AS n_bytes")
+        return multimodal.ingest_gates(meta)
+
     def q_image_size_gate(spark, sf):
         # byte-size plausibility gate (multimodal.size_gate) over
         # synthesized metadata: plausible sizes at half the format's
@@ -1940,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_filters": q_c4_filters,
         "text_encoding_gate": q_encoding_gate,
         "image_size_gate": q_image_size_gate,
+        "image_ingest_gates": q_image_ingest_gates,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4583,6 +4623,70 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql
         "graph_hits": _hits_oracle_sql(3),
+
+        # composed ingest gate: the sniff CTEs and the size CTEs over
+        # the SAME per-doc construction, verdicts combined exactly as
+        # ingest_gates combines them
+        "image_ingest_gates": """
+            WITH base AS (
+              SELECT doc_id AS image_id,
+                     ['jpeg','png','gif','tiff','webp','bmp']
+                       [CAST(doc_id % 6 AS INT) + 1] AS fmt,
+                     (CASE WHEN doc_id % 13 = 0 THEN 'DEADBEEF'
+                           ELSE ['FFD8FFE000104A46494600',
+                                 '89504E470D0A1A0A', '474946383961',
+                                 '49492A00',
+                                 '524946462400000057454250', '424D']
+                             [CAST((doc_id + CASE WHEN doc_id % 7 = 0
+                                             THEN 1 ELSE 0 END) % 6
+                                   AS INT) + 1] END
+                      || substr(md5(CAST(doc_id AS VARCHAR)), 1, 24))
+                     AS hx,
+                     CAST(doc_id % 6 AS INT) AS fi,
+                     CASE WHEN doc_id % 41 = 0 THEN CAST(6000 AS BIGINT)
+                          ELSE 32 + (doc_id * 37) % 2000 END AS w0,
+                     CASE WHEN doc_id % 41 = 0 THEN CAST(6000 AS BIGINT)
+                          ELSE 32 + (doc_id * 61) % 2000 END AS h0
+              FROM documents),
+            meta AS (
+              SELECT image_id, fmt,
+                     upper(hex(from_hex(hx))) AS h,
+                     w0, h0,
+                     CASE WHEN image_id % 29 = 0 THEN CAST(50 AS BIGINT)
+                          WHEN image_id % 23 = 0 THEN (w0 * h0 * 3)
+                            // ([100,50,60,20,150,2][fi+1] * 4)
+                          ELSE (w0 * h0 * 3 * 2)
+                            // [100,50,60,20,150,2][fi+1] + 600
+                     END AS n_bytes,
+                     [100,50,60,20,150,2][fi+1] AS rmax
+              FROM base),
+            s AS (
+              SELECT image_id, fmt AS declared_fmt,
+                     CASE
+                       WHEN substr(h,1,8) = '52494646'
+                        AND substr(h,17,8) = '57454250' THEN 'webp'
+                       WHEN substr(h,1,6) = 'FFD8FF' THEN 'jpeg'
+                       WHEN substr(h,1,16) = '89504E470D0A1A0A'
+                         THEN 'png'
+                       WHEN substr(h,1,12) IN ('474946383761',
+                                               '474946383961')
+                         THEN 'gif'
+                       WHEN substr(h,1,8) IN ('49492A00','4D4D002A')
+                         THEN 'tiff'
+                       WHEN substr(h,1,4) = '424D' THEN 'bmp'
+                       ELSE 'unknown' END AS sniffed_fmt,
+                     n_bytes,
+                     n_bytes < 100 AS too_small,
+                     w0 * h0 > 25000000 AS bomb,
+                     n_bytes * rmax < w0 * h0 * 3 AS truncated
+              FROM meta)
+            SELECT image_id, declared_fmt, sniffed_fmt,
+                   declared_fmt = sniffed_fmt AS fmt_ok,
+                   CAST(n_bytes AS BIGINT) AS n_bytes,
+                   too_small, bomb, truncated,
+                   (declared_fmt = sniffed_fmt AND NOT too_small
+                    AND NOT bomb AND NOT truncated) AS keep
+            FROM s""",
 
         # size gate: identical synthesis (same ratio table, same
         # plants) and the same integer inequalities — `//` is DuckDB's

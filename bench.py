@@ -126,6 +126,7 @@ HEADLINE = [
     "text_c4_filters",
     "text_encoding_gate",
     "image_size_gate",
+    "image_ingest_gates",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -535,6 +535,19 @@ _MAGIC = (
 )
 
 
+def _sniffed_fmt(bytes_col: str):
+    """The magic-byte CASE ladder as a column expression (shared by
+    :func:`sniff_format` and :func:`ingest_gates`)."""
+    hx = F.upper(F.hex(F.col(bytes_col)))
+    ladder = F.when(
+        (F.substring(hx, 1, 8) == "52494646")
+        & (F.substring(hx, 17, 8) == "57454250"), F.lit("webp"))
+    for prefix, name in _MAGIC:
+        ladder = ladder.when(
+            F.substring(hx, 1, len(prefix)) == prefix, F.lit(name))
+    return ladder.otherwise(F.lit("unknown"))
+
+
 def sniff_format(images: DataFrame, bytes_col: str = "bytes",
                  fmt_col: str = "fmt") -> DataFrame:
     """Magic-byte format sniffing + declared-format validation.
@@ -563,17 +576,7 @@ def sniff_format(images: DataFrame, bytes_col: str = "bytes",
     with ``fmt_ok = (declared == sniffed)`` — downstream either drops
     mismatches or re-routes them to the sniffed decoder.
     """
-    hx = F.upper(F.hex(F.col(bytes_col)))
-
-    sniffed = F.lit(None).cast("string")
-    ladder = F.when(
-        (F.substring(hx, 1, 8) == "52494646")
-        & (F.substring(hx, 17, 8) == "57454250"), F.lit("webp"))
-    for prefix, name in _MAGIC:
-        ladder = ladder.when(
-            F.substring(hx, 1, len(prefix)) == prefix, F.lit(name))
-    sniffed = ladder.otherwise(F.lit("unknown"))
-
+    sniffed = _sniffed_fmt(bytes_col)
     return images.select(
         "image_id",
         F.col(fmt_col).alias("declared_fmt"),
@@ -639,3 +642,48 @@ def size_gate(images: DataFrame, n_bytes_col: str = "n_bytes",
         bomb.alias("bomb"),
         truncated.alias("truncated"),
         (~too_small & ~bomb & ~truncated).alias("keep"))
+
+
+def ingest_gates(images: DataFrame, bytes_col: str = "bytes",
+                 fmt_col: str = "fmt",
+                 n_bytes_col: str = "n_bytes") -> DataFrame:
+    """The composed image ingest gate: format sniff + size gate as ONE
+    declarative Project.
+
+    :func:`sniff_format` and :func:`size_gate` verified piecewise; an
+    ingest pipeline runs them together, and because both are pure
+    column expressions the composition is a SINGLE shuffle-free
+    Project — Catalyst evaluates the hex ladder and the integer
+    inequalities in the same whole-stage-codegen pass over the scan,
+    so adding a gate costs zero extra I/O (contrast with materializing
+    each gate's verdict table and joining: a shuffle per gate).
+
+    ``keep`` requires the declared format to match the sniffed
+    container AND the size-plausibility flags to all clear — the
+    row a decode stage may safely receive.
+
+    Returns (image_id, declared_fmt, sniffed_fmt, fmt_ok, n_bytes,
+    too_small, bomb, truncated, keep).
+    """
+    sniffed = _sniffed_fmt(bytes_col)
+    fmt_ok = F.col(fmt_col) == sniffed
+    nb = (F.col(n_bytes_col) if n_bytes_col in images.columns
+          else F.length(F.col(bytes_col))).cast("long")
+    ratio = F.lit(150)
+    for f, r in SIZE_GATE_MAX_RATIO.items():
+        ratio = F.when(F.col(fmt_col) == f, F.lit(r)).otherwise(ratio)
+    raw = F.col("w").cast("long") * F.col("h").cast("long") * 3
+    px = F.col("w").cast("long") * F.col("h").cast("long")
+    too_small = nb < SIZE_GATE_MIN_BYTES
+    bomb = px > SIZE_GATE_MAX_PIXELS
+    truncated = (nb * ratio) < raw
+    return images.select(
+        "image_id",
+        F.col(fmt_col).alias("declared_fmt"),
+        sniffed.alias("sniffed_fmt"),
+        fmt_ok.alias("fmt_ok"),
+        nb.alias("n_bytes"),
+        too_small.alias("too_small"),
+        bomb.alias("bomb"),
+        truncated.alias("truncated"),
+        (fmt_ok & ~too_small & ~bomb & ~truncated).alias("keep"))

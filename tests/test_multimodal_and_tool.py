@@ -573,3 +573,32 @@ def test_size_gate_falls_back_to_blob_length(spark):
         "image_id string, fmt string, w int, h int, bytes binary")
     r = multimodal.size_gate(df).collect()[0]
     assert r.n_bytes == 300 and r.keep  # raw 192 < 300*50
+
+
+def test_ingest_gates_equals_piecewise_gates(spark):
+    # the fused verdict must equal sniff_format.fmt_ok AND
+    # size_gate.keep computed piecewise on the same rows
+    rows = [
+        ("ok",    "jpeg", bytes.fromhex("FFD8FFE000104A46494600"),
+         800, 600, 40_000),
+        ("badfmt", "png", bytes.fromhex("FFD8FFE000104A46494600"),
+         800, 600, 40_000),
+        ("trunc", "jpeg", bytes.fromhex("FFD8FFE000104A46494600"),
+         800, 600, 2_000),
+        ("bomb",  "png",  bytes.fromhex("89504E470D0A1A0A"),
+         6000, 6000, 1_000_000),
+    ]
+    df = spark.createDataFrame(
+        [(i, f, bytearray(b), w, h, n) for i, f, b, w, h, n in rows],
+        "image_id string, fmt string, bytes binary, w int, h int,"
+        " n_bytes long")
+    fused = {r.image_id: r for r in multimodal.ingest_gates(df).collect()}
+    sniff = {r.image_id: r.fmt_ok
+             for r in multimodal.sniff_format(df).collect()}
+    size = {r.image_id: r.keep
+            for r in multimodal.size_gate(df).collect()}
+    for iid in sniff:
+        assert fused[iid].keep == (sniff[iid] and size[iid]), iid
+    assert fused["ok"].keep
+    assert not fused["badfmt"].keep and not fused["badfmt"].fmt_ok
+    assert fused["trunc"].truncated and fused["bomb"].bomb
