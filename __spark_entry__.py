@@ -1736,6 +1736,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_host_quality(spark, sf):
+        # host-level quality rollup (textstats.host_quality): per-doc
+        # classifier scores on the integer micro grid, one host-keyed
+        # shuffle; the host space matches url_crawl_tiers so the
+        # rollup plugs straight into the tier scorer.  NB Spark `div`
+        # and DuckDB `//` both truncate toward zero on negatives —
+        # verified, so the negative micro scores hash identically
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+            .alias("host"),
+            "text")
+        return textstats.host_quality(d)
+
     def q_image_ingest_gates(spark, sf):
         # the composed ingest gate (multimodal.ingest_gates): format
         # sniff + size gate fused into ONE shuffle-free Project —
@@ -1980,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_encoding_gate": q_encoding_gate,
         "image_size_gate": q_image_size_gate,
         "image_ingest_gates": q_image_ingest_gates,
+        "url_host_quality": q_host_quality,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4623,6 +4638,36 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql
         "graph_hits": _hits_oracle_sql(3),
+
+        # host quality rollup: the classifier CTE with the host column
+        # threaded through, aggregated with the same integer micro-grid
+        # expressions (`//` == Spark `div`: both truncate toward zero,
+        # verified on negatives)
+        "url_host_quality": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 97 AS VARCHAR) AS host,
+                     string_split_regex(trim(lower(text)), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id, host, len(words) AS n_tokens,
+                     CAST(list_sum(list_transform(words, t ->
+                       (CAST('0x' || substr(md5('w:' || CAST(
+                            CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)
+                            % 1024 AS VARCHAR)), 1, 12) AS BIGINT)
+                        % 2001) - 1000)) AS BIGINT) AS raw_score
+              FROM d),
+            m AS (
+              SELECT host, COUNT(*) AS n_docs,
+                     SUM(CASE WHEN raw_score >= 0 THEN 1 ELSE 0 END)
+                       AS n_keep,
+                     SUM((raw_score * 1000) // n_tokens) AS sum_micro
+              FROM s GROUP BY host)
+            SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_keep AS BIGINT) AS n_keep,
+                   (n_keep * 1000000) // n_docs AS keep_rate_micro,
+                   sum_micro // n_docs AS mean_score_micro
+            FROM m""",
 
         # composed ingest gate: the sniff CTEs and the size CTEs over
         # the SAME per-doc construction, verdicts combined exactly as

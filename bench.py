@@ -127,6 +127,7 @@ HEADLINE = [
     "text_encoding_gate",
     "image_size_gate",
     "image_ingest_gates",
+    "url_host_quality",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -351,7 +351,8 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 60,
 
 
 def quality_classifier(docs: DataFrame, n_buckets: int = 1024,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       passthrough: tuple = ()) -> DataFrame:
     """Hashed bag-of-words linear quality classifier (fastText shape).
 
     The CCNet/GPT-3-style quality filter is a linear classifier over
@@ -391,7 +392,7 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 1024,
                       lambda acc, tok: acc + _w(tok))
     n = F.size(words)
     return docs.select(
-        "doc_id",
+        "doc_id", *passthrough,
         n.cast("long").alias("n_tokens"),
         raw.alias("raw_score"),
         F.round(raw.cast("double") / (F.lit(1000.0) * n), 6)
@@ -488,3 +489,44 @@ def encoding_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_ctrl.cast("long").alias("n_control"),
         n_moji.cast("long").alias("n_mojibake"),
         ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0)).alias("keep"))
+
+
+def host_quality(docs: DataFrame, host_col: str = "host",
+                 n_buckets: int = 1024) -> DataFrame:
+    """Host-level quality rollup of :func:`quality_classifier` — the
+    table that closes the curation→scheduler loop.
+
+    A crawl spends its budget per HOST, not per document, so the
+    per-document classifier only steers the frontier once it is rolled
+    up: hosts whose documents consistently score low get demoted a
+    tier (or dropped), hosts that score high earn deeper crawls.  This
+    is the "quality" half of the composite score ``url_crawl_tiers``
+    multiplies with PageRank authority.
+
+    Exactness discipline: each document's normalized score is put on
+    an integer micro grid FIRST (``raw_score·1000 div n_tokens`` —
+    exact per row), so the host aggregate is a BIGINT sum and the
+    rollup is independent of partitioning and summation order; the
+    host mean is one floor division at the end.  One shuffle, keyed by
+    host, with map-side partials; output is host-cardinality.
+
+    Returns (host, n_docs, n_keep, keep_rate_micro, mean_score_micro).
+    """
+    # classifier columns recomputed inline (same expressions as
+    # quality_classifier) so host rides the SAME scan — no self-join
+    scored = quality_classifier(
+        docs.select("doc_id", host_col, "text"), n_buckets=n_buckets,
+        passthrough=(host_col,))
+    micro = F.expr("raw_score * 1000 div n_tokens")
+    return (scored
+            .groupBy(host_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                 F.sum(micro).alias("_sum_micro"))
+            .select(F.col(host_col).alias("host"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_keep").cast("long").alias("n_keep"),
+                    F.expr("n_keep * 1000000 div n_docs")
+                    .alias("keep_rate_micro"),
+                    F.expr("_sum_micro div n_docs")
+                    .alias("mean_score_micro")))

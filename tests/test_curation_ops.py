@@ -439,3 +439,43 @@ def test_encoding_gate_counts_each_damage_class(spark):
     assert got[4].keep  # \t \n \r are whitespace, not damage
     assert got[5].keep  # properly-decoded accents pass
     assert got[0].n_chars == len(rows[0][1])
+
+
+# -------------------------------------------- host_quality (r4)
+
+def test_host_quality_micro_grid_rollup(spark):
+    rows = [(0, "alpha beta", "en", "s"), (1, "gamma", "en", "s"),
+            (2, "delta epsilon zeta", "en", "s")]
+    hosts = {0: "a", 1: "a", 2: "b"}
+    df = spark.createDataFrame(
+        [(i, hosts[i], t) for i, t, _, _ in rows],
+        "doc_id long, host string, text string")
+    got = {r.host: r for r in textstats.host_quality(df).collect()}
+
+    # independent twin: per-doc micro scores then integer host means
+    def micro(text):
+        n, raw = _qc_twin(text)
+        q = abs(raw * 1000) // n
+        m = q if raw >= 0 else -q  # div truncates toward zero
+        return n, raw, m
+    per = {i: micro(t) for i, t, _, _ in rows}
+    for h in ("a", "b"):
+        ids = [i for i in hosts if hosts[i] == h]
+        n_docs = len(ids)
+        n_keep = sum(1 for i in ids if per[i][1] >= 0)
+        sm = sum(per[i][2] for i in ids)
+        r = got[h]
+        assert (r.n_docs, r.n_keep) == (n_docs, n_keep)
+        assert r.keep_rate_micro == (n_keep * 1_000_000) // n_docs
+        want_mean = (abs(sm) // n_docs) * (1 if sm >= 0 else -1)
+        assert r.mean_score_micro == want_mean, h
+
+
+def test_host_quality_partitioning_invariance(spark):
+    rows = [(i, "h%d" % (i % 3), "tok%d word%d x" % (i, i * 7))
+            for i in range(60)]
+    df1 = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    r1 = sorted(map(tuple, textstats.host_quality(df1).collect()))
+    r2 = sorted(map(tuple,
+                    textstats.host_quality(df1.repartition(32)).collect()))
+    assert r1 == r2
