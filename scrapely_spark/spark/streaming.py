@@ -392,3 +392,25 @@ def warc_records_stream(spark: SparkSession, segments_dir: str,
     stream = _read_parquet_stream(spark, segments_dir,
                                   max_files_per_trigger, schema)
     return warc.parse_warc_segments(stream)
+
+
+def ingest_gates_stream(spark: SparkSession, images_dir: str,
+                        max_files_per_trigger: int = 8,
+                        schema=None, **gate_kwargs) -> DataFrame:
+    """Ingest-time format-sniff + size gating: tail a parquet landing
+    zone of crawled image rows and run
+    :func:`multimodal.ingest_gates` per micro-batch.
+
+    This is the gate's production position — at the landing zone,
+    BEFORE anything downstream reads blobs: rows failing the fused
+    sniff/size verdict never reach decode, dedup, or storage
+    compaction.  The gate is a stateless single Project, so the
+    streamed verdicts equal the batch gate over the same files by
+    construction (pinned by the parity test); no watermark or state
+    store exists to size, and each micro-batch prunes its own scan.
+    """
+    from scrapely_spark.spark import multimodal
+
+    stream = _read_parquet_stream(spark, images_dir,
+                                  max_files_per_trigger, schema)
+    return multimodal.ingest_gates(stream, **gate_kwargs)

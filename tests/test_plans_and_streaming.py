@@ -631,3 +631,47 @@ def test_rendezvous_balance_and_shuffle_free(spark):
                .selectExpr("count AS cnt").collect()]
     assert len(loads) == 16
     assert max(loads) < 2 * (512 / 16)  # binomial tail, mean 32
+
+
+def test_streaming_ingest_gates_agree_with_batch(spark, tmp_path):
+    """The fused sniff+size gate is a stateless Project, so streamed
+    verdicts over a landing zone equal the batch gate on the same
+    files — the gate's production position at the ingest zone."""
+    import os
+
+    from scrapely_spark.spark import multimodal, streaming
+
+    zone = str(tmp_path / "gate_zone")
+    os.makedirs(zone)
+    hdr = {"jpeg": bytes.fromhex("FFD8FFE000104A46494600"),
+           "png": bytes.fromhex("89504E470D0A1A0A"),
+           "bmp": b"BM\x36\x00"}
+    fmts = ["jpeg", "png", "bmp"]
+    rows = []
+    for i in range(240):
+        declared = fmts[i % 3]
+        actual = fmts[(i + (1 if i % 7 == 0 else 0)) % 3]
+        w, h = 32 + (i * 37) % 500, 32 + (i * 61) % 500
+        nb = 50 if i % 29 == 0 else (w * h * 3 * 2) // 50 + 600
+        rows.append((str(i), declared, bytearray(hdr[actual] + b"xx"),
+                     w, h, nb))
+    spark.createDataFrame(
+        rows, "image_id string, fmt string, bytes binary, w int,"
+              " h int, n_bytes long") \
+        .repartition(3).write.parquet(zone, mode="overwrite")
+
+    q = streaming.run_available_now(
+        streaming.ingest_gates_stream(spark, zone,
+                                      max_files_per_trigger=1),
+        "gates_stream_q", str(tmp_path / "ckpt_gates"),
+        output_mode="append")
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql(
+        "select * from gates_stream_q").collect()}
+    want = {tuple(r) for r in multimodal.ingest_gates(
+        spark.read.parquet(zone)).collect()}
+    assert got == want and want
+    # both verdict polarities present in the parity set
+    keeps = {r[-1] for r in want}
+    assert keeps == {True, False}
