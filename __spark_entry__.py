@@ -1736,6 +1736,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_caption_lang(spark, sf):
+        # caption-language agreement (multimodal.caption_lang_gate):
+        # captions from documents, declared language rotated one slot
+        # on doc_id%43 to plant metadata lies on top of the natural
+        # marker-model disagreement; detection is the SAME model as
+        # text_langid so the two rows can never diverge on a text
+        from scrapely_spark.spark import multimodal
+        langs = F.array(*[F.lit(x) for x in
+                          ("de", "en", "es", "fr", "zh")])
+        # index of lang in the sorted list, rotated by one when planted
+        idx = (F.array_position(langs, F.col("lang")) - 1).cast("int")
+        declared = F.when(
+            F.col("doc_id") % 43 == 0,
+            F.element_at(langs, ((idx + 1) % 5 + 1).cast("int"))
+        ).otherwise(F.col("lang"))
+        pairs = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("image_id"),
+            declared.alias("declared_lang"),
+            F.col("text").alias("caption"))
+        return multimodal.caption_lang_gate(pairs)
+
     def q_host_quality(spark, sf):
         # host-level quality rollup (textstats.host_quality): per-doc
         # classifier scores on the integer micro grid, one host-keyed
@@ -1995,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_size_gate": q_image_size_gate,
         "image_ingest_gates": q_image_ingest_gates,
         "url_host_quality": q_host_quality,
+        "image_caption_langid": q_caption_lang,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4638,6 +4660,47 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql
         "graph_hits": _hits_oracle_sql(3),
+
+        # caption-language agreement: the langid body over captions
+        # with the same declared-language rotation plant
+        "image_caption_langid": r"""
+            WITH p AS (
+              SELECT doc_id AS image_id,
+                     CASE WHEN doc_id % 43 = 0 THEN
+                       ['de','en','es','fr','zh'][
+                         (list_position(['de','en','es','fr','zh'],
+                                        lang) % 5) + 1]
+                     ELSE lang END AS declared_lang,
+                     string_split_regex(lower(text), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT image_id, declared_lang,
+                len(list_filter(words, w -> w IN ('der','die','und','von','mit'))) AS score_de,
+                len(list_filter(words, w -> w IN ('the','and','of','to','in'))) AS score_en,
+                len(list_filter(words, w -> w IN ('el','la','de','que','en'))) AS score_es,
+                len(list_filter(words, w -> w IN ('le','la','et','les','des'))) AS score_fr,
+                len(list_filter(words, w -> w IN ('的','是','了','在','我'))) AS score_zh
+              FROM p),
+            r AS (
+              SELECT image_id, declared_lang,
+                     CASE
+                       WHEN score_de = greatest(score_de, score_en,
+                         score_es, score_fr, score_zh) THEN 'de'
+                       WHEN score_en = greatest(score_de, score_en,
+                         score_es, score_fr, score_zh) THEN 'en'
+                       WHEN score_es = greatest(score_de, score_en,
+                         score_es, score_fr, score_zh) THEN 'es'
+                       WHEN score_fr = greatest(score_de, score_en,
+                         score_es, score_fr, score_zh) THEN 'fr'
+                       ELSE 'zh'
+                     END AS detected_lang,
+                     greatest(score_de, score_en, score_es, score_fr,
+                              score_zh) AS marker_hits
+              FROM s)
+            SELECT image_id, declared_lang, detected_lang,
+                   CAST(marker_hits AS BIGINT) AS marker_hits,
+                   declared_lang = detected_lang AS lang_ok
+            FROM r""",
 
         # host quality rollup: the classifier CTE with the host column
         # threaded through, aggregated with the same integer micro-grid

@@ -128,6 +128,7 @@ HEADLINE = [
     "image_size_gate",
     "image_ingest_gates",
     "url_host_quality",
+    "image_caption_langid",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -687,3 +687,37 @@ def ingest_gates(images: DataFrame, bytes_col: str = "bytes",
         bomb.alias("bomb"),
         truncated.alias("truncated"),
         (fmt_ok & ~too_small & ~bomb & ~truncated).alias("keep"))
+
+
+def caption_lang_gate(pairs: DataFrame, caption_col: str = "caption",
+                      lang_col: str = "declared_lang") -> DataFrame:
+    """Caption-language agreement gate for (image, caption) curation.
+
+    Multilingual image-caption corpora carry a declared language
+    (page ``lang`` attribute, upstream metadata) that the caption
+    often contradicts — wrong-language captions poison contrastive
+    text towers, so LAION-style pipelines re-detect the caption's
+    language and keep only agreeing rows (or re-route the row to the
+    detected language's bucket).  Detection reuses the corpus's
+    marker-word language ID (:func:`textstats.language_id` — same
+    model as the ``text_langid`` row, so a caption and a document
+    with the same text always land in the same language).
+
+    Returns (image_id, declared_lang, detected_lang, marker_hits,
+    lang_ok) — same shuffle-free single-Project shape as the other
+    ingest gates; downstream filters on ``lang_ok`` or regroups by
+    ``detected_lang``.
+    """
+    from scrapely_spark.spark import textstats
+
+    renamed = pairs.select(
+        F.col("image_id").alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(caption_col).alias("text"))
+    out = textstats.language_id(renamed)
+    return out.select(
+        F.col("doc_id").alias("image_id"),
+        F.col("lang").alias("declared_lang"),
+        F.col("predicted_lang").alias("detected_lang"),
+        F.col("score").cast("long").alias("marker_hits"),
+        (F.col("lang") == F.col("predicted_lang")).alias("lang_ok"))

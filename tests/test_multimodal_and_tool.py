@@ -602,3 +602,38 @@ def test_ingest_gates_equals_piecewise_gates(spark):
     assert fused["ok"].keep
     assert not fused["badfmt"].keep and not fused["badfmt"].fmt_ok
     assert fused["trunc"].truncated and fused["bomb"].bomb
+
+
+def test_caption_lang_gate_agreement_and_mismatch(spark):
+    rows = [
+        ("a", "en", "the cat and the dog sat in the sun"),
+        ("b", "de", "der hund und die katze von mit"),
+        # declared en but caption is german: metadata lie caught
+        ("c", "en", "der die und von mit der die und"),
+        # zero marker hits anywhere: tie resolves to 'de'
+        ("d", "fr", "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, declared_lang string, caption string")
+    got = {r.image_id: r for r in
+           multimodal.caption_lang_gate(df).collect()}
+    assert got["a"].lang_ok and got["a"].detected_lang == "en"
+    assert got["b"].lang_ok and got["b"].detected_lang == "de"
+    assert not got["c"].lang_ok and got["c"].detected_lang == "de"
+    assert got["d"].detected_lang == "de" and got["d"].marker_hits == 0
+
+
+def test_caption_lang_gate_same_model_as_text_langid(spark):
+    # a caption and a document with identical text must land in the
+    # same language — the gate reuses language_id, not a twin of it
+    from scrapely_spark.spark import textstats
+    text = "le chat et les des la"
+    cap = spark.createDataFrame(
+        [("x", "fr", text)],
+        "image_id string, declared_lang string, caption string")
+    doc = spark.createDataFrame(
+        [(0, "fr", text)], "doc_id long, lang string, text string")
+    g = multimodal.caption_lang_gate(cap).collect()[0]
+    d = textstats.language_id(doc).collect()[0]
+    assert g.detected_lang == d.predicted_lang
+    assert g.marker_hits == d.score
