@@ -1736,6 +1736,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical model; BIGINT raw sum, one rounded IEEE division
         return textstats.quality_classifier(_t(spark, sf, "documents"))
 
+    def q_exact_image_dedup(spark, sf):
+        # exact image dedup by content sha (multimodal.
+        # exact_image_dedup): payloads rendered deterministically with
+        # doc_id//3 collisions — every third image re-hosts the same
+        # bytes, the first of each trio elected canonical
+        from scrapely_spark.spark import multimodal
+        imgs = _t(spark, sf, "documents").selectExpr(
+            "doc_id AS image_id",
+            "unhex(substr(md5(CAST(doc_id div 3 AS STRING)), 1, 24))"
+            " AS bytes")
+        return multimodal.exact_image_dedup(imgs)
+
+    def q_shard_manifest(spark, sf):
+        # export manifest (corpus.shard_manifest): order-independent
+        # BIGINT checksums per global_shuffle shard — counts, byte
+        # totals and the md5-slice sum the oracle reproduces exactly
+        return corpus.shard_manifest(_t(spark, sf, "documents"),
+                                     n_shards=16, seed=0)
+
     def q_caption_lang(spark, sf):
         # caption-language agreement (multimodal.caption_lang_gate):
         # captions from documents, declared language rotated one slot
@@ -2017,6 +2036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ingest_gates": q_image_ingest_gates,
         "url_host_quality": q_host_quality,
         "image_caption_langid": q_caption_lang,
+        "image_exact_dedup": q_exact_image_dedup,
+        "corpus_shard_manifest": q_shard_manifest,
         "corpus_leakage_free_split": q_leakage_free_split,
         "text_boilerplate_lines": q_boilerplate_lines,
         "image_phash_delta_dups": q_phash_delta_dups,
@@ -4660,6 +4681,45 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql
         "graph_hits": _hits_oracle_sql(3),
+
+        # exact image dedup: identical payload rendering (doc_id//3
+        # collisions), sha over the shared uppercase hex encoding
+        # (DuckDB sha256 is VARCHAR-only), min-id canonical election
+        "image_exact_dedup": """
+            WITH i AS (
+              SELECT doc_id AS image_id,
+                     sha256(upper(hex(from_hex(
+                       substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 24)
+                     )))) AS content_sha
+              FROM documents),
+            g AS (
+              SELECT image_id, content_sha,
+                     MIN(image_id) OVER (PARTITION BY content_sha)
+                       AS canonical_id,
+                     COUNT(*) OVER (PARTITION BY content_sha)
+                       AS group_size
+              FROM i)
+            SELECT image_id, content_sha, canonical_id,
+                   image_id = canonical_id AS is_canonical,
+                   CAST(group_size AS BIGINT) AS group_size
+            FROM g""",
+
+        # shard manifest: the global_shuffle shard key, strlen for
+        # byte length (== Spark octet_length), and the commutative
+        # 32-bit md5-slice sum
+        "corpus_shard_manifest": """
+            WITH d AS (
+              SELECT CAST(CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)
+                       AS BIGINT) % 16 AS INT) AS shard,
+                     strlen(text) AS len_b,
+                     CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+                       AS h32
+              FROM documents)
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len_b) AS BIGINT) AS n_bytes,
+                   CAST(SUM(h32) AS BIGINT) AS checksum
+            FROM d GROUP BY shard""",
 
         # caption-language agreement: the langid body over captions
         # with the same declared-language rotation plant

@@ -129,6 +129,8 @@ HEADLINE = [
     "image_ingest_gates",
     "url_host_quality",
     "image_caption_langid",
+    "image_exact_dedup",
+    "corpus_shard_manifest",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -947,3 +947,48 @@ def llm_corpus_build(docs: DataFrame, extracted: DataFrame,
                     F.col("n_tokens").cast("int").alias("n_tokens"),
                     "quality", F.round("rate", 6).alias("rate"),
                     "caption"))
+
+
+def shard_manifest(docs: DataFrame, n_shards: int = 16,
+                   seed: int = 0, text_col: str = "text") -> DataFrame:
+    """Per-shard export manifest: counts, byte totals, and an
+    order-independent content checksum — the validation artifact a
+    resumable export writes next to each shard.
+
+    A 10^10-document export (:func:`global_shuffle` → shard files) has
+    to be verifiable without re-reading itself in order: after a
+    resume, a re-run, or a storage migration, "is shard 37 intact and
+    complete?" must be answerable from a manifest.  Three invariants
+    per shard: ``n_docs``, ``n_bytes`` (total text bytes), and
+    ``checksum`` — the BIGINT sum of each document's 32-bit md5 slice.
+    Summation commutes, so the checksum is independent of row order
+    and partitioning (unlike a hash-of-concatenation, which would need
+    an ordered collect per shard); a missing, duplicated, or corrupted
+    document moves it with probability ~1-2^-32 per incident.  The
+    int64 headroom bounds exact shards at ~2^31 documents each —
+    raise ``n_shards`` long before that.
+
+    Shard assignment is ``global_shuffle``'s exact key (the shared
+    md5 ticket's first 60 bits mod ``n_shards``), so the manifest
+    describes precisely the shards that export writes.  One shuffle,
+    keyed by shard, map-side partials; output is n_shards rows.
+
+    Returns (shard, n_docs, n_bytes, checksum).
+    """
+    t = _ticket_md5(seed)
+    shard = (F.conv(F.substring(t, 1, 15), 16, 10).cast("long")
+             % n_shards).cast("int")
+    h32 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10) \
+        .cast("long")
+    return (docs.select(shard.alias("shard"),
+                        F.octet_length(F.col(text_col)).cast("long")
+                        .alias("_len"),
+                        h32.alias("_h32"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_len").alias("n_bytes"),
+                 F.sum("_h32").alias("checksum"))
+            .select("shard",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_bytes").cast("long").alias("n_bytes"),
+                    F.col("checksum").cast("long").alias("checksum")))

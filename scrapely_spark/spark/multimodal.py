@@ -721,3 +721,35 @@ def caption_lang_gate(pairs: DataFrame, caption_col: str = "caption",
         F.col("predicted_lang").alias("detected_lang"),
         F.col("score").cast("long").alias("marker_hits"),
         (F.col("lang") == F.col("predicted_lang")).alias("lang_ok"))
+
+
+def exact_image_dedup(images: DataFrame,
+                      bytes_col: str = "bytes") -> DataFrame:
+    """Exact image dedup by content hash — the FIRST dedup any image
+    pipeline runs, before any perceptual hashing: byte-identical
+    payloads (hotlinked logos, re-hosted thumbnails, CDN mirrors)
+    collapse to one canonical row regardless of URL or metadata.
+
+    The key is sha256 over the payload (via its hex encoding, which
+    both engines spell identically); the canonical member of each
+    content group is the minimum image_id, making the election
+    deterministic.  Same shape as ``dedup.exact_duplicates``: one
+    shuffle keyed by the hash — uniform by construction, so no skew is
+    possible even when one logo appears 10^7 times, because identical
+    payloads are exactly what the key collapses — and a window-min
+    rather than a self-join.
+
+    Returns one row per input image: (image_id, content_sha, canonical_id,
+    is_canonical, group_size).
+    """
+    from pyspark.sql import Window
+
+    sha = F.sha2(F.hex(F.col(bytes_col)), 256)
+    w = Window.partitionBy("content_sha")
+    return (images.select("image_id", sha.alias("content_sha"))
+            .withColumn("canonical_id", F.min("image_id").over(w))
+            .withColumn("group_size",
+                        F.count("*").over(w).cast("long"))
+            .select("image_id", "content_sha", "canonical_id",
+                    (F.col("image_id") == F.col("canonical_id"))
+                    .alias("is_canonical"), "group_size"))

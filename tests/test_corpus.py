@@ -697,3 +697,41 @@ def test_unimax_allocation_budget_exceeds_all_caps(spark):
                                              max_epochs=3.0).collect()}
     # every source fully capped at max_epochs
     assert out == {"s1": (9.0, 3.0), "s2": (6.0, 3.0)}
+
+
+def test_shard_manifest_invariants(spark):
+    import hashlib
+
+    rows = [(i, "doc text %d é" % i) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.shard: r for r in
+           corpus.shard_manifest(df, n_shards=8, seed=0).collect()}
+    # twin: same ticket, same 32-bit slice sum, BYTE lengths
+    twin = {}
+    for i, t in rows:
+        tk = hashlib.md5(("%d:0" % i).encode()).hexdigest()
+        s = int(tk[:15], 16) % 8
+        n, b, c = twin.get(s, (0, 0, 0))
+        twin[s] = (n + 1, b + len(t.encode()),
+                   c + int(hashlib.md5(t.encode()).hexdigest()[:8], 16))
+    assert set(got) == set(twin)
+    for s, (n, b, c) in twin.items():
+        assert (got[s].n_docs, got[s].n_bytes, got[s].checksum) == (n, b, c)
+    # tamper detection: one flipped doc moves exactly its shard's sum
+    rows2 = [(i, t if i != 7 else t + "!") for i, t in rows]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r.shard: r for r in
+            corpus.shard_manifest(df2, n_shards=8, seed=0).collect()}
+    s7 = int(hashlib.md5(b"7:0").hexdigest()[:15], 16) % 8
+    diff = [s for s in got if (got[s].checksum, got[s].n_bytes)
+            != (got2[s].checksum, got2[s].n_bytes)]
+    assert diff == [s7]
+
+
+def test_shard_manifest_partitioning_invariance(spark):
+    rows = [(i, "t%d" % (i * 13)) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, corpus.shard_manifest(df, 8).collect()))
+    b = sorted(map(tuple,
+                   corpus.shard_manifest(df.repartition(32), 8).collect()))
+    assert a == b

@@ -637,3 +637,17 @@ def test_caption_lang_gate_same_model_as_text_langid(spark):
     d = textstats.language_id(doc).collect()[0]
     assert g.detected_lang == d.predicted_lang
     assert g.marker_hits == d.score
+
+
+def test_exact_image_dedup_groups_and_election(spark):
+    blobs = {0: b"\x01\x02", 1: b"\x01\x02", 2: b"zz", 3: b"\x01\x02"}
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs.items()],
+        "image_id long, bytes binary")
+    got = {r.image_id: r for r in
+           multimodal.exact_image_dedup(df).collect()}
+    assert got[0].is_canonical and got[0].group_size == 3
+    assert got[1].canonical_id == 0 and not got[1].is_canonical
+    assert got[3].canonical_id == 0
+    assert got[2].is_canonical and got[2].group_size == 1
+    assert got[0].content_sha == got[1].content_sha != got[2].content_sha
