@@ -2658,16 +2658,18 @@ LIMIT {k}""".format(sample=_PQ_SAMPLE, k=k,
 def _meta_robots_sql() -> str:
     """DuckDB twin of htmlmeta.meta_robots over the six synthesized
     HTML variants — the regexp literals are imported from the module
-    (one source of truth, like the LSH planes), coalesced in the same
-    quoted/unquoted × attribute-order precedence."""
+    (one source of truth, like the LSH planes), replaying the same
+    two-step extraction: first robots tag in document order, then the
+    quoted-else-unquoted content readout within that tag."""
     from scrapely_spark.frontier import htmlmeta as hm
-    pats = [hm._META_NC_Q, hm._META_NC_U, hm._META_CN_Q, hm._META_CN_U]
+    tag = ("regexp_extract(html, '%s', 0)"
+           % hm._ROBOTS_TAG.replace("'", "''"))
     ex = "''"
-    for pat in reversed(pats):
+    for pat in reversed([hm._CONTENT_Q, hm._CONTENT_U]):
         lit = pat.replace("'", "''")
-        ex = ("CASE WHEN regexp_extract(html, '%s', 1) != '' "
-              "THEN regexp_extract(html, '%s', 1) ELSE %s END"
-              % (lit, lit, ex))
+        ex = ("CASE WHEN regexp_extract(%s, '%s', 1) != '' "
+              "THEN regexp_extract(%s, '%s', 1) ELSE %s END"
+              % (tag, lit, tag, lit, ex))
     return """
         WITH pages AS (
           SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
@@ -2795,12 +2797,14 @@ def _robots_group_ctes(agent: str) -> str:
                               THEN 1 ELSE 0 END) AS st
               FROM grp WHERE g > 0 GROUP BY host, g),
             chosen AS (
-              SELECT * FROM (
-                SELECT host,
-                       COALESCE(MIN(CASE WHEN ex = 1 THEN g END),
-                                MIN(CASE WHEN st = 1 THEN g END)) AS g
-                FROM flags GROUP BY host)
-              WHERE g IS NOT NULL)""" % agent
+              -- RFC 9309 2.2.1: merge ALL matching groups (every
+              -- exact-name group when any exists, else every * group)
+              SELECT host, g FROM (
+                SELECT host, g, ex, st,
+                       MAX(ex) OVER (PARTITION BY host) AS any_ex
+                FROM flags)
+              WHERE (any_ex = 1 AND ex = 1)
+                 OR (any_ex = 0 AND st = 1))""" % agent
 
 
 def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
@@ -3350,7 +3354,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN matched m ON m.host = u.host AND m.path = u.path""",
         # End-to-end robots: the ORACLE re-parses the raw bodies
         # line-for-line (comment strip, key/val split, lag-window group
-        # boundaries, first-exact-else-first-star group selection) and
+        # boundaries, RFC 9309 merged-group selection: all exact-name
+        # groups when any exist, else all star groups) and
         # then replays the wildcard gate — the whole Spark lineage
         # raw text → rules → verdict is inside the hash
         "url_robots_pipeline": (

@@ -9,32 +9,50 @@ names as the master copy (the crawl-side sibling of the DUST rules:
 the site TELLS us the duplicate structure instead of us mining it).
 
 Everything is JVM-side regexp over the raw HTML (case-insensitive,
-DOTALL, attribute order handled by coalescing the two orderings) —
+DOTALL, attribute order handled inside ONE tag-level pattern) —
 engine-portable: Java regex and RE2 agree on every construct used
-here (``(?is)``, greedy character classes, no backtracking traps).
-Shuffle-free: one projection over the pages scan.
+here (``(?is)``, character classes, alternation; no backreferences,
+no lookaround).  Shuffle-free: one projection over the pages scan.
+
+Extraction is two-step so DOCUMENT ORDER decides conflicts: first the
+earliest matching TAG is pulled (one pattern that accepts either
+attribute order, so a later tag can never beat an earlier one merely
+by spelling its attributes differently), then the target attribute is
+read out of that single tag.  Attribute values are matched exactly —
+``name="robotsdb"`` or ``rel="canonicalized"`` never fire; ``rel`` is
+a space-separated token LIST per HTML, so ``rel="alternate
+canonical"`` does.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# name= before content= / content= before name=, quoted and unquoted
-# attribute values (greedy char classes, no lazy quantifiers —
-# identical semantics in Java regex and RE2).  Quoted values may hold
-# spaces/commas; unquoted ones end at whitespace or '>'
-_META_NC_Q = (r'(?is)<meta\b[^>]*name\s*=\s*["\x27]?robots["\x27]?'
-              r'[^>]*content\s*=\s*["\x27]([^"\x27>]*)')
-_META_NC_U = (r'(?is)<meta\b[^>]*name\s*=\s*["\x27]?robots["\x27]?'
-              r'[^>]*content\s*=\s*([^"\x27>\s]+)')
-_META_CN_Q = (r'(?is)<meta\b[^>]*content\s*=\s*["\x27]([^"\x27>]*)'
-              r'["\x27][^>]*name\s*=\s*["\x27]?robots["\x27]?')
-_META_CN_U = (r'(?is)<meta\b[^>]*content\s*=\s*([^"\x27>\s]+)'
-              r'[^>]*name\s*=\s*["\x27]?robots["\x27]?')
-_CANON_RH = (r'(?is)<link\b[^>]*rel\s*=\s*["\x27]?canonical["\x27]?'
-             r'[^>]*href\s*=\s*["\x27]?([^"\x27>\s]+)')
-_CANON_HR = (r'(?is)<link\b[^>]*href\s*=\s*["\x27]?([^"\x27>\s]+)'
-             r'["\x27]?[^>]*rel\s*=\s*["\x27]?canonical["\x27]?')
+# First <meta> tag whose name attribute is EXACTLY robots, either
+# attribute order: the quoted branch requires the closing quote right
+# after the token; the unquoted branches require a delimiter (
+# whitespace, '/', or the tag close), so prefixes never match.  The
+# [\s"\x27/] before name= anchors the attribute NAME (thename= must
+# not match).
+_ROBOTS_TAG = (r'(?is)<meta\b[^>]*[\s"\x27/]name\s*=\s*'
+               r'(?:["\x27][ \t]*robots[ \t]*["\x27][^>]*>'
+               r'|robots[\s/][^>]*>'
+               r'|robots[ \t]*>)')
+# First <link> tag whose rel TOKEN LIST contains canonical: quoted
+# values are space-separated token lists (rel="alternate canonical"),
+# unquoted values are single tokens.
+_CANON_TAG = (r'(?is)<link\b[^>]*[\s"\x27/]rel\s*=\s*'
+              r'(?:["\x27][ \t]*(?:[^"\x27>]*[ \t])?canonical'
+              r'(?:[ \t][^"\x27>]*)?[ \t]*["\x27][^>]*>'
+              r'|canonical[\s/][^>]*>'
+              r'|canonical[ \t]*>)')
+# attribute readout WITHIN the one extracted tag (quoted beats
+# unquoted — a tag carries each attribute once, so this is not a
+# precedence between tags)
+_CONTENT_Q = r'(?is)[\s"\x27/]content\s*=\s*["\x27]([^"\x27>]*)'
+_CONTENT_U = r'(?is)[\s"\x27/]content\s*=\s*([^"\x27>\s]+)'
+_HREF_Q = r'(?is)[\s"\x27/]href\s*=\s*["\x27][ \t]*([^"\x27>]+)'
+_HREF_U = r'(?is)[\s"\x27/]href\s*=\s*([^"\x27>\s]+)'
 
 
 def _first_nonempty(col, *pats: str):
@@ -48,16 +66,15 @@ def _first_nonempty(col, *pats: str):
 def meta_robots(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Emit every input row + ``(noindex, nofollow)`` booleans.
 
-    The first ``<meta name="robots">`` tag wins (document order —
-    ``regexp_extract`` returns the first match, matching how browsers
-    and crawlers treat duplicates); a page without the tag is
-    ``(false, false)``.  Token match is comma/space tolerant and
-    case-insensitive per the robots meta spec; ``none`` is the
+    The first ``<meta name="robots">`` tag IN DOCUMENT ORDER wins
+    (both attribute orders accepted by the one tag pattern, so
+    position — not spelling — decides conflicts); a page without the
+    tag is ``(false, false)``.  Token match is comma/space tolerant
+    and case-insensitive per the robots meta spec; ``none`` is the
     defined shorthand for ``noindex, nofollow``.
     """
-    content = F.lower(_first_nonempty(F.col(html_col), _META_NC_Q,
-                                      _META_NC_U, _META_CN_Q,
-                                      _META_CN_U))
+    tag = F.regexp_extract(F.col(html_col), _ROBOTS_TAG, 0)
+    content = F.lower(_first_nonempty(tag, _CONTENT_Q, _CONTENT_U))
     toks = F.split(F.regexp_replace(content, r"\s+", ""), ",")
     has = lambda t: F.array_contains(toks, t)  # noqa: E731
     return pages.select(
@@ -68,12 +85,15 @@ def meta_robots(pages: DataFrame, html_col: str = "html") -> DataFrame:
 
 def rel_canonical(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Emit every input row + ``canonical_href`` (NULL when the page
-    declares none).  First ``<link rel="canonical">`` wins; both
-    attribute orders are handled.  Feed the non-null ``(url,
-    canonical_href)`` pairs into ``graph.resolve_redirects`` to chase
-    canonical chains site-wide in log(hops) joins.
+    declares none).  First ``<link>`` whose ``rel`` token list
+    contains ``canonical`` wins (document order, both attribute
+    orders, multi-token ``rel="alternate canonical"`` included).
+    Feed the non-null ``(url, canonical_href)`` pairs into
+    ``graph.resolve_redirects`` to chase canonical chains site-wide
+    in log(hops) joins.
     """
-    href = _first_nonempty(F.col(html_col), _CANON_RH, _CANON_HR)
+    tag = F.regexp_extract(F.col(html_col), _CANON_TAG, 0)
+    href = F.trim(_first_nonempty(tag, _HREF_Q, _HREF_U))
     return pages.select(
         *pages.columns,
         F.when(href != "", href).alias("canonical_href"))

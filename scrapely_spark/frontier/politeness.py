@@ -211,9 +211,13 @@ def adaptive_crawl_delay(fetch_log: DataFrame,
     sort cannot skew the way a raw-log window would.
     """
     w = Window.partitionBy("_h")
+    # timeouts/errors may log NULL latencies; they carry no load
+    # signal and must not enter the rank (NULLs sort first, shifting
+    # the nearest-rank p95 onto a lower real latency — or onto NULL)
     log = fetch_log.select(
         F.col(host_col).alias("_h"),
-        F.col(latency_col).cast("long").alias("_lat"))
+        F.col(latency_col).cast("long").alias("_lat")).where(
+        F.col("_lat").isNotNull())
     ranked = (log
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy("_h").orderBy("_lat")))
@@ -268,6 +272,15 @@ def crawl_budget_allocation(hosts: DataFrame, budget_fetches: int,
     staged = hosts.select(F.col(host_col).alias("_h"),
                           F.col(demand_col).cast("long").alias("_d"),
                           F.col(weight_col).cast("long").alias("_w"))
+    # zero-weight hosts take no share and must not enter the
+    # water-fill: their NULL demand/weight ratio would sort first and
+    # poison every prefix-sum level candidate (Spark's x/0.0 is NULL)
+    zero = staged.where(F.col("_w") <= 0).select(
+        F.col("_h").alias("host"),
+        F.col("_d").alias("demand"),
+        F.col("_w").alias("weight_micro"),
+        F.lit(0.0).alias("alloc_fetches"))
+    staged = staged.where(F.col("_w") > 0)
     pre_d = F.coalesce(
         F.sum("_d").over(w_order.rowsBetween(Window.unboundedPreceding,
                                              -1)),
@@ -287,7 +300,7 @@ def crawl_budget_allocation(hosts: DataFrame, budget_fetches: int,
         F.col("_h").alias("host"),
         F.col("_d").alias("demand"),
         F.col("_w").alias("weight_micro"),
-        F.round(alloc, 6).alias("alloc_fetches"))
+        F.round(alloc, 6).alias("alloc_fetches")).unionByName(zero)
 
 
 def crawl_tiers(hosts: DataFrame, n_tiers: int = 4,

@@ -19,6 +19,10 @@ def gate(candidates: DataFrame, robots: DataFrame,
     """Filter robots-disallowed candidates; attach ``crawl_delay``.
 
     Disallowed iff any ``disallow`` entry is a prefix of the URL path.
+    Deliberately matches the PATH ONLY (query stripped) — this arm is
+    the byte-parity twin of the oracle scheduler, which evaluates
+    ``urlsplit(url).path``; the RFC-conformant path+query matching
+    lives in :func:`rfc9309_gate`.
     The path comes from a pure string expression, NOT ``parse_url``:
     the JVM URI parser returns NULL for URLs Python's urlsplit accepts
     (e.g. spaces), and a NULL path would silently drop allowed rows
@@ -49,8 +53,10 @@ def is_allowed(path: str, disallow: list) -> bool:
 def parse_robots_body(body: str, agent: str = "*") -> dict:
     """One robots.txt body → {allow, disallow, crawl_delay}.
 
-    The group whose ``User-agent`` line best matches ``agent`` wins
-    (exact match beats ``*``; a group can name several agents).  Keys
+    ALL groups whose ``User-agent`` lines match ``agent`` are merged
+    (RFC 9309 §2.2.1; exact matches beat ``*``; a group can name
+    several agents); the first numeric ``Crawl-delay`` across the
+    merged groups wins.  Keys
     are case-insensitive, ``#`` starts a comment, empty rule values are
     ignored (an empty ``Disallow:`` means allow-all, per the original
     spec).  Deliberately the same prefix semantics :func:`gate`
@@ -84,17 +90,15 @@ def parse_robots_body(body: str, agent: str = "*") -> dict:
                 except ValueError:
                     pass
     agent = agent.lower()
-    chosen = None
-    for agents, allow, disallow, delay in groups:
-        if agent != "*" and agent in agents:
-            chosen = (allow, disallow, delay[0])
-            break
-    if chosen is None:
-        for agents, allow, disallow, delay in groups:
-            if "*" in agents:
-                chosen = (allow, disallow, delay[0])
-                break
-    allow, disallow, delay = chosen or ([], [], None)
+    # RFC 9309 §2.2.1: combine ALL groups naming the agent (exact
+    # groups when any exist, else all '*' groups); the first numeric
+    # Crawl-delay across the merged groups (document order) wins
+    sel = [g for g in groups if agent != "*" and agent in g[0]]
+    if not sel:
+        sel = [g for g in groups if "*" in g[0]]
+    allow = [a for g in sel for a in g[1]]
+    disallow = [d for g in sel for d in g[2]]
+    delay = next((g[3][0] for g in sel if g[3][0] is not None), None)
     return {"allow": allow, "disallow": disallow,
             "crawl_delay": delay if delay is not None
             else DEFAULT_CRAWL_DELAY}
@@ -189,12 +193,17 @@ def rfc9309_gate(urls: DataFrame, rules: DataFrame,
            + (F.col("rule_type") == "allow").cast("long"))
     r = (rules.where(F.length("pattern") > 0)
          .select("host", rx.alias("_rx"), key.alias("_key")))
+    # RFC 9309 match target: path PLUS query (stop at the fragment) —
+    # '/*?sessionid=' style DUST bans must see the query string.  An
+    # empty path with a query normalizes to '/?...', bare hosts to '/'.
     path = F.coalesce(
         F.regexp_extract(F.col(url_col),
-                         r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)",
+                         r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)",
                          1),
         F.lit(""))
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = (F.when(path == "", F.lit("/"))
+            .when(path.startswith("?"), F.concat(F.lit("/"), path))
+            .otherwise(path))
     matched = (urls.select(url_col, "host", path.alias("_path"))
                .join(F.broadcast(r), "host")
                .where(F.expr("regexp_like(_path, _rx)"))
@@ -220,10 +229,10 @@ def wildcard_rules_df(bodies: DataFrame, agent: str = "*",
     ``Crawl-delay`` lines, then resolve groups with ONE window per
     host — a ``User-agent`` line following a rule line starts a new
     group, consecutive ``User-agent`` lines share one group.  Group
-    selection matches :func:`parse_robots_body`: the first group
-    naming ``agent`` exactly (case-insensitive) wins, else the first
-    ``*`` group; hosts with neither emit no rules (= allow all at the
-    gate).  Empty rule values are dropped (empty ``Disallow:`` means
+    selection matches :func:`parse_robots_body` (RFC 9309 §2.2.1):
+    ALL groups naming ``agent`` exactly (case-insensitive) are merged,
+    else all ``*`` groups; hosts with neither emit no rules (= allow
+    all at the gate).  Empty rule values are dropped (empty ``Disallow:`` means
     allow-all).  ``Crawl-delay`` lines count as rules for group
     BOUNDARIES (as in :func:`parse_robots_body`) but are not emitted.
 
@@ -282,14 +291,14 @@ def _robots_chosen_group(bodies: DataFrame, agent: str,
                         .cast("int")).alias("ex"),
                   F.max((F.col("is_ua") & (F.col("val") == "*"))
                         .cast("int")).alias("st")))
-    chosen = (flags.groupBy("host")
-              .agg(F.min(F.when(F.col("ex") == 1, F.col("grp")))
-                   .alias("g_ex"),
-                   F.min(F.when(F.col("st") == 1, F.col("grp")))
-                   .alias("g_st"))
-              .select("host",
-                      F.coalesce("g_ex", "g_st").alias("grp"))
-              .where(F.col("grp").isNotNull()))
+    # RFC 9309 §2.2.1: ALL groups matching the agent are combined into
+    # one — exact-name groups when any exist, else all ``*`` groups.
+    wh = Window.partitionBy("host")
+    chosen = (flags
+              .withColumn("_any_ex", F.max("ex").over(wh))
+              .where(((F.col("_any_ex") == 1) & (F.col("ex") == 1))
+                     | ((F.col("_any_ex") == 0) & (F.col("st") == 1)))
+              .select("host", "grp"))
     return grouped, chosen
 
 
@@ -297,12 +306,12 @@ def crawl_delay_df(bodies: DataFrame, agent: str = "*",
                    host_col: str = "host", body_col: str = "body",
                    default: float = DEFAULT_CRAWL_DELAY) -> DataFrame:
     """Per-host ``Crawl-delay`` from raw robots.txt bodies, resolved
-    with the SAME group selection as :func:`wildcard_rules_df` (first
-    exact agent group, else first ``*`` group) — completing the
+    with the SAME group selection as :func:`wildcard_rules_df` (all
+    exact agent groups merged, else all ``*`` groups) — completing the
     JVM-side robots pipeline: rules feed :func:`rfc9309_gate`, delays
     feed the politeness scheduler.
 
-    The chosen group's FIRST ``Crawl-delay`` line wins (line order,
+    The merged groups' FIRST ``Crawl-delay`` line wins (line order,
     like the sequential reference parser); non-numeric values fall
     back to ``default`` via ``try_cast``.  Emits one row per input
     host (hosts with no usable directive carry ``default``), so the
@@ -347,17 +356,16 @@ def wildcard_rules_py(body: str, agent: str = "*") -> list:
         prev_ua = is_ua
         if grp > 0:
             groups.setdefault(grp, []).append((is_ua, key, val))
-    g_ex = g_st = None
+    exact, star = [], []
     for g in sorted(groups):
         names = [v.lower() for ua, k, v in groups[g] if ua]
-        if g_ex is None and agent.lower() in names:
-            g_ex = g
-        if g_st is None and "*" in names:
-            g_st = g
-    g = g_ex if g_ex is not None else g_st
-    if g is None:
-        return []
-    return [(k, v) for ua, k, v in groups[g]
+        if agent.lower() in names:
+            exact.append(g)
+        if "*" in names:
+            star.append(g)
+    # RFC 9309 §2.2.1: merge ALL matching groups (exact beats star)
+    sel = exact if exact else star
+    return [(k, v) for g in sel for ua, k, v in groups[g]
             if not ua and k in ("allow", "disallow") and v]
 
 

@@ -257,6 +257,14 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 3,
             .select("id_a", "id_b", "hamming"))
 
 
+def _caption_norm(col: str = "caption"):
+    """The ONE caption normalization (whitespace-collapsed, trimmed,
+    case-folded) shared by :func:`caption_spam` and the
+    :func:`image_corpus_build` anti-join — both sides of that join
+    must normalize identically or the join silently matches nothing."""
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
 def caption_spam(images: DataFrame, min_distinct_images: int = 3
                  ) -> DataFrame:
     """Stock-photo / spam caption detection — the LAION-curation
@@ -278,8 +286,7 @@ def caption_spam(images: DataFrame, min_distinct_images: int = 3
     arrives pre-collapsed); output is bounded by distinct spam
     captions, which is what makes the anti-join broadcastable.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col("caption"))),
-                            r"\s+", " ")
+    norm = _caption_norm()
     return (images.select(norm.alias("caption_norm"), "phash")
             .groupBy("caption_norm")
             .agg(F.count("*").alias("n_images"),
@@ -461,11 +468,9 @@ def image_corpus_build(images: DataFrame, min_dim: int = 64,
     cur = images.join(
         curate_image_captions(images, min_dim=min_dim)
         .select("image_id"), "image_id")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("caption"))),
-                            r"\s+", " ")
     spam = (caption_spam(cur, spam_min_distinct)
             .select(F.col("caption_norm").alias("_cn")))
-    clean = (cur.withColumn("_cn", norm)
+    clean = (cur.withColumn("_cn", _caption_norm())
              .join(spam, "_cn", "left_anti").drop("_cn"))
     pairs = (phash_near_dups(clean, max_hamming=max_hamming)
              .select(F.col("id_a").alias("doc_a"),
@@ -596,6 +601,24 @@ SIZE_GATE_MAX_PIXELS = 25_000_000     # 25 MP decode ceiling
 SIZE_GATE_MIN_BYTES = 100             # below any valid header+payload
 
 
+def _size_flags(images: DataFrame, fmt_col: str, n_bytes_col: str,
+                bytes_col: str):
+    """Shared size-plausibility expressions for :func:`size_gate` and
+    :func:`ingest_gates` — ONE spelling of the ratio ladder and the
+    three flag inequalities so the fused gate can never drift from the
+    piecewise one tests verify.  Returns (n_bytes, too_small, bomb,
+    truncated) column expressions."""
+    nb = (F.col(n_bytes_col) if n_bytes_col in images.columns
+          else F.length(F.col(bytes_col))).cast("long")
+    ratio = F.lit(150)
+    for f, r in SIZE_GATE_MAX_RATIO.items():
+        ratio = F.when(F.col(fmt_col) == f, F.lit(r)).otherwise(ratio)
+    raw = F.col("w").cast("long") * F.col("h").cast("long") * 3
+    px = F.col("w").cast("long") * F.col("h").cast("long")
+    return (nb, nb < SIZE_GATE_MIN_BYTES, px > SIZE_GATE_MAX_PIXELS,
+            (nb * ratio) < raw)
+
+
 def size_gate(images: DataFrame, n_bytes_col: str = "n_bytes",
               bytes_col: str = "bytes") -> DataFrame:
     """Byte-size plausibility gate over (w, h, fmt, size) metadata.
@@ -623,16 +646,8 @@ def size_gate(images: DataFrame, n_bytes_col: str = "n_bytes",
     Returns (image_id, fmt, w, h, n_bytes, too_small, bomb,
     truncated, keep).
     """
-    nb = (F.col(n_bytes_col) if n_bytes_col in images.columns
-          else F.length(F.col(bytes_col))).cast("long")
-    ratio = F.lit(150)
-    for f, r in SIZE_GATE_MAX_RATIO.items():
-        ratio = F.when(F.col("fmt") == f, F.lit(r)).otherwise(ratio)
-    raw = (F.col("w").cast("long") * F.col("h").cast("long") * 3)
-    px = F.col("w").cast("long") * F.col("h").cast("long")
-    too_small = nb < SIZE_GATE_MIN_BYTES
-    bomb = px > SIZE_GATE_MAX_PIXELS
-    truncated = (nb * ratio) < raw
+    nb, too_small, bomb, truncated = _size_flags(
+        images, "fmt", n_bytes_col, bytes_col)
     return images.select(
         "image_id", "fmt",
         F.col("w").cast("int").alias("w"),
@@ -667,16 +682,8 @@ def ingest_gates(images: DataFrame, bytes_col: str = "bytes",
     """
     sniffed = _sniffed_fmt(bytes_col)
     fmt_ok = F.col(fmt_col) == sniffed
-    nb = (F.col(n_bytes_col) if n_bytes_col in images.columns
-          else F.length(F.col(bytes_col))).cast("long")
-    ratio = F.lit(150)
-    for f, r in SIZE_GATE_MAX_RATIO.items():
-        ratio = F.when(F.col(fmt_col) == f, F.lit(r)).otherwise(ratio)
-    raw = F.col("w").cast("long") * F.col("h").cast("long") * 3
-    px = F.col("w").cast("long") * F.col("h").cast("long")
-    too_small = nb < SIZE_GATE_MIN_BYTES
-    bomb = px > SIZE_GATE_MAX_PIXELS
-    truncated = (nb * ratio) < raw
+    nb, too_small, bomb, truncated = _size_flags(
+        images, fmt_col, n_bytes_col, bytes_col)
     return images.select(
         "image_id",
         F.col(fmt_col).alias("declared_fmt"),
@@ -739,17 +746,29 @@ def exact_image_dedup(images: DataFrame,
     payloads are exactly what the key collapses — and a window-min
     rather than a self-join.
 
+    NULL payloads (failed/empty downloads) carry no content to match
+    on: each such row stays its own singleton canonical (grouping them
+    by the NULL hash would elect one arbitrary winner and silently
+    drop N−1 unrelated images downstream).
+
     Returns one row per input image: (image_id, content_sha, canonical_id,
     is_canonical, group_size).
     """
     from pyspark.sql import Window
 
     sha = F.sha2(F.hex(F.col(bytes_col)), 256)
+    staged = images.select("image_id", sha.alias("content_sha"))
+    nulls = staged.where(F.col("content_sha").isNull()).select(
+        "image_id", "content_sha",
+        F.col("image_id").alias("canonical_id"),
+        F.lit(True).alias("is_canonical"),
+        F.lit(1).cast("long").alias("group_size"))
     w = Window.partitionBy("content_sha")
-    return (images.select("image_id", sha.alias("content_sha"))
+    return (staged.where(F.col("content_sha").isNotNull())
             .withColumn("canonical_id", F.min("image_id").over(w))
             .withColumn("group_size",
                         F.count("*").over(w).cast("long"))
             .select("image_id", "content_sha", "canonical_id",
                     (F.col("image_id") == F.col("canonical_id"))
-                    .alias("is_canonical"), "group_size"))
+                    .alias("is_canonical"), "group_size")
+            .unionByName(nulls))

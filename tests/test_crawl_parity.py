@@ -774,6 +774,26 @@ def test_crawl_budget_weighted_water_filling(spark):
     assert abs(sum(out.values()) - 100) < 1e-9
 
 
+def test_crawl_budget_zero_weight_hosts_sidelined(spark):
+    # a weight-0 host takes no share and must not poison the water
+    # level (its demand/weight ratio is NULL in Spark and would sort
+    # first, entering every prefix sum): with 'a' at weight 0 the
+    # level over (b, c) is 9 — b caps at 1, c takes 9, Σ == B
+    df = spark.createDataFrame(
+        [("a", 100, 0), ("b", 1, 1), ("c", 50, 1)],
+        "host string, demand long, weight_micro long")
+    out = {r.host: r.alloc_fetches for r in
+           politeness.crawl_budget_allocation(df, 10).collect()}
+    assert out == {"a": 0.0, "b": 1.0, "c": 9.0}
+    # all-zero weights: nobody is eligible, nothing is spent
+    df0 = spark.createDataFrame(
+        [("a", 5, 0), ("b", 7, 0)],
+        "host string, demand long, weight_micro long")
+    out0 = {r.host: r.alloc_fetches for r in
+            politeness.crawl_budget_allocation(df0, 10).collect()}
+    assert out0 == {"a": 0.0, "b": 0.0}
+
+
 def test_crawl_budget_surplus_serves_all_demand(spark):
     df = spark.createDataFrame(
         [("a", 5, 1), ("b", 7, 3)],
@@ -836,6 +856,55 @@ def test_rfc9309_wildcard_and_anchor_semantics(spark):
     assert out["http://h"] == (True, 0)
 
 
+def test_rfc9309_gate_matches_query_strings(spark):
+    # RFC match target is path + query (fragment stripped): the
+    # standard '/*?sessionid=' DUST ban must fire, and a bare '?'
+    # after the authority normalizes to '/?...'
+    from scrapely_spark.frontier import robots as rb
+    rules = spark.createDataFrame(
+        [("h", "disallow", "/*?sessionid="),
+         ("h", "disallow", "/?lang=*")],
+        "host string, rule_type string, pattern string")
+    urls = spark.createDataFrame(
+        [("h", "http://h/page?sessionid=abc"),   # blocked via query
+         ("h", "http://h/page?other=1"),          # allowed
+         ("h", "http://h?lang=en"),               # empty path + query
+         ("h", "http://h/page?sessionid=x#frag")],  # fragment stripped
+        "host string, url string")
+    out = {r.url: r.allowed
+           for r in rb.rfc9309_gate(urls, rules).collect()}
+    assert out["http://h/page?sessionid=abc"] is False
+    assert out["http://h/page?other=1"] is True
+    assert out["http://h?lang=en"] is False
+    assert out["http://h/page?sessionid=x#frag"] is False
+
+
+def test_robots_groups_merge_rfc9309(spark):
+    # RFC 9309 2.2.1 across every twin: two exact-agent groups merge
+    # their rules; crawl-delay resolves to the FIRST numeric line of
+    # the merged groups in document order
+    from scrapely_spark.frontier import robots as rb
+    body = ("User-agent: bot\nDisallow: /a\n\n"
+            "User-agent: *\nDisallow: /star\n\n"
+            "User-agent: bot\nDisallow: /never\nCrawl-delay: 7\n")
+    rec = rb.parse_robots_body(body, "bot")
+    assert rec["disallow"] == ["/a", "/never"]
+    assert rec["crawl_delay"] == 7.0
+    assert sorted(rb.wildcard_rules_py(body, "bot")) == [
+        ("disallow", "/a"), ("disallow", "/never")]
+    bodies = spark.createDataFrame([("h", body)],
+                                   "host string, body string")
+    got = sorted((r.rule_type, r.pattern) for r in
+                 rb.wildcard_rules_df(bodies, "bot").collect())
+    assert got == [("disallow", "/a"), ("disallow", "/never")]
+    delays = {r.host: r.crawl_delay for r in
+              rb.crawl_delay_df(bodies, "bot").collect()}
+    assert delays == {"h": 7.0}
+    # star agents merge star groups only
+    assert rb.wildcard_rules_py(body, "unknown") == [
+        ("disallow", "/star")]
+
+
 def test_rfc9309_gate_matches_python_twin_randomized(spark):
     import random
     from scrapely_spark.frontier import robots as rb
@@ -873,7 +942,7 @@ _ROBOTS_BODY = (
     "Disallow: /private/*   # inline comment\n"
     "Allow: /private/pub*\n"
     "Crawl-delay: 5\n"
-    "User-agent: scrapelybot\n"       # later exact group: first wins
+    "User-agent: scrapelybot\n"       # later exact group: MERGED (RFC)
     "Disallow: /never\n"
     "\n"
     "User-agent: *\n"
@@ -888,8 +957,10 @@ def test_wildcard_rules_group_selection(spark):
                                    "host string, body string")
     got = sorted((r.rule_type, r.pattern) for r in
                  rb.wildcard_rules_df(bodies, "ScrapelyBot").collect())
-    # first exact group wins (not the later scrapelybot group, not *)
+    # RFC 9309 2.2.1: BOTH scrapelybot groups merge (the later group's
+    # /never ban applies too); the * group is excluded
     assert got == [("allow", "/private/pub*"),
+                   ("disallow", "/never"),
                    ("disallow", "/private/*")]
     star = sorted((r.rule_type, r.pattern) for r in
                   rb.wildcard_rules_df(bodies, "unknownbot").collect())
@@ -960,7 +1031,9 @@ def test_wildcard_rules_feed_gate_end_to_end(spark):
            for r in rb.rfc9309_gate(urls, rules).collect()}
     assert out == {"http://h/private/pub/ok": True,
                    "http://h/private/x": False,
-                   "http://h/never": True}  # second group's rule ignored
+                   # RFC 9309 2.2.1: the second scrapelybot group's
+                   # rule merges in and blocks /never
+                   "http://h/never": False}
 
 
 # --------------------------------------------------- dust_param_rules
@@ -1094,13 +1167,24 @@ def test_meta_robots_flags(spark):
         # first tag wins over a later contradictory one
         ("p6", '<meta name=robots content="noindex">'
                '<meta name=robots content="index">'),
+        # DOCUMENT order decides, not attribute-order precedence: the
+        # first tag spells content-before-name and must still win
+        ("p7", '<meta content="noindex" name="robots">'
+               '<meta name="robots" content="index">'),
+        ("p8", '<meta name=robots content=noindex>'
+               '<meta name="robots" content="index">'),
+        # name value matched exactly: a prefixed name never fires
+        ("p9", '<meta name="robotsdb" content="noindex">'),
+        ("p10", "<meta name=robotsdb content=noindex>"),
     ]
     df = spark.createDataFrame(rows, "url string, html string")
     got = {r.url: (r.noindex, r.nofollow)
            for r in htmlmeta.meta_robots(df).collect()}
     assert got == {"p1": (True, True), "p2": (False, True),
                    "p3": (False, False), "p4": (False, False),
-                   "p5": (True, True), "p6": (True, False)}
+                   "p5": (True, True), "p6": (True, False),
+                   "p7": (True, False), "p8": (True, False),
+                   "p9": (False, False), "p10": (False, False)}
 
 
 def test_rel_canonical_and_chain(spark):
@@ -1111,13 +1195,20 @@ def test_rel_canonical_and_chain(spark):
         ("http://h/b", "<link href='http://h/c' rel=canonical>"),
         ("http://h/c", "<p>terminal</p>"),
         ("http://h/d", '<link rel="stylesheet" href="http://h/css">'),
+        # rel is a space-separated token LIST: multi-token values count
+        ("http://h/e", '<link rel="alternate canonical" '
+                       'href="http://h/master">'),
+        # ... but a rel token merely PREFIXED with canonical does not
+        ("http://h/f", '<link rel="canonicalized" href="http://h/x">'),
     ]
     df = spark.createDataFrame(rows, "url string, html string")
     out = {r.url: r.canonical_href
            for r in htmlmeta.rel_canonical(df).collect()}
     assert out == {"http://h/a": "http://h/b",
                    "http://h/b": "http://h/c",
-                   "http://h/c": None, "http://h/d": None}
+                   "http://h/c": None, "http://h/d": None,
+                   "http://h/e": "http://h/master",
+                   "http://h/f": None}
     edges = (htmlmeta.rel_canonical(df)
              .where("canonical_href IS NOT NULL")
              .selectExpr("url AS src", "canonical_href AS dst"))

@@ -651,3 +651,20 @@ def test_exact_image_dedup_groups_and_election(spark):
     assert got[3].canonical_id == 0
     assert got[2].is_canonical and got[2].group_size == 1
     assert got[0].content_sha == got[1].content_sha != got[2].content_sha
+
+
+def test_exact_image_dedup_null_payloads_stay_singletons(spark):
+    # failed/empty downloads (bytes NULL) have no content to match:
+    # each stays its own canonical singleton instead of the NULL hash
+    # electing one winner and dropping the rest
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\x01")), (1, None), (2, None),
+         (3, bytearray(b"\x01"))],
+        "image_id long, bytes binary")
+    got = {r.image_id: r for r in
+           multimodal.exact_image_dedup(df).collect()}
+    assert got[1].is_canonical and got[1].group_size == 1
+    assert got[2].is_canonical and got[2].group_size == 1
+    assert got[1].canonical_id == 1 and got[2].canonical_id == 2
+    assert got[1].content_sha is None
+    assert got[0].group_size == 2 and got[3].canonical_id == 0
