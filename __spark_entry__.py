@@ -1364,9 +1364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_rfc9309_gate(spark, sf):
         # RFC 9309 wildcard robots evaluation (robots.rfc9309_gate):
-        # three wildcard/anchored rules per host; URL paths synthesized
+        # four wildcard/anchored rules per host; URL paths synthesized
         # to hit every branch (blocked prefix, allow override, $-anchor
-        # hit and near-miss, no-rule default)
+        # hit and near-miss, query-string DUST ban, no-rule default)
         from scrapely_spark.frontier import robots
         d = _t(spark, sf, "documents")
         host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
@@ -1376,19 +1376,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "explode(array("
             "  struct('disallow' AS rule_type, '/private/*' AS pattern),"
             "  struct('allow' AS rule_type, '/private/pub*' AS pattern),"
-            "  struct('disallow' AS rule_type, '/*.pdf$' AS pattern)"
+            "  struct('disallow' AS rule_type, '/*.pdf$' AS pattern),"
+            "  struct('disallow' AS rule_type, '/*?session=' AS pattern)"
             ")) AS r"
         ).select("host", "r.rule_type", "r.pattern")
-        path = (F.when(F.col("doc_id") % 5 == 0,
+        path = (F.when(F.col("doc_id") % 6 == 0,
                        F.concat(F.lit("/private/x"), F.col("doc_id")))
-                .when(F.col("doc_id") % 5 == 1,
+                .when(F.col("doc_id") % 6 == 1,
                       F.concat(F.lit("/private/pub"), F.col("doc_id")))
-                .when(F.col("doc_id") % 5 == 2,
+                .when(F.col("doc_id") % 6 == 2,
                       F.concat(F.lit("/doc/r"), F.col("doc_id"),
                                F.lit(".pdf")))
-                .when(F.col("doc_id") % 5 == 3,
+                .when(F.col("doc_id") % 6 == 3,
                       F.concat(F.lit("/doc/r"), F.col("doc_id"),
                                F.lit(".pdfx")))
+                .when(F.col("doc_id") % 6 == 4,
+                      F.concat(F.lit("/item?session="), F.col("doc_id")))
                 .otherwise(F.concat(F.lit("/open/"), F.col("doc_id"))))
         urls = d.select(host.alias("host"),
                         F.concat(F.lit("http://"), host, path)
@@ -1627,6 +1630,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "md5('d' || CAST(" + day + " AS STRING)) "
                    "ELSE 'static' END").alias("content_hash"))
         return politeness.recrawl_schedule(hist)
+
+    def q_revalidation(spark, sf):
+        # HTTP cache revalidation planning (revalidation.
+        # revalidation_plan): per-URL freshness lifetimes from
+        # max-age / Last-Modified-heuristic / default TTL, then the
+        # four actions (fresh, revalidate_etag, revalidate_lastmod,
+        # refetch) plus the conditional-GET headers.  Branch mix: every
+        # 4th URL has max-age, every 3rd an ETag, all but every 5th a
+        # Last-Modified; fetch times span past AND future of `now`
+        # (doc_id%40 hours after 2024-03-14, now = 2024-03-15) so the
+        # clock-skew clamp fires too.
+        from scrapely_spark.frontier import revalidation
+        d = _t(spark, sf, "documents")
+        f0 = 1_710_374_400_000_000          # 2024-03-14 00:00:00 UTC
+        now = 1_710_460_800_000_000         # 2024-03-15 00:00:00 UTC
+        hour, day = 3_600_000_000, 86_400_000_000
+        fetched = F.lit(f0) + (F.col("doc_id") % 40) * F.lit(hour)
+        log = d.select(
+            F.expr("'http://h' || CAST(doc_id % 20 AS STRING) || '/u'"
+                   " || CAST(doc_id AS STRING)").alias("url"),
+            fetched.alias("fetched_us"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(7200) * (1 + F.col("doc_id") % 10))
+            .alias("max_age_s"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.expr("'W/\"' || CAST(doc_id AS STRING) || '\"'"))
+            .alias("etag"),
+            F.when(F.col("doc_id") % 5 != 0,
+                   fetched - (1 + F.col("doc_id") % 30) * F.lit(day))
+            .alias("last_modified_us"))
+        return revalidation.revalidation_plan(log, now_us=now)
 
     def q_sitemap_urls(spark, sf):
         # sitemap drain (sitemaps.sitemap_urls): deterministic XML
@@ -2005,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unimax_allocation": q_unimax_allocation,
         "url_sitemap_drain": q_sitemap_urls,
         "url_recrawl_schedule": q_recrawl_schedule,
+        "url_revalidation": q_revalidation,
         "corpus_dsir_weights": q_dsir_weights,
         "asof_purchase_view": q_asof_purchase_view,
         "knn_join_topk": q_knn_join,
@@ -3313,7 +3348,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT host, rule_type, pattern
               FROM hosts, (VALUES ('disallow', '/private/*'),
                                   ('allow', '/private/pub*'),
-                                  ('disallow', '/*.pdf$'))
+                                  ('disallow', '/*.pdf$'),
+                                  ('disallow', '/*?session='))
                    AS r(rule_type, pattern)),
             rx AS (
               SELECT host,
@@ -3331,13 +3367,15 @@ def oracle_sql() -> dict[str, str]:
               FROM rules),
             urls AS (
               SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
-                     CASE doc_id % 5
+                     CASE doc_id % 6
                        WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
                        WHEN 1 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
                        WHEN 2 THEN '/doc/r' || CAST(doc_id AS VARCHAR)
                                    || '.pdf'
                        WHEN 3 THEN '/doc/r' || CAST(doc_id AS VARCHAR)
                                    || '.pdfx'
+                       WHEN 4 THEN '/item?session='
+                                   || CAST(doc_id AS VARCHAR)
                        ELSE '/open/' || CAST(doc_id AS VARCHAR)
                      END AS path
               FROM documents),
@@ -4464,6 +4502,56 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # freshness scheduling: lag-transitions per url, interval
         # stretched by 1/(ratio+0.1), explicit floor (Spark's
         # double->long cast truncates, DuckDB's rounds), clamped
+        # cache revalidation planning: the oracle rebuilds the same
+        # synthetic fetch log and replays the RFC 9111 ladder in
+        # integer-us arithmetic (floor() on both engines, never a
+        # truncating cast, so the heuristic lifetime hashes exactly)
+        "url_revalidation": """
+            WITH log AS (
+              SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '/u' || CAST(doc_id AS VARCHAR) AS url,
+                     1710374400000000
+                       + (doc_id % 40) * 3600000000 AS fetched_us,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 7200 * (1 + doc_id % 10)
+                     END AS max_age_s,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'W/"' || CAST(doc_id AS VARCHAR) || '"'
+                     END AS etag,
+                     CASE WHEN doc_id % 5 != 0
+                          THEN 1710374400000000
+                               + (doc_id % 40) * 3600000000
+                               - (1 + doc_id % 30) * 86400000000
+                     END AS last_modified_us
+              FROM documents),
+            p AS (
+              SELECT url, etag, last_modified_us,
+                     GREATEST(1710460800000000 - fetched_us,
+                              CAST(0 AS BIGINT)) AS age_us,
+                     GREATEST(60000000, LEAST(604800000000,
+                       CASE WHEN max_age_s IS NOT NULL
+                            THEN CAST(max_age_s AS BIGINT) * 1000000
+                            WHEN last_modified_us IS NOT NULL
+                            THEN CAST(GREATEST(floor(
+                                   (fetched_us - last_modified_us)
+                                   * 10 / 100.0), 0) AS BIGINT)
+                            ELSE 86400000000 END)) AS ttl_us
+              FROM log)
+            SELECT url,
+                   CAST(floor(age_us / 1000000.0) AS BIGINT) AS age_s,
+                   CAST(floor(ttl_us / 1000000.0) AS BIGINT) AS ttl_s,
+                   CASE WHEN age_us < ttl_us THEN 'fresh'
+                        WHEN etag IS NOT NULL THEN 'revalidate_etag'
+                        WHEN last_modified_us IS NOT NULL
+                        THEN 'revalidate_lastmod'
+                        ELSE 'refetch' END AS action,
+                   CASE WHEN age_us >= ttl_us AND etag IS NOT NULL
+                        THEN etag END AS if_none_match,
+                   CASE WHEN age_us >= ttl_us AND etag IS NULL
+                        AND last_modified_us IS NOT NULL
+                        THEN last_modified_us
+                   END AS if_modified_since_us
+            FROM p""",
         "url_recrawl_schedule": """
             WITH h AS (
               SELECT 'u' || CAST(user_id AS VARCHAR) AS url,

@@ -1036,6 +1036,47 @@ def test_wildcard_rules_feed_gate_end_to_end(spark):
                    "http://h/never": False}
 
 
+# -------------------------------------------------- revalidation_plan
+
+def test_revalidation_plan_actions_and_headers(spark):
+    from scrapely_spark.frontier.revalidation import revalidation_plan
+    day = 86_400_000_000
+    now = 200 * day
+    rows = [
+        # max-age 1h, fetched 10 days ago -> stale, has etag
+        ("a", now - 10 * day, 3600, 'W/"a"', now - 50 * day),
+        # max-age huge -> fresh despite age (clamped to 7d... age 1d)
+        ("b", now - 1 * day, 10 * 86400, None, None),
+        # no max-age, lastmod 30 days before fetch -> heuristic 3d,
+        # age 1d -> fresh
+        ("c", now - 1 * day, None, None, now - 31 * day),
+        # same but age 5d > 3d heuristic -> stale, no etag -> lastmod
+        ("d", now - 5 * day, None, None, now - 35 * day),
+        # nothing at all, age 2d > default 1d -> refetch
+        ("e", now - 2 * day, None, None, None),
+        # fetched in the FUTURE (clock skew) -> age clamps to 0, fresh
+        ("f", now + day, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetched_us long, max_age_s long, "
+              "etag string, last_modified_us long")
+    got = {r.url: r for r in revalidation_plan(df, now).collect()}
+    assert got["a"].action == "revalidate_etag"
+    assert got["a"].if_none_match == 'W/"a"'
+    assert got["a"].if_modified_since_us is None
+    assert got["b"].action == "fresh"
+    # max-age clamps to the 7-day ceiling
+    assert got["b"].ttl_s == 7 * 86400
+    assert got["c"].action == "fresh"
+    assert got["c"].ttl_s == 3 * 86400  # 10% of 30 days
+    assert got["d"].action == "revalidate_lastmod"
+    assert got["d"].if_modified_since_us == now - 35 * day
+    assert got["d"].if_none_match is None
+    assert got["e"].action == "refetch"
+    assert got["e"].ttl_s == 86400
+    assert got["f"].action == "fresh" and got["f"].age_s == 0
+
+
 # --------------------------------------------------- dust_param_rules
 
 def test_dust_param_rules_semantics(spark):
