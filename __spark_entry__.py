@@ -1662,6 +1662,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("last_modified_us"))
         return revalidation.revalidation_plan(log, now_us=now)
 
+    def q_warc_revisit(spark, sf):
+        # WARC identical-payload-digest revisit dedup (warc.
+        # revisit_records): every 3rd doc shares one of 17 payloads
+        # (forcing multi-member digest groups), the rest are unique;
+        # every 25th row is a request record the dedup must ignore.
+        # The oracle replays the sha-256 window election in SQL.
+        from scrapely_spark.spark import warc
+        d = _t(spark, sf, "documents")
+        payload = (F.when(F.col("doc_id") % 3 == 0,
+                          F.concat(F.lit("shared-"),
+                                   (F.col("doc_id") % 17).cast("string")))
+                   .otherwise(F.concat(F.lit("unique-"),
+                                       F.col("doc_id").cast("string"))))
+        recs = d.select(
+            F.concat(F.lit("s"), (F.col("doc_id") % 10).cast("string"))
+            .alias("segment_id"),
+            F.col("doc_id").cast("int").alias("record_idx"),
+            F.when(F.col("doc_id") % 25 == 0, F.lit("request"))
+            .otherwise(F.lit("response")).alias("warc_type"),
+            F.concat(F.lit("http://h/u"), F.col("doc_id").cast("string"))
+            .alias("target_uri"),
+            payload.alias("payload"))
+        return warc.revisit_records(recs)
+
+    def q_robots_policy(spark, sf):
+        # robots.txt availability ladder (robots.fetch_policy, RFC 9309
+        # 2.3.1): statuses cycle 200/404/301/503/NULL/204/500 and cache
+        # ages mix fresh/stale/absent, so every policy branch fires —
+        # including the unreachable-with-usable-cache reuse and the
+        # conservative disallow_all
+        from scrapely_spark.frontier import robots
+        d = _t(spark, sf, "documents")
+        status = (F.when(F.col("doc_id") % 7 == 0, F.lit(200))
+                  .when(F.col("doc_id") % 7 == 1, F.lit(404))
+                  .when(F.col("doc_id") % 7 == 2, F.lit(301))
+                  .when(F.col("doc_id") % 7 == 3, F.lit(503))
+                  .when(F.col("doc_id") % 7 == 4, F.lit(None))
+                  .when(F.col("doc_id") % 7 == 5, F.lit(204))
+                  .otherwise(F.lit(500)))
+        age = F.when(F.col("doc_id") % 5 != 0,
+                     (F.col("doc_id") % 60).cast("int"))
+        fetches = d.select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string"))
+            .alias("host"),
+            status.cast("int").alias("status"),
+            age.alias("cache_age_days"))
+        return robots.fetch_policy(fetches)
+
     def q_sitemap_urls(spark, sf):
         # sitemap drain (sitemaps.sitemap_urls): deterministic XML
         # bodies built identically by both engines — every 10th doc is
@@ -2040,6 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_sitemap_drain": q_sitemap_urls,
         "url_recrawl_schedule": q_recrawl_schedule,
         "url_revalidation": q_revalidation,
+        "warc_revisit_dedup": q_warc_revisit,
+        "url_robots_policy": q_robots_policy,
         "corpus_dsir_weights": q_dsir_weights,
         "asof_purchase_view": q_asof_purchase_view,
         "knn_join_topk": q_knn_join,
@@ -4502,6 +4552,68 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # freshness scheduling: lag-transitions per url, interval
         # stretched by 1/(ratio+0.1), explicit floor (Spark's
         # double->long cast truncates, DuckDB's rounds), clamped
+        # WARC revisit dedup: the oracle re-elects first-capture per
+        # sha-256 digest with the same (segment, idx) capture order
+        "warc_revisit_dedup": """
+            WITH recs AS (
+              SELECT 's' || CAST(doc_id % 10 AS VARCHAR) AS segment_id,
+                     CAST(doc_id AS INT) AS record_idx,
+                     CASE WHEN doc_id % 25 = 0 THEN 'request'
+                          ELSE 'response' END AS warc_type,
+                     'http://h/u' || CAST(doc_id AS VARCHAR)
+                       AS target_uri,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'shared-' || CAST(doc_id % 17 AS VARCHAR)
+                          ELSE 'unique-' || CAST(doc_id AS VARCHAR)
+                     END AS payload
+              FROM documents),
+            s AS (
+              SELECT segment_id, record_idx, target_uri,
+                     CAST(len(payload) AS BIGINT) AS n,
+                     sha256(payload) AS payload_digest,
+                     ROW_NUMBER() OVER w AS rn,
+                     FIRST_VALUE(segment_id) OVER w AS fs,
+                     FIRST_VALUE(record_idx) OVER w AS fi,
+                     FIRST_VALUE(target_uri) OVER w AS fu
+              FROM recs WHERE warc_type = 'response'
+              WINDOW w AS (PARTITION BY sha256(payload)
+                           ORDER BY segment_id, record_idx))
+            SELECT segment_id, record_idx, target_uri, payload_digest,
+                   CASE WHEN rn > 1 THEN 'revisit'
+                        ELSE 'response' END AS record_type,
+                   CASE WHEN rn > 1 THEN fs END AS refers_to_segment,
+                   CASE WHEN rn > 1 THEN fi END AS refers_to_idx,
+                   CASE WHEN rn > 1 THEN fu END AS refers_to_uri,
+                   CASE WHEN rn > 1 THEN n
+                        ELSE CAST(0 AS BIGINT) END AS saved_bytes
+            FROM s""",
+        # robots availability ladder: plain CASE replay
+        "url_robots_policy": """
+            WITH f AS (
+              SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                     CAST(CASE doc_id % 7
+                       WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 301
+                       WHEN 3 THEN 503 WHEN 4 THEN NULL WHEN 5 THEN 204
+                       ELSE 500 END AS INT) AS status,
+                     CASE WHEN doc_id % 5 != 0
+                          THEN CAST(doc_id % 60 AS INT)
+                     END AS cache_age_days
+              FROM documents),
+            p AS (
+              SELECT *,
+                     CASE WHEN status >= 200 AND status < 300
+                          THEN 'use_live'
+                          WHEN status >= 300 AND status < 400
+                          THEN 'follow_redirect'
+                          WHEN status >= 400 AND status < 500
+                          THEN 'allow_all'
+                          WHEN cache_age_days IS NOT NULL
+                           AND cache_age_days <= 30 THEN 'use_cached'
+                          ELSE 'disallow_all' END AS policy
+              FROM f)
+            SELECT host, status, cache_age_days, policy,
+                   policy != 'disallow_all' AS fetchable
+            FROM p""",
         # cache revalidation planning: the oracle rebuilds the same
         # synthetic fetch log and replays the RFC 9111 ladder in
         # integer-us arithmetic (floor() on both engines, never a

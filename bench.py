@@ -117,8 +117,11 @@ HEADLINE = [
     "warc_record_roundtrip",
     # r4 session 5: rendezvous fetch-shard assignment
     "url_fetch_shards",
-    # r4 session 7: RFC 9111 cache revalidation planning
+    # r4 session 7: RFC 9111 cache revalidation planning, WARC revisit
+    # dedup, robots availability ladder
     "url_revalidation",
+    "warc_revisit_dedup",
+    "url_robots_policy",
     # r4 session 6: hashed-BoW quality classifier, magic-byte format
     # sniffing, anchor-text profiles, integer-exact HITS
     "text_quality_classifier",

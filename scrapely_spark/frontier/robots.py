@@ -388,3 +388,44 @@ def is_allowed_rfc9309(path: str, rules: list) -> bool:
             k = 2 * len(pattern) + (1 if rule_type == "allow" else 0)
             best = k if best is None else max(best, k)
     return True if best is None else best % 2 == 1
+
+
+ROBOTS_CACHE_MAX_AGE_DAYS = 30
+
+
+def fetch_policy(fetches: DataFrame, status_col: str = "status",
+                 cache_age_col: str = "cache_age_days") -> DataFrame:
+    """What to do with robots.txt by its FETCH status — RFC 9309
+    §2.3.1, the availability half of robots handling (the parsing half
+    is :func:`wildcard_rules_df`):
+
+    * 2xx  → ``use_live``: parse the fetched body.
+    * 3xx  → ``follow_redirect``: chase the hop (crawlers MUST follow
+      at least five; the redirect-chain resolution itself is
+      ``graph.resolve_redirects``).
+    * 4xx  → ``allow_all``: "unavailable" means no restrictions
+      (§2.3.1.3) — the single most common robots outcome on the web.
+    * 5xx or no response (NULL status) → "unreachable" (§2.3.1.4):
+      a cached copy younger than :data:`ROBOTS_CACHE_MAX_AGE_DAYS`
+      MAY be reused (``use_cached``); with no usable cache the host is
+      treated as completely disallowed (``disallow_all``) so a flaky
+      origin is never hammered by a crawler that cannot read its
+      rules.
+
+    ``cache_age_days`` is NULL when no cached copy exists.  Emits
+    every input row + ``policy``; ``fetchable`` is the downstream
+    shortcut (true unless ``disallow_all``).  Shuffle-free CASE ladder
+    over the per-host fetch table — robots-sized, never URL-sized.
+    """
+    st = F.col(status_col).cast("int")
+    cached_ok = (F.col(cache_age_col).isNotNull()
+                 & (F.col(cache_age_col)
+                    <= ROBOTS_CACHE_MAX_AGE_DAYS))
+    policy = (F.when((st >= 200) & (st < 300), F.lit("use_live"))
+              .when((st >= 300) & (st < 400), F.lit("follow_redirect"))
+              .when((st >= 400) & (st < 500), F.lit("allow_all"))
+              .when(cached_ok, F.lit("use_cached"))
+              .otherwise(F.lit("disallow_all")))
+    return fetches.select(
+        *fetches.columns, policy.alias("policy"),
+        (policy != "disallow_all").alias("fetchable"))

@@ -128,3 +128,58 @@ def build_warc_segment(records: list) -> str:
                      + "Content-Length: %d\r\n" % len(payload)
                      + "\r\n" + payload + "\r\n\r\n")
     return "".join(parts)
+
+
+def revisit_records(records: DataFrame) -> DataFrame:
+    """Identical-payload-digest revisit dedup (WARC 1.1 §6.7.2) — the
+    archive-side dedup every large crawl store runs: the FIRST capture
+    of a payload stays a full ``response`` record; every later capture
+    of a byte-identical payload is written as a ``revisit`` record
+    that references the original and stores NO payload.  At Common
+    Crawl scale this is roughly a third of all archive bytes.
+
+    Input is the :func:`parse_warc_segments` shape; only
+    ``warc_type = 'response'`` rows participate (request/metadata
+    records are never deduplicated).  Capture order is
+    ``(segment_id, record_idx)`` — the stable order the archive was
+    written in — so the election is deterministic.
+
+    Emits (segment_id, record_idx, target_uri, payload_digest,
+    record_type, refers_to_segment, refers_to_idx, refers_to_uri,
+    saved_bytes): ``saved_bytes`` is the payload length a revisit
+    record avoids storing (0 for responses), so a plain SUM over the
+    output is the archive-compression headline.
+
+    Scale shape: ONE shuffle keyed by the sha-256 digest — uniform by
+    construction (identical payloads are exactly what the key
+    collapses, the same argument as ``exact_image_dedup``) — then a
+    per-digest window; nothing else moves.  The payload column is
+    dropped before the shuffle: only (ids, uri, digest, length) travel.
+    """
+    from pyspark.sql import Window, functions as F
+
+    digest = F.sha2(F.col("payload"), 256)
+    staged = (records.where(F.col("warc_type") == "response")
+              .select("segment_id", "record_idx", "target_uri",
+                      F.length("payload").cast("long").alias("_n"),
+                      digest.alias("payload_digest")))
+    w = (Window.partitionBy("payload_digest")
+         .orderBy("segment_id", "record_idx"))
+    rn = F.row_number().over(w)
+    first_seg = F.first("segment_id").over(w)
+    first_idx = F.first("record_idx").over(w)
+    first_uri = F.first("target_uri").over(w)
+    out = staged.select(
+        "segment_id", "record_idx", "target_uri", "payload_digest",
+        rn.alias("_rn"), first_seg.alias("_fs"),
+        first_idx.alias("_fi"), first_uri.alias("_fu"), "_n")
+    is_rev = F.col("_rn") > 1
+    return out.select(
+        "segment_id", "record_idx", "target_uri", "payload_digest",
+        F.when(is_rev, F.lit("revisit")).otherwise(F.lit("response"))
+        .alias("record_type"),
+        F.when(is_rev, F.col("_fs")).alias("refers_to_segment"),
+        F.when(is_rev, F.col("_fi")).alias("refers_to_idx"),
+        F.when(is_rev, F.col("_fu")).alias("refers_to_uri"),
+        F.when(is_rev, F.col("_n")).otherwise(F.lit(0).cast("long"))
+        .alias("saved_bytes"))

@@ -63,3 +63,54 @@ def test_parse_warc_segments_spark(spark):
                  r.content_length, r.payload, r.truncated)
                 for r in got] == want
         assert all(not r.truncated for r in got)
+
+
+def test_revisit_records_dedup_and_references(spark):
+    from scrapely_spark.spark.warc import revisit_records
+    rows = [
+        # capture order (segment_id, record_idx); 'AAAA' captured 3x
+        ("s0", 0, "response", "http://h/a", "AAAA"),
+        ("s0", 1, "response", "http://h/b", "BB"),
+        ("s0", 2, "response", "http://h/a2", "AAAA"),
+        ("s1", 0, "response", "http://h/a3", "AAAA"),
+        # request records never deduplicate
+        ("s1", 1, "request", "http://h/a", "AAAA"),
+    ]
+    df = spark.createDataFrame(
+        rows, "segment_id string, record_idx int, warc_type string, "
+              "target_uri string, payload string")
+    got = {(r.segment_id, r.record_idx): r
+           for r in revisit_records(df).collect()}
+    assert len(got) == 4  # the request row is gone
+    first = got[("s0", 0)]
+    assert first.record_type == "response" and first.saved_bytes == 0
+    assert first.refers_to_segment is None
+    for key in [("s0", 2), ("s1", 0)]:
+        r = got[key]
+        assert r.record_type == "revisit"
+        assert (r.refers_to_segment, r.refers_to_idx) == ("s0", 0)
+        assert r.refers_to_uri == "http://h/a"
+        assert r.saved_bytes == 4
+    assert got[("s0", 1)].record_type == "response"
+    # archive-compression headline: sum(saved) = 2 dup payloads
+    assert sum(r.saved_bytes for r in got.values()) == 8
+
+
+def test_robots_fetch_policy_ladder(spark):
+    from scrapely_spark.frontier.robots import fetch_policy
+    rows = [("a", 200, None), ("b", 204, 5), ("c", 301, None),
+            ("d", 404, None), ("e", 503, 10),   # unreachable, fresh cache
+            ("f", 503, 45),                      # unreachable, stale cache
+            ("g", 500, None),                    # unreachable, no cache
+            ("h", None, 3),                      # no response, fresh cache
+            ("i", None, None)]
+    df = spark.createDataFrame(
+        rows, "host string, status int, cache_age_days int")
+    got = {r.host: (r.policy, r.fetchable)
+           for r in fetch_policy(df).collect()}
+    assert got == {
+        "a": ("use_live", True), "b": ("use_live", True),
+        "c": ("follow_redirect", True), "d": ("allow_all", True),
+        "e": ("use_cached", True), "f": ("disallow_all", False),
+        "g": ("disallow_all", False), "h": ("use_cached", True),
+        "i": ("disallow_all", False)}
