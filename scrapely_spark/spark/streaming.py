@@ -414,3 +414,27 @@ def ingest_gates_stream(spark: SparkSession, images_dir: str,
     stream = _read_parquet_stream(spark, images_dir,
                                   max_files_per_trigger, schema)
     return multimodal.ingest_gates(stream, **gate_kwargs)
+
+
+def revalidation_stream(spark: SparkSession, fetch_log_dir: str,
+                        now_us: int, max_files_per_trigger: int = 8,
+                        schema=None, **plan_kwargs) -> DataFrame:
+    """Cache-revalidation planning over a streaming fetch log: tail the
+    parquet landing zone the fetch stage appends to and classify each
+    newly-logged URL with :func:`revalidation.revalidation_plan` per
+    micro-batch — the production position for the planner, where a
+    fetch's caching metadata becomes the NEXT round's skip/conditional
+    verdict the moment the log lands.
+
+    The planner is a stateless single Project (integer-µs CASE
+    ladder), so streamed verdicts equal the batch plan over the same
+    files by construction — no watermark, no state store; parity is
+    pinned by the availableNow test.  ``now_us`` is the round's
+    decision time, passed explicitly (streams must not read the
+    wall clock, or replays would diverge).
+    """
+    from scrapely_spark.frontier import revalidation
+
+    stream = _read_parquet_stream(spark, fetch_log_dir,
+                                  max_files_per_trigger, schema)
+    return revalidation.revalidation_plan(stream, now_us, **plan_kwargs)

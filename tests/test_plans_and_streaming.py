@@ -675,3 +675,47 @@ def test_streaming_ingest_gates_agree_with_batch(spark, tmp_path):
     # both verdict polarities present in the parity set
     keeps = {r[-1] for r in want}
     assert keeps == {True, False}
+
+
+def test_streaming_revalidation_agrees_with_batch(spark, tmp_path):
+    """The revalidation planner is a stateless Project, so streamed
+    verdicts over a fetch-log landing zone equal the batch plan on the
+    same files; now_us is passed explicitly so a replay of the stream
+    can never drift from the batch twin."""
+    import os
+
+    from scrapely_spark.frontier import revalidation
+    from scrapely_spark.spark import streaming
+
+    zone = str(tmp_path / "fetchlog_zone")
+    os.makedirs(zone)
+    day = 86_400_000_000
+    now = 400 * day
+    rows = []
+    for i in range(180):
+        fetched = now - (i % 50 - 3) * day  # includes future fetches
+        rows.append((
+            "http://h%d/u%d" % (i % 9, i), fetched,
+            3600 * (1 + i % 20) if i % 4 == 0 else None,
+            'W/"%d"' % i if i % 3 == 0 else None,
+            fetched - (1 + i % 40) * day if i % 5 != 0 else None))
+    spark.createDataFrame(
+        rows, "url string, fetched_us long, max_age_s long, "
+              "etag string, last_modified_us long") \
+        .repartition(3).write.parquet(zone, mode="overwrite")
+
+    q = streaming.run_available_now(
+        streaming.revalidation_stream(spark, zone, now,
+                                      max_files_per_trigger=1),
+        "reval_stream_q", str(tmp_path / "ckpt_reval"),
+        output_mode="append")
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql(
+        "select * from reval_stream_q").collect()}
+    want = {tuple(r) for r in revalidation.revalidation_plan(
+        spark.read.parquet(zone), now).collect()}
+    assert got == want and want
+    # all four actions represented in the parity set
+    assert {r[3] for r in want} == {
+        "fresh", "revalidate_etag", "revalidate_lastmod", "refetch"}
