@@ -2040,6 +2040,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.md5(did.cast("string")), 1, 24))).alias("bytes"))
         return multimodal.sniff_format(imgs)
 
+    def q_image_header_dims(spark, sf):
+        # container-header dimension validation (multimodal.header_dims):
+        # REAL PNG/GIF/BMP headers with the pixel dimensions planted in
+        # closed form — doc_id%11==0 rows get declared_w off by one
+        # (mismatch), doc_id%17==0 are cut to 8 bytes (truncated),
+        # doc_id%13==0 are garbage (unsupported), and every 5th BMP is a
+        # top-down DIB storing biHeight as two's-complement negative.
+        # Map-only JVM hex arithmetic; the oracle builds the identical
+        # blobs and parses them with the same endianness algebra.
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        w = (32 + (did * 37) % 993).cast("long")
+        h = (32 + (did * 61) % 993).cast("long")
+
+        def be32(v):
+            return F.lpad(F.hex(v), 8, "0")
+
+        def le16(v):
+            p = F.lpad(F.hex(v), 4, "0")
+            return F.concat(F.substring(p, 3, 2), F.substring(p, 1, 2))
+
+        def le32(v):
+            p = be32(v)
+            return F.concat(F.substring(p, 7, 2), F.substring(p, 5, 2),
+                            F.substring(p, 3, 2), F.substring(p, 1, 2))
+
+        h_store = F.when(did % 5 == 0,
+                         F.lit(1 << 32).cast("long") - h).otherwise(h)
+        png = F.concat(F.lit("89504E470D0A1A0A0000000D49484452"),
+                       be32(w), be32(h), F.lit("08060000"))
+        gif = F.concat(F.lit("474946383961"), le16(w), le16(h),
+                       F.lit("00000000"))
+        bmp = F.concat(F.lit("424D"), F.lit("00" * 16),
+                       le32(w), le32(h_store), F.lit("0000"))
+        hx = (F.when(did % 13 == 0, F.lit("DEADBEEF" + "00" * 20))
+              .when(did % 3 == 0, png)
+              .when(did % 3 == 1, gif)
+              .otherwise(bmp))
+        hx = F.when(did % 17 == 0, F.substring(hx, 1, 16)).otherwise(hx)
+        imgs = _t(spark, sf, "documents").select(
+            did.alias("image_id"),
+            F.unhex(hx).alias("bytes"),
+            F.when(did % 11 == 0, w + 1).otherwise(w).cast("int")
+            .alias("w"),
+            h.cast("int").alias("h"))
+        return multimodal.header_dims(imgs)
+
     def q_fetch_shards(spark, sf):
         # rendezvous (HRW) hashing of hosts onto 16 fetch shards
         # (politeness.rendezvous_shards): zero-shuffle literal-struct
@@ -2059,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows, then r2-only-green, then long-stable rows.  The
         # _WINDOW_FIRST reorder below additionally pins the judge's
         # explicitly-requested rows to the very front.
+        "image_header_dims": q_image_header_dims,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -4903,6 +4951,142 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(n_bytes AS BIGINT) AS n_bytes,
                    declared_fmt = sniffed_fmt AS fmt_ok
             FROM s""",
+
+        # container-header dimension parse: builds the IDENTICAL
+        # PNG/GIF/BMP blobs (planted dims, mislabels, truncations,
+        # top-down BMPs) and re-reads the dimension fields with the
+        # same endianness algebra — hex window at char 2*offset+1,
+        # byte pairs reversed for little-endian, two's complement on
+        # the BMP int32 fields
+        "image_header_dims": """
+            WITH base AS (
+              SELECT doc_id,
+                     32 + (doc_id * 37) % 993 AS w,
+                     32 + (doc_id * 61) % 993 AS h
+              FROM documents),
+            enc AS (
+              SELECT doc_id, w, h,
+                     CASE WHEN doc_id % 11 = 0 THEN w + 1 ELSE w END
+                       AS decl_w,
+                     h AS decl_h,
+                     CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h
+                          ELSE h END AS h_store
+              FROM base),
+            hx0 AS (
+              SELECT doc_id, decl_w, decl_h,
+                     CASE
+                       WHEN doc_id % 13 = 0
+                         THEN 'DEADBEEF' || repeat('00', 20)
+                       WHEN doc_id % 3 = 0 THEN
+                         '89504E470D0A1A0A0000000D49484452'
+                         || lpad(hex(w), 8, '0')
+                         || lpad(hex(h), 8, '0') || '08060000'
+                       WHEN doc_id % 3 = 1 THEN
+                         '474946383961'
+                         || substr(lpad(hex(w),4,'0'),3,2)
+                         || substr(lpad(hex(w),4,'0'),1,2)
+                         || substr(lpad(hex(h),4,'0'),3,2)
+                         || substr(lpad(hex(h),4,'0'),1,2)
+                         || '00000000'
+                       ELSE
+                         '424D' || repeat('00', 16)
+                         || substr(lpad(hex(w),8,'0'),7,2)
+                         || substr(lpad(hex(w),8,'0'),5,2)
+                         || substr(lpad(hex(w),8,'0'),3,2)
+                         || substr(lpad(hex(w),8,'0'),1,2)
+                         || substr(lpad(hex(h_store),8,'0'),7,2)
+                         || substr(lpad(hex(h_store),8,'0'),5,2)
+                         || substr(lpad(hex(h_store),8,'0'),3,2)
+                         || substr(lpad(hex(h_store),8,'0'),1,2)
+                         || '0000'
+                     END AS hx
+              FROM enc),
+            hx1 AS (
+              SELECT doc_id, decl_w, decl_h,
+                     CASE WHEN doc_id % 17 = 0 THEN substr(hx, 1, 16)
+                          ELSE hx END AS hx
+              FROM hx0),
+            b AS (
+              SELECT doc_id, decl_w, decl_h,
+                     upper(hex(from_hex(hx))) AS hh,
+                     octet_length(from_hex(hx)) AS n
+              FROM hx1),
+            s AS (
+              SELECT *,
+                     CASE
+                       WHEN substr(hh,1,8) = '52494646'
+                        AND substr(hh,17,8) = '57454250' THEN 'webp'
+                       WHEN substr(hh,1,6) = 'FFD8FF' THEN 'jpeg'
+                       WHEN substr(hh,1,16) = '89504E470D0A1A0A'
+                         THEN 'png'
+                       WHEN substr(hh,1,12) IN ('474946383761',
+                                                '474946383961')
+                         THEN 'gif'
+                       WHEN substr(hh,1,8) IN ('49492A00','4D4D002A')
+                         THEN 'tiff'
+                       WHEN substr(hh,1,4) = '424D' THEN 'bmp'
+                       ELSE 'unknown' END AS sniffed_fmt
+              FROM b),
+            p AS (
+              SELECT doc_id, sniffed_fmt, decl_w, decl_h, n,
+                     CASE sniffed_fmt WHEN 'png' THEN 24
+                          WHEN 'gif' THEN 10 WHEN 'bmp' THEN 26
+                          END AS need,
+                     CASE sniffed_fmt
+                       WHEN 'png' THEN
+                         TRY_CAST('0x' || substr(hh,33,8) AS BIGINT)
+                       WHEN 'gif' THEN
+                         TRY_CAST('0x' || substr(hh,15,2)
+                                  || substr(hh,13,2) AS BIGINT)
+                       WHEN 'bmp' THEN
+                         TRY_CAST('0x' || substr(hh,43,2)
+                                  || substr(hh,41,2) || substr(hh,39,2)
+                                  || substr(hh,37,2) AS BIGINT)
+                       END AS raw_w,
+                     CASE sniffed_fmt
+                       WHEN 'png' THEN
+                         TRY_CAST('0x' || substr(hh,41,8) AS BIGINT)
+                       WHEN 'gif' THEN
+                         TRY_CAST('0x' || substr(hh,19,2)
+                                  || substr(hh,17,2) AS BIGINT)
+                       WHEN 'bmp' THEN
+                         TRY_CAST('0x' || substr(hh,51,2)
+                                  || substr(hh,49,2) || substr(hh,47,2)
+                                  || substr(hh,45,2) AS BIGINT)
+                       END AS raw_h
+              FROM s),
+            q AS (
+              SELECT doc_id, sniffed_fmt, decl_w, decl_h, n, need,
+                     CASE WHEN n >= need THEN
+                       CASE WHEN sniffed_fmt = 'bmp'
+                              AND raw_w >= 2147483648
+                            THEN raw_w - 4294967296 ELSE raw_w END
+                       END AS actual_w,
+                     CASE WHEN n >= need THEN
+                       CASE WHEN sniffed_fmt = 'bmp' THEN
+                         abs(CASE WHEN raw_h >= 2147483648
+                                  THEN raw_h - 4294967296
+                                  ELSE raw_h END)
+                         ELSE raw_h END
+                       END AS actual_h
+              FROM p),
+            r AS (
+              SELECT *,
+                     CASE WHEN need IS NULL THEN 'unsupported'
+                          WHEN n < need THEN 'truncated'
+                          WHEN actual_w = decl_w AND actual_h = decl_h
+                            THEN 'ok'
+                          ELSE 'mismatch' END AS status
+              FROM q)
+            SELECT doc_id AS image_id, sniffed_fmt,
+                   CAST(decl_w AS BIGINT) AS declared_w,
+                   CAST(decl_h AS BIGINT) AS declared_h,
+                   CAST(actual_w AS BIGINT) AS actual_w,
+                   CAST(actual_h AS BIGINT) AS actual_h,
+                   CASE WHEN actual_w IS NOT NULL
+                        THEN status = 'ok' END AS dims_ok,
+                   status
+            FROM r""",
 
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql

@@ -126,6 +126,7 @@ HEADLINE = [
     # sniffing, anchor-text profiles, integer-exact HITS
     "text_quality_classifier",
     "image_format_sniff",
+    "image_header_dims",
     "url_anchor_text",
     "graph_hits",
     "text_c4_filters",

@@ -772,3 +772,108 @@ def exact_image_dedup(images: DataFrame,
                     (F.col("image_id") == F.col("canonical_id"))
                     .alias("is_canonical"), "group_size")
             .unionByName(nulls))
+
+
+def _hex_be(hx, pos: int, nbytes: int):
+    """Big-endian unsigned int read from a hex string column: the
+    ``nbytes`` bytes starting at 0-based byte offset ``pos``."""
+    return F.conv(F.substring(hx, 2 * pos + 1, 2 * nbytes), 16, 10
+                  ).cast("long")
+
+
+def _hex_le(hx, pos: int, nbytes: int):
+    """Little-endian unsigned int read: same window, byte pairs
+    concatenated in reverse order before the base-16 parse."""
+    pairs = [F.substring(hx, 2 * (pos + i) + 1, 2)
+             for i in reversed(range(nbytes))]
+    return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+
+def header_dims(images: DataFrame, bytes_col: str = "bytes",
+                w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """Actual pixel dimensions parsed from the container header,
+    validated against the declared ``(w, h)`` metadata columns.
+
+    Crawled image metadata (the ``w``/``h`` the upstream index or the
+    page's ``<img width=…>`` attributes declared) routinely disagrees
+    with the payload: pages lie, CDNs resize, partial downloads truncate.
+    Training-data pipelines that bucket by aspect ratio or filter by
+    minimum dimension off declared metadata silently mis-route those
+    rows; the fix is to read the dimensions the container itself states
+    — a fixed-offset field in every major format — and gate on
+    agreement, long before any decoder runs.
+
+    Parsing is JVM-side arithmetic over the hex encoding of the first
+    bytes (no Python, no UDF — a map-only Project that rides the ingest
+    scan at any scale, exactly like :func:`sniff_format`):
+
+    * PNG  — IHDR is required to be the first chunk (PNG spec §5.6), so
+      width/height are big-endian uint32 at byte offsets 16 and 20;
+    * GIF  — logical-screen width/height, little-endian uint16 at
+      offsets 6 and 8 (GIF89a spec §18);
+    * BMP  — BITMAPINFOHEADER biWidth/biHeight, little-endian int32 at
+      offsets 18 and 22; a negative biHeight means a top-down DIB and
+      the pixel height is its magnitude (two's complement handled
+      exactly in integer arithmetic);
+    * JPEG/TIFF/WebP — dimensions live behind a variable-offset marker
+      scan (SOF / IFD / chunk walk); those belong to the decoder family
+      (see ``exif_extract`` for the TIFF IFD walk) and report
+      ``unsupported`` here, dims NULL.
+
+    ``status`` ladder: ``truncated`` (payload shorter than the header
+    field it sniffs as), ``unsupported`` (no fixed-offset container
+    detected), ``mismatch`` (parsed dims disagree with declared), else
+    ``ok``.  ``dims_ok`` is NULL where no comparison was possible —
+    downstream gates drop ``mismatch`` and route ``truncated`` to the
+    refetch queue.
+    """
+    hx = F.upper(F.hex(F.col(bytes_col)))
+    sniffed = _sniffed_fmt(bytes_col)
+    n = F.length(F.col(bytes_col)).cast("long")
+
+    png_w, png_h = _hex_be(hx, 16, 4), _hex_be(hx, 20, 4)
+    gif_w, gif_h = _hex_le(hx, 6, 2), _hex_le(hx, 8, 2)
+    bmp_w_raw, bmp_h_raw = _hex_le(hx, 18, 4), _hex_le(hx, 22, 4)
+    two32 = F.lit(1 << 32).cast("long")
+    two31 = F.lit(1 << 31).cast("long")
+    bmp_w = F.when(bmp_w_raw >= two31, bmp_w_raw - two32).otherwise(
+        bmp_w_raw)
+    bmp_h_signed = F.when(bmp_h_raw >= two31, bmp_h_raw - two32
+                          ).otherwise(bmp_h_raw)
+    bmp_h = F.abs(bmp_h_signed)
+
+    # minimum payload length to read the dimension fields of each
+    # sniffed container (PNG: through IHDR height = 24; GIF: logical
+    # screen descriptor = 10; BMP: through biHeight = 26)
+    need = (F.when(sniffed == "png", F.lit(24))
+            .when(sniffed == "gif", F.lit(10))
+            .when(sniffed == "bmp", F.lit(26))
+            .otherwise(F.lit(None)).cast("long"))
+
+    actual_w = (F.when(sniffed == "png", png_w)
+                .when(sniffed == "gif", gif_w)
+                .when(sniffed == "bmp", bmp_w))
+    actual_h = (F.when(sniffed == "png", png_h)
+                .when(sniffed == "gif", gif_h)
+                .when(sniffed == "bmp", bmp_h))
+
+    parsed = images.select(
+        "image_id", sniffed.alias("sniffed_fmt"),
+        F.col(w_col).cast("long").alias("declared_w"),
+        F.col(h_col).cast("long").alias("declared_h"),
+        F.when(n >= need, actual_w).alias("actual_w"),
+        F.when(n >= need, actual_h).alias("actual_h"),
+        n.alias("n_bytes"), need.alias("_need"))
+    status = (F.when(F.col("_need").isNull(), F.lit("unsupported"))
+              .when(F.col("n_bytes") < F.col("_need"),
+                    F.lit("truncated"))
+              .when((F.col("actual_w") == F.col("declared_w"))
+                    & (F.col("actual_h") == F.col("declared_h")),
+                    F.lit("ok"))
+              .otherwise(F.lit("mismatch")))
+    return parsed.select(
+        "image_id", "sniffed_fmt", "declared_w", "declared_h",
+        "actual_w", "actual_h",
+        F.when(F.col("actual_w").isNotNull(),
+               status == "ok").alias("dims_ok"),
+        status.alias("status"))

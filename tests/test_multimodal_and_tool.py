@@ -668,3 +668,66 @@ def test_exact_image_dedup_null_payloads_stay_singletons(spark):
     assert got[1].canonical_id == 1 and got[2].canonical_id == 2
     assert got[1].content_sha is None
     assert got[0].group_size == 2 and got[3].canonical_id == 0
+
+
+def _png_bytes(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00")
+
+
+def _gif_bytes(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x00"
+
+
+def _bmp_bytes(w, h):
+    import struct
+    return (b"BM" + struct.pack("<IHHI", 1000, 0, 0, 54)
+            + struct.pack("<Iii", 40, w, h) + b"\x00" * 8)
+
+
+def test_header_dims_parses_and_validates(spark):
+    rows = [
+        ("png_ok", _png_bytes(640, 480), 640, 480),
+        ("png_bad", _png_bytes(641, 480), 640, 480),
+        ("gif_ok", _gif_bytes(320, 200), 320, 200),
+        ("gif_bad", _gif_bytes(320, 201), 320, 200),
+        ("bmp_ok", _bmp_bytes(800, 600), 800, 600),
+        # top-down DIB: negative biHeight, magnitude is the height
+        ("bmp_topdown", _bmp_bytes(800, -600), 800, 600),
+        ("png_trunc", _png_bytes(640, 480)[:12], 640, 480),
+        ("jpeg", b"\xff\xd8\xff\xe0" + b"\x00" * 20, 100, 100),
+        ("junk", b"\xde\xad\xbe\xef" + b"\x00" * 20, 100, 100),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, "
+                                     "w int, h int")
+    out = {r["image_id"]: r for r in
+           multimodal.header_dims(df).collect()}
+
+    assert out["png_ok"]["status"] == "ok"
+    assert (out["png_ok"]["actual_w"], out["png_ok"]["actual_h"]) \
+        == (640, 480)
+    assert out["png_bad"]["status"] == "mismatch"
+    assert out["png_bad"]["actual_w"] == 641
+    assert out["gif_ok"]["status"] == "ok"
+    assert out["gif_bad"]["status"] == "mismatch"
+    assert out["bmp_ok"]["status"] == "ok"
+    assert out["bmp_topdown"]["status"] == "ok"
+    assert out["bmp_topdown"]["actual_h"] == 600
+    assert out["png_trunc"]["status"] == "truncated"
+    assert out["png_trunc"]["actual_w"] is None
+    assert out["jpeg"]["status"] == "unsupported"
+    assert out["junk"]["status"] == "unsupported"
+    assert out["png_ok"]["dims_ok"] is True
+    assert out["png_bad"]["dims_ok"] is False
+    assert out["jpeg"]["dims_ok"] is None
+
+
+def test_header_dims_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [("a", _png_bytes(2, 3), 2, 3)],
+        "image_id string, bytes binary, w int, h int")
+    plan = multimodal.header_dims(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
