@@ -2087,6 +2087,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             h.cast("int").alias("h"))
         return multimodal.header_dims(imgs)
 
+    def q_registrable_domains(spark, sf):
+        # public-suffix parse + wildcard-DNS explosion rollup
+        # (canonical.registrable_domain / subdomain_explosion): hosts
+        # synthesized across every rule class — normal TLD, 2-label
+        # suffix, private-registry suffix, unknown-TLD fallback, bare
+        # suffix — the oracle replays the 3-candidate longest-match
+        # join and the domain rollup with the identical suffix list
+        from scrapely_spark.frontier.canonical import (
+            subdomain_explosion)
+        k = F.col("o_orderkey")
+        host = (F.when(k % 6 == 0, F.concat(
+                    F.lit("h"), (k % 499).cast("string"),
+                    F.lit(".example.com")))
+                .when(k % 6 == 1, F.concat(
+                    F.lit("www.site"), (k % 97).cast("string"),
+                    F.lit(".co.uk")))
+                .when(k % 6 == 2, F.concat(
+                    F.lit("user"), (k % 251).cast("string"),
+                    F.lit(".blogspot.com")))
+                .when(k % 6 == 3, F.concat(
+                    F.lit("cdn.assets"), (k % 11).cast("string"),
+                    F.lit(".net")))
+                .when(k % 6 == 4, F.concat(
+                    F.lit("site"), (k % 50).cast("string"),
+                    F.lit(".internal")))
+                .otherwise(F.lit("github.io")))
+        hosts = _t(spark, sf, "orders").select(host.alias("host"))
+        return subdomain_explosion(hosts, max_hosts_per_domain=100)
+
     def q_fetch_shards(spark, sf):
         # rendezvous (HRW) hashing of hosts onto 16 fetch shards
         # (politeness.rendezvous_shards): zero-shuffle literal-struct
@@ -2107,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # _WINDOW_FIRST reorder below additionally pins the judge's
         # explicitly-requested rows to the very front.
         "image_header_dims": q_image_header_dims,
+        "url_registrable_domains": q_registrable_domains,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5087,6 +5117,68 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                         THEN status = 'ok' END AS dims_ok,
                    status
             FROM r""",
+
+        # public-suffix parse + subdomain-explosion rollup: the same
+        # 3-candidate longest-match against the identical suffix list,
+        # the * fallback, eTLD+1 extraction, and the domain-level
+        # distinct-host count with the suspect threshold
+        "url_registrable_domains": """
+            WITH hosts AS (
+              SELECT CASE CAST(o_orderkey % 6 AS INT)
+                WHEN 0 THEN 'h' || CAST(o_orderkey % 499 AS VARCHAR)
+                            || '.example.com'
+                WHEN 1 THEN 'www.site'
+                            || CAST(o_orderkey % 97 AS VARCHAR)
+                            || '.co.uk'
+                WHEN 2 THEN 'user'
+                            || CAST(o_orderkey % 251 AS VARCHAR)
+                            || '.blogspot.com'
+                WHEN 3 THEN 'cdn.assets'
+                            || CAST(o_orderkey % 11 AS VARCHAR)
+                            || '.net'
+                WHEN 4 THEN 'site'
+                            || CAST(o_orderkey % 50 AS VARCHAR)
+                            || '.internal'
+                ELSE 'github.io' END AS host
+              FROM orders),
+            dh AS (SELECT DISTINCT host FROM hosts),
+            sfx AS (SELECT unnest(['ac.uk','blogspot.com','co.jp',
+                                   'co.uk','com','com.au','dev','edu',
+                                   'gov','github.io','io','net',
+                                   'net.au','org','org.uk',
+                                   's3.amazonaws.com']) AS s),
+            lab AS (
+              SELECT host, string_split(host, '.') AS l,
+                     len(string_split(host, '.')) AS n
+              FROM dh),
+            cand AS (
+              SELECT host, l, n,
+                     CASE WHEN n >= 3
+                       THEN array_to_string(l[n-2:n], '.') END AS c3,
+                     CASE WHEN n >= 2
+                       THEN array_to_string(l[n-1:n], '.') END AS c2,
+                     l[n] AS c1
+              FROM lab),
+            m AS (
+              SELECT host, l, n,
+                     COALESCE(s3.s, s2.s, s1.s, c1) AS suffix
+              FROM cand
+              LEFT JOIN sfx s3 ON c3 = s3.s
+              LEFT JOIN sfx s2 ON c2 = s2.s
+              LEFT JOIN sfx s1 ON c1 = s1.s),
+            r AS (
+              SELECT host, suffix AS public_suffix,
+                     CASE WHEN n > len(string_split(suffix, '.'))
+                       THEN l[n - len(string_split(suffix, '.'))]
+                            || '.' || suffix
+                       END AS registrable_domain
+              FROM m)
+            SELECT registrable_domain, public_suffix,
+                   COUNT(*) AS n_hosts, MIN(host) AS example_host,
+                   COUNT(*) > 100 AS suspect
+            FROM r
+            WHERE registrable_domain IS NOT NULL
+            GROUP BY registrable_domain, public_suffix""",
 
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql

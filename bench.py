@@ -117,6 +117,7 @@ HEADLINE = [
     "warc_record_roundtrip",
     # r4 session 5: rendezvous fetch-shard assignment
     "url_fetch_shards",
+    "url_registrable_domains",
     # r4 session 7: RFC 9111 cache revalidation planning, WARC revisit
     # dedup, robots availability ladder
     "url_revalidation",

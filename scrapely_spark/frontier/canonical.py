@@ -317,3 +317,96 @@ def dust_param_rules(observations, url_col: str = "url",
             .withColumn("irrelevant",
                         (F.col("n_witness") >= min_witness)
                         & (F.col("n_clean") == F.col("n_witness"))))
+
+
+# Default public-suffix rules for tests/benches: a deterministic,
+# self-contained slice of the PSL's SHAPE (normal rules of 1–3 labels).
+# Production swaps in the full publicsuffix.org list — same table shape,
+# same plan (the list is ~9k rows: broadcast territory forever).
+DEFAULT_SUFFIXES = (
+    "com", "org", "net", "edu", "gov", "io", "dev",
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp",
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+)
+
+
+def registrable_domain(hosts_df, suffixes=DEFAULT_SUFFIXES,
+                       host_col: str = "host"):
+    """Public-suffix parse: (public_suffix, registrable_domain) per host.
+
+    Politeness, crawl budgets, and robots scope all key on the
+    REGISTRABLE domain (eTLD+1), not the hostname — ``a.blogspot.com``
+    and ``b.blogspot.com`` are different registrants that must not
+    share one politeness bucket, while ``www.example.co.uk`` and
+    ``shop.example.co.uk`` are one registrant that must.  The public-
+    suffix list is the standard rule table for that split.
+
+    Plan: the suffix list is a tiny dim, so the longest-match is THREE
+    chained broadcast left joins (candidate = last 3, 2, 1 labels of
+    the host) coalesced longest-first — no explode, no groupBy, no
+    shuffle on the host side; at a 10^10-URL frontier this rides
+    whatever scan produced the hosts.  An unmatched host falls back to
+    the PSL's implicit ``*`` rule (the last label is the suffix).  A
+    host that IS a public suffix has no registrable domain (NULL).
+
+    Returns ``hosts_df`` columns + ``public_suffix`` +
+    ``registrable_domain``.
+    """
+    from pyspark.sql import functions as F
+
+    spark = hosts_df.sparkSession
+    sfx = spark.createDataFrame(
+        [(s,) for s in sorted(set(suffixes))], "sfx string")
+    h = F.col(host_col)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    out = hosts_df.withColumn("_labels", labels).withColumn("_n", n)
+    for k in (3, 2, 1):
+        cand = F.when(F.col("_n") >= k, F.array_join(
+            F.slice(F.col("_labels"), F.col("_n") - k + 1, k), "."))
+        alias = "sfx%d" % k
+        out = out.join(
+            F.broadcast(sfx.withColumnRenamed("sfx", alias)),
+            cand == F.col(alias), "left")
+    suffix = F.coalesce(F.col("sfx3"), F.col("sfx2"), F.col("sfx1"),
+                        F.element_at(F.col("_labels"), -1))
+    sfx_labels = F.size(F.split(suffix, r"\."))
+    reg = F.when(
+        F.col("_n") > sfx_labels,
+        F.concat(F.element_at(
+            F.col("_labels"),
+            (F.col("_n") - sfx_labels).cast("int")),
+            F.lit("."), suffix))
+    return (out
+            .withColumn("public_suffix", suffix)
+            .withColumn("registrable_domain", reg)
+            .drop("_labels", "_n", "sfx3", "sfx2", "sfx1"))
+
+
+def subdomain_explosion(hosts_df, suffixes=DEFAULT_SUFFIXES,
+                        host_col: str = "host",
+                        max_hosts_per_domain: int = 100):
+    """Wildcard-DNS / subdomain-spam detection per registrable domain.
+
+    A crawl frontier poisoned by a wildcard-DNS host (``*.spam.com``
+    resolving everything) grows one hostname per discovered link; the
+    signal is a registrable domain whose DISTINCT host count explodes.
+    One grouped count over the registrable domain — output bounded by
+    the number of domains, never URLs — with the suspect flag the
+    scheduler turns into a domain-level budget.
+
+    Returns (registrable_domain, public_suffix, n_hosts, example_host,
+    suspect) — hosts that ARE a bare public suffix are excluded (no
+    registrant to budget).
+    """
+    from pyspark.sql import functions as F
+
+    parsed = registrable_domain(
+        hosts_df.select(host_col).distinct(), suffixes, host_col)
+    return (parsed
+            .where(F.col("registrable_domain").isNotNull())
+            .groupBy("registrable_domain", "public_suffix")
+            .agg(F.count("*").alias("n_hosts"),
+                 F.min(host_col).alias("example_host"))
+            .withColumn("suspect",
+                        F.col("n_hosts") > F.lit(max_hosts_per_domain)))

@@ -1284,3 +1284,66 @@ def test_sitemap_lastmod_refetch(spark):
     got = {r.url: r.reason
            for r in sitemap_lastmod_refetch(bodies, state).collect()}
     assert got == {"http://h/a": "stale", "http://h/e": "new"}
+
+
+def test_registrable_domain_psl_semantics(spark):
+    from scrapely_spark.frontier.canonical import registrable_domain
+
+    hosts = spark.createDataFrame(
+        [("www.example.co.uk",), ("shop.example.co.uk",),
+         ("a.blogspot.com",), ("b.blogspot.com",),
+         ("foo.github.io",), ("github.io",),
+         ("a.b.c.deep.org",), ("corp.internal",), ("internal",),
+         ("example.com",)], "host string")
+    out = {r["host"]: r for r in registrable_domain(hosts).collect()}
+
+    # multi-label suffix: one registrant across subdomains
+    assert out["www.example.co.uk"]["public_suffix"] == "co.uk"
+    assert out["www.example.co.uk"]["registrable_domain"] \
+        == "example.co.uk"
+    assert out["shop.example.co.uk"]["registrable_domain"] \
+        == "example.co.uk"
+    # private-registry suffix: each subdomain its OWN registrant
+    assert out["a.blogspot.com"]["public_suffix"] == "blogspot.com"
+    assert out["a.blogspot.com"]["registrable_domain"] \
+        == "a.blogspot.com"
+    assert out["b.blogspot.com"]["registrable_domain"] \
+        == "b.blogspot.com"
+    assert out["foo.github.io"]["registrable_domain"] == "foo.github.io"
+    # a bare public suffix has no registrant
+    assert out["github.io"]["registrable_domain"] is None
+    # deep chains: registrable is exactly eTLD+1
+    assert out["a.b.c.deep.org"]["registrable_domain"] == "deep.org"
+    # unknown TLD: the PSL implicit * rule (last label is the suffix)
+    assert out["corp.internal"]["public_suffix"] == "internal"
+    assert out["corp.internal"]["registrable_domain"] == "corp.internal"
+    assert out["internal"]["registrable_domain"] is None
+    assert out["example.com"]["registrable_domain"] == "example.com"
+
+
+def test_registrable_domain_plan_is_broadcast_only(spark):
+    from scrapely_spark.frontier.canonical import registrable_domain
+
+    hosts = spark.createDataFrame([("a.example.com",)], "host string")
+    plan = registrable_domain(hosts)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_subdomain_explosion_flags_wildcard_farm(spark):
+    from scrapely_spark.frontier.canonical import subdomain_explosion
+
+    rows = [("sub%d.spam-farm.com" % i,) for i in range(150)]
+    rows += [("www.example.com",), ("mail.example.com",),
+             ("github.io",)]
+    hosts = spark.createDataFrame(rows, "host string")
+    out = {r["registrable_domain"]: r
+           for r in subdomain_explosion(
+               hosts, max_hosts_per_domain=100).collect()}
+    assert out["spam-farm.com"]["n_hosts"] == 150
+    assert out["spam-farm.com"]["suspect"] is True
+    assert out["example.com"]["n_hosts"] == 2
+    assert out["example.com"]["suspect"] is False
+    assert "github.io" not in out  # bare suffix: nothing to budget
