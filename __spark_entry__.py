@@ -2087,6 +2087,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             h.cast("int").alias("h"))
         return multimodal.header_dims(imgs)
 
+    def q_template_families(spark, sf):
+        # layout-fingerprint template inventory (htmlmeta.
+        # template_families): pages synthesized from documents with 3
+        # tag skeletons per host whose TEXT varies per doc — the
+        # fingerprint must collapse on structure alone; the oracle
+        # re-renders identical bodies and replays the md5-of-tag-
+        # sequence + grouped count + host window in SQL
+        from scrapely_spark.frontier.htmlmeta import template_families
+        did = F.col("doc_id")
+        txt = F.md5(F.col("text"))
+        art = F.concat(F.lit("<html><body><h1>"), txt,
+                       F.lit("</h1><p>"), txt,
+                       F.lit("</p></body></html>"))
+        tab = F.concat(F.lit("<html><body><div><span>"), txt,
+                       F.lit("</span></div><table><tr><td>"), txt,
+                       F.lit("</td></tr></table></body></html>"))
+        lst = F.concat(F.lit("<html><body><ul><li>"), txt,
+                       F.lit("</li><li>x</li></ul></body></html>"))
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("h"), (did % 7).cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            did.alias("page_id"),
+            F.when(did % 3 == 0, art)
+            .when(did % 3 == 1, tab)
+            .otherwise(lst).alias("html"))
+        return template_families(pages)
+
     def q_registrable_domains(spark, sf):
         # public-suffix parse + wildcard-DNS explosion rollup
         # (canonical.registrable_domain / subdomain_explosion): hosts
@@ -2137,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # explicitly-requested rows to the very front.
         "image_header_dims": q_image_header_dims,
         "url_registrable_domains": q_registrable_domains,
+        "page_template_families": q_template_families,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5179,6 +5207,52 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             FROM r
             WHERE registrable_domain IS NOT NULL
             GROUP BY registrable_domain, public_suffix""",
+
+        # layout-fingerprint template inventory: identical body
+        # rendering, the same '<([a-z][a-z0-9]*)' tag grammar (Java
+        # regex and RE2 agree), md5 over the comma-joined sequence,
+        # grouped count + host-window share/rank; share is exact
+        # integer parts-per-million so no float ever hits the hash
+        "page_template_families": """
+            WITH pages AS (
+              SELECT 'h' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.com' AS host,
+                     doc_id AS page_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN '<html><body><h1>' || md5(text)
+                         || '</h1><p>' || md5(text)
+                         || '</p></body></html>'
+                       WHEN 1 THEN '<html><body><div><span>'
+                         || md5(text) || '</span></div><table><tr><td>'
+                         || md5(text)
+                         || '</td></tr></table></body></html>'
+                       ELSE '<html><body><ul><li>' || md5(text)
+                         || '</li><li>x</li></ul></body></html>'
+                     END AS html
+              FROM documents),
+            fp AS (
+              SELECT host, page_id,
+                     md5(array_to_string(regexp_extract_all(
+                       lower(html), '<([a-z][a-z0-9]*)', 1), ','))
+                       AS layout_fp
+              FROM pages),
+            fams AS (
+              SELECT host, layout_fp, COUNT(*) AS n_pages,
+                     MIN(page_id) AS example_id
+              FROM fp GROUP BY host, layout_fp),
+            win AS (
+              SELECT host, layout_fp, n_pages, example_id,
+                     n_pages * 1000000
+                       // SUM(n_pages) OVER (PARTITION BY host)
+                       AS share_ppm,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY n_pages DESC, layout_fp) AS BIGINT)
+                       AS family_rank
+              FROM fams)
+            SELECT host, layout_fp, n_pages, example_id, share_ppm,
+                   family_rank
+            FROM win""",
 
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql

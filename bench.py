@@ -118,6 +118,7 @@ HEADLINE = [
     # r4 session 5: rendezvous fetch-shard assignment
     "url_fetch_shards",
     "url_registrable_domains",
+    "page_template_families",
     # r4 session 7: RFC 9111 cache revalidation planning, WARC revisit
     # dedup, robots availability ladder
     "url_revalidation",

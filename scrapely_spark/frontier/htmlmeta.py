@@ -97,3 +97,67 @@ def rel_canonical(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return pages.select(
         *pages.columns,
         F.when(href != "", href).alias("canonical_href"))
+
+
+def layout_fingerprint(pages: DataFrame, html_col: str = "html"):
+    """Structural fingerprint of a page: md5 over its tag-name sequence.
+
+    Two pages rendered from the same server-side template share the
+    same tag skeleton even when every text node differs — the inverse
+    of content dedup, where identical TEXT is the signal.  The
+    fingerprint is md5 of the comma-joined lowercase tag names in
+    document order (``regexp_extract_all`` of ``<tagname`` — a
+    construct Java regex and RE2 spell identically), plus the tag
+    count.  One shuffle-free projection over the pages scan.
+    """
+    tags = F.expr(
+        "regexp_extract_all(lower(%s), '<([a-z][a-z0-9]*)', 1)"
+        % html_col)
+    return (pages
+            .withColumn("_tags", tags)
+            .withColumn("layout_fp",
+                        F.md5(F.array_join(F.col("_tags"), ",")))
+            .withColumn("n_tags", F.size(F.col("_tags")).cast("long"))
+            .drop("_tags"))
+
+
+def template_families(pages: DataFrame, host_col: str = "host",
+                      id_col: str = "page_id",
+                      html_col: str = "html") -> DataFrame:
+    """Template-family inventory per host: the routing table that makes
+    instance-based extraction work at frontier scale.
+
+    Scrapely-style IBL extraction needs ONE annotated example per
+    template, not per page — the bottleneck at 10^10 pages is knowing
+    HOW MANY templates a host runs and which pages belong to each.
+    Grouping pages by :func:`layout_fingerprint` answers exactly that:
+    each (host, layout_fp) family is one candidate template; annotate
+    its ``example_id`` page, and the trained template applies to the
+    whole family.  ``share_ppm`` (integer parts-per-million of the
+    host's pages — exact BIGINT division, no float formatting between
+    engines) and ``family_rank`` order the annotation queue: top
+    families cover most of the host with the fewest annotations, the
+    long tail routes to generic extraction.
+
+    Plan: one grouped count keyed by (host, fp) — output bounded by
+    distinct templates, not pages — then one host-keyed window for
+    share + rank over the already-collapsed family rows.  The heavy
+    input (page bodies) is touched exactly once, in the fingerprint
+    projection riding the scan.
+    """
+    from pyspark.sql import Window
+
+    fams = (layout_fingerprint(pages, html_col)
+            .groupBy(host_col, "layout_fp")
+            .agg(F.count("*").alias("n_pages"),
+                 F.min(id_col).alias("example_id")))
+    w = Window.partitionBy(host_col)
+    order = Window.partitionBy(host_col).orderBy(
+        F.col("n_pages").desc(), F.col("layout_fp"))
+    return (fams
+            .withColumn("host_pages", F.sum("n_pages").over(w))
+            .withColumn("share_ppm",
+                        F.expr("n_pages * 1000000 div host_pages"))
+            .withColumn("family_rank",
+                        F.row_number().over(order).cast("long"))
+            .drop("host_pages"))

@@ -1347,3 +1347,47 @@ def test_subdomain_explosion_flags_wildcard_farm(spark):
     assert out["example.com"]["n_hosts"] == 2
     assert out["example.com"]["suspect"] is False
     assert "github.io" not in out  # bare suffix: nothing to budget
+
+
+def test_template_families_group_by_structure_not_content(spark):
+    from scrapely_spark.frontier.htmlmeta import (layout_fingerprint,
+                                                  template_families)
+
+    art = "<html><body><h1>%s</h1><p>%s</p></body></html>"
+    lst = "<html><body><ul><li>%s</li><li>%s</li></ul></body></html>"
+    rows = [("h1", 1, art % ("A", "aaa")),
+            ("h1", 2, art % ("B", "bbb")),
+            ("h1", 3, art % ("C", "ccc")),
+            ("h1", 4, lst % ("x", "y")),
+            ("h2", 5, art % ("D", "ddd"))]
+    pages = spark.createDataFrame(
+        rows, "host string, page_id long, html string")
+
+    fps = {r["page_id"]: r["layout_fp"]
+           for r in layout_fingerprint(pages).collect()}
+    # same template, different text → same fingerprint
+    assert fps[1] == fps[2] == fps[3] == fps[5]
+    assert fps[1] != fps[4]
+
+    fams = template_families(pages).collect()
+    byhost = {}
+    for r in fams:
+        byhost.setdefault(r["host"], []).append(r)
+    h1 = sorted(byhost["h1"], key=lambda r: r["family_rank"])
+    assert len(h1) == 2
+    assert h1[0]["n_pages"] == 3 and h1[0]["example_id"] == 1
+    assert h1[0]["share_ppm"] == 750000
+    assert h1[1]["n_pages"] == 1 and h1[1]["share_ppm"] == 250000
+    assert [r["family_rank"] for r in h1] == [1, 2]
+    assert byhost["h2"][0]["share_ppm"] == 1000000
+
+
+def test_layout_fingerprint_is_shuffle_free(spark):
+    from scrapely_spark.frontier.htmlmeta import layout_fingerprint
+
+    pages = spark.createDataFrame(
+        [("h", 1, "<html><body></body></html>")],
+        "host string, page_id long, html string")
+    plan = layout_fingerprint(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
