@@ -2087,6 +2087,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             h.cast("int").alias("h"))
         return multimodal.header_dims(imgs)
 
+    def q_jpeg_sof_dims(spark, sf):
+        # JPEG SOF dimension walk (multimodal.jpeg_dims): REAL JPEG
+        # segment streams rendered in closed form — variable-length
+        # APP0 padding (doc_id%9) so the SOF offset genuinely varies,
+        # an optional COM segment, a fill byte before the SOF marker,
+        # progressive SOF2 for every 3rd image, junk (%13) and
+        # truncated (%17) payloads.  Roundtrip-identity oracle: the
+        # expected metadata is stated in closed form; equality holds
+        # only if the Arrow-kernel marker walk is exact.
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        w = (32 + (did * 37) % 993).cast("long")
+        h = (32 + (did * 61) % 993).cast("long")
+        pad = (did % 9).cast("int")
+        app0 = F.concat(F.lit("FFE0"),
+                        F.lpad(F.hex(16 + pad), 4, "0"),
+                        F.lit("4A46494600"),
+                        F.expr("repeat('00', 9 + CAST(doc_id % 9"
+                               " AS INT))"))
+        com = F.when(did % 4 == 0,
+                     F.lit("FFFE" + "0007" + "68656C6C6F")
+                     ).otherwise(F.lit(""))
+        fill = F.when(did % 6 == 0, F.lit("FF")).otherwise(F.lit(""))
+        sof = F.concat(
+            F.when(did % 3 == 0, F.lit("FFC2")).otherwise(F.lit("FFC0")),
+            F.lit("0011" + "08"),
+            F.lpad(F.hex(h), 4, "0"), F.lpad(F.hex(w), 4, "0"),
+            F.lit("03"), F.lit("00" * 9))
+        hx = F.concat(F.lit("FFD8"), app0, com, fill, sof)
+        hx = (F.when(did % 13 == 0, F.lit("DEADBEEF"))
+              .when(did % 17 == 0, F.substring(hx, 1, 12))
+              .otherwise(hx))
+        imgs = _t(spark, sf, "documents").select(
+            did.alias("image_id"), F.unhex(hx).alias("bytes"))
+        return multimodal.jpeg_dims(imgs)
+
     def q_template_families(spark, sf):
         # layout-fingerprint template inventory (htmlmeta.
         # template_families): pages synthesized from documents with 3
@@ -2165,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_dims": q_image_header_dims,
         "url_registrable_domains": q_registrable_domains,
         "page_template_families": q_template_families,
+        "image_jpeg_sof": q_jpeg_sof_dims,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5253,6 +5290,33 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             SELECT host, layout_fp, n_pages, example_id, share_ppm,
                    family_rank
             FROM win""",
+
+        # JPEG SOF roundtrip identity (see EXIF/WARC): expected frame
+        # metadata stated in closed form — equality holds only if the
+        # Spark side's render→segment-walk through codec.jpeg_sof is
+        # exact, including variable APP0 padding, COM segments, fill
+        # bytes, progressive markers, junk and truncation
+        "image_jpeg_sof": """
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(32 + (doc_id * 37) % 993 AS INT)
+                   END AS jpeg_w,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(32 + (doc_id * 61) % 993 AS INT)
+                   END AS jpeg_h,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE doc_id % 3 = 0
+                   END AS progressive,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(3 AS INT)
+                   END AS n_components,
+                   NOT (doc_id % 13 = 0 OR doc_id % 17 = 0)
+                     AS jpeg_valid
+            FROM documents""",
 
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql

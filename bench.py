@@ -129,6 +129,7 @@ HEADLINE = [
     "text_quality_classifier",
     "image_format_sniff",
     "image_header_dims",
+    "image_jpeg_sof",
     "url_anchor_text",
     "graph_hits",
     "text_c4_filters",

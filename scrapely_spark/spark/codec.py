@@ -229,3 +229,55 @@ def exif_meta(data: bytes) -> tuple:
         return (orient, dt, make, True)
     except (struct.error, IndexError):
         return (None, None, None, False)
+
+
+def jpeg_sof(data: bytes) -> tuple:
+    """Parse ``(w, h, progressive, n_components, valid)`` from a JPEG
+    payload by walking its segment stream (ISO/IEC 10918-1 §B).
+
+    Dimensions in JPEG live behind a VARIABLE-offset marker walk — each
+    segment is ``FF marker len16`` with the frame header (SOF0 baseline
+    / SOF1 extended / SOF2 progressive / SOF3 lossless) somewhere after
+    APPn/COM/DQT/DHT segments of arbitrary length.  The walk handles
+    fill bytes (repeated FF before a marker), standalone markers
+    (TEM, RSTn — no length field), and bails ``(None, None, None,
+    None, False)`` on truncation, junk, EOI/SOS before any SOF, or a
+    segment length that overruns the payload — a crawl sees all of
+    those; none may become an executor exception.
+    """
+    inv = (None, None, None, None, False)
+    try:
+        n = len(data)
+        if n < 4 or data[0] != 0xFF or data[1] != 0xD8:
+            return inv
+        i = 2
+        while i + 1 < n:
+            if data[i] != 0xFF:
+                return inv
+            j = i
+            while j < n and data[j] == 0xFF:      # fill bytes
+                j += 1
+            if j >= n:
+                return inv
+            m = data[j]
+            i = j + 1
+            if m == 0x01 or 0xD0 <= m <= 0xD7:    # TEM / RSTn
+                continue
+            if m in (0xD9, 0xDA):                 # EOI / SOS, no SOF
+                return inv
+            if i + 2 > n:
+                return inv
+            seglen = (data[i] << 8) | data[i + 1]
+            if seglen < 2 or i + seglen > n:
+                return inv
+            if m in (0xC0, 0xC1, 0xC2, 0xC3):     # SOF0..SOF3
+                if seglen < 8:
+                    return inv
+                h = (data[i + 3] << 8) | data[i + 4]
+                w = (data[i + 5] << 8) | data[i + 6]
+                ncomp = data[i + 7]
+                return (w, h, m == 0xC2, ncomp, True)
+            i += seglen
+        return inv
+    except IndexError:
+        return inv

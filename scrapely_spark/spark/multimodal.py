@@ -877,3 +877,52 @@ def header_dims(images: DataFrame, bytes_col: str = "bytes",
         F.when(F.col("actual_w").isNotNull(),
                status == "ok").alias("dims_ok"),
         status.alias("status"))
+
+
+_JPEG_DIMS_COLS = (", jpeg_w int, jpeg_h int, progressive boolean,"
+                   " n_components int, jpeg_valid boolean")
+
+
+def jpeg_dims(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """JPEG frame dimensions + progressive flag off the binary column —
+    the decoder-family sibling of :func:`header_dims` (which covers the
+    fixed-offset containers and reports JPEG as ``unsupported``).
+
+    The SOF segment sits behind a variable-offset marker walk
+    (``codec.jpeg_sof``), so unlike PNG/GIF/BMP this cannot be JVM
+    substring arithmetic; it runs as an Arrow batch kernel over
+    ``mapInPandas`` — the binary column is the only extra column the
+    kernel reads, the scan prunes everything else, and the pass is
+    embarrassingly parallel (no shuffle, four narrow output columns).
+    The ``progressive`` flag matters downstream: progressive JPEGs
+    cost ~3× to decode and some training loaders reject them, so
+    curation routes on it.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from scrapely_spark.spark.codec import jpeg_sof
+
+    id_cols = [c for c in images.columns if c != bytes_col]
+    in_schema = images.select(*id_cols, bytes_col)
+    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
+                            for f in in_schema.schema.fields
+                            if f.name != bytes_col)
+                  + _JPEG_DIMS_COLS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [jpeg_sof(b) for b in batch[bytes_col]]
+            out = batch[id_cols].copy()
+            out["jpeg_w"] = pd.array([m[0] for m in metas],
+                                     dtype="Int32")
+            out["jpeg_h"] = pd.array([m[1] for m in metas],
+                                     dtype="Int32")
+            out["progressive"] = [m[2] for m in metas]
+            out["n_components"] = pd.array([m[3] for m in metas],
+                                           dtype="Int32")
+            out["jpeg_valid"] = [m[4] for m in metas]
+            yield out
+
+    return in_schema.mapInPandas(kernel, out_fields)

@@ -731,3 +731,55 @@ def test_header_dims_plan_is_shuffle_free(spark):
     plan = multimodal.header_dims(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _jpeg_bytes(w, h, prog=False, pad=0, com=False, fill=False):
+    import struct
+    b = b"\xff\xd8"
+    app0 = b"JFIF\x00" + b"\x00" * (9 + pad)
+    b += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if com:
+        b += b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    if fill:
+        b += b"\xff"
+    b += (b"\xff" + (b"\xc2" if prog else b"\xc0")
+          + struct.pack(">H", 17) + b"\x08"
+          + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9)
+    return b
+
+
+def test_jpeg_sof_walker_edge_cases():
+    from scrapely_spark.spark.codec import jpeg_sof
+
+    assert jpeg_sof(_jpeg_bytes(640, 480)) == (640, 480, False, 3, True)
+    # variable APP0 padding, COM segment, fill byte, progressive
+    assert jpeg_sof(_jpeg_bytes(31, 7, prog=True, pad=7, com=True,
+                                fill=True)) == (31, 7, True, 3, True)
+    # RSTn standalone marker mid-stream is skipped without a length
+    good = _jpeg_bytes(10, 20)
+    with_rst = good[:2] + b"\xff\xd0" + good[2:]
+    assert jpeg_sof(with_rst) == (10, 20, False, 3, True)
+    inv = (None, None, None, None, False)
+    assert jpeg_sof(b"") == inv
+    assert jpeg_sof(b"\xde\xad\xbe\xef") == inv
+    assert jpeg_sof(good[:9]) == inv                 # truncated mid-APP0
+    assert jpeg_sof(b"\xff\xd8\xff\xd9") == inv      # EOI before SOF
+    # segment length overrunning the payload must not read past it
+    assert jpeg_sof(b"\xff\xd8\xff\xe0\xff\xff") == inv
+    # SOS before SOF: dims unrecoverable without entropy decode
+    assert jpeg_sof(b"\xff\xd8\xff\xda\x00\x04\x00\x00") == inv
+
+
+def test_jpeg_dims_kernel_over_spark(spark):
+    from scrapely_spark.spark import multimodal
+
+    rows = [("a", _jpeg_bytes(100, 50)),
+            ("b", _jpeg_bytes(7, 9, prog=True)),
+            ("c", b"\x00junk")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r["image_id"]: r for r in multimodal.jpeg_dims(df).collect()}
+    assert (out["a"]["jpeg_w"], out["a"]["jpeg_h"]) == (100, 50)
+    assert out["a"]["progressive"] is False
+    assert out["b"]["progressive"] is True
+    assert out["c"]["jpeg_valid"] is False
+    assert out["c"]["jpeg_w"] is None
