@@ -2087,6 +2087,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             h.cast("int").alias("h"))
         return multimodal.header_dims(imgs)
 
+    def q_soft404(spark, sf):
+        # probe-signature + phrase soft-404 detection (htmlmeta.
+        # soft404): every 10th doc is the host's error template served
+        # with 200 under a distinct URL (caught ONLY by the probe
+        # signature — its title says Welcome), %10==1 are phrase
+        # pages, %10==2 honest 404s (status gate), %10==3 the probes
+        # themselves; the oracle rebuilds identical pages and replays
+        # the signature distinct + broadcast-shaped left join in SQL
+        from scrapely_spark.frontier.htmlmeta import soft404
+        did = F.col("doc_id")
+        # host keys off the TENS digit so it is independent of the
+        # class digit (did % 10) — every host gets probes AND error
+        # pages, so the signature arm actually fires at driver scale
+        host = F.concat(F.lit("h"),
+                        (F.floor(did / 10) % 5).cast("string"))
+        err = F.concat(F.lit("<html><title>Welcome</title>"
+                             "<body>redirect "), host,
+                       F.lit("</body></html>"))
+        phrase_page = F.concat(
+            F.lit("<html><title>page not found</title><body>"),
+            F.md5(F.col("text")), F.lit("</body></html>"))
+        normal = F.concat(F.lit("<html><title>doc</title><body>"),
+                          F.md5(F.col("text")),
+                          F.lit("</body></html>"))
+        cls = did % 10
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("http://"), host,
+                     F.when(cls == 3, F.concat(F.lit("/__probe"),
+                                               did.cast("string")))
+                     .otherwise(F.concat(F.lit("/u"),
+                                         did.cast("string"))))
+            .alias("url"),
+            host.alias("host"),
+            F.when(cls == 2, F.lit(404)).otherwise(F.lit(200))
+            .cast("int").alias("status"),
+            (F.when(cls == 3, err).when(cls == 0, err)
+             .when(cls == 1, phrase_page).when(cls == 2, phrase_page)
+             .otherwise(normal)).alias("html"),
+            (cls == 3).alias("is_probe"))
+        return soft404(pages)
+
     def q_jpeg_sof_dims(spark, sf):
         # JPEG SOF dimension walk (multimodal.jpeg_dims): REAL JPEG
         # segment streams rendered in closed form — variable-length
@@ -2202,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_registrable_domains": q_registrable_domains,
         "page_template_families": q_template_families,
         "image_jpeg_sof": q_jpeg_sof_dims,
+        "url_soft404": q_soft404,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5317,6 +5359,57 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    NOT (doc_id % 13 = 0 OR doc_id % 17 = 0)
                      AS jpeg_valid
             FROM documents""",
+
+        # soft-404 detection: rebuild the same synthetic crawl (every
+        # 10th doc the host's error template under a distinct URL,
+        # %10==1 phrase pages, %10==2 honest 404s, %10==3 probes) and
+        # replay the probe-signature DISTINCT + per-host left join and
+        # the phrase scan in SQL
+        "url_soft404": """
+            WITH pages AS (
+              SELECT 'http://h' || CAST((doc_id // 10) % 5 AS VARCHAR)
+                       || CASE WHEN doc_id % 10 = 3
+                               THEN '/__probe' || CAST(doc_id AS VARCHAR)
+                               ELSE '/u' || CAST(doc_id AS VARCHAR)
+                          END AS url,
+                     'h' || CAST((doc_id // 10) % 5 AS VARCHAR) AS host,
+                     CAST(CASE WHEN doc_id % 10 = 2 THEN 404
+                               ELSE 200 END AS INT) AS status,
+                     CASE
+                       WHEN doc_id % 10 IN (0, 3)
+                       THEN '<html><title>Welcome</title><body>'
+                            || 'redirect h'
+                            || CAST((doc_id // 10) % 5 AS VARCHAR)
+                            || '</body></html>'
+                       WHEN doc_id % 10 IN (1, 2)
+                       THEN '<html><title>page not found</title><body>'
+                            || md5(text) || '</body></html>'
+                       ELSE '<html><title>doc</title><body>'
+                            || md5(text) || '</body></html>'
+                     END AS html,
+                     doc_id % 10 = 3 AS is_probe
+              FROM documents),
+            staged AS (
+              SELECT url, host, status, md5(html) AS fp,
+                     (SELECT bool_or(contains(lower(regexp_extract(
+                        html, '(?is)<title[^>]*>(.*?)</title>', 1)),
+                        p)) FROM (VALUES ('404'), ('not found'),
+                        ('page not found'), ('no longer available'),
+                        ('does not exist'),
+                        ('page cannot be found')) AS t(p))
+                       AS phrase_hit,
+                     is_probe
+              FROM pages),
+            sigs AS (
+              SELECT DISTINCT host AS sig_host, fp AS sig_fp
+              FROM staged WHERE is_probe AND status = 200)
+            SELECT s.url, s.host, s.status, s.phrase_hit,
+                   g.sig_fp IS NOT NULL AS sig_match,
+                   s.status = 200 AND (s.phrase_hit
+                     OR g.sig_fp IS NOT NULL) AS is_soft404
+            FROM staged s LEFT JOIN sigs g
+              ON s.host = g.sig_host AND s.fp = g.sig_fp
+            WHERE NOT s.is_probe""",
 
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql

@@ -161,3 +161,75 @@ def template_families(pages: DataFrame, host_col: str = "host",
             .withColumn("family_rank",
                         F.row_number().over(order).cast("long"))
             .drop("host_pages"))
+
+
+# phrases that mark an error page regardless of HTTP status — matched
+# against the lowercased <title> and first body text.  The list is the
+# heuristic's spec, shared verbatim with the DuckDB oracle.
+SOFT404_PHRASES = (
+    "404", "not found", "page not found", "no longer available",
+    "does not exist", "page cannot be found",
+)
+
+
+def soft404(pages: DataFrame, host_col: str = "host",
+            url_col: str = "url", html_col: str = "html",
+            status_col: str = "status",
+            probe_col: str = "is_probe") -> DataFrame:
+    """Soft-404 detection: error pages served with HTTP 200.
+
+    Misconfigured servers answer missing URLs with a rendered "not
+    found" page and status 200 — the crawler marks the fetch a
+    success, the corpus absorbs thousands of copies of the error
+    template, and the scheduler keeps re-crawling dead URLs.  Two
+    signals, combined per page:
+
+    * **probe signature** (Bar-Yossef et al., "Sic transit gloria
+      telae", WWW'04): the crawl fetches a deliberately-nonexistent
+      URL per host (``is_probe``); whatever a host serves for it WITH
+      status 200 is by construction that host's error template.  Any
+      real page whose content fingerprint equals a probe signature of
+      its host is a soft-404 — no phrase heuristics involved, so it
+      catches error pages that say "Welcome" as reliably as ones that
+      say "404".  (Known limitation, as in the paper: templates that
+      embed the requested URL fingerprint differently per URL and
+      need the similarity arm — MinHash over the same frame — instead
+      of exact matching.)
+    * **phrase** — the page ``<title>`` contains one of
+      :data:`SOFT404_PHRASES`; catches hosts the probe wave hasn't
+      reached yet.
+
+    Plan: the signature table is one DISTINCT over the probe rows —
+    bounded by hosts × error templates, broadcast territory at any
+    crawl size — so the verdict is a broadcast left join decorating
+    the pages scan; no shuffle ever touches the page side.
+
+    Returns non-probe page rows: (url, host, status, phrase_hit,
+    sig_match, is_soft404).
+    """
+    title = F.lower(F.regexp_extract(
+        F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1))
+    phrase = F.lit(False)
+    for p in SOFT404_PHRASES:
+        phrase = phrase | title.contains(p)
+
+    staged = pages.select(
+        F.col(url_col).alias("url"), F.col(host_col).alias("host"),
+        F.col(status_col).alias("status"),
+        F.md5(F.col(html_col)).alias("_fp"),
+        phrase.alias("phrase_hit"),
+        F.col(probe_col).alias("_probe"))
+    sigs = (staged.where(F.col("_probe") & (F.col("status") == 200))
+            .select(F.col("host").alias("_sig_host"),
+                    F.col("_fp").alias("_sig_fp"))
+            .distinct())
+    joined = staged.where(~F.col("_probe")).join(
+        F.broadcast(sigs),
+        (F.col("host") == F.col("_sig_host"))
+        & (F.col("_fp") == F.col("_sig_fp")), "left")
+    sig_match = F.col("_sig_fp").isNotNull()
+    is_404 = (F.col("status") == 200) & (F.col("phrase_hit")
+                                         | sig_match)
+    return joined.select("url", "host", "status", "phrase_hit",
+                         sig_match.alias("sig_match"),
+                         is_404.alias("is_soft404"))

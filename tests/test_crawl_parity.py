@@ -1391,3 +1391,58 @@ def test_layout_fingerprint_is_shuffle_free(spark):
     plan = layout_fingerprint(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_soft404_probe_signature_and_phrase(spark):
+    from scrapely_spark.frontier.htmlmeta import soft404
+
+    err = "<html><title>Welcome</title><body>redirecting…</body></html>"
+    rows = [
+        # probe establishes h1's error signature (content says Welcome!)
+        ("http://h1/__probe_zzz", "h1", 200, err, True),
+        # dead URL served with the same template + 200 → soft404 via
+        # signature even though no phrase matches
+        ("http://h1/gone", "h1", 200, err, False),
+        # real page, unique content → clean
+        ("http://h1/ok", "h1", 200,
+         "<html><title>Doc</title><body>text</body></html>", False),
+        # phrase arm: no probe needed
+        ("http://h2/missing", "h2", 200,
+         "<html><title>404 Not Found</title></html>", False),
+        # honest 404: status gate keeps it out
+        ("http://h2/honest", "h2", 404,
+         "<html><title>404 Not Found</title></html>", False),
+        # h2's template matching h1's signature must NOT fire (per-host)
+        ("http://h2/other", "h2", 200, err, False),
+        # a probe answered with a real 404 contributes no signature
+        ("http://h3/__probe_zzz", "h3", 404, err, True),
+        ("http://h3/page", "h3", 200, err, False),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, host string, status int, html string, "
+              "is_probe boolean")
+    out = {r["url"]: r for r in soft404(pages).collect()}
+
+    assert "http://h1/__probe_zzz" not in out      # probes excluded
+    assert out["http://h1/gone"]["sig_match"] is True
+    assert out["http://h1/gone"]["is_soft404"] is True
+    assert out["http://h1/gone"]["phrase_hit"] is False
+    assert out["http://h1/ok"]["is_soft404"] is False
+    assert out["http://h2/missing"]["phrase_hit"] is True
+    assert out["http://h2/missing"]["is_soft404"] is True
+    assert out["http://h2/honest"]["is_soft404"] is False
+    assert out["http://h2/other"]["sig_match"] is False
+    assert out["http://h3/page"]["sig_match"] is False
+
+
+def test_soft404_plan_broadcasts_signatures(spark):
+    from scrapely_spark.frontier.htmlmeta import soft404
+
+    pages = spark.createDataFrame(
+        [("u", "h", 200, "<html></html>", False)],
+        "url string, host string, status int, html string, "
+        "is_probe boolean")
+    plan = soft404(pages)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
