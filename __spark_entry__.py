@@ -2128,6 +2128,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (cls == 3).alias("is_probe"))
         return soft404(pages)
 
+    def q_main_content(spark, sf):
+        # block link-density boilerplate removal (htmlmeta.
+        # main_content): every page gets a nav + footer (pure chrome,
+        # dropped), an article paragraph off the real text column
+        # (kept), every 3rd doc a link-heavy related rail (dropped by
+        # density), every 4th a short div (dropped by length); the
+        # oracle rebuilds identical pages and replays the split/
+        # normalize/density list algebra with the same regex literals
+        from scrapely_spark.frontier.htmlmeta import main_content
+        did = F.col("doc_id")
+        rail = F.concat(
+            F.lit('<ul><li><a href="/r1">'), F.md5(F.col("text")),
+            F.lit('</a></li><li><a href="/r2">more stories'
+                  '</a></li></ul>'))
+        shortd = F.concat(F.lit("<div>"),
+                          F.substring(F.md5(F.col("text")), 1, 8),
+                          F.lit("</div>"))
+        html = F.concat(
+            F.lit('<html><body><nav><a href="/">Home</a> '
+                  '<a href="/c">Categories</a> '
+                  '<a href="/s">Search</a></nav>'),
+            F.when(did % 3 == 0, rail).otherwise(F.lit("")),
+            F.lit("<p>"), F.col("text"), F.lit("</p>"),
+            F.when(did % 4 == 0, shortd).otherwise(F.lit("")),
+            F.lit('<footer><a href="/p">Privacy policy</a> '
+                  '<a href="/t">Terms of use</a></footer>'
+                  '</body></html>'))
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("http://site/"), did.cast("string"))
+            .alias("url"), html.alias("html"))
+        return main_content(pages)
+
     def q_jpeg_sof_dims(spark, sf):
         # JPEG SOF dimension walk (multimodal.jpeg_dims): REAL JPEG
         # segment streams rendered in closed form — variable-length
@@ -2244,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_template_families": q_template_families,
         "image_jpeg_sof": q_jpeg_sof_dims,
         "url_soft404": q_soft404,
+        "page_main_content": q_main_content,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5410,6 +5443,72 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             FROM staged s LEFT JOIN sigs g
               ON s.host = g.sig_host AND s.fp = g.sig_fp
             WHERE NOT s.is_probe""",
+
+        # main-content extraction: rebuild the same synthetic pages
+        # (nav/footer chrome, real-text article, %3 link rail, %4
+        # short div) and replay the block split + tag-strip/whitespace
+        # normalization + per-mille link-density rule as list algebra
+        # with the SAME regex literals (Java regex and RE2 agree on
+        # every construct used)
+        "page_main_content": r"""
+            WITH pages AS (
+              SELECT 'http://site/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body><nav><a href="/">Home</a> '
+                     || '<a href="/c">Categories</a> '
+                     || '<a href="/s">Search</a></nav>'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN '<ul><li><a href="/r1">'
+                                  || md5(text)
+                                  || '</a></li><li><a href="/r2">'
+                                  || 'more stories</a></li></ul>'
+                             ELSE '' END
+                     || '<p>' || text || '</p>'
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN '<div>' || substr(md5(text), 1, 8)
+                                  || '</div>'
+                             ELSE '' END
+                     || '<footer><a href="/p">Privacy policy</a> '
+                     || '<a href="/t">Terms of use</a></footer>'
+                     || '</body></html>' AS html
+              FROM documents),
+            b AS (
+              SELECT url,
+                     list_filter(
+                       list_transform(
+                         string_split_regex(html,
+                           '(?i)</?(?:p|div|section|article|main|li|'
+                           || 'ul|ol|table|thead|tbody|tr|td|th|'
+                           || 'h[1-6]|header|footer|nav|aside|'
+                           || 'blockquote|pre|br|hr|form|fieldset)'
+                           || '\b[^>]*>'),
+                         s -> {'t': trim(regexp_replace(
+                                 regexp_replace(s, '(?s)<[^>]*>',
+                                                ' ', 'g'),
+                                 '\s+', ' ', 'g')),
+                               'a': coalesce(list_sum(list_transform(
+                                 regexp_extract_all(s,
+                                   '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                                 m -> length(trim(regexp_replace(
+                                   regexp_replace(m, '(?s)<[^>]*>',
+                                                  ' ', 'g'),
+                                   '\s+', ' ', 'g'))))), 0)}),
+                       s -> length(s.t) > 0) AS blocks
+              FROM pages),
+            k AS (
+              SELECT url, blocks,
+                     list_filter(blocks,
+                       s -> length(s.t) >= 25
+                            AND s.a * 1000 <= 333 * length(s.t))
+                       AS kept
+              FROM b)
+            SELECT url, CAST(len(blocks) AS INT) AS n_blocks,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   array_to_string(list_transform(kept, s -> s.t),
+                                   chr(10)) AS content,
+                   CAST(length(array_to_string(
+                     list_transform(kept, s -> s.t), chr(10)))
+                     AS INT) AS content_chars
+            FROM k""",
 
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql

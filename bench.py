@@ -140,6 +140,10 @@ HEADLINE = [
     "image_caption_langid",
     "image_exact_dedup",
     "corpus_shard_manifest",
+    # r4 session 8: soft-404 gate, block-density main-content
+    # extraction
+    "url_soft404",
+    "page_main_content",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

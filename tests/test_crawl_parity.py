@@ -1446,3 +1446,83 @@ def test_soft404_plan_broadcasts_signatures(spark):
         .toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_main_content_density_rule(spark):
+    from scrapely_spark.frontier.htmlmeta import main_content
+
+    html = (
+        '<html><body>'
+        '<nav><a href="/a">Home</a> <a href="/b">About us</a></nav>'
+        '<p>This is the long main article text that we want to keep '
+        'intact.</p>'
+        '<p>Second paragraph with an inline <a href="/x">reference '
+        'link</a> inside a mostly-text block that survives the '
+        'density rule.</p>'
+        '<div>ok</div>'
+        '<footer><a href="/c">Privacy</a> <a href="/d">Terms</a> '
+        'legal</footer></body></html>')
+    df = spark.createDataFrame([("u1", html)],
+                               "url string, html string")
+    row = main_content(df).collect()[0]
+    assert row["n_blocks"] == 5
+    assert row["n_kept"] == 2
+    lines = row["content"].split("\n")
+    assert lines[0].startswith("This is the long main article")
+    # inline tags stripped, whitespace collapsed, anchor text kept
+    assert "reference link" in lines[1]
+    assert "<a" not in row["content"]
+    assert "Privacy" not in row["content"]   # footer dropped
+    assert "Home" not in row["content"]      # nav dropped
+    assert row["content_chars"] == len(row["content"])
+
+
+def test_main_content_threshold_boundaries(spark):
+    from scrapely_spark.frontier.htmlmeta import main_content
+
+    # exactly min_chars survives; one below does not
+    t25 = "x" * 25
+    t24 = "y" * 24
+    # anchor share exactly at the per-mille cap survives (<=):
+    # 10 anchor chars in 30 text chars with cap 334 → 10000 <= 10020
+    body = "<p>%s</p><p>%s</p><p><a>aaaaaaaaaa</a>%s</p>" % (
+        t25, t24, "z" * 19)
+    df = spark.createDataFrame(
+        [("u", "<html><body>%s</body></html>" % body)],
+        "url string, html string")
+    out = main_content(df, min_chars=25, max_link_ppt=334) \
+        .collect()[0]
+    kept = out["content"].split("\n")
+    assert t25 in kept
+    assert all(t24 not in k for k in kept)
+    # anchor text is part of the block text ("aaaaaaaaaa zzz…")
+    assert any(k.startswith("aaaaaaaaaa") for k in kept)
+    assert out["n_kept"] == 2
+
+    # one per-mille over the cap → dropped
+    out2 = main_content(df, min_chars=25, max_link_ppt=333) \
+        .collect()[0]
+    assert out2["n_kept"] == 1
+
+
+def test_main_content_empty_and_tagless(spark):
+    from scrapely_spark.frontier.htmlmeta import main_content
+
+    df = spark.createDataFrame(
+        [("e", ""), ("t", "no markup at all but a perfectly long "
+                          "plain text sentence here")],
+        "url string, html string")
+    out = {r["url"]: r for r in main_content(df).collect()}
+    assert out["e"]["n_blocks"] == 0
+    assert out["e"]["content"] == ""
+    assert out["t"]["n_kept"] == 1   # whole page is one block
+
+
+def test_main_content_is_shuffle_free(spark):
+    from scrapely_spark.frontier.htmlmeta import main_content
+
+    df = spark.createDataFrame([("u", "<p>x</p>")],
+                               "url string, html string")
+    plan = main_content(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
