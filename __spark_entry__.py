@@ -2160,6 +2160,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return main_content(pages)
 
+    def q_retry_plan(spark, sf):
+        # fetch retry/backoff planner (retry.retry_plan): the 9-way
+        # status ladder (2xx/3xx done, 404/403 dead, 429/408/5xx/
+        # network transient), attempts 1-6 against a budget of 5
+        # (exhaustion fires), Retry-After on half the 429s (the
+        # server-lower-bound arm fires); oracle replays the CASE
+        # ladder + bit-shift backoff in integer SQL
+        from scrapely_spark.frontier.retry import retry_plan
+        did = F.col("doc_id")
+        cls = did % 9
+        status = (F.when(cls == 0, 200).when(cls == 1, 301)
+                  .when(cls == 2, 404).when(cls == 3, 403)
+                  .when(cls == 4, 429).when(cls == 5, 408)
+                  .when(cls == 6, 500).when(cls == 7, 503)
+                  .otherwise(F.lit(None))).cast("int")
+        fetches = _t(spark, sf, "documents").select(
+            F.concat(F.lit("http://h"), (did % 11).cast("string"),
+                     F.lit("/p"), did.cast("string")).alias("url"),
+            F.concat(F.lit("h"), (did % 11).cast("string"))
+            .alias("host"),
+            status.alias("status"),
+            (1 + did % 6).cast("int").alias("attempt"),
+            (did * 1000000).cast("long").alias("t_us"),
+            F.when((cls == 4) & (did % 2 == 0), 900).cast("int")
+            .alias("retry_after_s"))
+        return retry_plan(fetches)
+
+    def q_host_circuit(spark, sf):
+        # per-host circuit breaker (retry.host_circuit): host k of 11
+        # fails ~k*10% of its fetches (did%100 < 10k, exact rates
+        # decided by the residues actually present at the scale), so
+        # low-k hosts stay up and high-k hosts trip the >500-ppt
+        # breaker; oracle replays the aggregation + floor division
+        from scrapely_spark.frontier.retry import host_circuit
+        did = F.col("doc_id")
+        fetches = _t(spark, sf, "documents").select(
+            F.concat(F.lit("h"), (did % 11).cast("string"))
+            .alias("host"),
+            F.when(did % 100 < 10 * (did % 11), 500).otherwise(200)
+            .cast("int").alias("status"))
+        return host_circuit(fetches)
+
     def q_jpeg_sof_dims(spark, sf):
         # JPEG SOF dimension walk (multimodal.jpeg_dims): REAL JPEG
         # segment streams rendered in closed form — variable-length
@@ -2277,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_sof": q_jpeg_sof_dims,
         "url_soft404": q_soft404,
         "page_main_content": q_main_content,
+        "url_retry_plan": q_retry_plan,
+        "url_host_circuit": q_host_circuit,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5509,6 +5553,81 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                      list_transform(kept, s -> s.t), chr(10)))
                      AS INT) AS content_chars
             FROM k""",
+
+        # retry/backoff planner: replay the outcome-class CASE ladder,
+        # the truncated binary exponential backoff (integer bit shift,
+        # clamp 3600), the Retry-After lower bound and the 5-attempt
+        # budget in SQL over the identically-rebuilt fetch log
+        "url_retry_plan": """
+            WITH f AS (
+              SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR)
+                       || '/p' || CAST(doc_id AS VARCHAR) AS url,
+                     'h' || CAST(doc_id % 11 AS VARCHAR) AS host,
+                     CASE CAST(doc_id % 9 AS INT)
+                       WHEN 0 THEN 200 WHEN 1 THEN 301
+                       WHEN 2 THEN 404 WHEN 3 THEN 403
+                       WHEN 4 THEN 429 WHEN 5 THEN 408
+                       WHEN 6 THEN 500 WHEN 7 THEN 503
+                       ELSE NULL END AS status,
+                     CAST(1 + doc_id % 6 AS INT) AS attempt,
+                     doc_id * 1000000 AS t_us,
+                     CASE WHEN doc_id % 9 = 4 AND doc_id % 2 = 0
+                          THEN 900 END AS retry_after_s
+              FROM documents),
+            c AS (
+              SELECT *, coalesce(status, 0) AS s,
+                     CASE
+                       WHEN coalesce(status, 0) BETWEEN 200 AND 299
+                         THEN 'success'
+                       WHEN coalesce(status, 0) BETWEEN 300 AND 399
+                         THEN 'redirect'
+                       WHEN coalesce(status, 0) IN (429, 408)
+                         THEN 'transient'
+                       WHEN coalesce(status, 0) BETWEEN 400 AND 499
+                         THEN 'permanent'
+                       ELSE 'transient' END AS err_class
+              FROM f),
+            p AS (
+              SELECT *,
+                     err_class = 'transient' AND attempt < 5
+                       AS retrying,
+                     greatest(least(CAST(60 AS BIGINT)
+                                      << (attempt - 1), 3600),
+                              coalesce(retry_after_s, 0)) AS wait_s
+              FROM c)
+            SELECT url, host, CAST(s AS INT) AS status, attempt,
+                   err_class,
+                   CASE WHEN err_class IN ('success', 'redirect')
+                        THEN 'done'
+                        WHEN retrying THEN 'retry'
+                        ELSE 'dead' END AS action,
+                   CAST(CASE WHEN retrying THEN wait_s END AS BIGINT)
+                     AS backoff_s,
+                   CAST(CASE WHEN retrying
+                             THEN t_us + wait_s * 1000000 END
+                        AS BIGINT) AS retry_at_us
+            FROM p""",
+
+        # host circuit breaker: the aggregation + per-mille floor
+        # division + (attempts floor AND rate) trip condition in SQL
+        "url_host_circuit": """
+            WITH f AS (
+              SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) AS host,
+                     CASE WHEN doc_id % 100 < 10 * (doc_id % 11)
+                          THEN 500 ELSE 200 END AS status
+              FROM documents),
+            a AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS n_attempts,
+                     CAST(SUM(CASE WHEN status BETWEEN 200 AND 399
+                                   THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_failures
+              FROM f GROUP BY host)
+            SELECT host, n_attempts, n_failures,
+                   n_failures * 1000 // n_attempts AS failure_ppt,
+                   n_attempts >= 20
+                     AND n_failures * 1000 // n_attempts > 500
+                     AS suspended
+            FROM a""",
 
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql

@@ -1526,3 +1526,89 @@ def test_main_content_is_shuffle_free(spark):
     plan = main_content(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_retry_plan_classes_and_backoff(spark):
+    from scrapely_spark.frontier.retry import retry_plan
+
+    rows = [
+        ("u200", "h", 200, 1, 1_000_000, None),
+        ("u301", "h", 301, 2, 1_000_000, None),
+        ("u404", "h", 404, 1, 1_000_000, None),
+        ("u403", "h", 403, 1, 1_000_000, None),
+        ("u500", "h", 500, 1, 1_000_000, None),      # 60s backoff
+        ("u503", "h", 503, 3, 1_000_000, None),      # 240s backoff
+        ("u429", "h", 429, 1, 1_000_000, 600),       # Retry-After wins
+        ("u408", "h", 408, 2, 1_000_000, 30),        # backoff wins
+        ("unet", "h", None, 1, 1_000_000, None),     # network error
+        ("uexh", "h", 500, 5, 1_000_000, None),      # budget exhausted
+        ("ucap", "h", 500, 4, 1_000_000, None),      # hits 480 < 3600
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, host string, status int, attempt int, "
+              "t_us long, retry_after_s int")
+    out = {r["url"]: r for r in retry_plan(df).collect()}
+
+    assert out["u200"]["action"] == "done"
+    assert out["u200"]["retry_at_us"] is None
+    assert out["u301"]["err_class"] == "redirect"
+    assert out["u404"]["action"] == "dead"
+    assert out["u403"]["err_class"] == "permanent"
+    assert out["u500"]["action"] == "retry"
+    assert out["u500"]["backoff_s"] == 60
+    assert out["u500"]["retry_at_us"] == 1_000_000 + 60 * 1_000_000
+    assert out["u503"]["backoff_s"] == 240          # 60 << 2
+    assert out["u429"]["backoff_s"] == 600          # server lower bound
+    assert out["u408"]["backoff_s"] == 120          # 60 << 1 > 30
+    assert out["unet"]["status"] == 0
+    assert out["unet"]["err_class"] == "transient"
+    assert out["unet"]["action"] == "retry"
+    assert out["uexh"]["action"] == "dead"
+    assert out["uexh"]["retry_at_us"] is None
+
+
+def test_retry_plan_clamps_at_max_delay(spark):
+    from scrapely_spark.frontier.retry import retry_plan
+
+    df = spark.createDataFrame(
+        [("u", "h", 500, 9, 0, None)],
+        "url string, host string, status int, attempt int, "
+        "t_us long, retry_after_s int")
+    out = retry_plan(df, max_attempts=20).collect()[0]
+    assert out["backoff_s"] == 3600     # 60 << 8 = 15360 clamped
+
+
+def test_retry_plan_is_shuffle_free(spark):
+    from scrapely_spark.frontier.retry import retry_plan
+
+    df = spark.createDataFrame(
+        [("u", "h", 500, 1, 0, None)],
+        "url string, host string, status int, attempt int, "
+        "t_us long, retry_after_s int")
+    plan = retry_plan(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+
+
+def test_host_circuit_thresholds(spark):
+    from scrapely_spark.frontier.retry import host_circuit
+
+    rows = []
+    # hdown: 20 attempts, 11 failures → 550 ppt → suspended
+    rows += [("u%d" % i, "hdown", 500 if i < 11 else 200, 1, 0, None)
+             for i in range(20)]
+    # hedge: 20 attempts, exactly 10 failures → 500 ppt, not > 500
+    rows += [("u%d" % i, "hedge", 500 if i < 10 else 200, 1, 0, None)
+             for i in range(20)]
+    # hfew: 2 attempts, both failures → under the attempts floor
+    rows += [("u%d" % i, "hfew", 0, 1, 0, None) for i in range(2)]
+    df = spark.createDataFrame(
+        rows, "url string, host string, status int, attempt int, "
+              "t_us long, retry_after_s int")
+    out = {r["host"]: r for r in host_circuit(df).collect()}
+    assert out["hdown"]["suspended"] is True
+    assert out["hdown"]["failure_ppt"] == 550
+    assert out["hedge"]["suspended"] is False
+    assert out["hedge"]["failure_ppt"] == 500
+    assert out["hfew"]["suspended"] is False
+    assert out["hfew"]["failure_ppt"] == 1000
