@@ -2160,6 +2160,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return main_content(pages)
 
+    def q_gps_scrub(spark, sf):
+        # EXIF location-PII scrub (multimodal.gps_scrub): real TIFF
+        # blobs with a GPS sub-IFD on %3==0 (signed micro-degree
+        # coordinates in closed form), plain EXIF otherwise, junk on
+        # %9==0; the scrubbed blob is RE-PARSED (exif_meta + exif_gps)
+        # and the oracle states the closed-form identity — equality
+        # holds only if the parse was exact, the scrub removed GPS,
+        # and the rewrite preserved the benign metadata byte-exactly
+        from scrapely_spark.spark import multimodal
+        from scrapely_spark.spark.codec import (exif_bytes,
+                                                exif_bytes_gps,
+                                                exif_gps, exif_meta)
+        d = _t(spark, sf, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+            for b in batches:
+                ids = b["doc_id"]
+                blobs = []
+                for i in ids:
+                    orient = 1 + i % 8
+                    dt = "2024:02:%02d 12:00:00" % (1 + i % 28)
+                    make = "Cam%d" % (i % 5)
+                    if i % 9 == 0:
+                        blobs.append(b"junk-%d" % i)
+                    elif i % 3 == 0:
+                        lat = (1 if i % 2 == 0 else -1) \
+                            * ((i * 1234567) % 90000000)
+                        lon = (1 if i % 4 < 2 else -1) \
+                            * ((i * 7654321) % 180000000)
+                        blobs.append(exif_bytes_gps(
+                            orient, dt, make, int(lat), int(lon)))
+                    else:
+                        blobs.append(exif_bytes(orient, dt, make))
+                yield pd.DataFrame({"image_id": ids, "exif": blobs})
+
+        imgs = d.mapInPandas(build, "image_id long, exif binary")
+        scrubbed = multimodal.gps_scrub(imgs)
+
+        def reparse(batches):
+            import pandas as pd
+            for b in batches:
+                posts, orients, dts, makes = [], [], [], []
+                for blob in b["exif"]:
+                    if blob is None:
+                        posts.append(False)
+                        orients.append(None)
+                        dts.append(None)
+                        makes.append(None)
+                        continue
+                    _, _, has_gps, _ = exif_gps(blob)
+                    o, dt, mk, _ = exif_meta(blob)
+                    posts.append(has_gps)
+                    orients.append(o)
+                    dts.append(dt)
+                    makes.append(mk)
+                out = b[["image_id", "lat_e6", "lon_e6", "had_gps",
+                         "exif_valid"]].copy()
+                out["post_has_gps"] = posts
+                out["orientation"] = pd.array(orients, dtype="Int32")
+                out["taken_at"] = dts
+                out["make"] = makes
+                yield out
+
+        return scrubbed.mapInPandas(
+            reparse,
+            "image_id long, lat_e6 bigint, lon_e6 bigint, "
+            "had_gps boolean, exif_valid boolean, "
+            "post_has_gps boolean, orientation int, taken_at string, "
+            "make string")
+
     def q_retry_plan(spark, sf):
         # fetch retry/backoff planner (retry.retry_plan): the 9-way
         # status ladder (2xx/3xx done, 404/403 dead, 429/408/5xx/
@@ -2321,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_main_content": q_main_content,
         "url_retry_plan": q_retry_plan,
         "url_host_circuit": q_host_circuit,
+        "image_gps_scrub": q_gps_scrub,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5607,6 +5679,40 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # GPS scrub roundtrip identity: the expected post-scrub state
+        # in closed form — lat/lon recovered EXACTLY (integer
+        # micro-degrees through the deg/min/sec rational encoding),
+        # post_has_gps uniformly false, benign metadata intact, junk
+        # flagged invalid with everything NULL
+        "image_gps_scrub": """
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 9 != 0 AND doc_id % 3 = 0
+                        THEN (CASE WHEN doc_id % 2 = 0 THEN 1
+                                   ELSE -1 END)
+                             * ((doc_id * 1234567) % 90000000)
+                   END AS lat_e6,
+                   CASE WHEN doc_id % 9 != 0 AND doc_id % 3 = 0
+                        THEN (CASE WHEN doc_id % 4 < 2 THEN 1
+                                   ELSE -1 END)
+                             * ((doc_id * 7654321) % 180000000)
+                   END AS lon_e6,
+                   doc_id % 9 != 0 AND doc_id % 3 = 0 AS had_gps,
+                   doc_id % 9 != 0 AS exif_valid,
+                   FALSE AS post_has_gps,
+                   CASE WHEN doc_id % 9 != 0
+                        THEN CAST(1 + doc_id % 8 AS INT)
+                   END AS orientation,
+                   CASE WHEN doc_id % 9 != 0
+                        THEN '2024:02:'
+                          || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                  2, '0')
+                          || ' 12:00:00'
+                   END AS taken_at,
+                   CASE WHEN doc_id % 9 != 0
+                        THEN 'Cam' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS make
+            FROM documents""",
 
         # host circuit breaker: the aggregation + per-mille floor
         # division + (attempts floor AND rate) trip condition in SQL

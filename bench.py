@@ -144,6 +144,9 @@ HEADLINE = [
     # extraction
     "url_soft404",
     "page_main_content",
+    "url_retry_plan",
+    "url_host_circuit",
+    "image_gps_scrub",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -172,27 +172,43 @@ _TIFF_II = b"II*\x00"
 _TAG_MAKE, _TAG_ORIENT, _TAG_DATETIME = 271, 274, 306
 
 
+def _ascii_entry(tag: int, data_b: bytes, off: int) -> tuple:
+    """One ASCII IFD entry: TIFF 6.0 §2 requires values of ≤4 bytes
+    INLINE in the value field (padded), longer ones via offset.
+    Returns (entry_bytes, tail_bytes, next_off)."""
+    import struct
+
+    if len(data_b) <= 4:
+        return (struct.pack("<HHI", tag, 2, len(data_b))
+                + data_b.ljust(4, b"\x00"), b"", off)
+    return (struct.pack("<HHII", tag, 2, len(data_b), off),
+            data_b, off + len(data_b))
+
+
 def exif_bytes(orientation: int, datetime: str, make: str) -> bytes:
     """Build a REAL little-endian TIFF/EXIF IFD0 blob (ISO 12234-2 /
-    TIFF 6.0 layout): header, 3-entry IFD (Make ASCII via offset,
-    Orientation SHORT in-place, DateTime ASCII via offset), zero next-
-    IFD pointer, then the out-of-line ASCII data.  Unlike the pixel
-    codec there is nothing stubbed here — this is the actual on-disk
-    byte layout camera JPEGs embed, parseable by any EXIF reader.
+    TIFF 6.0 layout): header, 3-entry IFD (Make ASCII, Orientation
+    SHORT in-place, DateTime ASCII), zero next-IFD pointer, then any
+    out-of-line ASCII data (values of ≤4 bytes are inlined per spec —
+    what exif_meta's reader and the scrubber's canonical
+    re-serialization both assume).  Unlike the pixel codec there is
+    nothing stubbed here — this is the actual on-disk byte layout
+    camera JPEGs embed, parseable by any EXIF reader.
     """
     import struct
 
     make_b = make.encode("ascii") + b"\x00"
     dt_b = datetime.encode("ascii") + b"\x00"
     # header(8) + count(2) + 3*12 + next(4) = 50; data follows
-    make_off = 50
-    dt_off = make_off + len(make_b)
+    off = 50
+    make_e, make_tail, off = _ascii_entry(_TAG_MAKE, make_b, off)
+    dt_e, dt_tail, off = _ascii_entry(_TAG_DATETIME, dt_b, off)
     ifd = struct.pack("<H", 3)
-    ifd += struct.pack("<HHII", _TAG_MAKE, 2, len(make_b), make_off)
+    ifd += make_e
     ifd += struct.pack("<HHII", _TAG_ORIENT, 3, 1, orientation & 0xFFFF)
-    ifd += struct.pack("<HHII", _TAG_DATETIME, 2, len(dt_b), dt_off)
+    ifd += dt_e
     ifd += struct.pack("<I", 0)
-    return _TIFF_II + struct.pack("<I", 8) + ifd + make_b + dt_b
+    return _TIFF_II + struct.pack("<I", 8) + ifd + make_tail + dt_tail
 
 
 def exif_meta(data: bytes) -> tuple:
@@ -229,6 +245,182 @@ def exif_meta(data: bytes) -> tuple:
         return (orient, dt, make, True)
     except (struct.error, IndexError):
         return (None, None, None, False)
+
+
+# GPS IFD pointer (EXIF 2.3 §4.6.6) and the four GPS sub-IFD tags the
+# scrubber/parsers care about
+_TAG_GPS_IFD = 34853
+_GPS_LAT_REF, _GPS_LAT, _GPS_LON_REF, _GPS_LON = 1, 2, 3, 4
+# TIFF 6.0 §2: bytes per element for each field type
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1,
+                   8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _gps_rationals(abs_e6: int) -> bytes:
+    """Micro-degrees → the 3-RATIONAL (deg, min, sec) EXIF encoding,
+    EXACT: degrees/1, 0/1 minutes, and the sub-degree remainder as
+    ``(rem*3600)/10^6`` seconds, so parse-back recovers the integer
+    micro-degree value with no float anywhere."""
+    import struct
+
+    return struct.pack("<6I", abs_e6 // 10**6, 1, 0, 1,
+                       (abs_e6 % 10**6) * 3600, 10**6)
+
+
+def exif_bytes_gps(orientation: int, datetime: str, make: str,
+                   lat_e6: int, lon_e6: int) -> bytes:
+    """:func:`exif_bytes` plus a real GPS sub-IFD: IFD0 gains the
+    GPSInfo LONG pointer (tag 34853), which addresses a 4-entry GPS
+    IFD (LatitudeRef/Latitude/LongitudeRef/Longitude, EXIF 2.3 §4.6.6)
+    with out-of-line RATIONAL triplets.  Coordinates are signed
+    micro-degrees; the byte layout is the one camera firmware writes.
+    """
+    import struct
+
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime.encode("ascii") + b"\x00"
+    # header(8) + count(2) + 4*12 + next(4) = 62; then any out-of-line
+    # make/datetime, the 54-byte GPS IFD, and its two 24-byte rational
+    # triplets (≤4-byte ASCII inlines per spec, as in exif_bytes)
+    off = 62
+    make_e, make_tail, off = _ascii_entry(_TAG_MAKE, make_b, off)
+    dt_e, dt_tail, off = _ascii_entry(_TAG_DATETIME, dt_b, off)
+    gps_off = off
+    lat_off = gps_off + 54
+    lon_off = lat_off + 24
+    ifd = struct.pack("<H", 4)
+    ifd += make_e
+    ifd += struct.pack("<HHII", _TAG_ORIENT, 3, 1,
+                       orientation & 0xFFFF)
+    ifd += dt_e
+    ifd += struct.pack("<HHII", _TAG_GPS_IFD, 4, 1, gps_off)
+    ifd += struct.pack("<I", 0)
+    lat_ref = b"N\x00\x00\x00" if lat_e6 >= 0 else b"S\x00\x00\x00"
+    lon_ref = b"E\x00\x00\x00" if lon_e6 >= 0 else b"W\x00\x00\x00"
+    gps = struct.pack("<H", 4)
+    gps += struct.pack("<HHI", _GPS_LAT_REF, 2, 2) + lat_ref
+    gps += struct.pack("<HHII", _GPS_LAT, 5, 3, lat_off)
+    gps += struct.pack("<HHI", _GPS_LON_REF, 2, 2) + lon_ref
+    gps += struct.pack("<HHII", _GPS_LON, 5, 3, lon_off)
+    gps += struct.pack("<I", 0)
+    return (_TIFF_II + struct.pack("<I", 8) + ifd + make_tail
+            + dt_tail + gps + _gps_rationals(abs(lat_e6))
+            + _gps_rationals(abs(lon_e6)))
+
+
+def _rational3_e6(data: bytes, off: int) -> int:
+    """(deg, min, sec) RATIONAL triplet at ``off`` → micro-degrees,
+    integer arithmetic (exact for the encoding above; floors on
+    arbitrary camera rationals)."""
+    import struct
+
+    dn, dd, mn, md, sn, sd = struct.unpack_from("<6I", data, off)
+    if not (dd and md and sd):
+        raise ValueError("zero denominator")
+    return ((dn * 10**6) // dd + (mn * 10**6) // (md * 60)
+            + (sn * 10**6) // (sd * 3600))
+
+
+def exif_gps(data: bytes) -> tuple:
+    """Parse ``(lat_e6, lon_e6, has_gps, valid)`` from a little-endian
+    TIFF/EXIF blob: follow IFD0's GPSInfo pointer, read the ref/value
+    tag pairs, return signed micro-degrees.  Malformed structure →
+    ``(None, None, False, False)``; a valid blob without GPS →
+    ``(None, None, False, True)``.
+    """
+    import struct
+
+    try:
+        if not data or len(data) < 14 or data[:4] != _TIFF_II:
+            return (None, None, False, False)
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+        (count,) = struct.unpack_from("<H", data, ifd_off)
+        gps_off = None
+        for i in range(count):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, n, val = struct.unpack_from("<HHII", data, base)
+            if tag == _TAG_GPS_IFD and typ == 4:
+                gps_off = val
+        if gps_off is None:
+            return (None, None, False, True)
+        (gcount,) = struct.unpack_from("<H", data, gps_off)
+        lat = lon = None
+        lat_sign = lon_sign = 1
+        for i in range(gcount):
+            base = gps_off + 2 + 12 * i
+            tag, typ, n, val = struct.unpack_from("<HHII", data, base)
+            if typ == 2 and tag in (_GPS_LAT_REF, _GPS_LON_REF):
+                ref = data[base + 8:base + 9]
+                if tag == _GPS_LAT_REF:
+                    lat_sign = -1 if ref == b"S" else 1
+                else:
+                    lon_sign = -1 if ref == b"W" else 1
+            elif typ == 5 and n == 3 and tag in (_GPS_LAT, _GPS_LON):
+                e6 = _rational3_e6(data, val)
+                if tag == _GPS_LAT:
+                    lat = e6
+                else:
+                    lon = e6
+        if lat is None or lon is None:
+            return (None, None, False, True)
+        return (lat_sign * lat, lon_sign * lon, True, True)
+    except (struct.error, IndexError, ValueError):
+        return (None, None, False, False)
+
+
+def exif_gps_scrub(data: bytes) -> bytes | None:
+    """Rewrite a TIFF/EXIF blob WITHOUT its GPS sub-IFD (tag 34853).
+
+    Generic IFD0 re-serialization: every surviving entry keeps its
+    order, inline values are copied verbatim, out-of-line payloads are
+    re-packed immediately after the IFD with recomputed offsets — so a
+    blob that never had GPS round-trips byte-identically through the
+    scrubber (tested), and one that did loses the pointer AND the
+    orphaned sub-IFD bytes (no data remnant an attacker could carve).
+    Returns ``None`` for malformed blobs — the caller decides whether
+    to drop or quarantine; silently passing junk through a PII scrub
+    would be the one unacceptable behavior.
+    """
+    import struct
+
+    try:
+        if not data or len(data) < 14 or data[:4] != _TIFF_II:
+            return None
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+        (count,) = struct.unpack_from("<H", data, ifd_off)
+        entries = []
+        for i in range(count):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, n, _ = struct.unpack_from("<HHII", data, base)
+            size = _TIFF_TYPE_SIZE.get(typ)
+            if size is None:
+                return None
+            raw4 = data[base + 8:base + 12]
+            if len(raw4) < 4:
+                return None
+            if size * n <= 4:
+                entries.append((tag, typ, n, raw4, None))
+            else:
+                (off,) = struct.unpack_from("<I", raw4)
+                payload = data[off:off + size * n]
+                if len(payload) < size * n:
+                    return None
+                entries.append((tag, typ, n, None, payload))
+        entries = [e for e in entries if e[0] != _TAG_GPS_IFD]
+        head_len = 8 + 2 + 12 * len(entries) + 4
+        out_ifd = struct.pack("<H", len(entries))
+        tail = b""
+        for tag, typ, n, raw4, payload in entries:
+            if payload is None:
+                out_ifd += struct.pack("<HHI", tag, typ, n) + raw4
+            else:
+                out_ifd += struct.pack("<HHII", tag, typ, n,
+                                       head_len + len(tail))
+                tail += payload
+        out_ifd += struct.pack("<I", 0)
+        return _TIFF_II + struct.pack("<I", 8) + out_ifd + tail
+    except (struct.error, IndexError):
+        return None
 
 
 def jpeg_sof(data: bytes) -> tuple:

@@ -926,3 +926,58 @@ def jpeg_dims(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             yield out
 
     return in_schema.mapInPandas(kernel, out_fields)
+
+
+def gps_scrub(images: DataFrame, bytes_col: str = "exif") -> DataFrame:
+    """Location-PII scrub for EXIF payloads: parse GPS coordinates,
+    then rewrite the blob WITHOUT the GPS sub-IFD.
+
+    Camera JPEGs embed the capture location; shipping that into a
+    training corpus is a privacy incident (the LAION takedown class of
+    problem), so the curation pipeline must strip it at ingest — while
+    keeping the benign metadata (orientation drives decode, DateTime
+    drives freshness) intact.  Per row this emits the pre-scrub
+    coordinates (signed micro-degrees — the audit trail governance
+    needs), whether GPS was present, and the scrubbed blob; malformed
+    blobs come back ``exif=NULL, exif_valid=false`` rather than
+    passing unscrubbed bytes through a PII gate.
+
+    One Arrow batch kernel over the binary column (codec.exif_gps +
+    codec.exif_gps_scrub — a real TIFF 6.0 IFD walk and generic
+    re-serialization, not a stub); no shuffle, embarrassingly
+    parallel, and the scan reads only the id and binary columns.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from scrapely_spark.spark.codec import exif_gps, exif_gps_scrub
+
+    id_cols = [c for c in images.columns if c != bytes_col]
+    in_schema = images.select(*id_cols, bytes_col)
+    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
+                            for f in in_schema.schema.fields
+                            if f.name != bytes_col)
+                  + ", lat_e6 bigint, lon_e6 bigint, had_gps boolean,"
+                    " %s binary, exif_valid boolean" % bytes_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            lats, lons, had, blobs, valid = [], [], [], [], []
+            for b in batch[bytes_col]:
+                lat, lon, has_gps, ok = exif_gps(b)
+                scrubbed = exif_gps_scrub(b) if ok else None
+                lats.append(lat)
+                lons.append(lon)
+                had.append(has_gps)
+                blobs.append(scrubbed)
+                valid.append(ok and scrubbed is not None)
+            out = batch[id_cols].copy()
+            out["lat_e6"] = pd.array(lats, dtype="Int64")
+            out["lon_e6"] = pd.array(lons, dtype="Int64")
+            out["had_gps"] = had
+            out[bytes_col] = blobs
+            out["exif_valid"] = valid
+            yield out
+
+    return in_schema.mapInPandas(kernel, out_fields)

@@ -783,3 +783,63 @@ def test_jpeg_dims_kernel_over_spark(spark):
     assert out["b"]["progressive"] is True
     assert out["c"]["jpeg_valid"] is False
     assert out["c"]["jpeg_w"] is None
+
+
+def test_gps_codec_exact_and_scrub_identity():
+    from scrapely_spark.spark.codec import (exif_bytes, exif_bytes_gps,
+                                            exif_gps, exif_gps_scrub,
+                                            exif_meta)
+
+    for lat, lon in [(37774929, -122419418), (-33868820, 151209290),
+                     (0, 0), (89999999, 179999999),
+                     (-90000000, -180000000)]:
+        b = exif_bytes_gps(6, "2024:05:01 10:00:00", "CamX", lat, lon)
+        assert exif_gps(b) == (lat, lon, True, True)
+        s = exif_gps_scrub(b)
+        # GPS gone, benign metadata intact
+        assert exif_gps(s) == (None, None, False, True)
+        assert exif_meta(s) == (6, "2024:05:01 10:00:00", "CamX", True)
+        # no carveable remnant: the scrubbed blob is strictly smaller
+        # and contains neither the sub-IFD nor the rational payloads
+        assert len(s) < len(b)
+        assert s not in (None, b)
+
+    # a blob that never had GPS round-trips BYTE-IDENTICALLY — the
+    # re-serializer is canonical w.r.t. our writer's layout
+    plain = exif_bytes(3, "2024:01:02 03:00:00", "Cam1")
+    assert exif_gps_scrub(plain) == plain
+    assert exif_gps(plain) == (None, None, False, True)
+
+    # junk never raises and never passes through
+    assert exif_gps(b"\x00" * 20) == (None, None, False, False)
+    assert exif_gps_scrub(b"junk") is None
+
+
+def test_gps_scrub_kernel_over_spark(spark):
+    from scrapely_spark.spark import multimodal
+    from scrapely_spark.spark.codec import (exif_bytes, exif_bytes_gps,
+                                            exif_gps)
+
+    rows = [
+        (1, exif_bytes_gps(1, "2024:01:01 00:00:00", "A",
+                           48858370, 2294481)),       # Eiffel Tower
+        (2, exif_bytes_gps(2, "2024:01:02 00:00:00", "B",
+                           -22951916, -43210487)),    # Rio, S/W refs
+        (3, exif_bytes(3, "2024:01:03 00:00:00", "C")),  # no GPS
+        (4, b"garbage bytes"),
+    ]
+    df = spark.createDataFrame(rows, "image_id int, exif binary")
+    out = {r["image_id"]: r
+           for r in multimodal.gps_scrub(df).collect()}
+
+    assert out[1]["had_gps"] is True
+    assert out[1]["lat_e6"] == 48858370
+    assert out[1]["lon_e6"] == 2294481
+    assert exif_gps(bytes(out[1]["exif"])) == (None, None, False, True)
+    assert out[2]["lat_e6"] == -22951916
+    assert out[2]["lon_e6"] == -43210487
+    assert out[3]["had_gps"] is False
+    assert out[3]["lat_e6"] is None
+    assert bytes(out[3]["exif"]) == rows[2][1]   # untouched blob
+    assert out[4]["exif_valid"] is False
+    assert out[4]["exif"] is None                # junk never passes
