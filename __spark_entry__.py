@@ -2309,6 +2309,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             did.alias("image_id"), F.unhex(hx).alias("bytes"))
         return multimodal.jpeg_dims(imgs)
 
+    def q_webp_dims(spark, sf):
+        # WebP RIFF walk (multimodal.webp_dims): REAL container bytes
+        # rendered in closed form — all three bitstream kinds by %3
+        # (VP8 lossy 14-bit u16 dims after the 9D012A start code,
+        # VP8L packed 28-bit field with the alpha bit and RIFF pad
+        # byte, VP8X 24-bit canvas fields + flags), alpha on %5==0,
+        # junk (%13) and truncated (%17) payloads.  Roundtrip-identity
+        # oracle in closed form; equality holds only if the kernel's
+        # chunk walk and bit unpacking are exact.
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        w = (16 + (did * 41) % 8000).cast("long")
+        h = (16 + (did * 59) % 8000).cast("long")
+        alpha = did % 5 == 0
+
+        def le(v, nbytes):
+            return F.concat(*[
+                F.lpad(F.hex(F.shiftright(v, 8 * i) % 256), 2, "0")
+                for i in range(nbytes)])
+
+        vp8 = F.concat(F.lit("52494646"), le(F.lit(22).cast("long"), 4),
+                       F.lit("5745425056503820"),
+                       le(F.lit(10).cast("long"), 4),
+                       F.lit("0000009D012A"), le(w, 2), le(h, 2))
+        vl = ((w - 1) + (h - 1) * 16384
+              + F.when(alpha, F.lit(268435456)).otherwise(F.lit(0)))
+        vp8l = F.concat(F.lit("52494646"),
+                        le(F.lit(18).cast("long"), 4),
+                        F.lit("574542505650384C"),
+                        le(F.lit(5).cast("long"), 4),
+                        F.lit("2F"), le(vl, 4), F.lit("00"))
+        vp8x = F.concat(F.lit("52494646"),
+                        le(F.lit(22).cast("long"), 4),
+                        F.lit("5745425056503858"),
+                        le(F.lit(10).cast("long"), 4),
+                        F.when(alpha, F.lit("10")).otherwise(F.lit("00")),
+                        F.lit("000000"), le(w - 1, 3), le(h - 1, 3))
+        hx = (F.when(did % 3 == 0, vp8).when(did % 3 == 1, vp8l)
+              .otherwise(vp8x))
+        hx = (F.when(did % 13 == 0, F.lit("DEADBEEF"))
+              .when(did % 17 == 0, F.substring(hx, 1, 28))
+              .otherwise(hx))
+        imgs = _t(spark, sf, "documents").select(
+            did.alias("image_id"), F.unhex(hx).alias("bytes"))
+        return multimodal.webp_dims(imgs)
+
     def q_template_families(spark, sf):
         # layout-fingerprint template inventory (htmlmeta.
         # template_families): pages synthesized from documents with 3
@@ -2393,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_retry_plan": q_retry_plan,
         "url_host_circuit": q_host_circuit,
         "image_gps_scrub": q_gps_scrub,
+        "image_webp_dims": q_webp_dims,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5679,6 +5726,33 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # WebP roundtrip identity: expected chunk-walk results stated
+        # in closed form — equality holds only if the kernel's RIFF
+        # framing, VP8 start-code u16s, VP8L 28-bit unpacking (and its
+        # pad byte handling) and VP8X 24-bit canvas reads are exact
+        "image_webp_dims": """
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(16 + (doc_id * 41) % 8000 AS INT)
+                   END AS webp_w,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(16 + (doc_id * 59) % 8000 AS INT)
+                   END AS webp_h,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        WHEN doc_id % 3 = 0 THEN 'vp8'
+                        WHEN doc_id % 3 = 1 THEN 'vp8l'
+                        ELSE 'vp8x' END AS webp_kind,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        WHEN doc_id % 3 = 0 THEN FALSE
+                        ELSE doc_id % 5 = 0 END AS webp_alpha,
+                   NOT (doc_id % 13 = 0 OR doc_id % 17 = 0)
+                     AS webp_valid
+            FROM documents""",
 
         # GPS scrub roundtrip identity: the expected post-scrub state
         # in closed form — lat/lon recovered EXACTLY (integer

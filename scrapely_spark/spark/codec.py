@@ -473,3 +473,91 @@ def jpeg_sof(data: bytes) -> tuple:
         return inv
     except IndexError:
         return inv
+
+
+# --------------------------------------------------------------- WebP
+
+def webp_bytes(w: int, h: int, kind: str = "vp8",
+               alpha: bool = False) -> bytes:
+    """Build a REAL WebP container header (RFC 9649 framing): RIFF
+    header + one of the three bitstream chunks — ``vp8`` (lossy: frame
+    tag, 9D 01 2A start code, 14-bit dimensions), ``vp8l`` (lossless:
+    2F signature, width-1/height-1 packed into a 28-bit little-endian
+    field with the alpha bit), ``vp8x`` (extended: flags byte +
+    24-bit canvas-minus-one dimensions).  Chunk payloads are padded to
+    even length per RIFF.  Enough of the format for any header parser
+    to read dimensions; pixel data is out of scope by design.
+    """
+    import struct
+
+    if kind == "vp8":
+        payload = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                   + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF))
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    elif kind == "vp8l":
+        v = ((w - 1) & 0x3FFF) | (((h - 1) & 0x3FFF) << 14) \
+            | ((1 if alpha else 0) << 28)
+        payload = b"\x2f" + struct.pack("<I", v)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+    elif kind == "vp8x":
+        payload = (bytes([0x10 if alpha else 0]) + b"\x00\x00\x00"
+                   + struct.pack("<I", w - 1)[:3]
+                   + struct.pack("<I", h - 1)[:3])
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError("kind must be vp8|vp8l|vp8x")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_features(data: bytes) -> tuple:
+    """Parse ``(w, h, kind, alpha, valid)`` from a WebP payload by
+    walking the RIFF framing to the first bitstream chunk.
+
+    Dimensions live in three different encodings depending on the
+    chunk — 14-bit little-endian u16s after the VP8 start code,
+    a packed 28-bit field after the VP8L signature byte, or 24-bit
+    canvas fields in VP8X — so like JPEG this is a real walk, not
+    fixed-offset substring arithmetic.  Truncation, bad magics, a
+    wrong start code/signature, a nonzero VP8L version or a chunk
+    size overrunning the payload all return ``(None, None, None,
+    None, False)``; a crawl sees every one of those.
+    """
+    import struct
+
+    inv = (None, None, None, None, False)
+    try:
+        if (len(data) < 20 or data[:4] != b"RIFF"
+                or data[8:12] != b"WEBP"):
+            return inv
+        (riff_size,) = struct.unpack_from("<I", data, 4)
+        if riff_size + 8 > len(data) or riff_size < 12:
+            return inv
+        fourcc = data[12:16]
+        (csize,) = struct.unpack_from("<I", data, 16)
+        body = data[20:20 + csize]
+        if len(body) < csize:
+            return inv
+        if fourcc == b"VP8 ":
+            if csize < 10 or body[3:6] != b"\x9d\x01\x2a":
+                return inv
+            wr, hr = struct.unpack_from("<HH", body, 6)
+            return (wr & 0x3FFF, hr & 0x3FFF, "vp8", False, True)
+        if fourcc == b"VP8L":
+            if csize < 5 or body[0] != 0x2F:
+                return inv
+            (v,) = struct.unpack_from("<I", body, 1)
+            if v >> 29:
+                return inv
+            return ((v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1,
+                    "vp8l", bool((v >> 28) & 1), True)
+        if fourcc == b"VP8X":
+            if csize < 10:
+                return inv
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return (w, h, "vp8x", bool(body[0] & 0x10), True)
+        return inv
+    except (struct.error, IndexError):
+        return inv

@@ -981,3 +981,51 @@ def gps_scrub(images: DataFrame, bytes_col: str = "exif") -> DataFrame:
             yield out
 
     return in_schema.mapInPandas(kernel, out_fields)
+
+
+_WEBP_DIMS_COLS = (", webp_w int, webp_h int, webp_kind string,"
+                   " webp_alpha boolean, webp_valid boolean")
+
+
+def webp_dims(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """WebP dimensions/kind/alpha off the binary column — the second
+    decoder-family sibling of :func:`header_dims` (which covers the
+    fixed-offset containers; JPEG has :func:`jpeg_dims`).
+
+    WebP dimensions live in three different encodings behind RIFF
+    framing (14-bit u16s after the VP8 start code, a packed 28-bit
+    VP8L field, 24-bit VP8X canvas fields — ``codec.webp_features``),
+    so this runs as an Arrow batch kernel over ``mapInPandas``: the
+    binary column is the only extra column the kernel reads, the scan
+    prunes everything else, no shuffle.  ``webp_kind`` matters
+    downstream — lossless VP8L payloads are disproportionately
+    screenshots/diagrams and several training loaders route or
+    reject on it; ``webp_alpha`` gates compositing-sensitive uses.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from scrapely_spark.spark.codec import webp_features
+
+    id_cols = [c for c in images.columns if c != bytes_col]
+    in_schema = images.select(*id_cols, bytes_col)
+    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
+                            for f in in_schema.schema.fields
+                            if f.name != bytes_col)
+                  + _WEBP_DIMS_COLS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [webp_features(b) for b in batch[bytes_col]]
+            out = batch[id_cols].copy()
+            out["webp_w"] = pd.array([m[0] for m in metas],
+                                     dtype="Int32")
+            out["webp_h"] = pd.array([m[1] for m in metas],
+                                     dtype="Int32")
+            out["webp_kind"] = [m[2] for m in metas]
+            out["webp_alpha"] = [m[3] for m in metas]
+            out["webp_valid"] = [m[4] for m in metas]
+            yield out
+
+    return in_schema.mapInPandas(kernel, out_fields)

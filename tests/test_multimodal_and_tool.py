@@ -843,3 +843,60 @@ def test_gps_scrub_kernel_over_spark(spark):
     assert bytes(out[3]["exif"]) == rows[2][1]   # untouched blob
     assert out[4]["exif_valid"] is False
     assert out[4]["exif"] is None                # junk never passes
+
+
+def test_webp_walker_edge_cases():
+    from scrapely_spark.spark.codec import webp_bytes, webp_features
+
+    # all three chunk kinds, alpha variants, 14-bit extremes
+    assert webp_features(webp_bytes(800, 600, "vp8")) \
+        == (800, 600, "vp8", False, True)
+    assert webp_features(webp_bytes(16383, 1, "vp8")) \
+        == (16383, 1, "vp8", False, True)
+    assert webp_features(webp_bytes(33, 77, "vp8l", alpha=True)) \
+        == (33, 77, "vp8l", True, True)
+    # vp8x carries 24-bit canvas dims — beyond the 14-bit bitstreams
+    assert webp_features(webp_bytes(100000, 65536, "vp8x")) \
+        == (100000, 65536, "vp8x", False, True)
+    assert webp_features(webp_bytes(2, 2, "vp8x", alpha=True))[3] \
+        is True
+
+    inv = (None, None, None, None, False)
+    assert webp_features(b"") == inv
+    assert webp_features(b"RIFFxxxxWEBP") == inv          # truncated
+    assert webp_features(webp_bytes(8, 8, "vp8")[:14]) == inv
+    broken = bytearray(webp_bytes(8, 8, "vp8"))
+    broken[23] = 0                                        # start code
+    assert webp_features(bytes(broken)) == inv
+    badsig = bytearray(webp_bytes(8, 8, "vp8l"))
+    badsig[20] = 0x30                                     # not 0x2F
+    assert webp_features(bytes(badsig)) == inv
+    # nonzero VP8L version bits are reserved → invalid
+    import struct
+    v = (7 << 29) | (7 | (7 << 14))
+    payload = b"\x2f" + struct.pack("<I", v)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + b"\x00"
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert webp_features(blob) == inv
+
+
+def test_webp_dims_kernel_over_spark(spark):
+    from scrapely_spark.spark import multimodal
+    from scrapely_spark.spark.codec import webp_bytes
+
+    rows = [
+        (1, webp_bytes(640, 480, "vp8")),
+        (2, webp_bytes(100, 50, "vp8l", alpha=True)),
+        (3, webp_bytes(20000, 30000, "vp8x")),
+        (4, b"not webp"),
+    ]
+    df = spark.createDataFrame(rows, "image_id int, bytes binary")
+    out = {r["image_id"]: r
+           for r in multimodal.webp_dims(df).collect()}
+    assert (out[1]["webp_w"], out[1]["webp_h"]) == (640, 480)
+    assert out[1]["webp_kind"] == "vp8"
+    assert out[2]["webp_alpha"] is True
+    assert out[2]["webp_kind"] == "vp8l"
+    assert (out[3]["webp_w"], out[3]["webp_h"]) == (20000, 30000)
+    assert out[4]["webp_valid"] is False
+    assert out[4]["webp_w"] is None
