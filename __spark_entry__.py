@@ -2309,6 +2309,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             did.alias("image_id"), F.unhex(hx).alias("bytes"))
         return multimodal.jpeg_dims(imgs)
 
+    def q_charset_sniff(spark, sf):
+        # WHATWG-precedence charset detection (htmlmeta.
+        # charset_sniff): seven arms by %7 — UTF-8 BOM over a lying
+        # meta (BOM wins), UTF-16LE BOM, <meta charset>, http-equiv
+        # with the gb2312→gbk alias, XML declaration with the
+        # iso8859-1 alias, transport-header charset, and no signal at
+        # all; the oracle states the precedence winner in closed form
+        from scrapely_spark.frontier.htmlmeta import charset_sniff
+        did = F.col("doc_id")
+        cls = did % 7
+        text_fp = F.md5(F.col("text"))
+        html = (F.when(cls == 0, F.concat(
+                    F.lit("<meta charset=latin1>"), text_fp))
+                .when(cls == 2, F.concat(
+                    F.lit('<html><META CHARSET="Shift_JIS">'),
+                    text_fp))
+                .when(cls == 3, F.concat(
+                    F.lit('<meta http-equiv="Content-Type" content='
+                          '"text/html; charset=gb2312">'), text_fp))
+                .when(cls == 4, F.concat(
+                    F.lit('<?xml version="1.0" encoding='
+                          '"ISO8859-1"?><doc>'), text_fp,
+                    F.lit("</doc>")))
+                .otherwise(F.concat(F.lit("<html><body>"), text_fp,
+                                    F.lit("</body></html>"))))
+        body = (F.when(cls == 0, F.concat(F.unhex(F.lit("EFBBBF")),
+                                          F.encode(html, "UTF-8")))
+                .when(cls == 1, F.concat(F.unhex(F.lit("FFFE")),
+                                         F.encode(html, "UTF-8")))
+                .otherwise(F.encode(html, "UTF-8")))
+        ctype = (F.when(cls == 3, F.lit("text/html"))
+                 .when(cls == 5, F.lit("text/html; "
+                                       "charset=Windows-1252"))
+                 .otherwise(F.lit(None).cast("string")))
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("http://h"), (did % 5).cast("string"),
+                     F.lit("/u"), did.cast("string")).alias("url"),
+            body.alias("body"), ctype.alias("content_type"))
+        return charset_sniff(pages)
+
     def q_webp_dims(spark, sf):
         # WebP RIFF walk (multimodal.webp_dims): REAL container bytes
         # rendered in closed form — all three bitstream kinds by %3
@@ -2440,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_circuit": q_host_circuit,
         "image_gps_scrub": q_gps_scrub,
         "image_webp_dims": q_webp_dims,
+        "url_charset_sniff": q_charset_sniff,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5726,6 +5767,31 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # charset sniff: the precedence winner per arm in closed form
+        # — equality holds only if BOM beats the lying meta, the
+        # transport header beats meta, both alias normalizations fire,
+        # and the default lands where no signal exists
+        "url_charset_sniff": """
+            SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                     || '/u' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE CAST(doc_id % 7 AS INT)
+                     WHEN 0 THEN 'utf-8'
+                     WHEN 1 THEN 'utf-16le'
+                     WHEN 2 THEN 'shift_jis'
+                     WHEN 3 THEN 'gbk'
+                     WHEN 4 THEN 'iso-8859-1'
+                     WHEN 5 THEN 'windows-1252'
+                     ELSE 'utf-8' END AS charset,
+                   CASE CAST(doc_id % 7 AS INT)
+                     WHEN 0 THEN 'bom'
+                     WHEN 1 THEN 'bom'
+                     WHEN 2 THEN 'meta'
+                     WHEN 3 THEN 'meta'
+                     WHEN 4 THEN 'xml'
+                     WHEN 5 THEN 'http'
+                     ELSE 'default' END AS charset_source
+            FROM documents""",
 
         # WebP roundtrip identity: expected chunk-walk results stated
         # in closed form — equality holds only if the kernel's RIFF

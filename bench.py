@@ -148,6 +148,7 @@ HEADLINE = [
     "url_host_circuit",
     "image_gps_scrub",
     "image_webp_dims",
+    "url_charset_sniff",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

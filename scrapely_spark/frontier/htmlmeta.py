@@ -318,3 +318,97 @@ def main_content(pages: DataFrame, html_col: str = "html",
                     .alias("content"))
             .withColumn("content_chars",
                         F.length("content").cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (WHATWG encoding-detection precedence, simplified)
+
+# charset tokens inside a <meta> tag: matches both <meta charset=X>
+# and <meta http-equiv="Content-Type" content="text/html; charset=X">
+# (the parameter spelling is the same either way)
+_META_CHARSET_RE = (r'(?is)<meta[^>]*[\s"\x27/;]charset\s*=\s*'
+                    r'["\x27]?\s*([a-zA-Z0-9_.:-]+)')
+_HTTP_CHARSET_RE = r'(?i)charset\s*=\s*"?\s*([a-zA-Z0-9_.:-]+)'
+_XML_DECL_RE = (r'(?is)^<\?xml[^>]*encoding\s*=\s*'
+                r'["\x27]([a-zA-Z0-9_.:-]+)')
+
+# label → canonical name for the aliases a crawl actually sees; the
+# table is the spec, shared with the DuckDB oracle.  Unknown labels
+# pass through lowercased (better to preserve than to guess).
+CHARSET_ALIASES = {
+    "utf8": "utf-8", "utf-8": "utf-8",
+    "latin1": "iso-8859-1", "latin-1": "iso-8859-1",
+    "iso-8859-1": "iso-8859-1", "iso8859-1": "iso-8859-1",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "euc-kr": "euc-kr", "euc_kr": "euc-kr",
+    "gbk": "gbk", "gb2312": "gbk", "big5": "big5",
+    "utf-16": "utf-16", "utf-16le": "utf-16le",
+    "utf-16be": "utf-16be",
+}
+
+
+def _canon_charset(col):
+    out = F.lower(col)
+    for label, canon in CHARSET_ALIASES.items():
+        if label != canon:
+            out = F.when(F.lower(col) == label, F.lit(canon)) \
+                .otherwise(out)
+    return out
+
+
+def charset_sniff(pages: DataFrame, body_col: str = "body",
+                  content_type_col: str = "content_type",
+                  prefix_bytes: int = 1024) -> DataFrame:
+    """Document encoding detection, WHATWG-precedence (simplified).
+
+    A crawl cannot trust any single signal: servers lie in the
+    Content-Type header, pages lie in their meta tags, and both are
+    absent often enough that a default must exist.  Detection order is
+    the standard one — a BYTE ORDER MARK is authoritative (the
+    document physically starts with it), then the transport-layer
+    ``charset=`` parameter, then the in-page ``<meta>`` charset
+    scanned over the first ``prefix_bytes`` (the spec's prescan
+    window — a parser cannot buffer the whole document to decide how
+    to decode it), then an XML declaration, then utf-8.  Labels are
+    canonicalized through :data:`CHARSET_ALIASES`.
+
+    This is the step in FRONT of the encoding-damage gate
+    (``textstats``): mojibake is usually a page decoded with the
+    WRONG winner of exactly this precedence.
+
+    Plan: shuffle-free single Project — BOM checks are a 3-byte
+    binary slice + hex compare, the prescan decodes only the bounded
+    prefix as latin-1 (every byte maps; never throws), all regexp is
+    JVM-side.  Returns input columns minus the body, plus (charset,
+    charset_source ∈ bom|http|meta|xml|default).
+    """
+    body = F.col(body_col)
+    h3 = F.hex(F.substring(body, 1, 3))
+    h2 = F.hex(F.substring(body, 1, 2))
+    prefix = F.decode(F.substring(body, 1, prefix_bytes),
+                      "ISO-8859-1")
+    http = F.regexp_extract(
+        F.coalesce(F.col(content_type_col), F.lit("")),
+        _HTTP_CHARSET_RE, 1)
+    meta = F.regexp_extract(prefix, _META_CHARSET_RE, 1)
+    xml = F.regexp_extract(prefix, _XML_DECL_RE, 1)
+    charset = (
+        F.when(h3 == "EFBBBF", F.lit("utf-8"))
+        .when(h2 == "FFFE", F.lit("utf-16le"))
+        .when(h2 == "FEFF", F.lit("utf-16be"))
+        .when(http != "", _canon_charset(http))
+        .when(meta != "", _canon_charset(meta))
+        .when(xml != "", _canon_charset(xml))
+        .otherwise(F.lit("utf-8")))
+    source = (
+        F.when((h3 == "EFBBBF") | (h2 == "FFFE") | (h2 == "FEFF"),
+               F.lit("bom"))
+        .when(http != "", F.lit("http"))
+        .when(meta != "", F.lit("meta"))
+        .when(xml != "", F.lit("xml"))
+        .otherwise(F.lit("default")))
+    keep = [c for c in pages.columns
+            if c not in (body_col, content_type_col)]
+    return pages.select(*keep, charset.alias("charset"),
+                        source.alias("charset_source"))

@@ -1612,3 +1612,60 @@ def test_host_circuit_thresholds(spark):
     assert out["hedge"]["failure_ppt"] == 500
     assert out["hfew"]["suspended"] is False
     assert out["hfew"]["failure_ppt"] == 1000
+
+
+def test_charset_sniff_precedence(spark):
+    from scrapely_spark.frontier.htmlmeta import charset_sniff
+
+    rows = [
+        # BOM beats a lying header AND a lying meta
+        ("bom8", bytearray(b"\xef\xbb\xbf<meta charset=latin1>"),
+         "text/html; charset=shift_jis"),
+        ("bom16le", bytearray(b"\xff\xfex\x00"), None),
+        ("bom16be", bytearray(b"\xfe\xffx\x00"), None),
+        # header beats meta
+        ("http", bytearray(b'<meta charset="EUC-KR">'),
+         "text/html; charset=Windows-1252"),
+        # meta (both spellings), alias-normalized
+        ("meta1", bytearray(b'<html><META CHARSET="Shift_JIS">'), None),
+        ("meta2", bytearray(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=gb2312">'), "text/html"),
+        # xml declaration
+        ("xml", bytearray(
+            b'<?xml version="1.0" encoding="ISO8859-1"?><doc/>'), None),
+        # nothing → default
+        ("none", bytearray(b"<html><body>plain</body></html>"), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, body binary, content_type string")
+    out = {r["url"]: (r["charset"], r["charset_source"])
+           for r in charset_sniff(df).collect()}
+    assert out["bom8"] == ("utf-8", "bom")
+    assert out["bom16le"] == ("utf-16le", "bom")
+    assert out["bom16be"] == ("utf-16be", "bom")
+    assert out["http"] == ("windows-1252", "http")
+    assert out["meta1"] == ("shift_jis", "meta")
+    assert out["meta2"] == ("gbk", "meta")
+    assert out["xml"] == ("iso-8859-1", "xml")
+    assert out["none"] == ("utf-8", "default")
+
+
+def test_charset_sniff_prescan_window_and_plan(spark):
+    from scrapely_spark.frontier.htmlmeta import charset_sniff
+
+    # a meta tag BEYOND the prescan window must not be seen —
+    # exactly what a streaming parser cannot buffer for
+    far = b"<html>" + b" " * 1100 + b'<meta charset="big5">'
+    near = b"<html>" + b" " * 100 + b'<meta charset="big5">'
+    df = spark.createDataFrame(
+        [("far", bytearray(far), None), ("near", bytearray(near), None)],
+        "url string, body binary, content_type string")
+    out = {r["url"]: (r["charset"], r["charset_source"])
+           for r in charset_sniff(df).collect()}
+    assert out["far"] == ("utf-8", "default")
+    assert out["near"] == ("big5", "meta")
+
+    plan = charset_sniff(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
