@@ -2309,6 +2309,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             did.alias("image_id"), F.unhex(hx).alias("bytes"))
         return multimodal.jpeg_dims(imgs)
 
+    def q_page_ingest(spark, sf):
+        # page→corpus ingest composition (htmlmeta.page_ingest):
+        # groups of 3 docs share one article (duplicates collapse
+        # AFTER extraction even though their chrome differs by the
+        # %3==1 link rail), every 11th article is too short for the
+        # content gate; the oracle replays extraction, gate and the
+        # min-url election as one CTE chain
+        from scrapely_spark.frontier.htmlmeta import page_ingest
+        did = F.col("doc_id")
+        g = F.md5((did - did % 3).cast("string"))
+        t = (F.when(did % 11 == 0, F.substring(g, 1, 8))
+             .otherwise(F.concat_ws(" ", g, g, g, g)))
+        rail = F.lit('<ul><li><a href="/r1">related one</a></li>'
+                     '<li><a href="/r2">related two</a></li></ul>')
+        html = F.concat(
+            F.lit('<html><body><nav><a href="/">Home</a> '
+                  '<a href="/c">Categories</a></nav>'),
+            F.when(did % 3 == 1, rail).otherwise(F.lit("")),
+            F.lit("<p>"), t, F.lit("</p>"),
+            F.lit('<footer><a href="/p">Privacy policy</a> '
+                  '<a href="/t">Terms of use</a></footer>'
+                  '</body></html>'))
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("http://site/"), did.cast("string"))
+            .alias("url"), html.alias("html"))
+        return page_ingest(pages)
+
     def q_charset_sniff(spark, sf):
         # WHATWG-precedence charset detection (htmlmeta.
         # charset_sniff): seven arms by %7 — UTF-8 BOM over a lying
@@ -2481,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gps_scrub": q_gps_scrub,
         "image_webp_dims": q_webp_dims,
         "url_charset_sniff": q_charset_sniff,
+        "page_corpus_ingest": q_page_ingest,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5707,10 +5735,11 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
               FROM b)
             SELECT url, CAST(len(blocks) AS INT) AS n_blocks,
                    CAST(len(kept) AS INT) AS n_kept,
-                   array_to_string(list_transform(kept, s -> s.t),
-                                   chr(10)) AS content,
-                   CAST(length(array_to_string(
-                     list_transform(kept, s -> s.t), chr(10)))
+                   coalesce(array_to_string(
+                     list_transform(kept, s -> s.t), chr(10)), '')
+                     AS content,
+                   CAST(length(coalesce(array_to_string(
+                     list_transform(kept, s -> s.t), chr(10)), ''))
                      AS INT) AS content_chars
             FROM k""",
 
@@ -5767,6 +5796,100 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # page→corpus ingest: the whole composition replayed as one
+        # CTE chain — identical page rendering, the main_content list
+        # algebra (same regex literals), the ≥100-char gate, and the
+        # min-url election over the content fingerprint
+        "page_corpus_ingest": r"""
+            WITH pages AS (
+              SELECT 'http://site/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body><nav><a href="/">Home</a> '
+                     || '<a href="/c">Categories</a></nav>'
+                     || CASE WHEN doc_id % 3 = 1
+                             THEN '<ul><li><a href="/r1">related one'
+                                  || '</a></li><li><a href="/r2">'
+                                  || 'related two</a></li></ul>'
+                             ELSE '' END
+                     || '<p>'
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN substr(md5(CAST(doc_id - doc_id % 3
+                                                  AS VARCHAR)), 1, 8)
+                             ELSE concat_ws(' ',
+                               md5(CAST(doc_id - doc_id % 3
+                                        AS VARCHAR)),
+                               md5(CAST(doc_id - doc_id % 3
+                                        AS VARCHAR)),
+                               md5(CAST(doc_id - doc_id % 3
+                                        AS VARCHAR)),
+                               md5(CAST(doc_id - doc_id % 3
+                                        AS VARCHAR))) END
+                     || '</p>'
+                     || '<footer><a href="/p">Privacy policy</a> '
+                     || '<a href="/t">Terms of use</a></footer>'
+                     || '</body></html>' AS html
+              FROM documents),
+            b AS (
+              SELECT url,
+                     list_filter(
+                       list_transform(
+                         string_split_regex(html,
+                           '(?i)</?(?:p|div|section|article|main|li|'
+                           || 'ul|ol|table|thead|tbody|tr|td|th|'
+                           || 'h[1-6]|header|footer|nav|aside|'
+                           || 'blockquote|pre|br|hr|form|fieldset)'
+                           || '\b[^>]*>'),
+                         s -> {'t': trim(regexp_replace(
+                                 regexp_replace(s, '(?s)<[^>]*>',
+                                                ' ', 'g'),
+                                 '\s+', ' ', 'g')),
+                               'a': coalesce(list_sum(list_transform(
+                                 regexp_extract_all(s,
+                                   '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                                 m -> length(trim(regexp_replace(
+                                   regexp_replace(m, '(?s)<[^>]*>',
+                                                  ' ', 'g'),
+                                   '\s+', ' ', 'g'))))), 0)}),
+                       s -> length(s.t) > 0) AS blocks
+              FROM pages),
+            k AS (
+              SELECT url, blocks,
+                     list_filter(blocks,
+                       s -> length(s.t) >= 25
+                            AND s.a * 1000 <= 333 * length(s.t))
+                       AS kept
+              FROM b),
+            e AS (
+              SELECT url, CAST(len(blocks) AS INT) AS n_blocks,
+                     CAST(len(kept) AS INT) AS n_kept,
+                     coalesce(array_to_string(
+                       list_transform(kept, s -> s.t), chr(10)), '')
+                       AS content,
+                     CAST(length(coalesce(array_to_string(
+                       list_transform(kept, s -> s.t), chr(10)), ''))
+                       AS INT) AS content_chars
+              FROM k),
+            s AS (
+              SELECT url, n_blocks, n_kept, content_chars,
+                     CASE WHEN content_chars >= 100
+                          THEN md5(content) END AS content_fp,
+                     CASE WHEN content_chars >= 100
+                          THEN md5(content)
+                          ELSE 'short:' || url END AS key
+              FROM e),
+            w AS (
+              SELECT *, MIN(url) OVER (PARTITION BY key) AS min_url
+              FROM s)
+            SELECT url, n_blocks, n_kept, content_chars, content_fp,
+                   CASE WHEN content_fp IS NOT NULL
+                        THEN min_url END AS canonical_url,
+                   content_fp IS NOT NULL AND url = min_url
+                     AS is_canonical,
+                   content_fp IS NOT NULL AND url = min_url AS kept,
+                   CASE WHEN content_fp IS NULL THEN 'short'
+                        WHEN url != min_url THEN 'duplicate'
+                   END AS drop_reason
+            FROM w""",
 
         # charset sniff: the precedence winner per arm in closed form
         # — equality holds only if BOM beats the lying meta, the

@@ -412,3 +412,63 @@ def charset_sniff(pages: DataFrame, body_col: str = "body",
             if c not in (body_col, content_type_col)]
     return pages.select(*keep, charset.alias("charset"),
                         source.alias("charset_source"))
+
+
+def page_ingest(pages: DataFrame, url_col: str = "url",
+                html_col: str = "html",
+                min_content_chars: int = 100) -> DataFrame:
+    """Raw fetched HTML → corpus-ready ingest verdicts, one lineage.
+
+    The front half of the corpus build (``corpus.llm_corpus_build``
+    picks up from extracted documents): boilerplate removal
+    (:func:`main_content`), a minimum-content gate, and exact
+    duplicate election on the content fingerprint — the order matters,
+    and running them fused is what makes the whole step one body scan:
+
+    * extraction first, because dedup over RAW html is nearly useless
+      (every page is unique — timestamps, session ids, rotating nav),
+      while the extracted prose is where true duplicates collapse;
+    * the length gate before the dedup shuffle, so chrome-only pages
+      never pay an exchange;
+    * canonical election as ``min(url)`` per fingerprint —
+      deterministic, and the same election every other dedup family
+      here uses.
+
+    Plan: extraction + gate ride the page scan (shuffle-free
+    higher-order functions); the ONLY exchange is the fingerprint
+    window, and since the output carries no content column, Catalyst
+    prunes the bodies out of that shuffle — gate-failed rows get a
+    per-row synthetic partition key (``short:url``) so they pass
+    through the same window without forming a skewed NULL bucket.
+
+    Returns (url, n_blocks, n_kept, content_chars, content_fp,
+    canonical_url, is_canonical, kept, drop_reason ∈ NULL|short|
+    duplicate).
+    """
+    from pyspark.sql import Window
+
+    extracted = main_content(pages.select(url_col, html_col),
+                             html_col=html_col)
+    ok = F.col("content_chars") >= F.lit(min_content_chars)
+    staged = extracted.select(
+        F.col(url_col).alias("url"), "n_blocks", "n_kept",
+        "content_chars",
+        F.when(ok, F.md5("content")).alias("content_fp"),
+        F.when(ok, F.md5("content"))
+        .otherwise(F.concat(F.lit("short:"), F.col(url_col)))
+        .alias("_key"))
+    w = Window.partitionBy("_key")
+    elected = (staged
+               .withColumn("_min_url", F.min("url").over(w))
+               .withColumn("_grp", F.count(F.lit(1)).over(w)))
+    is_canon = F.col("content_fp").isNotNull() \
+        & (F.col("url") == F.col("_min_url"))
+    kept = is_canon
+    reason = (F.when(F.col("content_fp").isNull(), F.lit("short"))
+              .when(~is_canon, F.lit("duplicate")))
+    return elected.select(
+        "url", "n_blocks", "n_kept", "content_chars", "content_fp",
+        F.when(F.col("content_fp").isNotNull(), F.col("_min_url"))
+        .alias("canonical_url"),
+        is_canon.alias("is_canonical"), kept.alias("kept"),
+        reason.alias("drop_reason"))

@@ -1669,3 +1669,45 @@ def test_charset_sniff_prescan_window_and_plan(spark):
     plan = charset_sniff(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_page_ingest_composition(spark):
+    from scrapely_spark.frontier.htmlmeta import page_ingest
+
+    prose = ("This is a long and perfectly reasonable article body "
+             "with enough characters to clear the minimum content "
+             "gate comfortably, twice over.")
+    nav = '<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
+    mk = lambda body: "<html><body>%s<p>%s</p></body></html>" % (nav,
+                                                                 body)
+    rows = [
+        ("http://s/1", mk(prose)),            # canonical (min url)
+        ("http://s/2", mk(prose)),            # exact dup after extract
+        # same prose but different chrome — still a dup: dedup runs
+        # on the EXTRACTED content, not the raw html
+        ("http://s/3", "<html><body><footer><a href='/x'>Terms</a>"
+                       "</footer><p>%s</p></body></html>" % prose),
+        ("http://s/4", mk("unique and long enough body text that is "
+                          "clearly distinct from the shared prose and "
+                          "also clears the minimum-length content "
+                          "gate")),
+        ("http://s/5", mk("tiny")),           # short → gated
+        ("http://s/6", nav),                  # chrome only → short
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: r for r in page_ingest(df).collect()}
+
+    assert out["http://s/1"]["kept"] is True
+    assert out["http://s/1"]["drop_reason"] is None
+    assert out["http://s/2"]["drop_reason"] == "duplicate"
+    assert out["http://s/2"]["canonical_url"] == "http://s/1"
+    assert out["http://s/3"]["drop_reason"] == "duplicate"
+    assert out["http://s/4"]["kept"] is True
+    assert out["http://s/5"]["drop_reason"] == "short"
+    assert out["http://s/5"]["content_fp"] is None
+    assert out["http://s/6"]["drop_reason"] == "short"
+    # exactly one Exchange (the fingerprint window); extraction and
+    # the gate ride the scan
+    plan = page_ingest(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert plan.count("Exchange") <= 2   # window exchange (+AQE read)
