@@ -2336,6 +2336,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return page_ingest(pages)
 
+    def q_gif_frames(spark, sf):
+        # GIF block walk (multimodal.gif_frame_meta): REAL GIF89a
+        # streams rendered in closed form — 1-4 image descriptors
+        # (frame count lives nowhere in the header; only the walk can
+        # count them), a NETSCAPE2.0 loop extension on multi-frame
+        # gifs, junk (%13) and truncated (%17) payloads.  Closed-form
+        # roundtrip-identity oracle.
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        w = (8 + (did * 23) % 500).cast("long")
+        h = (8 + (did * 31) % 500).cast("long")
+        n = (1 + did % 4).cast("int")
+        loop = (did % 7).cast("long")
+
+        def le16(v):
+            return F.concat(
+                F.lpad(F.hex(v % 256), 2, "0"),
+                F.lpad(F.hex(F.shiftright(v, 8) % 256), 2, "0"))
+
+        header = F.concat(F.lit("474946383961"), le16(w), le16(h),
+                          F.lit("000000"))
+        ns = F.when(n > 1, F.concat(
+            F.lit("21FF0B4E45545343415045322E300301"), le16(loop),
+            F.lit("00"))).otherwise(F.lit(""))
+        # 2C, left=0, top=0, w, h, packed=0, lzw-min=02, one 2-byte
+        # sub-block, terminator
+        frame = F.concat(F.lit("2C00000000"), le16(w), le16(h),
+                         F.lit("0002024C0100"))
+        staged = _t(spark, sf, "documents").select(
+            did.alias("image_id"), did.alias("doc_id"),
+            header.alias("hdr"), ns.alias("ns"),
+            frame.alias("frame"), n.alias("n"))
+        hx = F.expr("concat(hdr, ns, repeat(frame, n), '3B')")
+        hx = (F.when(F.col("doc_id") % 13 == 0, F.lit("DEADBEEF"))
+              .when(F.col("doc_id") % 17 == 0, F.substring(hx, 1, 20))
+              .otherwise(hx))
+        imgs = staged.select("image_id", F.unhex(hx).alias("bytes"))
+        return multimodal.gif_frame_meta(imgs)
+
     def q_charset_sniff(spark, sf):
         # WHATWG-precedence charset detection (htmlmeta.
         # charset_sniff): seven arms by %7 — UTF-8 BOM over a lying
@@ -2509,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_webp_dims": q_webp_dims,
         "url_charset_sniff": q_charset_sniff,
         "page_corpus_ingest": q_page_ingest,
+        "image_gif_frames": q_gif_frames,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5796,6 +5836,33 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # GIF roundtrip identity: expected block-walk results in
+        # closed form — frame count only a correct walk can produce,
+        # loop count only on multi-frame streams, junk/truncation
+        # flagged
+        "image_gif_frames": """
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(8 + (doc_id * 23) % 500 AS INT)
+                   END AS gif_w,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(8 + (doc_id * 31) % 500 AS INT)
+                   END AS gif_h,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(1 + doc_id % 4 AS INT)
+                   END AS n_frames,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                          OR doc_id % 4 = 0
+                        THEN NULL
+                        ELSE CAST(doc_id % 7 AS INT)
+                   END AS loop_count,
+                   NOT (doc_id % 13 = 0 OR doc_id % 17 = 0)
+                     AS gif_valid
+            FROM documents""",
 
         # page→corpus ingest: the whole composition replayed as one
         # CTE chain — identical page rendering, the main_content list

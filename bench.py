@@ -150,6 +150,7 @@ HEADLINE = [
     "image_webp_dims",
     "url_charset_sniff",
     "page_corpus_ingest",
+    "image_gif_frames",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -561,3 +561,105 @@ def webp_features(data: bytes) -> tuple:
         return inv
     except (struct.error, IndexError):
         return inv
+
+
+# ---------------------------------------------------------------- GIF
+
+def gif_bytes(w: int, h: int, n_frames: int = 1,
+              loop_count: int | None = None) -> bytes:
+    """Build a REAL GIF89a block stream: header + logical screen
+    descriptor, an optional NETSCAPE2.0 looping application extension,
+    ``n_frames`` image descriptors each carrying a (structurally
+    complete, minimal) LZW data section, and the 0x3B trailer.  Enough
+    of the format for any block walker to count frames; pixel payloads
+    are not meant to decode to anything in particular.
+    """
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+    if loop_count is not None:
+        out += (b"\x21\xff\x0bNETSCAPE2.0"
+                + b"\x03\x01" + struct.pack("<H", loop_count)
+                + b"\x00")
+    frame = (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+             + b"\x02" + b"\x02\x4c\x01" + b"\x00")
+    out += frame * n_frames
+    return out + b"\x3b"
+
+
+def gif_frames(data: bytes) -> tuple:
+    """Parse ``(w, h, n_frames, loop_count, valid)`` from a GIF
+    payload by walking its block stream (GIF89a spec §§18-26).
+
+    Frame count lives NOWHERE in the header — it is the number of
+    image descriptors (0x2C) found by walking extensions (0x21 +
+    label + length-prefixed sub-blocks), color tables (size encoded
+    in packed bits) and image data sections to the 0x3B trailer.
+    The NETSCAPE2.0 application extension carries the loop count
+    (0 = forever); absent means play once (``loop_count`` NULL).
+    Junk, truncation mid-sub-block, or a missing trailer return
+    ``(None, None, None, None, False)``.
+    """
+    import struct
+
+    inv = (None, None, None, None, False)
+    try:
+        if len(data) < 14 or data[:6] not in (b"GIF89a", b"GIF87a"):
+            return inv
+        w, h = struct.unpack_from("<HH", data, 6)
+        packed = data[10]
+        pos = 13
+        if packed & 0x80:                      # global color table
+            pos += 3 * (2 << (packed & 0x07))
+        n_frames = 0
+        loop_count = None
+
+        def sub_blocks(p):
+            while True:
+                if p >= len(data):
+                    raise IndexError
+                ln = data[p]
+                p += 1
+                if ln == 0:
+                    return p
+                if p + ln > len(data):
+                    raise IndexError
+                p += ln
+
+        while True:
+            if pos >= len(data):
+                return inv                     # ran out before trailer
+            block = data[pos]
+            pos += 1
+            if block == 0x3B:                  # trailer
+                return (w, h, n_frames, loop_count, True)
+            if block == 0x21:                  # extension
+                if pos >= len(data):
+                    return inv
+                label = data[pos]
+                pos += 1
+                if (label == 0xFF and pos < len(data)
+                        and data[pos] == 11
+                        and data[pos + 1:pos + 12] == b"NETSCAPE2.0"):
+                    sub = data[pos + 12]
+                    if sub >= 3 and pos + 13 + 3 <= len(data) \
+                            and data[pos + 13] == 0x01:
+                        (loop_count,) = struct.unpack_from(
+                            "<H", data, pos + 14)
+                pos = sub_blocks(pos)
+            elif block == 0x2C:                # image descriptor
+                if pos + 9 > len(data):
+                    return inv
+                ipacked = data[pos + 8]
+                pos += 9
+                if ipacked & 0x80:             # local color table
+                    pos += 3 * (2 << (ipacked & 0x07))
+                if pos >= len(data):
+                    return inv
+                pos += 1                       # LZW min code size
+                pos = sub_blocks(pos)
+                n_frames += 1
+            else:
+                return inv                     # unknown block type
+    except (struct.error, IndexError):
+        return inv

@@ -1029,3 +1029,54 @@ def webp_dims(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             yield out
 
     return in_schema.mapInPandas(kernel, out_fields)
+
+
+_GIF_FRAMES_COLS = (", gif_w int, gif_h int, n_frames int,"
+                    " loop_count int, gif_valid boolean")
+
+
+def gif_frame_meta(images: DataFrame,
+                   bytes_col: str = "bytes") -> DataFrame:
+    """GIF frame count + loop semantics off the binary column — the
+    third decoder-family sibling (JPEG: :func:`jpeg_dims`, WebP:
+    :func:`webp_dims`).
+
+    The frame count lives nowhere in the header: it is the number of
+    image descriptors found by walking the block stream to the
+    trailer (``codec.gif_frames``), so this is an Arrow batch kernel
+    over ``mapInPandas`` — binary column only, scan prunes the rest,
+    no shuffle.  ``n_frames > 1`` is the signal that routes animated
+    GIFs to the video/frame-sampling pipeline instead of the still
+    curation path; ``loop_count`` (NETSCAPE2.0, 0 = forever, NULL =
+    play once) distinguishes cinemagraph-style loops from one-shot
+    animations.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from scrapely_spark.spark.codec import gif_frames
+
+    id_cols = [c for c in images.columns if c != bytes_col]
+    in_schema = images.select(*id_cols, bytes_col)
+    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
+                            for f in in_schema.schema.fields
+                            if f.name != bytes_col)
+                  + _GIF_FRAMES_COLS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [gif_frames(b) for b in batch[bytes_col]]
+            out = batch[id_cols].copy()
+            out["gif_w"] = pd.array([m[0] for m in metas],
+                                    dtype="Int32")
+            out["gif_h"] = pd.array([m[1] for m in metas],
+                                    dtype="Int32")
+            out["n_frames"] = pd.array([m[2] for m in metas],
+                                       dtype="Int32")
+            out["loop_count"] = pd.array([m[3] for m in metas],
+                                         dtype="Int32")
+            out["gif_valid"] = [m[4] for m in metas]
+            yield out
+
+    return in_schema.mapInPandas(kernel, out_fields)

@@ -900,3 +900,43 @@ def test_webp_dims_kernel_over_spark(spark):
     assert (out[3]["webp_w"], out[3]["webp_h"]) == (20000, 30000)
     assert out[4]["webp_valid"] is False
     assert out[4]["webp_w"] is None
+
+
+def test_gif_walker_edge_cases():
+    from scrapely_spark.spark.codec import gif_bytes, gif_frames
+
+    assert gif_frames(gif_bytes(320, 200, 1)) \
+        == (320, 200, 1, None, True)
+    assert gif_frames(gif_bytes(64, 64, 8, loop_count=0)) \
+        == (64, 64, 8, 0, True)
+    assert gif_frames(gif_bytes(10, 10, 3, loop_count=5)) \
+        == (10, 10, 3, 5, True)
+
+    inv = (None, None, None, None, False)
+    assert gif_frames(b"") == inv
+    assert gif_frames(b"NOTGIF" + b"\x00" * 20) == inv
+    assert gif_frames(gif_bytes(10, 10, 3)[:-1]) == inv   # no trailer
+    assert gif_frames(gif_bytes(10, 10, 2)[:20]) == inv   # truncated
+    # unknown block type aborts instead of miscounting
+    blob = bytearray(gif_bytes(10, 10, 1))
+    blob[13] = 0x7E
+    assert gif_frames(bytes(blob)) == inv
+
+
+def test_gif_frame_meta_kernel_over_spark(spark):
+    from scrapely_spark.spark import multimodal
+    from scrapely_spark.spark.codec import gif_bytes
+
+    rows = [
+        (1, gif_bytes(100, 80, 1)),
+        (2, gif_bytes(64, 64, 12, loop_count=0)),
+        (3, gif_bytes(32, 32, 2, loop_count=7)),
+        (4, b"junk"),
+    ]
+    df = spark.createDataFrame(rows, "image_id int, bytes binary")
+    out = {r["image_id"]: r
+           for r in multimodal.gif_frame_meta(df).collect()}
+    assert (out[1]["n_frames"], out[1]["loop_count"]) == (1, None)
+    assert (out[2]["n_frames"], out[2]["loop_count"]) == (12, 0)
+    assert (out[3]["gif_w"], out[3]["loop_count"]) == (32, 7)
+    assert out[4]["gif_valid"] is False
