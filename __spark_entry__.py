@@ -2336,6 +2336,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return page_ingest(pages)
 
+    def q_idn_hosts(spark, sf):
+        # IDN canonicalization (canonical.idn_hosts): seven label arms
+        # spanning Latin diacritics, Han, Cyrillic and Katakana plus a
+        # pure-ASCII control with case folding; the oracle pins the
+        # RFC 3492 A-labels as literals (the encoder itself is
+        # property-tested against CPython's reference codec)
+        from scrapely_spark.frontier.canonical import idn_hosts
+        did = F.col("doc_id")
+        label = (F.when(did % 7 == 0, F.lit("münchen"))
+                 .when(did % 7 == 1, F.lit("bücher"))
+                 .when(did % 7 == 2, F.lit("中国"))
+                 .when(did % 7 == 3, F.lit("рф"))
+                 .when(did % 7 == 4, F.lit("españa"))
+                 .when(did % 7 == 5, F.lit("ドメイン"))
+                 .otherwise(F.lit("Plain")))
+        hosts = _t(spark, sf, "documents").select(
+            did.alias("doc_id"),
+            F.concat(F.lit("h"), (did % 97).cast("string"),
+                     F.lit("."), label, F.lit(".example"))
+            .alias("host"))
+        return idn_hosts(hosts)
+
     def q_gif_frames(spark, sf):
         # GIF block walk (multimodal.gif_frame_meta): REAL GIF89a
         # streams rendered in closed form — 1-4 image descriptors
@@ -2549,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_charset_sniff": q_charset_sniff,
         "page_corpus_ingest": q_page_ingest,
         "image_gif_frames": q_gif_frames,
+        "url_idn_hosts": q_idn_hosts,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5836,6 +5859,34 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # IDN canonicalization: the RFC 3492 A-labels pinned as
+        # literals per arm (these exact encodings are also unit-pinned
+        # and the encoder is property-tested against CPython's
+        # reference punycode codec)
+        "url_idn_hosts": """
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 97 AS VARCHAR) || '.'
+                     || CASE CAST(doc_id % 7 AS INT)
+                          WHEN 0 THEN 'münchen'
+                          WHEN 1 THEN 'bücher'
+                          WHEN 2 THEN '中国'
+                          WHEN 3 THEN 'рф'
+                          WHEN 4 THEN 'españa'
+                          WHEN 5 THEN 'ドメイン'
+                          ELSE 'Plain' END || '.example' AS host,
+                   'h' || CAST(doc_id % 97 AS VARCHAR) || '.'
+                     || CASE CAST(doc_id % 7 AS INT)
+                          WHEN 0 THEN 'xn--mnchen-3ya'
+                          WHEN 1 THEN 'xn--bcher-kva'
+                          WHEN 2 THEN 'xn--fiqs8s'
+                          WHEN 3 THEN 'xn--p1ai'
+                          WHEN 4 THEN 'xn--espaa-rta'
+                          WHEN 5 THEN 'xn--eckwd4c7c'
+                          ELSE 'plain' END || '.example'
+                     AS ascii_host,
+                   doc_id % 7 != 6 AS is_idn
+            FROM documents""",
 
         # GIF roundtrip identity: expected block-walk results in
         # closed form — frame count only a correct walk can produce,

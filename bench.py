@@ -151,6 +151,7 @@ HEADLINE = [
     "url_charset_sniff",
     "page_corpus_ingest",
     "image_gif_frames",
+    "url_idn_hosts",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -410,3 +410,117 @@ def subdomain_explosion(hosts_df, suffixes=DEFAULT_SUFFIXES,
                  F.min(host_col).alias("example_host"))
             .withColumn("suspect",
                         F.col("n_hosts") > F.lit(max_hosts_per_domain)))
+
+
+# ---------------------------------------------------------------------------
+# IDN host canonicalization (RFC 3492 punycode, RFC 5890 A-labels)
+
+_PUNY_BASE, _PUNY_TMIN, _PUNY_TMAX = 36, 1, 26
+_PUNY_SKEW, _PUNY_DAMP = 38, 700
+_PUNY_INITIAL_BIAS, _PUNY_INITIAL_N = 72, 128
+
+
+def _puny_adapt(delta: int, numpoints: int, firsttime: bool) -> int:
+    """Bias adaptation, RFC 3492 §6.1 — verbatim from the spec."""
+    delta = delta // _PUNY_DAMP if firsttime else delta // 2
+    delta += delta // numpoints
+    k = 0
+    while delta > ((_PUNY_BASE - _PUNY_TMIN) * _PUNY_TMAX) // 2:
+        delta //= _PUNY_BASE - _PUNY_TMIN
+        k += _PUNY_BASE
+    return k + (((_PUNY_BASE - _PUNY_TMIN + 1) * delta)
+                // (delta + _PUNY_SKEW))
+
+
+def punycode_encode(label: str) -> str:
+    """RFC 3492 §6.3 encoder, implemented from the spec (and
+    property-tested against Python's stdlib ``punycode`` codec, the
+    reference implementation shipped with every CPython).
+
+    Basic (ASCII) code points are copied to the front; each non-basic
+    code point is then transmitted as a generalized-variable-length
+    delta in the insertion-sort coordinate space, with the bias
+    adapting after every encoded character.
+    """
+    n, delta, bias = _PUNY_INITIAL_N, 0, _PUNY_INITIAL_BIAS
+    out = [c for c in label if ord(c) < 128]
+    h = b = len(out)
+    if b:
+        out.append("-")
+    codepoints = [ord(c) for c in label]
+    while h < len(codepoints):
+        m = min(cp for cp in codepoints if cp >= n)
+        delta += (m - n) * (h + 1)
+        n = m
+        for cp in codepoints:
+            if cp < n:
+                delta += 1
+            elif cp == n:
+                q = delta
+                k = _PUNY_BASE
+                while True:
+                    t = (_PUNY_TMIN if k <= bias
+                         else _PUNY_TMAX if k >= bias + _PUNY_TMAX
+                         else k - bias)
+                    if q < t:
+                        break
+                    d = t + (q - t) % (_PUNY_BASE - t)
+                    out.append(chr(d + 22 + 75 * (d < 26)))
+                    q = (q - t) // (_PUNY_BASE - t)
+                    k += _PUNY_BASE
+                out.append(chr(q + 22 + 75 * (q < 26)))
+                bias = _puny_adapt(delta, h + 1, h == b)
+                delta = 0
+                h += 1
+        delta += 1
+        n += 1
+    return "".join(out)
+
+
+def idn_ascii_host(host: str) -> str:
+    """Unicode hostname → its ASCII (A-label) form: lowercase, then
+    ``xn--`` + punycode per non-ASCII label (RFC 5890).  ASCII hosts
+    pass through lowercased — the function is idempotent, which is
+    what lets the politeness/seen keys treat it as a canonicalizer.
+    (Full IDNA2008 mapping — bidi rules, contextual joiners — is out
+    of scope; lowercase folding covers the crawl-relevant cases.)
+    """
+    labels = host.lower().rstrip(".").split(".")
+    out = []
+    for label in labels:
+        if label.isascii():
+            out.append(label)
+        else:
+            out.append("xn--" + punycode_encode(label))
+    return ".".join(out)
+
+
+def idn_hosts(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """Decorate a host table with its ASCII (A-label) form and a flag.
+
+    The politeness queue, the URL-seen filter and the registrable-
+    domain parse all key on the host string — an internationalized
+    host must map to ONE canonical ASCII key or the same origin gets
+    two budgets and two seen-entries.  Host-cardinality input by
+    design (decorate the host dim, not the URL stream); the kernel is
+    an Arrow batch over ``mapInPandas``.
+
+    Returns input columns + (ascii_host, is_idn).
+    """
+    id_cols = list(hosts.columns)
+    out_fields = (", ".join(
+        "%s %s" % (f.name, f.dataType.simpleString())
+        for f in hosts.schema.fields)
+        + ", ascii_host string, is_idn boolean")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ascii_hosts = [idn_ascii_host(x) for x in batch[host_col]]
+            out = batch[id_cols].copy()
+            out["ascii_host"] = ascii_hosts
+            out["is_idn"] = [a != x.lower().rstrip(".")
+                             for a, x in zip(ascii_hosts,
+                                             batch[host_col])]
+            yield out
+
+    return hosts.mapInPandas(kernel, out_fields)

@@ -1711,3 +1711,50 @@ def test_page_ingest_composition(spark):
     plan = page_ingest(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert plan.count("Exchange") <= 2   # window exchange (+AQE read)
+
+
+def test_punycode_matches_stdlib_reference():
+    import random
+
+    from scrapely_spark.frontier.canonical import (idn_ascii_host,
+                                                   punycode_encode)
+
+    # RFC 3492-pinned well-known encodings
+    assert punycode_encode("münchen") == "mnchen-3ya"
+    assert punycode_encode("bücher") == "bcher-kva"
+    assert punycode_encode("中国") == "fiqs8s"
+    assert punycode_encode("рф") == "p1ai"
+    assert punycode_encode("ドメイン") == "eckwd4c7c"
+
+    # property parity vs the stdlib punycode codec (the reference
+    # implementation shipped with CPython)
+    random.seed(11)
+    pool = (list(range(97, 123))
+            + [0xFC, 0xE9, 0x4E2D, 0x56FD, 0x440, 0x444, 0x3B1,
+               0x30C9, 0x1F600])
+    for _ in range(1500):
+        s = "".join(chr(random.choice(pool))
+                    for _ in range(random.randint(1, 12)))
+        assert punycode_encode(s) == \
+            s.encode("punycode").decode("ascii"), s
+
+    # host canonicalizer: case fold, per-label, idempotent
+    assert idn_ascii_host("MÜNCHEN.Example.COM") \
+        == "xn--mnchen-3ya.example.com"
+    assert idn_ascii_host("www.example.com") == "www.example.com"
+    h = idn_ascii_host("рф.ru")
+    assert idn_ascii_host(h) == h
+
+
+def test_idn_hosts_kernel_over_spark(spark):
+    from scrapely_spark.frontier.canonical import idn_hosts
+
+    df = spark.createDataFrame(
+        [("münchen.de",), ("Plain.Example.COM",), ("中国.cn",)],
+        "host string")
+    out = {r["host"]: r for r in idn_hosts(df).collect()}
+    assert out["münchen.de"]["ascii_host"] == "xn--mnchen-3ya.de"
+    assert out["münchen.de"]["is_idn"] is True
+    assert out["Plain.Example.COM"]["ascii_host"] == "plain.example.com"
+    assert out["Plain.Example.COM"]["is_idn"] is False
+    assert out["中国.cn"]["ascii_host"] == "xn--fiqs8s.cn"
