@@ -2336,6 +2336,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return page_ingest(pages)
 
+    def q_png_meta(spark, sf):
+        # PNG chunk walk (multimodal.png_chunk_meta): REAL chunk
+        # streams rendered in closed form with per-chunk CRC-32
+        # computed JVM-side (F.crc32 over the unhexed type+data —
+        # the walker validates every CRC, so the render must be
+        # exact); bit-depth/color-type/interlace arms by %4, APNG
+        # acTL frames on arm 3, junk (%13) and truncated (%17).
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        w = (8 + (did * 29) % 400).cast("long")
+        h = (8 + (did * 43) % 400).cast("long")
+        cls = did % 4
+        be32 = lambda v: F.lpad(F.hex(v), 8, "0")
+
+        def chunk(type_hex, data_hex):
+            body = F.concat(F.lit(type_hex), data_hex)
+            return F.concat(
+                be32((F.length(data_hex) / 2).cast("long")),
+                body, be32(F.crc32(F.unhex(body))))
+
+        ihdr_data = F.concat(
+            be32(w), be32(h),
+            F.when(cls == 1, F.lit("10")).otherwise(F.lit("08")),
+            F.when(cls == 1, F.lit("02"))
+            .when(cls == 2, F.lit("00")).otherwise(F.lit("06")),
+            F.lit("0000"),
+            F.when(cls == 2, F.lit("01")).otherwise(F.lit("00")))
+        actl_data = F.concat(be32((2 + did % 9).cast("long")),
+                             F.lit("00000000"))
+        hx = F.concat(
+            F.lit("89504E470D0A1A0A"),
+            chunk("49484452", ihdr_data),
+            F.when(cls == 3, chunk("6163544C", actl_data))
+            .otherwise(F.lit("")),
+            F.lit("000000014944415400" "28387DE8"),
+            F.lit("0000000049454E44" "AE426082"))
+        hx = (F.when(did % 13 == 0, F.lit("DEADBEEF"))
+              .when(did % 17 == 0, F.substring(hx, 1, 24))
+              .otherwise(hx))
+        imgs = _t(spark, sf, "documents").select(
+            did.alias("image_id"), F.unhex(hx).alias("bytes"))
+        return multimodal.png_chunk_meta(imgs)
+
     def q_idn_hosts(spark, sf):
         # IDN canonicalization (canonical.idn_hosts): seven label arms
         # spanning Latin diacritics, Han, Cyrillic and Katakana plus a
@@ -2572,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_corpus_ingest": q_page_ingest,
         "image_gif_frames": q_gif_frames,
         "url_idn_hosts": q_idn_hosts,
+        "image_png_meta": q_png_meta,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5859,6 +5903,41 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # PNG chunk-walk roundtrip identity: expected metadata in
+        # closed form — equality holds only if the JVM-side render
+        # (including every CRC-32) and the kernel's walk + CRC
+        # validation are both exact
+        "image_png_meta": """
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(8 + (doc_id * 29) % 400 AS INT)
+                   END AS png_w,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(8 + (doc_id * 43) % 400 AS INT)
+                   END AS png_h,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        WHEN doc_id % 4 = 1 THEN 16
+                        ELSE 8 END AS bit_depth,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        WHEN doc_id % 4 = 1 THEN 2
+                        WHEN doc_id % 4 = 2 THEN 0
+                        ELSE 6 END AS color_type,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE doc_id % 4 = 2 END AS interlaced,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        WHEN doc_id % 4 = 3
+                          THEN CAST(2 + doc_id % 9 AS INT)
+                        ELSE 1 END AS n_frames,
+                   NOT (doc_id % 13 = 0 OR doc_id % 17 = 0)
+                     AS png_valid
+            FROM documents""",
 
         # IDN canonicalization: the RFC 3492 A-labels pinned as
         # literals per arm (these exact encodings are also unit-pinned

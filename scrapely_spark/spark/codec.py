@@ -663,3 +663,83 @@ def gif_frames(data: bytes) -> tuple:
                 return inv                     # unknown block type
     except (struct.error, IndexError):
         return inv
+
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_bytes(w: int, h: int, bit_depth: int = 8, color_type: int = 6,
+              interlaced: bool = False,
+              n_frames: int | None = None) -> bytes:
+    """Build a REAL PNG chunk stream (RFC 2083 framing): signature,
+    IHDR, an optional APNG ``acTL`` animation-control chunk, one
+    minimal IDAT, IEND — each chunk CRC-32'd over type+data as the
+    spec requires, so any conforming chunk walker accepts it.
+    """
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)
+                              & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type,
+                       0, 0, 1 if interlaced else 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if n_frames is not None:
+        out += chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    out += chunk(b"IDAT", b"\x00")
+    return out + chunk(b"IEND", b"")
+
+
+def png_meta(data: bytes) -> tuple:
+    """Parse ``(w, h, bit_depth, color_type, interlaced, n_frames,
+    valid)`` from a PNG payload by walking its chunk stream.
+
+    Goes beyond the fixed-offset IHDR read (multimodal.header_dims):
+    the walk validates per-chunk CRC-32 and finds the APNG ``acTL``
+    chunk, whose frame count is what routes animated PNGs to the
+    frame-sampling path exactly like multi-frame GIFs.  ``n_frames``
+    is 1 for still PNGs.  Junk, truncation, a bad signature, a bad
+    CRC or a stream that ends without IEND return all-NULL invalid.
+    """
+    import struct
+    import zlib
+
+    inv = (None, None, None, None, None, None, False)
+    try:
+        if len(data) < 8 + 25 or data[:8] != _PNG_SIG:
+            return inv
+        pos = 8
+        w = h = depth = ctype_v = None
+        interlaced = None
+        n_frames = 1
+        first = True
+        while pos + 8 <= len(data):
+            (clen,) = struct.unpack_from(">I", data, pos)
+            ctype = data[pos + 4:pos + 8]
+            body = data[pos + 8:pos + 8 + clen]
+            if len(body) < clen or pos + 12 + clen > len(data):
+                return inv
+            (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+            if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+                return inv
+            if first:
+                if ctype != b"IHDR" or clen != 13:
+                    return inv                 # IHDR must be first
+                w, h, depth, ctype_v, _, _, il = struct.unpack(
+                    ">IIBBBBB", body)
+                interlaced = bool(il)
+                first = False
+            elif ctype == b"acTL" and clen >= 8:
+                (n_frames,) = struct.unpack_from(">I", body)
+            elif ctype == b"IEND":
+                return (w, h, depth, ctype_v, interlaced,
+                        n_frames, True)
+            pos += 12 + clen
+        return inv                             # ran out without IEND
+    except (struct.error, IndexError):
+        return inv

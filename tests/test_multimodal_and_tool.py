@@ -940,3 +940,44 @@ def test_gif_frame_meta_kernel_over_spark(spark):
     assert (out[2]["n_frames"], out[2]["loop_count"]) == (12, 0)
     assert (out[3]["gif_w"], out[3]["loop_count"]) == (32, 7)
     assert out[4]["gif_valid"] is False
+
+
+def test_png_walker_edge_cases():
+    from scrapely_spark.spark.codec import png_bytes, png_meta
+
+    assert png_meta(png_bytes(640, 480)) \
+        == (640, 480, 8, 6, False, 1, True)
+    assert png_meta(png_bytes(32, 32, 16, 2, True)) \
+        == (32, 32, 16, 2, True, 1, True)
+    assert png_meta(png_bytes(10, 10, n_frames=24)) \
+        == (10, 10, 8, 6, False, 24, True)
+
+    inv = (None,) * 6 + (False,)
+    assert png_meta(b"") == inv
+    assert png_meta(b"\x89PNG\r\n\x1a\nJUNKJUNKJUNK" + b"\x00" * 20) \
+        == inv
+    assert png_meta(png_bytes(10, 10)[:-1]) == inv      # IEND cut
+    # a single flipped bit anywhere in a chunk body fails its CRC —
+    # corruption can never become silently-wrong dimensions
+    bad = bytearray(png_bytes(10, 10))
+    bad[20] ^= 1
+    assert png_meta(bytes(bad)) == inv
+
+
+def test_png_chunk_meta_kernel_over_spark(spark):
+    from scrapely_spark.spark import multimodal
+    from scrapely_spark.spark.codec import png_bytes
+
+    rows = [
+        (1, png_bytes(100, 80)),
+        (2, png_bytes(64, 64, 16, 0, True)),
+        (3, png_bytes(32, 32, n_frames=9)),
+        (4, b"junk"),
+    ]
+    df = spark.createDataFrame(rows, "image_id int, bytes binary")
+    out = {r["image_id"]: r
+           for r in multimodal.png_chunk_meta(df).collect()}
+    assert (out[1]["png_w"], out[1]["n_frames"]) == (100, 1)
+    assert (out[2]["bit_depth"], out[2]["interlaced"]) == (16, True)
+    assert out[3]["n_frames"] == 9
+    assert out[4]["png_valid"] is False
