@@ -2336,6 +2336,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return page_ingest(pages)
 
+    def q_avif_dims(spark, sf):
+        # ISOBMFF box walk (multimodal.avif_header_dims): real
+        # ftyp + meta/iprp/ipco/ispe nesting rendered in closed form,
+        # avif/heic brands by %2, junk (%13) and ftyp-only truncation
+        # (%17).  Closed-form roundtrip-identity oracle.
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        w = (16 + (did * 53) % 4000).cast("long")
+        h = (16 + (did * 67) % 4000).cast("long")
+        be32 = lambda v: F.lpad(F.hex(v), 8, "0")
+        brand = (F.when(did % 2 == 0, F.lit("61766966"))
+                 .otherwise(F.lit("68656963")))
+        hx = F.concat(
+            F.lit("0000001466747970"), brand,
+            F.lit("000000006D696631"),
+            F.lit("000000306D65746100000000"
+                  "0000002469707270"
+                  "0000001C6970636F"
+                  "000000146973706500000000"),
+            be32(w), be32(h))
+        hx = (F.when(did % 13 == 0, F.lit("DEADBEEF"))
+              .when(did % 17 == 0, F.substring(hx, 1, 40))
+              .otherwise(hx))
+        imgs = _t(spark, sf, "documents").select(
+            did.alias("image_id"), F.unhex(hx).alias("bytes"))
+        return multimodal.avif_header_dims(imgs)
+
     def q_png_meta(spark, sf):
         # PNG chunk walk (multimodal.png_chunk_meta): REAL chunk
         # streams rendered in closed form with per-chunk CRC-32
@@ -2616,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gif_frames": q_gif_frames,
         "url_idn_hosts": q_idn_hosts,
         "image_png_meta": q_png_meta,
+        "image_avif_dims": q_avif_dims,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5903,6 +5931,27 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # ISOBMFF roundtrip identity: expected box-walk results in
+        # closed form — equality holds only if the recursive
+        # meta/iprp/ipco/ispe walk and the fullbox offsets are exact
+        "image_avif_dims": """
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(16 + (doc_id * 53) % 4000 AS INT)
+                   END AS avif_w,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        ELSE CAST(16 + (doc_id * 67) % 4000 AS INT)
+                   END AS avif_h,
+                   CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                        THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'avif'
+                        ELSE 'heic' END AS brand,
+                   NOT (doc_id % 13 = 0 OR doc_id % 17 = 0)
+                     AS avif_valid
+            FROM documents""",
 
         # PNG chunk-walk roundtrip identity: expected metadata in
         # closed form — equality holds only if the JVM-side render

@@ -152,6 +152,8 @@ HEADLINE = [
     "page_corpus_ingest",
     "image_gif_frames",
     "url_idn_hosts",
+    "image_png_meta",
+    "image_avif_dims",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -743,3 +743,82 @@ def png_meta(data: bytes) -> tuple:
         return inv                             # ran out without IEND
     except (struct.error, IndexError):
         return inv
+
+
+# --------------------------------------------------------- AVIF/HEIC
+
+def avif_bytes(w: int, h: int, brand: str = "avif") -> bytes:
+    """Build a REAL ISOBMFF header for an AVIF/HEIC image: ``ftyp``
+    (major brand + compatible brands), then a ``meta`` fullbox
+    containing the property container chain ``iprp`` → ``ipco`` →
+    ``ispe`` (image spatial extents fullbox with u32be
+    width/height) — the exact nesting libavif writes and any ISOBMFF
+    dimension reader walks.  Codestream boxes are out of scope.
+    """
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ispe = box(b"ispe", b"\x00\x00\x00\x00"
+               + struct.pack(">II", w, h))
+    ipco = box(b"ipco", ispe)
+    iprp = box(b"iprp", ipco)
+    meta = box(b"meta", b"\x00\x00\x00\x00" + iprp)
+    ftyp = box(b"ftyp", brand.encode("ascii").ljust(4)[:4]
+               + b"\x00\x00\x00\x00" + b"mif1")
+    return ftyp + meta
+
+
+def avif_dims(data: bytes) -> tuple:
+    """Parse ``(w, h, brand, valid)`` from an AVIF/HEIC payload by
+    walking ISOBMFF boxes to the first ``ispe`` property.
+
+    Dimensions live four boxes deep (``meta``/``iprp``/``ipco``/
+    ``ispe``), each a length-prefixed container and two of them
+    fullboxes with a version/flags word — a real recursive walk, with
+    box sizes validated against the enclosing extent so a hostile
+    length can neither overrun the payload nor loop forever.  Junk,
+    truncation, a missing ftyp or a stream without ``ispe`` return
+    ``(None, None, None, False)``.
+    """
+    import struct
+
+    inv = (None, None, None, False)
+
+    def find_ispe(buf: bytes, depth: int = 0):
+        pos = 0
+        while pos + 8 <= len(buf) and depth < 8:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4:pos + 8]
+            if size < 8 or pos + size > len(buf):
+                raise IndexError
+            body = buf[pos + 8:pos + size]
+            if btype == b"ispe":
+                if len(body) < 12:
+                    raise IndexError
+                return struct.unpack_from(">II", body, 4)
+            if btype in (b"meta",):            # fullbox container
+                got = find_ispe(body[4:], depth + 1)
+                if got:
+                    return got
+            elif btype in (b"iprp", b"ipco"):  # plain containers
+                got = find_ispe(body, depth + 1)
+                if got:
+                    return got
+            pos += size
+        return None
+
+    try:
+        if len(data) < 16:
+            return inv
+        (fsize,) = struct.unpack_from(">I", data, 0)
+        if data[4:8] != b"ftyp" or fsize < 16 or fsize > len(data):
+            return inv
+        brand = data[8:12].decode("ascii", "replace").strip()
+        got = find_ispe(data[fsize:])
+        if not got:
+            return inv
+        return (got[0], got[1], brand, True)
+    except (struct.error, IndexError):
+        return inv

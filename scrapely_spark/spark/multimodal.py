@@ -1129,3 +1129,49 @@ def png_chunk_meta(images: DataFrame,
             yield out
 
     return in_schema.mapInPandas(kernel, out_fields)
+
+
+_AVIF_DIMS_COLS = (", avif_w int, avif_h int, brand string,"
+                   " avif_valid boolean")
+
+
+def avif_header_dims(images: DataFrame,
+                     bytes_col: str = "bytes") -> DataFrame:
+    """AVIF/HEIC dimensions off the binary column — the fifth
+    decoder-family sibling, covering the ISOBMFF formats modern CDNs
+    serve by default.
+
+    Dimensions live four boxes deep (``meta``/``iprp``/``ipco``/
+    ``ispe``), each length-prefixed and two of them fullboxes, so the
+    parse is a real recursive box walk (``codec.avif_dims``) with
+    sizes validated against the enclosing extent — a hostile length
+    can neither overrun nor loop.  Arrow batch kernel, binary column
+    only, no shuffle.  ``brand`` (avif vs heic) routes decoder
+    selection downstream.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from scrapely_spark.spark.codec import avif_dims
+
+    id_cols = [c for c in images.columns if c != bytes_col]
+    in_schema = images.select(*id_cols, bytes_col)
+    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
+                            for f in in_schema.schema.fields
+                            if f.name != bytes_col)
+                  + _AVIF_DIMS_COLS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [avif_dims(b) for b in batch[bytes_col]]
+            out = batch[id_cols].copy()
+            out["avif_w"] = pd.array([m[0] for m in metas],
+                                     dtype="Int32")
+            out["avif_h"] = pd.array([m[1] for m in metas],
+                                     dtype="Int32")
+            out["brand"] = [m[2] for m in metas]
+            out["avif_valid"] = [m[3] for m in metas]
+            yield out
+
+    return in_schema.mapInPandas(kernel, out_fields)

@@ -981,3 +981,44 @@ def test_png_chunk_meta_kernel_over_spark(spark):
     assert (out[2]["bit_depth"], out[2]["interlaced"]) == (16, True)
     assert out[3]["n_frames"] == 9
     assert out[4]["png_valid"] is False
+
+
+def test_avif_walker_edge_cases():
+    import struct
+
+    from scrapely_spark.spark.codec import avif_bytes, avif_dims
+
+    assert avif_dims(avif_bytes(1920, 1080)) \
+        == (1920, 1080, "avif", True)
+    assert avif_dims(avif_bytes(64, 48, "heic")) \
+        == (64, 48, "heic", True)
+
+    inv = (None, None, None, False)
+    assert avif_dims(b"") == inv
+    assert avif_dims(b"\x00\x00\x00\x10ftypavif\x00\x00\x00\x00") \
+        == inv                                   # ftyp only, no ispe
+    assert avif_dims(avif_bytes(10, 10)[:30]) == inv   # truncated
+    # hostile sizes: overrun and zero-size must neither crash nor loop
+    evil = bytearray(avif_bytes(10, 10))
+    struct.pack_into(">I", evil, 20, 0xFFFFFFF0)
+    assert avif_dims(bytes(evil)) == inv
+    evil2 = bytearray(avif_bytes(10, 10))
+    struct.pack_into(">I", evil2, 20, 0)
+    assert avif_dims(bytes(evil2)) == inv
+
+
+def test_avif_dims_kernel_over_spark(spark):
+    from scrapely_spark.spark import multimodal
+    from scrapely_spark.spark.codec import avif_bytes
+
+    rows = [
+        (1, avif_bytes(3840, 2160)),
+        (2, avif_bytes(16, 16, "heic")),
+        (3, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "image_id int, bytes binary")
+    out = {r["image_id"]: r
+           for r in multimodal.avif_header_dims(df).collect()}
+    assert (out[1]["avif_w"], out[1]["brand"]) == (3840, "avif")
+    assert out[2]["brand"] == "heic"
+    assert out[3]["avif_valid"] is False
