@@ -2336,6 +2336,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return page_ingest(pages)
 
+    def q_dims_router(spark, sf):
+        # fused sniff+parse router (multimodal.image_dims_router): all
+        # six container families in one corpus (%6 arms share one
+        # dimension formula), APNG/GIF frame counts, junk (%13);
+        # closed-form oracle — ONE kernel pass must dispatch each row
+        # to the right walk and get every encoding exact
+        import struct as _st
+
+        from scrapely_spark.spark import multimodal
+        from scrapely_spark.spark.codec import (avif_bytes, gif_bytes,
+                                                png_bytes, webp_bytes)
+        d = _t(spark, sf, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+            for b in batches:
+                ids = b["doc_id"]
+                blobs = []
+                for i in ids:
+                    w = int(16 + (i * 37) % 800)
+                    h = int(16 + (i * 61) % 800)
+                    if i % 13 == 0:
+                        blobs.append(b"junk-%d" % i)
+                    elif i % 6 == 0:
+                        blobs.append(
+                            b"\xff\xd8\xff\xc0\x00\x11\x08"
+                            + _st.pack(">HH", h, w) + b"\x03"
+                            + b"\x00" * 9)
+                    elif i % 6 == 1:
+                        blobs.append(png_bytes(
+                            w, h, n_frames=int(1 + i % 3)))
+                    elif i % 6 == 2:
+                        blobs.append(gif_bytes(
+                            w, h, int(1 + i % 4)))
+                    elif i % 6 == 3:
+                        blobs.append(webp_bytes(w, h, "vp8l"))
+                    elif i % 6 == 4:
+                        blobs.append(avif_bytes(w, h))
+                    else:
+                        blobs.append(b"BM" + b"\x00" * 16
+                                     + _st.pack("<ii", w, h))
+                yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+        imgs = d.mapInPandas(build, "image_id long, bytes binary")
+        return multimodal.image_dims_router(imgs)
+
     def q_avif_dims(spark, sf):
         # ISOBMFF box walk (multimodal.avif_header_dims): real
         # ftyp + meta/iprp/ipco/ispe nesting rendered in closed form,
@@ -2644,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_idn_hosts": q_idn_hosts,
         "image_png_meta": q_png_meta,
         "image_avif_dims": q_avif_dims,
+        "image_dims_router": q_dims_router,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5931,6 +5978,32 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # dims router: the fused sniff+parse disposition in closed
+        # form across all six container families
+        "image_dims_router": """
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 6 = 0 THEN 'jpeg'
+                        WHEN doc_id % 6 = 1 THEN 'png'
+                        WHEN doc_id % 6 = 2 THEN 'gif'
+                        WHEN doc_id % 6 = 3 THEN 'webp'
+                        WHEN doc_id % 6 = 4 THEN 'avif'
+                        ELSE 'bmp' END AS fmt,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE CAST(16 + (doc_id * 37) % 800 AS INT)
+                   END AS w,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE CAST(16 + (doc_id * 61) % 800 AS INT)
+                   END AS h,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 6 = 1
+                          THEN CAST(1 + doc_id % 3 AS INT)
+                        WHEN doc_id % 6 = 2
+                          THEN CAST(1 + doc_id % 4 AS INT)
+                        ELSE 1 END AS n_frames,
+                   doc_id % 13 != 0 AS dims_valid
+            FROM documents""",
 
         # ISOBMFF roundtrip identity: expected box-walk results in
         # closed form — equality holds only if the recursive

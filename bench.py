@@ -154,6 +154,7 @@ HEADLINE = [
     "url_idn_hosts",
     "image_png_meta",
     "image_avif_dims",
+    "image_dims_router",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -1175,3 +1175,78 @@ def avif_header_dims(images: DataFrame,
             yield out
 
     return in_schema.mapInPandas(kernel, out_fields)
+
+
+_ROUTER_COLS = (", fmt string, w int, h int, n_frames int,"
+                " dims_valid boolean")
+
+
+def image_dims_router(images: DataFrame,
+                      bytes_col: str = "bytes") -> DataFrame:
+    """One-pass format sniff + dimension parse for every container
+    the walks above support — the single operator an ingest pipeline
+    actually calls per crawled image.
+
+    Per row: magic-byte dispatch (JPEG SOI / PNG signature / GIF /
+    RIFF+WEBP / ISOBMFF ftyp / BMP), then the matching walk —
+    ``jpeg_sof``, ``png_meta`` (APNG frames), ``gif_frames``,
+    ``webp_features``, ``avif_dims``, or the fixed-offset BMP header.
+    Fusing sniff+parse into ONE kernel means one Arrow pass over the
+    bytes instead of six format-specific scans, which at 10^10 images
+    is the difference between reading the corpus once and reading it
+    six times.  ``n_frames > 1`` (GIF/APNG) routes to frame sampling.
+
+    Returns id columns + (fmt, w, h, n_frames, dims_valid); unknown
+    magics and failed walks come back fmt NULL / dims_valid false.
+    """
+    import struct
+    from typing import Iterator
+
+    import pandas as pd
+
+    from scrapely_spark.spark.codec import (avif_dims, gif_frames,
+                                            jpeg_sof, png_meta,
+                                            webp_features)
+
+    def route(b) -> tuple:
+        data = bytes(b) if b is not None else b""
+        if data[:3] == b"\xff\xd8\xff":
+            w, h, _, _, ok = jpeg_sof(data)
+            return ("jpeg", w, h, 1 if ok else None, ok)
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, _, _, _, n, ok = png_meta(data)
+            return ("png", w, h, n, ok)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, n, _, ok = gif_frames(data)
+            return ("gif", w, h, n, ok)
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            w, h, _, _, ok = webp_features(data)
+            return ("webp", w, h, 1 if ok else None, ok)
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            w, h, brand, ok = avif_dims(data)
+            return (brand if ok else "avif", w, h,
+                    1 if ok else None, ok)
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack_from("<ii", data, 18)
+            return ("bmp", w, abs(h), 1, True)
+        return (None, None, None, None, False)
+
+    id_cols = [c for c in images.columns if c != bytes_col]
+    in_schema = images.select(*id_cols, bytes_col)
+    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
+                            for f in in_schema.schema.fields
+                            if f.name != bytes_col) + _ROUTER_COLS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [route(b) for b in batch[bytes_col]]
+            out = batch[id_cols].copy()
+            out["fmt"] = [m[0] for m in metas]
+            out["w"] = pd.array([m[1] for m in metas], dtype="Int32")
+            out["h"] = pd.array([m[2] for m in metas], dtype="Int32")
+            out["n_frames"] = pd.array([m[3] for m in metas],
+                                       dtype="Int32")
+            out["dims_valid"] = [m[4] for m in metas]
+            yield out
+
+    return in_schema.mapInPandas(kernel, out_fields)

@@ -1022,3 +1022,43 @@ def test_avif_dims_kernel_over_spark(spark):
     assert (out[1]["avif_w"], out[1]["brand"]) == (3840, "avif")
     assert out[2]["brand"] == "heic"
     assert out[3]["avif_valid"] is False
+
+
+def test_image_dims_router_all_formats(spark):
+    import struct
+
+    from scrapely_spark.spark import multimodal
+    from scrapely_spark.spark.codec import (avif_bytes, gif_bytes,
+                                            png_bytes, webp_bytes)
+
+    jpeg = bytes.fromhex(
+        "FFD8"                            # SOI
+        "FFE000104A46494600" + "00" * 9   # APP0
+        + "FFC000110801E00280 03 000000 000000 000000".replace(" ", ""))
+    bmp = (b"BM" + b"\x00" * 16
+           + struct.pack("<ii", 321, -123) + b"\x00" * 4)
+    rows = [
+        (1, jpeg),
+        (2, png_bytes(50, 60, n_frames=4)),
+        (3, gif_bytes(70, 80, 3, loop_count=0)),
+        (4, webp_bytes(90, 100, "vp8l", alpha=True)),
+        (5, avif_bytes(110, 120, "heic")),
+        (6, bmp),
+        (7, b"total junk"),
+        (8, gif_bytes(10, 10, 2)[:15]),   # right magic, broken walk
+    ]
+    df = spark.createDataFrame(rows, "image_id int, bytes binary")
+    out = {r["image_id"]: r
+           for r in multimodal.image_dims_router(df).collect()}
+    assert (out[1]["fmt"], out[1]["w"], out[1]["h"]) \
+        == ("jpeg", 640, 480)
+    assert (out[2]["fmt"], out[2]["n_frames"]) == ("png", 4)
+    assert (out[3]["fmt"], out[3]["n_frames"]) == ("gif", 3)
+    assert (out[4]["fmt"], out[4]["w"]) == ("webp", 90)
+    assert (out[5]["fmt"], out[5]["h"]) == ("heic", 120)
+    assert (out[6]["fmt"], out[6]["w"], out[6]["h"]) \
+        == ("bmp", 321, 123)              # top-down height folded
+    assert out[7]["fmt"] is None
+    assert out[7]["dims_valid"] is False
+    assert out[8]["fmt"] == "gif"
+    assert out[8]["dims_valid"] is False
