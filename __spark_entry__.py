@@ -6218,6 +6218,10 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR)
                      || '/u' || CAST(doc_id AS VARCHAR) AS url,
                    CASE CAST(doc_id % 7 AS INT)
+                     WHEN 3 THEN 'text/html'
+                     WHEN 5 THEN 'text/html; charset=Windows-1252'
+                   END AS content_type,
+                   CASE CAST(doc_id % 7 AS INT)
                      WHEN 0 THEN 'utf-8'
                      WHEN 1 THEN 'utf-16le'
                      WHEN 2 THEN 'shift_jis'

@@ -484,7 +484,11 @@ def idn_ascii_host(host: str) -> str:
     what lets the politeness/seen keys treat it as a canonicalizer.
     (Full IDNA2008 mapping — bidi rules, contextual joiners — is out
     of scope; lowercase folding covers the crawl-relevant cases.)
+    ``None``/empty pass through unchanged — one bad row must never
+    kill a kernel (the module's convention).
     """
+    if not host:
+        return host
     labels = host.lower().rstrip(".").split(".")
     out = []
     for label in labels:
@@ -518,9 +522,9 @@ def idn_hosts(hosts: DataFrame, host_col: str = "host") -> DataFrame:
             ascii_hosts = [idn_ascii_host(x) for x in batch[host_col]]
             out = batch[id_cols].copy()
             out["ascii_host"] = ascii_hosts
-            out["is_idn"] = [a != x.lower().rstrip(".")
-                             for a, x in zip(ascii_hosts,
-                                             batch[host_col])]
+            out["is_idn"] = [
+                (a != x.lower().rstrip(".")) if x else False
+                for a, x in zip(ascii_hosts, batch[host_col])]
             yield out
 
     return hosts.mapInPandas(kernel, out_fields)

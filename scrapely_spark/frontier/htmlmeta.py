@@ -164,8 +164,12 @@ def template_families(pages: DataFrame, host_col: str = "host",
 
 
 # phrases that mark an error page regardless of HTTP status — matched
-# against the lowercased <title> and first body text.  The list is the
-# heuristic's spec, shared verbatim with the DuckDB oracle.
+# against the lowercased <title> ONLY (body text is deliberately out:
+# a product page legitimately containing "404" or a support article
+# about missing pages must not be classified by its prose; the probe
+# signature is the arm that catches phrase-free error bodies).  The
+# list is the heuristic's spec, shared verbatim with the DuckDB
+# oracle.
 SOFT404_PHRASES = (
     "404", "not found", "page not found", "no longer available",
     "does not exist", "page cannot be found",
@@ -305,8 +309,6 @@ def main_content(pages: DataFrame, html_col: str = "html",
         blocks,
         lambda s: (F.length(s["t"]) >= F.lit(min_chars))
         & (s["a"] * 1000 <= F.lit(max_link_ppt) * F.length(s["t"])))
-    content = F.array_join(
-        F.transform(kept, lambda s: s["t"]), "\n")
     keep_cols = [c for c in pages.columns if c != html_col]
     return (pages
             .withColumn("_blocks", blocks).withColumn("_kept", kept)
@@ -380,7 +382,8 @@ def charset_sniff(pages: DataFrame, body_col: str = "body",
     Plan: shuffle-free single Project — BOM checks are a 3-byte
     binary slice + hex compare, the prescan decodes only the bounded
     prefix as latin-1 (every byte maps; never throws), all regexp is
-    JVM-side.  Returns input columns minus the body, plus (charset,
+    JVM-side.  Returns input columns minus the body (content_type is
+    kept — downstream MIME gates key on it), plus (charset,
     charset_source ∈ bom|http|meta|xml|default).
     """
     body = F.col(body_col)
@@ -409,7 +412,7 @@ def charset_sniff(pages: DataFrame, body_col: str = "body",
         .when(xml != "", F.lit("xml"))
         .otherwise(F.lit("default")))
     keep = [c for c in pages.columns
-            if c not in (body_col, content_type_col)]
+            if c != body_col]
     return pages.select(*keep, charset.alias("charset"),
                         source.alias("charset_source"))
 
@@ -458,9 +461,7 @@ def page_ingest(pages: DataFrame, url_col: str = "url",
         .otherwise(F.concat(F.lit("short:"), F.col(url_col)))
         .alias("_key"))
     w = Window.partitionBy("_key")
-    elected = (staged
-               .withColumn("_min_url", F.min("url").over(w))
-               .withColumn("_grp", F.count(F.lit(1)).over(w)))
+    elected = staged.withColumn("_min_url", F.min("url").over(w))
     is_canon = F.col("content_fp").isNotNull() \
         & (F.col("url") == F.col("_min_url"))
     kept = is_canon

@@ -84,11 +84,17 @@ def retry_plan(fetches: DataFrame, base_delay_s: int = 60,
     """
     cls = _err_class(F.col("status"))
     exhausted = F.col("attempt") >= F.lit(max_attempts)
+    # cap the shift exponent BEFORE shifting: the smallest shift whose
+    # backoff already meets/exceeds the clamp.  Without it the JVM
+    # masks shift counts to 6 bits and the BIGINT wraps for large
+    # attempt numbers, turning maximal backoff into 0-second hammering
+    shift_cap = max(0, (max_delay_s // max(base_delay_s, 1))
+                    .bit_length())
     # the python shiftleft() wrapper wants a literal bit count, so the
     # column-shift goes through the SQL function directly
     backoff = F.least(
-        F.expr("shiftleft(CAST(%d AS BIGINT), attempt - 1)"
-               % base_delay_s),
+        F.expr("shiftleft(CAST(%d AS BIGINT), least(attempt - 1, %d))"
+               % (base_delay_s, shift_cap)),
         F.lit(max_delay_s).cast("long"))
     wait_s = F.greatest(
         backoff, F.coalesce(F.col("retry_after_s").cast("long"),

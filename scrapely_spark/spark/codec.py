@@ -250,6 +250,14 @@ def exif_meta(data: bytes) -> tuple:
 # GPS IFD pointer (EXIF 2.3 §4.6.6) and the four GPS sub-IFD tags the
 # scrubber/parsers care about
 _TAG_GPS_IFD = 34853
+# sub-IFD pointer tags whose pointed-to trees the generic scrubber
+# does not relocate (they contain their own internal offsets): the
+# Exif IFD and the Interoperability IFD.  Copying the pointer entry
+# verbatim while the layout shifts would leave a dangling offset —
+# corrupt output masquerading as valid — so the scrubber drops them
+# along with GPS (privacy-conservative: only entries it can relocate
+# correctly survive).
+_SUBIFD_POINTER_TAGS = frozenset({_TAG_GPS_IFD, 34665, 40965})
 _GPS_LAT_REF, _GPS_LAT, _GPS_LON_REF, _GPS_LON = 1, 2, 3, 4
 # TIFF 6.0 §2: bytes per element for each field type
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1,
@@ -374,9 +382,14 @@ def exif_gps_scrub(data: bytes) -> bytes | None:
     Generic IFD0 re-serialization: every surviving entry keeps its
     order, inline values are copied verbatim, out-of-line payloads are
     re-packed immediately after the IFD with recomputed offsets — so a
-    blob that never had GPS round-trips byte-identically through the
-    scrubber (tested), and one that did loses the pointer AND the
-    orphaned sub-IFD bytes (no data remnant an attacker could carve).
+    blob of relocatable entries round-trips byte-identically through
+    the scrubber (tested), and GPS loses the pointer AND the orphaned
+    sub-IFD bytes (no data remnant an attacker could carve).  The
+    other sub-IFD pointer tags (:data:`_SUBIFD_POINTER_TAGS` — Exif
+    IFD, Interop IFD) are dropped too: their trees carry internal
+    offsets this generic walk does not relocate, and a verbatim
+    pointer over a shifted layout would be corrupt output flagged
+    valid — dropping is the privacy-conservative total behavior.
     Returns ``None`` for malformed blobs — the caller decides whether
     to drop or quarantine; silently passing junk through a PII scrub
     would be the one unacceptable behavior.
@@ -406,7 +419,8 @@ def exif_gps_scrub(data: bytes) -> bytes | None:
                 if len(payload) < size * n:
                     return None
                 entries.append((tag, typ, n, None, payload))
-        entries = [e for e in entries if e[0] != _TAG_GPS_IFD]
+        entries = [e for e in entries
+                   if e[0] not in _SUBIFD_POINTER_TAGS]
         head_len = 8 + 2 + 12 * len(entries) + 4
         out_ifd = struct.pack("<H", len(entries))
         tail = b""
@@ -528,7 +542,7 @@ def webp_features(data: bytes) -> tuple:
 
     inv = (None, None, None, None, False)
     try:
-        if (len(data) < 20 or data[:4] != b"RIFF"
+        if (not data or len(data) < 20 or data[:4] != b"RIFF"
                 or data[8:12] != b"WEBP"):
             return inv
         (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -604,7 +618,8 @@ def gif_frames(data: bytes) -> tuple:
 
     inv = (None, None, None, None, False)
     try:
-        if len(data) < 14 or data[:6] not in (b"GIF89a", b"GIF87a"):
+        if not data or len(data) < 14 \
+                or data[:6] not in (b"GIF89a", b"GIF87a"):
             return inv
         w, h = struct.unpack_from("<HH", data, 6)
         packed = data[10]
@@ -711,7 +726,7 @@ def png_meta(data: bytes) -> tuple:
 
     inv = (None, None, None, None, None, None, False)
     try:
-        if len(data) < 8 + 25 or data[:8] != _PNG_SIG:
+        if not data or len(data) < 8 + 25 or data[:8] != _PNG_SIG:
             return inv
         pos = 8
         w = h = depth = ctype_v = None
@@ -810,7 +825,7 @@ def avif_dims(data: bytes) -> tuple:
         return None
 
     try:
-        if len(data) < 16:
+        if not data or len(data) < 16:
             return inv
         (fsize,) = struct.unpack_from(">I", data, 0)
         if data[4:8] != b"ftyp" or fsize < 16 or fsize > len(data):

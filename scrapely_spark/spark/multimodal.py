@@ -983,6 +983,41 @@ def gps_scrub(images: DataFrame, bytes_col: str = "exif") -> DataFrame:
     return in_schema.mapInPandas(kernel, out_fields)
 
 
+def _binary_meta_op(images: DataFrame, bytes_col: str, parser,
+                    cols: list) -> DataFrame:
+    """Shared mapInPandas wrapper for the container walks: one Arrow
+    batch kernel over (id columns, bytes column), appending the
+    parser's tuple fields as the named/typed columns in ``cols`` —
+    ``(name, sql_type, pandas_dtype_or_None)``.  Centralizes the
+    id-column passthrough, output-schema assembly and nullable-int
+    handling so a wrapper-level fix lands once, not once per format.
+    Scan discipline is inherited by every caller: the binary column
+    is the only extra column read, no shuffle.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_cols = [c for c in images.columns if c != bytes_col]
+    in_schema = images.select(*id_cols, bytes_col)
+    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
+                            for f in in_schema.schema.fields
+                            if f.name != bytes_col)
+                  + ", " + ", ".join("%s %s" % (n, t)
+                                     for n, t, _ in cols))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [parser(b) for b in batch[bytes_col]]
+            out = batch[id_cols].copy()
+            for i, (name, _, pdt) in enumerate(cols):
+                vals = [m[i] for m in metas]
+                out[name] = pd.array(vals, dtype=pdt) if pdt else vals
+            yield out
+
+    return in_schema.mapInPandas(kernel, out_fields)
+
+
 _WEBP_DIMS_COLS = (", webp_w int, webp_h int, webp_kind string,"
                    " webp_alpha boolean, webp_valid boolean")
 
@@ -1002,33 +1037,13 @@ def webp_dims(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     screenshots/diagrams and several training loaders route or
     reject on it; ``webp_alpha`` gates compositing-sensitive uses.
     """
-    from typing import Iterator
-
-    import pandas as pd
-
     from scrapely_spark.spark.codec import webp_features
 
-    id_cols = [c for c in images.columns if c != bytes_col]
-    in_schema = images.select(*id_cols, bytes_col)
-    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
-                            for f in in_schema.schema.fields
-                            if f.name != bytes_col)
-                  + _WEBP_DIMS_COLS)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            metas = [webp_features(b) for b in batch[bytes_col]]
-            out = batch[id_cols].copy()
-            out["webp_w"] = pd.array([m[0] for m in metas],
-                                     dtype="Int32")
-            out["webp_h"] = pd.array([m[1] for m in metas],
-                                     dtype="Int32")
-            out["webp_kind"] = [m[2] for m in metas]
-            out["webp_alpha"] = [m[3] for m in metas]
-            out["webp_valid"] = [m[4] for m in metas]
-            yield out
-
-    return in_schema.mapInPandas(kernel, out_fields)
+    return _binary_meta_op(images, bytes_col, webp_features, [
+        ("webp_w", "int", "Int32"), ("webp_h", "int", "Int32"),
+        ("webp_kind", "string", None),
+        ("webp_alpha", "boolean", None),
+        ("webp_valid", "boolean", None)])
 
 
 _GIF_FRAMES_COLS = (", gif_w int, gif_h int, n_frames int,"
@@ -1051,35 +1066,13 @@ def gif_frame_meta(images: DataFrame,
     play once) distinguishes cinemagraph-style loops from one-shot
     animations.
     """
-    from typing import Iterator
-
-    import pandas as pd
-
     from scrapely_spark.spark.codec import gif_frames
 
-    id_cols = [c for c in images.columns if c != bytes_col]
-    in_schema = images.select(*id_cols, bytes_col)
-    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
-                            for f in in_schema.schema.fields
-                            if f.name != bytes_col)
-                  + _GIF_FRAMES_COLS)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            metas = [gif_frames(b) for b in batch[bytes_col]]
-            out = batch[id_cols].copy()
-            out["gif_w"] = pd.array([m[0] for m in metas],
-                                    dtype="Int32")
-            out["gif_h"] = pd.array([m[1] for m in metas],
-                                    dtype="Int32")
-            out["n_frames"] = pd.array([m[2] for m in metas],
-                                       dtype="Int32")
-            out["loop_count"] = pd.array([m[3] for m in metas],
-                                         dtype="Int32")
-            out["gif_valid"] = [m[4] for m in metas]
-            yield out
-
-    return in_schema.mapInPandas(kernel, out_fields)
+    return _binary_meta_op(images, bytes_col, gif_frames, [
+        ("gif_w", "int", "Int32"), ("gif_h", "int", "Int32"),
+        ("n_frames", "int", "Int32"),
+        ("loop_count", "int", "Int32"),
+        ("gif_valid", "boolean", None)])
 
 
 _PNG_META_COLS = (", png_w int, png_h int, bit_depth int,"
@@ -1101,34 +1094,15 @@ def png_chunk_meta(images: DataFrame,
     exactly like multi-frame GIFs.  Arrow batch kernel, binary column
     only, no shuffle.
     """
-    from typing import Iterator
-
-    import pandas as pd
-
     from scrapely_spark.spark.codec import png_meta
 
-    id_cols = [c for c in images.columns if c != bytes_col]
-    in_schema = images.select(*id_cols, bytes_col)
-    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
-                            for f in in_schema.schema.fields
-                            if f.name != bytes_col)
-                  + _PNG_META_COLS)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            metas = [png_meta(b) for b in batch[bytes_col]]
-            out = batch[id_cols].copy()
-            for i, name in enumerate(("png_w", "png_h", "bit_depth",
-                                      "color_type")):
-                out[name] = pd.array([m[i] for m in metas],
-                                     dtype="Int32")
-            out["interlaced"] = [m[4] for m in metas]
-            out["n_frames"] = pd.array([m[5] for m in metas],
-                                       dtype="Int32")
-            out["png_valid"] = [m[6] for m in metas]
-            yield out
-
-    return in_schema.mapInPandas(kernel, out_fields)
+    return _binary_meta_op(images, bytes_col, png_meta, [
+        ("png_w", "int", "Int32"), ("png_h", "int", "Int32"),
+        ("bit_depth", "int", "Int32"),
+        ("color_type", "int", "Int32"),
+        ("interlaced", "boolean", None),
+        ("n_frames", "int", "Int32"),
+        ("png_valid", "boolean", None)])
 
 
 _AVIF_DIMS_COLS = (", avif_w int, avif_h int, brand string,"
@@ -1149,32 +1123,12 @@ def avif_header_dims(images: DataFrame,
     only, no shuffle.  ``brand`` (avif vs heic) routes decoder
     selection downstream.
     """
-    from typing import Iterator
-
-    import pandas as pd
-
     from scrapely_spark.spark.codec import avif_dims
 
-    id_cols = [c for c in images.columns if c != bytes_col]
-    in_schema = images.select(*id_cols, bytes_col)
-    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
-                            for f in in_schema.schema.fields
-                            if f.name != bytes_col)
-                  + _AVIF_DIMS_COLS)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            metas = [avif_dims(b) for b in batch[bytes_col]]
-            out = batch[id_cols].copy()
-            out["avif_w"] = pd.array([m[0] for m in metas],
-                                     dtype="Int32")
-            out["avif_h"] = pd.array([m[1] for m in metas],
-                                     dtype="Int32")
-            out["brand"] = [m[2] for m in metas]
-            out["avif_valid"] = [m[3] for m in metas]
-            yield out
-
-    return in_schema.mapInPandas(kernel, out_fields)
+    return _binary_meta_op(images, bytes_col, avif_dims, [
+        ("avif_w", "int", "Int32"), ("avif_h", "int", "Int32"),
+        ("brand", "string", None),
+        ("avif_valid", "boolean", None)])
 
 
 _ROUTER_COLS = (", fmt string, w int, h int, n_frames int,"

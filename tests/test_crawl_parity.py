@@ -1758,3 +1758,43 @@ def test_idn_hosts_kernel_over_spark(spark):
     assert out["Plain.Example.COM"]["ascii_host"] == "plain.example.com"
     assert out["Plain.Example.COM"]["is_idn"] is False
     assert out["中国.cn"]["ascii_host"] == "xn--fiqs8s.cn"
+
+
+def test_retry_backoff_no_shift_overflow(spark):
+    from scrapely_spark.frontier.retry import retry_plan
+
+    # attempt numbers past the 6-bit JVM shift mask must still clamp
+    # at max_delay, never wrap to tiny/negative backoff
+    df = spark.createDataFrame(
+        [("u", "h", 500, 60, 0, None), ("v", "h", 500, 200, 0, None)],
+        "url string, host string, status int, attempt int, "
+        "t_us long, retry_after_s int")
+    out = {r["url"]: r
+           for r in retry_plan(df, max_attempts=1000).collect()}
+    assert out["u"]["backoff_s"] == 3600
+    assert out["v"]["backoff_s"] == 3600
+    assert out["v"]["retry_at_us"] == 3600 * 1_000_000
+
+
+def test_idn_hosts_null_and_empty_rows(spark):
+    from scrapely_spark.frontier.canonical import idn_hosts
+
+    df = spark.createDataFrame(
+        [(None,), ("",), ("ok.example",)], "host string")
+    out = idn_hosts(df).collect()
+    by = {r["host"]: r for r in out}
+    assert by[None]["ascii_host"] is None
+    assert by[None]["is_idn"] is False
+    assert by[""]["ascii_host"] == ""
+    assert by["ok.example"]["ascii_host"] == "ok.example"
+
+
+def test_charset_sniff_keeps_content_type(spark):
+    from scrapely_spark.frontier.htmlmeta import charset_sniff
+
+    df = spark.createDataFrame(
+        [("u", bytearray(b"<html>x"), "text/html; charset=utf8")],
+        "url string, body binary, content_type string")
+    row = charset_sniff(df).collect()[0]
+    assert row["content_type"] == "text/html; charset=utf8"
+    assert row["charset"] == "utf-8"

@@ -1062,3 +1062,60 @@ def test_image_dims_router_all_formats(spark):
     assert out[7]["dims_valid"] is False
     assert out[8]["fmt"] == "gif"
     assert out[8]["dims_valid"] is False
+
+
+def test_container_walks_null_bytes_rows(spark):
+    """A failed fetch leaves NULL in the binary column; every walk
+    operator must flag the row, never crash the executor."""
+    from scrapely_spark.spark import multimodal
+
+    df = spark.createDataFrame(
+        [(1, None)], "image_id int, bytes binary")
+    for op, flag in ((multimodal.webp_dims, "webp_valid"),
+                     (multimodal.gif_frame_meta, "gif_valid"),
+                     (multimodal.png_chunk_meta, "png_valid"),
+                     (multimodal.avif_header_dims, "avif_valid"),
+                     (multimodal.image_dims_router, "dims_valid")):
+        row = op(df).collect()[0]
+        assert row[flag] is False, op.__name__
+    gdf = spark.createDataFrame(
+        [(1, None)], "image_id int, exif binary")
+    row = multimodal.gps_scrub(gdf).collect()[0]
+    assert row["exif_valid"] is False
+    assert row["exif"] is None
+
+
+def test_gps_scrub_drops_unrelocatable_subifd_pointers():
+    """An Exif-IFD pointer (tag 34665) copied verbatim over a shifted
+    layout would dangle — the scrubber must drop it, and the output
+    must stay a valid blob with the scalar metadata intact."""
+    import struct
+
+    from scrapely_spark.spark.codec import (exif_bytes_gps,
+                                            exif_gps, exif_gps_scrub,
+                                            exif_meta)
+
+    # hand-built IFD0: inline Make, Orientation, out-of-line
+    # DateTime, and an ExifIFD pointer (tag 34665) — the entry the
+    # generic re-serializer cannot relocate
+    dt_b = b"2024:03:01 09:00:00\x00"
+    head = 8 + 2 + 4 * 12 + 4          # dt data lands at 62
+    ifd = struct.pack("<H", 4)
+    ifd += struct.pack("<HHI", 271, 2, 2) + b"C\x00\x00\x00"
+    ifd += struct.pack("<HHII", 274, 3, 1, 5)
+    ifd += struct.pack("<HHII", 306, 2, len(dt_b), head)
+    ifd += struct.pack("<HHII", 34665, 4, 1, 9999)
+    ifd += struct.pack("<I", 0)
+    blob = b"II*\x00" + struct.pack("<I", 8) + ifd + dt_b
+    assert exif_meta(blob) == (5, "2024:03:01 09:00:00", "C", True)
+    s = exif_gps_scrub(blob)
+    assert s is not None
+    assert exif_gps(s) == (None, None, False, True)
+    assert exif_meta(s) == (5, "2024:03:01 09:00:00", "C", True)
+    assert struct.pack("<HH", 34665, 4) not in s   # pointer gone
+    # and the GPS variant still loses both GPS and the pointer class
+    g = exif_bytes_gps(5, "2024:03:01 09:00:00", "CamZ",
+                       1_000_000, 2_000_000)
+    sg = exif_gps_scrub(g)
+    assert exif_gps(sg) == (None, None, False, True)
+    assert exif_meta(sg) == (5, "2024:03:01 09:00:00", "CamZ", True)
