@@ -2336,6 +2336,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return page_ingest(pages)
 
+    def q_ip_budgets(spark, sf):
+        # shared-IP politeness (politeness.ip_budget_groups): a third
+        # of hosts on dedicated IPs, a third on ~12 shared boxes, a
+        # third behind one CDN address; the oracle replays the ip
+        # window count + three-way classification + floor split
+        from scrapely_spark.frontier.politeness import ip_budget_groups
+        did = F.col("doc_id")
+        ip = (F.when(did % 3 == 0,
+                     F.concat(F.lit("ip-d-"), did.cast("string")))
+              .when(did % 3 == 1,
+                    F.concat(F.lit("ip-s-"),
+                             (did % 40).cast("string")))
+              .otherwise(F.lit("ip-cdn")))
+        hosts = _t(spark, sf, "documents").select(
+            F.concat(F.lit("h"), did.cast("string")).alias("host"),
+            ip.alias("ip"),
+            (100 + did % 50).cast("int").alias("budget"))
+        return ip_budget_groups(hosts)
+
     def q_dims_router(spark, sf):
         # fused sniff+parse router (multimodal.image_dims_router): all
         # six container families in one corpus (%6 arms share one
@@ -2691,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_meta": q_png_meta,
         "image_avif_dims": q_avif_dims,
         "image_dims_router": q_dims_router,
+        "url_ip_budgets": q_ip_budgets,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5978,6 +5998,33 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # shared-IP politeness: replay the ip-window fan-in count, the
+        # dedicated/shared/cdn classification and the floor split
+        "url_ip_budgets": """
+            WITH h AS (
+              SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'ip-d-' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN 'ip-s-'
+                                   || CAST(doc_id % 40 AS VARCHAR)
+                       ELSE 'ip-cdn' END AS ip,
+                     CAST(100 + doc_id % 50 AS INT) AS budget
+              FROM documents),
+            w AS (
+              SELECT *, COUNT(*) OVER (PARTITION BY ip)
+                        AS n_hosts_on_ip
+              FROM h)
+            SELECT host, ip, budget,
+                   CAST(n_hosts_on_ip AS BIGINT) AS n_hosts_on_ip,
+                   CASE WHEN n_hosts_on_ip = 1 THEN 'dedicated'
+                        WHEN n_hosts_on_ip <= 64 THEN 'shared'
+                        ELSE 'cdn' END AS ip_class,
+                   CAST(CASE WHEN n_hosts_on_ip = 1
+                               OR n_hosts_on_ip > 64 THEN budget
+                             ELSE greatest(budget // n_hosts_on_ip, 1)
+                        END AS BIGINT) AS host_budget
+            FROM w""",
 
         # dims router: the fused sniff+parse disposition in closed
         # form across all six container families

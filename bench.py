@@ -155,6 +155,7 @@ HEADLINE = [
     "image_png_meta",
     "image_avif_dims",
     "image_dims_router",
+    "url_ip_budgets",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -412,3 +412,48 @@ def rendezvous_shards(hosts: DataFrame, n_shards: int = 16,
         F.col(host_col).alias("host"),
         (-best["neg_shard"]).cast("int").alias("shard"),
         best["w"].alias("hrw_weight"))
+
+
+def ip_budget_groups(hosts: DataFrame, budget_col: str = "budget",
+                     cdn_threshold: int = 64) -> DataFrame:
+    """Shared-IP politeness: hosts that resolve to one address share
+    one origin server — fetch budgets must merge or the crawler is
+    polite per NAME while hammering the BOX.
+
+    Classification per IP by distinct-host fan-in:
+
+    * ``dedicated`` (1 host) — the host keeps its full budget;
+    * ``shared`` (2..``cdn_threshold``) — classic shared hosting: the
+      per-IP budget is the budget, split evenly across its hosts
+      (floor division, minimum 1 so no host starves to zero);
+    * ``cdn`` (> threshold) — anycast/CDN front doors host thousands
+      of names and absorb per-host load by design; splitting would
+      starve every site behind the CDN, so hosts keep full budgets
+      and the class is surfaced for rate monitoring instead.
+
+    The cdn arm is why this cannot be "just divide": the two failure
+    modes (hammering a shared box / starving everything behind
+    Cloudflare) pull in opposite directions and the fan-in count is
+    what separates them.
+
+    Plan: ONE ip-keyed window over the host dimension (host
+    cardinality, slim columns) — no join-back, no second shuffle.
+    Integer arithmetic throughout.
+
+    Returns input columns + (n_hosts_on_ip, ip_class, host_budget).
+    """
+    w = Window.partitionBy("ip")
+    n = F.count(F.lit(1)).over(w)
+    staged = hosts.withColumn("n_hosts_on_ip", n.cast("long"))
+    cls = (F.when(F.col("n_hosts_on_ip") == 1, F.lit("dedicated"))
+           .when(F.col("n_hosts_on_ip") <= cdn_threshold,
+                 F.lit("shared"))
+           .otherwise(F.lit("cdn")))
+    split = F.greatest(
+        F.expr("%s div n_hosts_on_ip" % budget_col),
+        F.lit(1).cast("long"))
+    return staged.select(
+        *hosts.columns, "n_hosts_on_ip", cls.alias("ip_class"),
+        F.when(cls == "shared", split)
+        .otherwise(F.col(budget_col).cast("long"))
+        .alias("host_budget"))

@@ -19,6 +19,15 @@ too eagerly).  Two operators:
   budget one timeout at a time.  One host-keyed aggregation — output
   is host-cardinality, broadcast territory for the scheduler join.
 
+Relationship to ``politeness.retry_schedule``: that operator
+AGGREGATES a boolean fetch log (trailing-failure runs → one queue row
+per currently-failing URL) and knows nothing about status semantics;
+:func:`retry_plan` is the per-attempt decision that feeds it —
+status-class aware (permanent vs transient), Retry-After aware, and
+the place where "don't retry a 404" is decided.  A scheduler runs
+retry_plan on each fetch wave and retry_schedule over the
+accumulated log.
+
 Everything is integer arithmetic (bit-shift backoff, per-mille rates
 with floor division), so the DuckDB oracles replay both bit for bit.
 """

@@ -1798,3 +1798,26 @@ def test_charset_sniff_keeps_content_type(spark):
     row = charset_sniff(df).collect()[0]
     assert row["content_type"] == "text/html; charset=utf8"
     assert row["charset"] == "utf-8"
+
+
+def test_ip_budget_groups_three_classes(spark):
+    from scrapely_spark.frontier.politeness import ip_budget_groups
+
+    rows = [("d1", "10.0.0.1", 100)]                     # dedicated
+    rows += [("s%d" % i, "10.0.0.2", 90) for i in range(4)]   # shared
+    rows += [("c%d" % i, "10.0.0.3", 100) for i in range(70)]  # cdn
+    df = spark.createDataFrame(rows, "host string, ip string, "
+                                     "budget int")
+    out = {r["host"]: r for r in ip_budget_groups(df).collect()}
+    assert out["d1"]["ip_class"] == "dedicated"
+    assert out["d1"]["host_budget"] == 100
+    assert out["s0"]["ip_class"] == "shared"
+    assert out["s0"]["host_budget"] == 22        # 90 div 4, floor
+    assert out["c0"]["ip_class"] == "cdn"
+    assert out["c0"]["host_budget"] == 100       # never split
+    # shared split never starves a host to zero
+    tiny = spark.createDataFrame(
+        [("t%d" % i, "ip", 2) for i in range(5)],
+        "host string, ip string, budget int")
+    assert all(r["host_budget"] == 1
+               for r in ip_budget_groups(tiny).collect())
