@@ -14,7 +14,8 @@ twin on identical input.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import (DataFrame, SparkSession, Window,
+                         functions as F)
 
 
 def _read_parquet_stream(spark: SparkSession, directory: str,
@@ -438,3 +439,74 @@ def revalidation_stream(spark: SparkSession, fetch_log_dir: str,
     stream = _read_parquet_stream(spark, fetch_log_dir,
                                   max_files_per_trigger, schema)
     return revalidation.revalidation_plan(stream, now_us, **plan_kwargs)
+
+
+def page_ingest_stream(spark: SparkSession, pages_dir: str,
+                       index_dir: str, kept_dir: str,
+                       checkpoint_dir: str,
+                       max_files_per_trigger: int = 1,
+                       schema=None, available_now: bool = True,
+                       min_content_chars: int = 100):
+    """Streaming twin of ``htmlmeta.page_ingest`` — the continuously-
+    ingesting crawl→corpus front door.
+
+    Per micro-batch: main-content extraction + the length gate run as
+    the same shuffle-free Project as the batch operator; exact-dup
+    election then happens in two legs — within the batch (min-url per
+    content fingerprint, identical to the batch rule) and against the
+    accumulated ON-DISK fingerprint index (left anti-join), after
+    which the batch appends its own fingerprints.  Same
+    storage-resident state and exactly-once ``batch_id=N`` overwrite
+    contract as :func:`minhash_dedup_stream` (a replayed micro-batch
+    overwrites its own previous attempt and probes only
+    ``batch_id < N``).
+
+    Semantics note: across batches the election is FIRST-ARRIVED —
+    the only causal option a stream has — where the batch operator
+    elects the globally-minimal url.  Within any single batch the two
+    agree exactly; the parity test pins both facts.
+    """
+    from scrapely_spark.frontier.htmlmeta import main_content
+
+    stream = _read_parquet_stream(spark, pages_dir,
+                                  max_files_per_trigger, schema)
+
+    def _batch(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        extracted = main_content(
+            batch_df.select("url", "html"),
+            min_chars=25).where(
+            F.col("content_chars") >= min_content_chars)
+        ok = extracted.withColumn("content_fp", F.md5("content")) \
+            .persist()
+        try:
+            prior = [p for p in _index_batches(sess, index_dir)
+                     if p[0] < batch_id]
+            if prior:
+                index = sess.read.parquet(*[p[1] for p in prior])
+            else:
+                index = ok.select("content_fp").limit(0)
+            w = Window.partitionBy("content_fp")
+            kept = (ok
+                    .withColumn("_min_url", F.min("url").over(w))
+                    .where(F.col("url") == F.col("_min_url"))
+                    .drop("_min_url")
+                    .join(index, "content_fp", "left_anti")
+                    .select("url", "n_blocks", "n_kept",
+                            "content_chars", "content_fp", "content"))
+            (kept.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet("%s/batch_id=%d" % (kept_dir, batch_id)))
+            (ok.select("content_fp").distinct()
+             .write.mode("overwrite")
+             .parquet("%s/batch_id=%d" % (index_dir, batch_id)))
+        finally:
+            ok.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .queryName("page_ingest_stream"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -719,3 +719,67 @@ def test_streaming_revalidation_agrees_with_batch(spark, tmp_path):
     # all four actions represented in the parity set
     assert {r[3] for r in want} == {
         "fresh", "revalidate_etag", "revalidate_lastmod", "refetch"}
+
+
+def test_streaming_page_ingest_agrees_with_batch(spark, tmp_path):
+    """Streaming crawl→corpus ingest == batch page_ingest within one
+    batch; across batches the election is first-arrived (pinned),
+    the fingerprint index dedups later re-crawls of the same prose,
+    and the batch_id=N replay contract holds."""
+    import os
+    import time
+
+    from scrapely_spark.frontier.htmlmeta import page_ingest
+    from scrapely_spark.spark import streaming
+
+    prose_a = ("Shared article text long enough to clear the "
+               "minimum content gate without any trouble at all, "
+               "padded with a second sentence for good measure.")
+    prose_b = ("A different but equally long article body that "
+               "also clears the minimum content gate comfortably, "
+               "likewise padded with one extra closing sentence.")
+    nav = '<nav><a href="/x">Home</a> <a href="/y">About</a></nav>'
+    mk = lambda p: "<html><body>%s<p>%s</p></body></html>" % (nav, p)
+    zone = str(tmp_path / "pages_zone")
+    batches = [
+        # batch 0: dup pair within the batch + a unique
+        [("http://s/5", mk(prose_a)), ("http://s/7", mk(prose_a)),
+         ("http://s/9", mk(prose_b))],
+        # batch 1: SMALLER url re-crawls prose_a — batch semantics
+        # would elect it; streaming must keep batch 0's winner
+        [("http://s/1", mk(prose_a)),
+         ("http://s/8", mk("tiny"))],
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, "url string, html string") \
+            .coalesce(1).write.mode("append").parquet(zone)
+        newest = max((os.path.join(zone, f) for f in os.listdir(zone)
+                      if f.endswith(".parquet")),
+                     key=os.path.getmtime)
+        os.utime(newest, (time.time() + b, time.time() + b))
+
+    index_dir = str(tmp_path / "fp_index")
+    kept_dir = str(tmp_path / "kept")
+    q = streaming.page_ingest_stream(
+        spark, zone, index_dir, kept_dir,
+        str(tmp_path / "ckpt_ingest"), max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    kept = {r["url"]: r
+            for r in spark.read.parquet(kept_dir).collect()}
+    # within-batch election identical to the batch operator
+    b0 = spark.createDataFrame(batches[0], "url string, html string")
+    batch_kept = {r["url"] for r in page_ingest(b0).collect()
+                  if r["kept"]}
+    assert {u for u, r in kept.items() if r["batch_id"] == 0} \
+        == batch_kept == {"http://s/5", "http://s/9"}
+    # cross-batch: first-arrived wins; the later smaller url is a dup
+    assert "http://s/1" not in kept
+    assert "http://s/8" not in kept          # gated short
+    # replay with a fresh checkpoint: identical result
+    q2 = streaming.page_ingest_stream(
+        spark, zone, index_dir, kept_dir,
+        str(tmp_path / "ckpt_ingest_2"), max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    again = {r["url"] for r in spark.read.parquet(kept_dir).collect()}
+    assert again == set(kept)
