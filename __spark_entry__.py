@@ -2336,31 +2336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url"), html.alias("html"))
         return page_ingest(pages)
 
-    def q_bpe_merges(spark, sf):
-        # distributed BPE trainer (bpe.train_bpe): 4 greedy merges
-        # learned from the real documents text — vocabulary-sized
-        # iteration shuffles, driver collects exactly one row per
-        # merge; the oracle re-runs the trainer as unrolled SQL CTEs
-        # (pair count → deterministic top-1 → literal replace), so
-        # every learned pair, its spelled merge and its count must be
-        # bit-identical
-        from scrapely_spark.spark import bpe
-        merges = bpe.train_bpe(_t(spark, sf, "documents"), n_merges=4)
-        return spark.createDataFrame(
-            merges, "iteration int, pair string, merged string, "
-                    "pair_count long")
-
-    def q_bpe_tokens(spark, sf):
-        # BPE application (bpe.encode_tokens): per-doc token counts
-        # under the 4 merges learned from the same corpus — the
-        # encode chain is k shuffle-free literal replaces; the oracle
-        # re-trains in SQL and replays the replaces + unknown-token
-        # rule per word
-        from scrapely_spark.spark import bpe
-        d = _t(spark, sf, "documents")
-        merges = bpe.train_bpe(d, n_merges=4)
-        return bpe.encode_tokens(d, merges)
-
     def q_ip_budgets(spark, sf):
         # shared-IP politeness (politeness.ip_budget_groups): a third
         # of hosts on dedicated IPs, a third on ~12 shared boxes, a
@@ -2736,8 +2711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_avif_dims": q_avif_dims,
         "image_dims_router": q_dims_router,
         "url_ip_budgets": q_ip_budgets,
-        "corpus_bpe_merges": q_bpe_merges,
-        "corpus_bpe_tokens": q_bpe_tokens,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -2946,78 +2919,6 @@ _BANDS_SQL = _SHINGLE_CTE + """
 
 
 _EMB_DIM = 64          # synthetic embeddings table dimension
-def _bpe_ctes(n_merges: int) -> str:
-    """The BPE trainer unrolled as SQL CTEs: v0 is the word-frequency
-    vocab in spaced-symbol form; each iteration k is a pair-count
-    (pK), a deterministic top-1 (mK: count desc, pair asc) and the
-    literal-replace application (v{K+1}) — the same greedy spec as
-    spark.bpe.train_bpe, replayed exactly (DuckDB and Java replace()
-    share left-to-right non-overlapping semantics)."""
-    ctes = [r"""words AS (
-          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-          FROM documents),
-        v0 AS (
-          SELECT w, COUNT(*) AS freq,
-                 ' ' || array_to_string(regexp_extract_all(w, '.'),
-                                        ' ') || ' ' AS sp
-          FROM words WHERE regexp_matches(w, '^[a-z]+$')
-          GROUP BY w)"""]
-    for k in range(n_merges):
-        ctes.append(r"""p%d AS (
-          SELECT t.pair, SUM(freq) AS cnt
-          FROM v%d, LATERAL (SELECT unnest(list_transform(
-                 range(1, len(string_split(trim(sp), ' '))),
-                 i -> string_split(trim(sp), ' ')[i] || ' '
-                      || string_split(trim(sp), ' ')[i+1])) AS pair) t
-          GROUP BY t.pair),
-        m%d AS (
-          SELECT %d AS iteration, pair,
-                 replace(pair, ' ', '') AS merged,
-                 CAST(cnt AS BIGINT) AS pair_count
-          FROM p%d ORDER BY cnt DESC, pair LIMIT 1),
-        v%d AS (
-          SELECT freq, replace(sp, ' ' || m%d.pair || ' ',
-                               ' ' || m%d.merged || ' ') AS sp
-          FROM v%d, m%d)""" % (k, k, k, k, k, k + 1, k, k, k, k))
-    return "WITH " + ",\n        ".join(ctes)
-
-
-def _bpe_oracle_merges(n_merges: int) -> str:
-    union = "\n            UNION ALL ".join(
-        "SELECT * FROM m%d" % k for k in range(n_merges))
-    return ("%s\n            %s"
-            % (_bpe_ctes(n_merges), union))
-
-
-def _bpe_oracle_tokens(n_merges: int) -> str:
-    """Encode side: per-doc word list, spaced symbols, the k learned
-    replaces (cross-joined one-row mK CTEs), unknown-token rule, sum."""
-    repl = "sp0"
-    for k in range(n_merges):
-        repl = ("replace(%s, ' ' || m%d.pair || ' ', "
-                "' ' || m%d.merged || ' ')" % (repl, k, k))
-    joins = ", ".join("m%d" % k for k in range(n_merges))
-    return r"""%s,
-        doc_words AS (
-          SELECT doc_id, unnest(regexp_split_to_array(lower(text),
-                                                      '\s+')) AS w
-          FROM documents),
-        scored AS (
-          SELECT doc_id,
-                 CASE WHEN regexp_matches(w, '^[a-z]+$')
-                      THEN len(string_split(trim(%s), ' '))
-                      ELSE 1 END AS toks
-          FROM (SELECT doc_id, w,
-                       ' ' || array_to_string(
-                         regexp_extract_all(w, '.'), ' ') || ' '
-                         AS sp0
-                FROM doc_words WHERE w != ''), %s)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-               CAST(SUM(toks) AS BIGINT) AS n_bpe_tokens
-        FROM scored GROUP BY doc_id""" % (_bpe_ctes(n_merges),
-                                          repl, joins)
-
-
 def _hits_oracle_sql(iterations: int = 3) -> str:
     """Unrolled DuckDB twin of graph.hits_micro over the same derived
     host graph: one (auth-step, hub-step) CTE pair per iteration, all
@@ -6097,15 +5998,6 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
-
-        # BPE trainer: the full greedy loop re-run as unrolled SQL
-        # (see _bpe_ctes) — vocab build, per-iteration pair counts,
-        # total-order top-1, literal-replace application
-        "corpus_bpe_merges": _bpe_oracle_merges(4),
-
-        # BPE application: re-train in SQL, then replay the k-replace
-        # encode chain and the unknown-token rule per document word
-        "corpus_bpe_tokens": _bpe_oracle_tokens(4),
 
         # shared-IP politeness: replay the ip-window fan-in count, the
         # dedicated/shared/cdn classification and the floor split

@@ -156,8 +156,6 @@ HEADLINE = [
     "image_avif_dims",
     "image_dims_router",
     "url_ip_budgets",
-    "corpus_bpe_merges",
-    "corpus_bpe_tokens",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -182,67 +182,3 @@ def test_similar_region_parity(hay, pat, start, end, zero_width):
 def test_collect_fields():
     assert collect_fields(
         [("b", 2), ("a", 1), ("b", 3)]) == {"a": [1], "b": [2, 3]}
-
-
-def test_bpe_trainer_matches_python_twin(spark):
-    from collections import Counter
-
-    from scrapely_spark.spark import bpe
-
-    corpus = ["the cat sat on the mat the cat",
-              "a hat a bat the cat sat",
-              "mats and hats and bats"]
-    docs = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(corpus)],
-        "doc_id long, text string")
-    got = bpe.train_bpe(docs, n_merges=6)
-
-    # pure-python reference implementation of the same greedy spec
-    words = Counter(w for t in corpus for w in t.lower().split()
-                    if w.isalpha())
-    vocab = {w: " " + " ".join(w) + " " for w in words}
-    want = []
-    for it in range(6):
-        pc = Counter()
-        for w, sp in vocab.items():
-            s = sp.split()
-            for a, b in zip(s, s[1:]):
-                pc[a + " " + b] += words[w]
-        if not pc:
-            break
-        pair, cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if cnt <= 1:
-            break
-        want.append((it, pair, pair.replace(" ", ""), cnt))
-        for w in vocab:
-            vocab[w] = vocab[w].replace(
-                " %s " % pair, " %s " % pair.replace(" ", ""))
-    assert got == want and len(got) >= 4
-
-
-def test_bpe_encode_counts(spark):
-    from scrapely_spark.spark import bpe
-
-    docs = spark.createDataFrame(
-        [(1, "the cat sat the cat"), (2, "a cat hat the"),
-         (3, "Cat! 123 the")],
-        "doc_id long, text string")
-    merges = bpe.train_bpe(docs.where("doc_id <= 2"), n_merges=4)
-    assert [m[1] for m in merges] == ["a t", "c at", "h e", "t he"]
-    out = {r["doc_id"]: r
-           for r in bpe.encode_tokens(docs, merges).collect()}
-    # the=1 tok, cat=1, sat=' s at '=2
-    assert (out[1]["n_words"], out[1]["n_bpe_tokens"]) == (5, 6)
-    assert (out[2]["n_words"], out[2]["n_bpe_tokens"]) == (4, 5)
-    # non-alpha words ("Cat!", "123") take the unknown-token path: 1
-    assert (out[3]["n_words"], out[3]["n_bpe_tokens"]) == (3, 3)
-
-
-def test_bpe_encode_is_shuffle_free(spark):
-    from scrapely_spark.spark import bpe
-
-    docs = spark.createDataFrame([(1, "a b")],
-                                 "doc_id long, text string")
-    plan = bpe.encode_tokens(docs, [(0, "a b", "ab", 2)]) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
