@@ -436,39 +436,51 @@ def hits_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
     in-degrees well under that after edge-dedup.
     """
     e = edges.select("src", "dst").distinct().cache()
+    # nodes is joined TWICE per iteration — cache it, or each use
+    # re-runs the union+distinct over e
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct())
-    s = (nodes.select(
-        "node",
-        F.lit(RANK_ONE_MICRO).cast("long").alias("auth"),
-        F.lit(RANK_ONE_MICRO).cast("long").alias("hub"))
-        .localCheckpoint(eager=True))
+             .distinct().cache())
+    # the loop carries only the NONZERO score rows: a node absent from
+    # the hub (auth) frame contributes exactly 0 to the next join's
+    # sums, so materializing zero rows per iteration (a nodes-sized
+    # left join, twice per iteration) buys nothing — zeros are filled
+    # in ONCE at the end.  This halves the loop's join count.
+    hub = nodes.select(
+        "node", F.lit(RANK_ONE_MICRO).cast("long").alias("hub")) \
+        .localCheckpoint(eager=True)
+    auth = None
     for _ in range(iterations):
-        ar = (e.join(s.select(F.col("node").alias("_s"), "hub"),
+        ar = (e.join(hub.select(F.col("node").alias("_s"), "hub"),
                      e["src"] == F.col("_s"))
               .groupBy("dst").agg(F.sum("hub").alias("raw")))
         am = F.broadcast(ar.agg(
             F.greatest(F.max("raw"), F.lit(1)).alias("_am")))
-        a = (nodes.join(ar, nodes["node"] == ar["dst"], "left")
-             .crossJoin(am)
-             .select("node",
-                     F.expr("coalesce(raw, 0) * 1000000 div _am")
-                     .alias("auth")))
-        hr = (e.join(a.select(F.col("node").alias("_d"), "auth"),
+        auth = (ar.crossJoin(am)
+                .select(F.col("dst").alias("node"),
+                        F.expr("raw * 1000000 div _am").alias("auth"))
+                # LAZY: truncates lineage without forcing a job per
+                # iteration — the whole loop submits as one job at the
+                # terminal action (the pagerank trick)
+                .localCheckpoint(eager=False))
+        hr = (e.join(auth.select(F.col("node").alias("_d"), "auth"),
                      e["dst"] == F.col("_d"))
               .groupBy("src").agg(F.sum("auth").alias("raw")))
         hm = F.broadcast(hr.agg(
             F.greatest(F.max("raw"), F.lit(1)).alias("_hm")))
-        s = (a.join(hr, a["node"] == hr["src"], "left")
-             .crossJoin(hm)
-             .select("node", "auth",
-                     F.expr("coalesce(raw, 0) * 1000000 div _hm")
-                     .alias("hub"))
-             .localCheckpoint(eager=True))
-    out = s.select("node", F.col("auth").alias("auth_micro"),
-                   F.col("hub").alias("hub_micro"))
-    return _unpersist_on_gc(out, [e])
+        hub = (hr.crossJoin(hm)
+               .select(F.col("src").alias("node"),
+                       F.expr("raw * 1000000 div _hm").alias("hub"))
+               .localCheckpoint(eager=False))
+    out = (nodes
+           .join(auth, "node", "left")
+           .join(hub, "node", "left")
+           .select("node",
+                   F.coalesce("auth", F.lit(0)).cast("long")
+                   .alias("auth_micro"),
+                   F.coalesce("hub", F.lit(0)).cast("long")
+                   .alias("hub_micro")))
+    return _unpersist_on_gc(out, [e, nodes])
 
 
 def hits_micro_py(edges, iterations: int = 3) -> dict:
