@@ -1247,6 +1247,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     / F.col("n_urls").cast("double"),
                                     6)))
 
+    def q_video_near_dups(spark, sf):
+        # video near-dup pairs (multimodal.video_near_dups): every doc
+        # is a 3-frame video; groups of 3 share base frame hashes —
+        # member 1 drifts one bit per frame (a re-encode: all frames
+        # match), member 2 is heavily damaged on frames 0-1 with an
+        # exact frame 2 (ONE matching frame — below the
+        # min_match_frames floor, so the shared-title-card rule
+        # bites).  Oracle is the brute-force aligned-frame hamming
+        # join — equal only because pigeonhole banding guarantees
+        # recall 1.0 at max_hamming <= n_chunks-1.
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        g = (did - did % 3).cast("string")
+        frames = (_t(spark, sf, "documents")
+                  .select(did.alias("video_id"),
+                          F.explode(F.array(F.lit(0), F.lit(1),
+                                            F.lit(2)))
+                          .alias("frame_idx")))
+        base = F.conv(F.substring(F.md5(F.concat(
+            (F.col("video_id") - F.col("video_id") % 3)
+            .cast("string"), F.lit(":"),
+            F.col("frame_idx").cast("string"))), 1, 15), 16, 10) \
+            .cast("long")
+        flips = (F.when(F.col("video_id") % 3 == 1, F.lit(1))
+                 .when((F.col("video_id") % 3 == 2)
+                       & (F.col("frame_idx") < 2), F.lit(16776960))
+                 .otherwise(F.lit(0))).cast("long")
+        return multimodal.video_near_dups(
+            frames.select("video_id", "frame_idx",
+                          base.bitwiseXOR(flips).alias("phash")))
+
     def q_mirror_hosts(spark, sf):
         # mirror detection (graph.mirror_hosts): hosts hN carry the
         # docs with doc_id % 120 == N; mirrors mN re-serve the first
@@ -2711,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_avif_dims": q_avif_dims,
         "image_dims_router": q_dims_router,
         "url_ip_budgets": q_ip_budgets,
+        "video_near_dups": q_video_near_dups,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -5998,6 +6030,33 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # video near-dups: brute-force aligned-frame hamming join over
+        # the identically-synthesized frame hashes + the
+        # min-matching-frames floor — equals the banded plan only
+        # because pigeonhole banding guarantees recall 1.0
+        "video_near_dups": """
+            WITH frames AS (
+              SELECT doc_id AS vid, f.f AS frame_idx,
+                     xor(CAST('0x' || substr(md5(
+                           CAST(doc_id - doc_id % 3 AS VARCHAR)
+                           || ':' || CAST(f.f AS VARCHAR)), 1, 15)
+                           AS BIGINT),
+                         CAST(CASE WHEN doc_id % 3 = 1 THEN 1
+                                   WHEN doc_id % 3 = 2 AND f.f < 2
+                                     THEN 16776960
+                                   ELSE 0 END AS BIGINT)) AS phash
+              FROM documents, (VALUES (0), (1), (2)) AS f(f)),
+            p AS (
+              SELECT a.vid AS va, b.vid AS vb,
+                     bit_count(xor(a.phash, b.phash)) AS hd
+              FROM frames a JOIN frames b
+                ON a.frame_idx = b.frame_idx AND a.vid < b.vid
+              WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+            SELECT va, vb,
+                   CAST(COUNT(*) AS BIGINT) AS n_matching_frames,
+                   CAST(MIN(hd) AS INT) AS best_hamming
+            FROM p GROUP BY va, vb HAVING COUNT(*) >= 2""",
 
         # shared-IP politeness: replay the ip-window fan-in count, the
         # dedicated/shared/cdn classification and the floor split

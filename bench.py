@@ -156,6 +156,7 @@ HEADLINE = [
     "image_avif_dims",
     "image_dims_router",
     "url_ip_budgets",
+    "video_near_dups",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -1204,3 +1204,61 @@ def image_dims_router(images: DataFrame,
             yield out
 
     return in_schema.mapInPandas(kernel, out_fields)
+
+
+def video_near_dups(frames: DataFrame, max_hamming: int = 3,
+                    n_chunks: int = 4, min_match_frames: int = 2,
+                    max_bucket: int = 2048) -> DataFrame:
+    """Video near-duplicate pairs from sampled-frame perceptual
+    hashes — the video extension of :func:`phash_near_dups`.
+
+    Input: one row per sampled frame ``(video_id, frame_idx, phash)``
+    (what :func:`frame_sample` + :func:`phash_column` produce).  Two
+    videos are near-duplicates when at least ``min_match_frames`` of
+    their ALIGNED frames (same sample index — re-encodes and quality
+    ladders preserve timing) hash within ``max_hamming``; requiring
+    multiple agreeing frames is what keeps a shared title card or
+    black frame from pairing every video in the corpus.
+
+    Scale shape: the same pigeonhole banding guarantee as the image
+    path (``max_hamming <= n_chunks-1`` ⇒ recall 1.0), with
+    ``frame_idx`` folded into the band key — candidates only ever form
+    between frames at the same position, so the blowup of a popular
+    hash is bounded per position and capped by ``max_bucket``; the
+    exact ``bit_count(xor)`` verify runs on the capped candidate set;
+    the final per-pair aggregate is one slim (va, vb) shuffle.  Never
+    video×video.
+
+    Returns (va, vb, n_matching_frames, best_hamming).
+    """
+    _check_banding(max_hamming, n_chunks)
+    banded = frames.select(
+        "video_id", "frame_idx", "phash",
+        F.explode(_chunk_structs("phash", n_chunks)).alias("c")) \
+        .select("video_id", "frame_idx", "phash",
+                F.col("c.chunk_idx").alias("chunk_idx"),
+                F.col("c.chunk_val").alias("chunk_val"))
+    key = ["frame_idx", "chunk_idx", "chunk_val"]
+    fill = banded.groupBy(*key).agg(F.count(F.lit(1)).alias("_n"))
+    capped = banded.join(
+        F.broadcast(fill.where(F.col("_n") > max_bucket)),
+        key, "left_anti")
+    a = capped.select(*key, F.col("video_id").alias("va"),
+                      F.col("phash").alias("ha"))
+    b = capped.select(*key, F.col("video_id").alias("vb"),
+                      F.col("phash").alias("hb"))
+    pairs = (a.join(b, key)
+             .where(F.col("va") < F.col("vb"))
+             .select("frame_idx", "va", "vb", "ha", "hb")
+             .distinct()
+             .where(F.expr("bit_count(ha ^ hb)") <= max_hamming))
+    return (pairs.groupBy("va", "vb")
+            .agg(F.count(F.lit(1)).alias("n_matching_frames"),
+                 F.min(F.expr("bit_count(ha ^ hb)"))
+                 .alias("best_hamming"))
+            .where(F.col("n_matching_frames") >= min_match_frames)
+            .select("va", "vb",
+                    F.col("n_matching_frames").cast("long")
+                    .alias("n_matching_frames"),
+                    F.col("best_hamming").cast("int")
+                    .alias("best_hamming")))

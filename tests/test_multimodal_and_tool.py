@@ -1119,3 +1119,34 @@ def test_gps_scrub_drops_unrelocatable_subifd_pointers():
     sg = exif_gps_scrub(g)
     assert exif_gps(sg) == (None, None, False, True)
     assert exif_meta(sg) == (5, "2024:03:01 09:00:00", "CamZ", True)
+
+
+def test_video_near_dups_aligned_frames(spark):
+    from scrapely_spark.spark import multimodal
+
+    base = {0: 0x123456789ABCD, 1: 0x0FEDCBA987654, 2: 0x5A5A5A5A5A5A5}
+    rows = []
+    # v1 = canonical; v2 = 1-bit drift per frame (re-encode); v3 =
+    # heavy damage on frames 0+1, exact frame 2 (one matching frame
+    # only — below min_match_frames); v4 unrelated
+    for f, h in base.items():
+        rows += [(1, f, h), (2, f, h ^ 1), (3, f, h ^ 0x00FFFF00
+                                            if f < 2 else h),
+                 (4, f, h ^ 0x7777777777777)]
+    df = spark.createDataFrame(
+        rows, "video_id int, frame_idx int, phash long")
+    out = {(r["va"], r["vb"]): r
+           for r in multimodal.video_near_dups(df).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)]["n_matching_frames"] == 3
+    assert out[(1, 2)]["best_hamming"] == 1
+
+    # a shared title card (identical frame 0 everywhere) must not
+    # pair unrelated videos on its own
+    rows2 = [(v, 0, 0xAAAA) for v in (10, 11, 12)]
+    far = {10: 0x0F0F0F0F0F0F, 11: 0x3C3C3C3C3C3C,
+           12: 0x555555555555}
+    rows2 += [(v, 1, far[v]) for v in (10, 11, 12)]
+    df2 = spark.createDataFrame(
+        rows2, "video_id int, frame_idx int, phash long")
+    assert multimodal.video_near_dups(df2).count() == 0
