@@ -715,18 +715,30 @@ def top_pmi_bigrams(docs: DataFrame, k: int = 50,
     suppresses the low-frequency bigrams whose PMI estimates are pure
     noise (the standard guard — a hapax pair maxes the statistic).
 
-    Plan shape: one explode+groupBy per granularity (both with
-    map-side partial counts), bigram counts join the unigram table
-    twice on the word key (plain hash joins — the vocabulary is the
-    join side, never the corpus), totals are a 1-row broadcast cross
-    join, and the cut is TakeOrderedAndProject over the rounded score
-    (round-before-rank, ties by bigram — deterministic across engines
-    and summation orders).
+    Plan shape: ONE corpus pass — unigrams and bigrams ride the same
+    tagged explode into one map-side-combined groupBy, and the
+    resulting vocabulary-sized count table is checkpointed once for
+    its five consumers (two unigram joins, the bigram side, two
+    1-row totals).  The joins carry the vocabulary, never the corpus;
+    totals are a 1-row broadcast cross join; the cut is
+    TakeOrderedAndProject over the rounded score (round-before-rank,
+    ties by bigram — deterministic across engines and summation
+    orders).
     """
-    words = docs.select(F.explode(_words()).alias("w"))
-    uni = words.groupBy("w").agg(F.count("*").alias("c"))
-    bi_all = (docs.select(F.explode(_ngrams(_words(), 2)).alias("bigram"))
-              .groupBy("bigram").agg(F.count("*").alias("c_ab")))
+    w = _words()
+    tagged = docs.select(F.explode(F.concat(
+        F.transform(w, lambda x: F.concat(F.lit("u:"), x)),
+        F.transform(_ngrams(w, 2),
+                    lambda g: F.concat(F.lit("b:"), g)))).alias("g"))
+    # vocabulary-sized; checkpointed so the five consumers below read
+    # it instead of re-running the corpus tokenization each
+    counts = (tagged.groupBy("g").agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=True))
+    uni = counts.where(F.col("g").startswith("u:")) \
+        .select(F.expr("substring(g, 3)").alias("w"), "c")
+    bi_all = counts.where(F.col("g").startswith("b:")) \
+        .select(F.expr("substring(g, 3)").alias("bigram"),
+                F.col("c").alias("c_ab"))
     # totals over the FULL distributions (p(ab) is relative to every
     # bigram occurrence, not just the ones above min_count)
     totals = F.broadcast(
