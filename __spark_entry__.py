@@ -1247,6 +1247,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     / F.col("n_urls").cast("double"),
                                     6)))
 
+    def q_caption_safety(spark, sf):
+        # caption safety blocklist (multimodal.caption_safety_gate):
+        # real text with injected markers per arm — drop category,
+        # review category, multi-hit counting, and a word-boundary
+        # negative ("goretex") that must NOT fire; the oracle replays
+        # the per-category word-boundary counts and the routing ladder
+        from scrapely_spark.spark import multimodal
+        did = F.col("doc_id")
+        cls = did % 11
+        cap = F.concat(
+            F.substring(F.col("text"), 1, 80),
+            F.when(cls == 1, F.lit(" nsfw"))
+            .when(cls == 2, F.lit(" gore footage"))
+            .when(cls == 3, F.lit(" slur"))
+            .when(cls == 4, F.lit(" narcotics"))
+            .when(cls == 5, F.lit(" goretex xxxl"))
+            .when(cls == 6, F.lit(" nsfw xxx gore"))
+            .otherwise(F.lit("")))
+        pairs = _t(spark, sf, "documents").select(
+            did.alias("image_id"), cap.alias("caption"))
+        return multimodal.caption_safety_gate(pairs)
+
     def q_video_near_dups(spark, sf):
         # video near-dup pairs (multimodal.video_near_dups): every doc
         # is a 3-frame video; groups of 3 share base frame hashes —
@@ -2743,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dims_router": q_dims_router,
         "url_ip_budgets": q_ip_budgets,
         "video_near_dups": q_video_near_dups,
+        "image_caption_safety": q_caption_safety,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -6030,6 +6053,46 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # caption safety gate: replay the per-category word-boundary
+        # counts (same regex literals, same \b semantics in RE2 and
+        # Java) and the drop/review/keep routing over identically
+        # rebuilt captions
+        "image_caption_safety": r"""
+            WITH p AS (
+              SELECT doc_id AS image_id,
+                     substr(text, 1, 80)
+                     || CASE CAST(doc_id % 11 AS INT)
+                          WHEN 1 THEN ' nsfw'
+                          WHEN 2 THEN ' gore footage'
+                          WHEN 3 THEN ' slur'
+                          WHEN 4 THEN ' narcotics'
+                          WHEN 5 THEN ' goretex xxxl'
+                          WHEN 6 THEN ' nsfw xxx gore'
+                          ELSE '' END AS caption
+              FROM documents),
+            c AS (
+              SELECT image_id, caption,
+                     len(regexp_extract_all(lower(caption),
+                       '\b(?:gore|beheading|massacre)\b'))
+                       AS n_violence,
+                     len(regexp_extract_all(lower(caption),
+                       '\b(?:explicit|nsfw|xxx)\b')) AS n_adult,
+                     len(regexp_extract_all(lower(caption),
+                       '\b(?:slur|supremacist)\b')) AS n_hate,
+                     len(regexp_extract_all(lower(caption),
+                       '\b(?:narcotics|overdose)\b')) AS n_drugs
+              FROM p)
+            SELECT image_id, caption,
+                   CAST(n_violence AS INT) AS n_violence,
+                   CAST(n_adult AS INT) AS n_adult,
+                   CAST(n_hate AS INT) AS n_hate,
+                   CAST(n_drugs AS INT) AS n_drugs,
+                   CASE WHEN n_adult > 0 OR n_hate > 0 THEN 'drop'
+                        WHEN n_violence > 0 OR n_drugs > 0
+                          THEN 'review'
+                        ELSE 'keep' END AS safety_action
+            FROM c""",
 
         # video near-dups: brute-force aligned-frame hamming join over
         # the identically-synthesized frame hashes + the

@@ -157,6 +157,7 @@ HEADLINE = [
     "image_dims_router",
     "url_ip_budgets",
     "video_near_dups",
+    "image_caption_safety",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

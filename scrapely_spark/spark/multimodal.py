@@ -1262,3 +1262,65 @@ def video_near_dups(frames: DataFrame, max_hamming: int = 3,
                     .alias("n_matching_frames"),
                     F.col("best_hamming").cast("int")
                     .alias("best_hamming")))
+
+
+# safety blocklist: category → marker terms.  Deliberately mild
+# placeholder vocabulary (the real deployment swaps in a curated
+# list); the TABLE is the spec, shared verbatim with the DuckDB
+# oracle, and the matching semantics — lowercased, word-boundary,
+# category-counted — are what the operator actually tests.
+SAFETY_BLOCKLIST = {
+    "violence": ("gore", "beheading", "massacre"),
+    "adult": ("explicit", "nsfw", "xxx"),
+    "hate": ("slur", "supremacist"),
+    "drugs": ("narcotics", "overdose"),
+}
+#: categories whose ANY hit drops the pair outright; the rest flag
+#: for human review
+SAFETY_DROP_CATEGORIES = ("adult", "hate")
+
+
+def caption_safety_gate(pairs: DataFrame,
+                        caption_col: str = "caption") -> DataFrame:
+    """Caption safety screening — the blocklist stage every public
+    image-caption curation pipeline runs (the LAION-class releases
+    gate on exactly this before any model-based scorer, because a
+    word-boundary scan is free at scan time while a classifier pass
+    over 10^10 captions is a fleet-week).
+
+    Per caption: lowercased word-boundary matches counted per
+    category (``\\b`` anchored — "classification" must never hit a
+    4-letter term inside it), then routed: any hit in a
+    :data:`SAFETY_DROP_CATEGORIES` category → ``drop``; hits only in
+    the remaining categories → ``review``; clean → ``keep``.  The
+    per-category counts are kept — governance wants the audit
+    distribution, not just the verdict.
+
+    Plan: shuffle-free single Project, pure JVM regexp inside the
+    scan's codegen stage; composes in front of
+    :func:`curate_image_captions` / :func:`image_corpus_build`.
+
+    Returns input columns + one ``n_<category>`` count per category +
+    (safety_action ∈ keep|review|drop).
+    """
+    low = F.lower(F.col(caption_col))
+    counts = {}
+    for cat, terms in SAFETY_BLOCKLIST.items():
+        pat = r"\b(?:%s)\b" % "|".join(terms)
+        counts[cat] = F.size(
+            F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
+    drop = F.lit(False)
+    for cat in SAFETY_DROP_CATEGORIES:
+        drop = drop | (counts[cat] > 0)
+    review = F.lit(False)
+    for cat in SAFETY_BLOCKLIST:
+        if cat not in SAFETY_DROP_CATEGORIES:
+            review = review | (counts[cat] > 0)
+    action = (F.when(drop, F.lit("drop"))
+              .when(review, F.lit("review"))
+              .otherwise(F.lit("keep")))
+    return pairs.select(
+        *pairs.columns,
+        *[counts[c].cast("int").alias("n_%s" % c)
+          for c in SAFETY_BLOCKLIST],
+        action.alias("safety_action"))

@@ -1150,3 +1150,32 @@ def test_video_near_dups_aligned_frames(spark):
     df2 = spark.createDataFrame(
         rows2, "video_id int, frame_idx int, phash long")
     assert multimodal.video_near_dups(df2).count() == 0
+
+
+def test_caption_safety_gate(spark):
+    from scrapely_spark.spark import multimodal
+
+    rows = [
+        (1, "a sunny beach photo"),
+        (2, "EXPLICIT content warning"),          # drop category, cased
+        (3, "war documentary with gore footage"), # review category
+        (4, "gore and a slur together"),          # drop beats review
+        # word boundary: substrings must not fire
+        (5, "the goretex jacket classification"),
+        (6, "nsfw nsfw xxx"),                     # counted per hit
+    ]
+    df = spark.createDataFrame(rows, "image_id int, caption string")
+    out = {r["image_id"]: r
+           for r in multimodal.caption_safety_gate(df).collect()}
+    assert out[1]["safety_action"] == "keep"
+    assert out[2]["safety_action"] == "drop"
+    assert out[3]["safety_action"] == "review"
+    assert out[3]["n_violence"] == 1
+    assert out[4]["safety_action"] == "drop"
+    assert out[5]["safety_action"] == "keep"
+    assert out[5]["n_violence"] == 0
+    assert out[6]["n_adult"] == 3
+
+    plan = multimodal.caption_safety_gate(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
