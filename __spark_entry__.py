@@ -1247,6 +1247,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     / F.col("n_urls").cast("double"),
                                     6)))
 
+    def q_canonical_identity(spark, sf):
+        # unified canonical-identity resolution (canonical.
+        # canonical_identity): groups of 7 docs — a declaring page,
+        # a 1-redirect and a 2-redirect chain INTO that declaration
+        # (mixed-signal chains), a self-declaration no-op, a redirect
+        # cycle pair, and a plain page; the oracle replays the merged
+        # edge map and the 3-round pointer-doubling algebra in SQL
+        from scrapely_spark.frontier.canonical import (
+            canonical_identity)
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        mem = did % 7
+        b = did - mem
+        s_url = lambda n: F.concat(F.lit("http://s/"),
+                                   n.cast("string"))
+        chead = F.concat(F.lit("http://c/"), b.cast("string"))
+        link = lambda tgt: F.concat(
+            F.lit('<html><head><link rel="canonical" href="'), tgt,
+            F.lit('"></head><body>'), F.md5(F.col("text")),
+            F.lit("</body></html>"))
+        plain = F.concat(F.lit("<html><body>"), F.md5(F.col("text")),
+                         F.lit("</body></html>"))
+        pages = d.where(mem.isin(0, 3, 6)).select(
+            s_url(did).alias("url"),
+            (F.when(mem == 0, link(chead))
+             .when(mem == 3, link(s_url(did)))
+             .otherwise(plain)).alias("html"))
+        redirects = d.where(mem.isin(1, 2, 4, 5)).select(
+            s_url(did).alias("src"),
+            (F.when(mem == 1, s_url(b))
+             .when(mem == 2, s_url(b + 1))
+             .when(mem == 4, s_url(did + 1))
+             .otherwise(s_url(did - 1))).alias("dst"))
+        return canonical_identity(pages, redirects)
+
     def q_caption_safety(spark, sf):
         # caption safety blocklist (multimodal.caption_safety_gate):
         # real text with injected markers per arm — drop category,
@@ -2766,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_ip_budgets": q_ip_budgets,
         "video_near_dups": q_video_near_dups,
         "image_caption_safety": q_caption_safety,
+        "url_canonical_identity": q_canonical_identity,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -6053,6 +6089,60 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # canonical identity: the merged redirect+declaration edge map
+        # and the pointer-doubling resolution replayed as SQL — three
+        # functional left self-joins (each src has ONE dst, so no
+        # fanout even through cycles), the head check, and the
+        # unresolved-keeps-own-identity rule
+        "url_canonical_identity": """
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id % 7 AS INT) AS mem,
+                     doc_id - doc_id % 7 AS b
+              FROM documents),
+            e AS (
+              SELECT 'http://s/' || CAST(doc_id AS VARCHAR) AS src,
+                     CASE mem
+                       WHEN 0 THEN 'http://c/' || CAST(b AS VARCHAR)
+                       WHEN 1 THEN 'http://s/' || CAST(b AS VARCHAR)
+                       WHEN 2 THEN 'http://s/'
+                                   || CAST(b + 1 AS VARCHAR)
+                       WHEN 4 THEN 'http://s/'
+                                   || CAST(doc_id + 1 AS VARCHAR)
+                       WHEN 5 THEN 'http://s/'
+                                   || CAST(doc_id - 1 AS VARCHAR)
+                     END AS dst
+              FROM d WHERE mem IN (0, 1, 2, 4, 5)),
+            r0 AS (SELECT src, dst, 1 AS hops FROM e),
+            r1 AS (
+              SELECT a.src, coalesce(x.dst, a.dst) AS dst,
+                     a.hops + coalesce(x.hops, 0) AS hops
+              FROM r0 a LEFT JOIN r0 x ON a.dst = x.src),
+            r2 AS (
+              SELECT a.src, coalesce(x.dst, a.dst) AS dst,
+                     a.hops + coalesce(x.hops, 0) AS hops
+              FROM r1 a LEFT JOIN r1 x ON a.dst = x.src),
+            r3 AS (
+              SELECT a.src, coalesce(x.dst, a.dst) AS dst,
+                     a.hops + coalesce(x.hops, 0) AS hops
+              FROM r2 a LEFT JOIN r2 x ON a.dst = x.src),
+            heads AS (SELECT DISTINCT src FROM e),
+            res AS (
+              SELECT r3.src AS url, r3.dst AS final_url, r3.hops,
+                     h.src IS NULL AS resolved
+              FROM r3 LEFT JOIN heads h ON r3.dst = h.src),
+            urls AS (
+              SELECT 'http://s/' || CAST(doc_id AS VARCHAR) AS url
+              FROM d)
+            SELECT u.url,
+                   CASE WHEN coalesce(res.resolved, TRUE)
+                        THEN coalesce(res.final_url, u.url)
+                        ELSE u.url END AS canonical_id,
+                   CAST(CASE WHEN coalesce(res.resolved, TRUE)
+                             THEN coalesce(res.hops, 0) END AS INT)
+                     AS hops,
+                   coalesce(res.resolved, TRUE) AS resolved
+            FROM urls u LEFT JOIN res ON u.url = res.url""",
 
         # caption safety gate: replay the per-category word-boundary
         # counts (same regex literals, same \b semantics in RE2 and

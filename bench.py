@@ -158,6 +158,7 @@ HEADLINE = [
     "url_ip_budgets",
     "video_near_dups",
     "image_caption_safety",
+    "url_canonical_identity",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

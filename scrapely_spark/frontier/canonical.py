@@ -528,3 +528,71 @@ def idn_hosts(hosts: DataFrame, host_col: str = "host") -> DataFrame:
             yield out
 
     return hosts.mapInPandas(kernel, out_fields)
+
+
+def canonical_identity(pages: DataFrame, redirects: DataFrame,
+                       url_col: str = "url", html_col: str = "html",
+                       max_hops: int = 8) -> DataFrame:
+    """Unified canonical-identity resolution: every URL folded to the
+    single identity the site itself declares, across BOTH signal
+    kinds — HTTP 3xx redirects and in-page ``rel=canonical``
+    declarations — chased through chains that may interleave them
+    (a redirect landing on a page that declares a further canonical).
+
+    This is the identity table dedup credit, politeness accounting
+    and the URL-seen set all want to key on: without it the same
+    logical document holds several budget slots and several seen
+    entries.  Precedence per URL: a protocol-level redirect beats an
+    in-page declaration (the server spoke first; a 3xx response has
+    no authoritative body).  Self-declarations are dropped (a page
+    naming itself canonical is the no-op fixed point, not a cycle).
+
+    Plan: declaration extraction rides the page scan
+    (htmlmeta.rel_canonical, shuffle-free); the merged functional
+    edge map resolves by pointer doubling
+    (graph.resolve_redirects — log(max_hops) self-joins, the only
+    join shape that survives 10^10 URLs); identity assembly is one
+    left join of the URL universe against the resolved table.
+    Cycles and over-long chains come back ``resolved=false`` with the
+    URL keeping its own identity — a scheduler drops those rather
+    than follows them.
+
+    Returns (url, canonical_id, hops, resolved) — ``hops`` NULL when
+    unresolved.
+    """
+    from pyspark.sql import functions as F
+
+    from scrapely_spark.frontier.htmlmeta import rel_canonical
+    from scrapely_spark.spark.graph import resolve_redirects
+
+    decl = rel_canonical(pages.select(url_col, html_col),
+                         html_col=html_col)
+    decl_edges = (decl
+                  .where(F.col("canonical_href").isNotNull()
+                         & (F.col("canonical_href")
+                            != F.col(url_col)))
+                  .select(F.col(url_col).alias("src"),
+                          F.col("canonical_href").alias("dst"),
+                          F.lit(1).alias("_prio")))
+    r_edges = redirects.select("src", "dst",
+                               F.lit(0).alias("_prio"))
+    edges = (r_edges.unionByName(decl_edges)
+             .groupBy("src")
+             .agg(F.min(F.struct("_prio", "dst")).alias("_m"))
+             .select("src", F.col("_m.dst").alias("dst")))
+    res = resolve_redirects(edges, max_hops=max_hops)
+    universe = (pages.select(F.col(url_col).alias("url"))
+                .unionByName(redirects.select(F.col("src")
+                                              .alias("url")))
+                .distinct())
+    return (universe.join(res, "url", "left")
+            .select(
+                "url",
+                F.when(F.coalesce("resolved", F.lit(True)),
+                       F.coalesce("final_url", F.col("url")))
+                .otherwise(F.col("url")).alias("canonical_id"),
+                F.when(F.coalesce("resolved", F.lit(True)),
+                       F.coalesce("hops", F.lit(0)))
+                .cast("int").alias("hops"),
+                F.coalesce("resolved", F.lit(True))
+                .alias("resolved")))

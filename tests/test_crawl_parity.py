@@ -1821,3 +1821,42 @@ def test_ip_budget_groups_three_classes(spark):
         "host string, ip string, budget int")
     assert all(r["host_budget"] == 1
                for r in ip_budget_groups(tiny).collect())
+
+
+def test_canonical_identity_mixed_chains(spark):
+    from scrapely_spark.frontier.canonical import canonical_identity
+
+    link = lambda t: ('<html><head><link rel="canonical" href="%s">'
+                      '</head><body>x</body></html>' % t)
+    pages = spark.createDataFrame([
+        ("http://s/0", link("http://c/master")),   # declares external
+        ("http://s/3", link("http://s/3")),        # self — a no-op
+        ("http://s/6", "<html><body>plain</body></html>"),
+        # a page that BOTH redirects (protocol) and declares — the
+        # redirect must win
+        ("http://s/7", link("http://c/wrong")),
+    ], "url string, html string")
+    redirects = spark.createDataFrame([
+        ("http://s/1", "http://s/0"),    # redirect → declaring page
+        ("http://s/2", "http://s/1"),    # 2 redirects then the decl
+        ("http://s/4", "http://s/5"),    # cycle pair
+        ("http://s/5", "http://s/4"),
+        ("http://s/7", "http://c/right"),
+    ], "src string, dst string")
+
+    out = {r["url"]: r
+           for r in canonical_identity(pages, redirects).collect()}
+    assert out["http://s/0"]["canonical_id"] == "http://c/master"
+    assert out["http://s/0"]["hops"] == 1
+    assert out["http://s/1"]["canonical_id"] == "http://c/master"
+    assert out["http://s/1"]["hops"] == 2
+    assert out["http://s/2"]["canonical_id"] == "http://c/master"
+    assert out["http://s/2"]["hops"] == 3
+    assert out["http://s/3"]["canonical_id"] == "http://s/3"
+    assert out["http://s/3"]["resolved"] is True
+    assert out["http://s/4"]["resolved"] is False
+    assert out["http://s/4"]["canonical_id"] == "http://s/4"
+    assert out["http://s/4"]["hops"] is None
+    assert out["http://s/6"]["canonical_id"] == "http://s/6"
+    assert out["http://s/6"]["hops"] == 0
+    assert out["http://s/7"]["canonical_id"] == "http://c/right"
