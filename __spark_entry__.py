@@ -1316,7 +1316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall 1.0 at max_hamming <= n_chunks-1.
         from scrapely_spark.spark import multimodal
         did = F.col("doc_id")
-        g = (did - did % 3).cast("string")
         frames = (_t(spark, sf, "documents")
                   .select(did.alias("video_id"),
                           F.explode(F.array(F.lit(0), F.lit(1),

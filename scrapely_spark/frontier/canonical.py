@@ -567,12 +567,32 @@ def canonical_identity(pages: DataFrame, redirects: DataFrame,
 
     decl = rel_canonical(pages.select(url_col, html_col),
                          html_col=html_col)
+    # resolve the declared href against the page URL BEFORE the
+    # self-no-op filter and edge build: relative declarations
+    # (href="/path", href="//host/path", bare path-relative) are the
+    # common real-web spelling, and an unresolved one would both miss
+    # the self-check and emit a non-URL identity that can never join
+    # other keys.  Assumes canonical page URLs (path at least "/" —
+    # what the crawl's canonicalizer guarantees).
+    url = F.col(url_col)
+    href = F.col("canonical_href")
+    origin = F.regexp_extract(url,
+                              r"^([a-z][a-zA-Z0-9+.\-]*://[^/]+)", 1)
+    scheme = F.regexp_extract(url, r"^([a-z][a-zA-Z0-9+.\-]*):", 1)
+    resolved_href = (
+        F.when(href.rlike(r"^[a-z][a-zA-Z0-9+.\-]*:"), href)
+        .when(href.startswith("//"),
+              F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(
+            F.regexp_replace(url, r"[^/]*$", ""), href)))
     decl_edges = (decl
-                  .where(F.col("canonical_href").isNotNull()
-                         & (F.col("canonical_href")
-                            != F.col(url_col)))
-                  .select(F.col(url_col).alias("src"),
-                          F.col("canonical_href").alias("dst"),
+                  .withColumn("_dst", F.when(href.isNotNull(),
+                                             resolved_href))
+                  .where(F.col("_dst").isNotNull()
+                         & (F.col("_dst") != url))
+                  .select(url.alias("src"),
+                          F.col("_dst").alias("dst"),
                           F.lit(1).alias("_prio")))
     r_edges = redirects.select("src", "dst",
                                F.lit(0).alias("_prio"))

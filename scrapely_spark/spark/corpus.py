@@ -726,12 +726,20 @@ def top_pmi_bigrams(docs: DataFrame, k: int = 50,
     orders).
     """
     w = _words()
+    # _ngrams is NULL below 2 words — coalesce to empty or concat()
+    # nulls out the whole array and a 1-word doc loses its UNIGRAM
     tagged = docs.select(F.explode(F.concat(
         F.transform(w, lambda x: F.concat(F.lit("u:"), x)),
-        F.transform(_ngrams(w, 2),
+        F.transform(F.coalesce(_ngrams(w, 2),
+                               F.array().cast("array<string>")),
                     lambda g: F.concat(F.lit("b:"), g)))).alias("g"))
-    # vocabulary-sized; checkpointed so the five consumers below read
-    # it instead of re-running the corpus tokenization each
+    # vocabulary-sized; EAGER checkpoint — the totals below are
+    # BROADCAST 1-row aggregates over this frame, and a lazy
+    # checkpoint first materialized inside a broadcast-exchange
+    # thread hits the documented RDDCheckpointData/DAGScheduler
+    # lock-order deadlock (see the pagerank module docstring in
+    # spark/graph.py); the price is one vocabulary-sized job at
+    # plan-build time
     counts = (tagged.groupBy("g").agg(F.count("*").alias("c"))
               .localCheckpoint(eager=True))
     uni = counts.where(F.col("g").startswith("u:")) \

@@ -449,6 +449,12 @@ def hits_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
     hub = nodes.select(
         "node", F.lit(RANK_ONE_MICRO).cast("long").alias("hub")) \
         .localCheckpoint(eager=True)
+    if iterations <= 0:       # match hits_micro_py: initial scores
+        out0 = nodes.select(
+            "node",
+            F.lit(RANK_ONE_MICRO).cast("long").alias("auth_micro"),
+            F.lit(RANK_ONE_MICRO).cast("long").alias("hub_micro"))
+        return _unpersist_on_gc(out0, [e, nodes])
     auth = None
     for _ in range(iterations):
         ar = (e.join(hub.select(F.col("node").alias("_s"), "hub"),
@@ -459,10 +465,12 @@ def hits_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
         auth = (ar.crossJoin(am)
                 .select(F.col("dst").alias("node"),
                         F.expr("raw * 1000000 div _am").alias("auth"))
-                # LAZY: truncates lineage without forcing a job per
-                # iteration — the whole loop submits as one job at the
-                # terminal action (the pagerank trick)
-                .localCheckpoint(eager=False))
+                # EAGER, not lazy: the next iteration's 1-row max is a
+                # broadcast whose exchange thread would otherwise be
+                # the first to materialize this checkpoint — the
+                # documented RDDCheckpointData/DAGScheduler lock-order
+                # deadlock (see the pagerank module docstring)
+                .localCheckpoint(eager=True))
         hr = (e.join(auth.select(F.col("node").alias("_d"), "auth"),
                      e["dst"] == F.col("_d"))
               .groupBy("src").agg(F.sum("auth").alias("raw")))
@@ -471,7 +479,7 @@ def hits_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
         hub = (hr.crossJoin(hm)
                .select(F.col("src").alias("node"),
                        F.expr("raw * 1000000 div _hm").alias("hub"))
-               .localCheckpoint(eager=False))
+               .localCheckpoint(eager=True))
     out = (nodes
            .join(auth, "node", "left")
            .join(hub, "node", "left")

@@ -1238,11 +1238,12 @@ def video_near_dups(frames: DataFrame, max_hamming: int = 3,
         .select("video_id", "frame_idx", "phash",
                 F.col("c.chunk_idx").alias("chunk_idx"),
                 F.col("c.chunk_val").alias("chunk_val"))
+    from scrapely_spark.spark.dedup import _cap_buckets
+
     key = ["frame_idx", "chunk_idx", "chunk_val"]
-    fill = banded.groupBy(*key).agg(F.count(F.lit(1)).alias("_n"))
-    capped = banded.join(
-        F.broadcast(fill.where(F.col("_n") > max_bucket)),
-        key, "left_anti")
+    # the shared window-based cap: its hash partitioning is the same
+    # one the self-join below needs, so AQE reuses the exchange
+    capped = _cap_buckets(banded, key, max_bucket)
     a = capped.select(*key, F.col("video_id").alias("va"),
                       F.col("phash").alias("ha"))
     b = capped.select(*key, F.col("video_id").alias("vb"),
@@ -1303,10 +1304,15 @@ def caption_safety_gate(pairs: DataFrame,
     Returns input columns + one ``n_<category>`` count per category +
     (safety_action ∈ keep|review|drop).
     """
+    import re as _re
+
     low = F.lower(F.col(caption_col))
     counts = {}
     for cat, terms in SAFETY_BLOCKLIST.items():
-        pat = r"\b(?:%s)\b" % "|".join(terms)
+        # escape: a curated swap-in list may carry regex metachars;
+        # matching must stay literal (the oracle spells terms
+        # literally too)
+        pat = r"\b(?:%s)\b" % "|".join(_re.escape(t) for t in terms)
         counts[cat] = F.size(
             F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
     drop = F.lit(False)

@@ -735,3 +735,24 @@ def test_shard_manifest_partitioning_invariance(spark):
     b = sorted(map(tuple,
                    corpus.shard_manifest(df.repartition(32), 8).collect()))
     assert a == b
+
+
+def test_pmi_single_word_docs_keep_their_unigrams(spark):
+    """A 1-word document has no bigrams but its unigram still counts
+    toward n_uni and c_a/c_b — concat with a NULL ngram array must
+    not null out the whole tagged stream (regression: fused scan)."""
+    from scrapely_spark.spark.corpus import top_pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta alpha beta alpha beta alpha "
+             "beta alpha beta"),
+         (2, "beta"), (3, "beta"), (4, "beta"), (5, "beta")],
+        "doc_id long, text string")
+    out = {r["bigram"]: r
+           for r in top_pmi_bigrams(docs, k=5, min_count=5).collect()}
+    assert "alpha beta" in out
+    # PMI must reflect the four single-word 'beta' docs in c_b/n_uni:
+    # c_ab=6, n_bi=11, c_a=6, c_b=10 (6 in doc1 + 4 singles), n_uni=16
+    import math
+    want = math.log((6 / 11) / ((6 / 16) * (10 / 16)))
+    assert abs(out["alpha beta"]["pmi"] - round(want, 6)) < 1e-9

@@ -1860,3 +1860,30 @@ def test_canonical_identity_mixed_chains(spark):
     assert out["http://s/6"]["canonical_id"] == "http://s/6"
     assert out["http://s/6"]["hops"] == 0
     assert out["http://s/7"]["canonical_id"] == "http://c/right"
+
+
+def test_canonical_identity_relative_hrefs(spark):
+    from scrapely_spark.frontier.canonical import canonical_identity
+
+    link = lambda t: ('<html><head><link rel="canonical" href="%s">'
+                      '</head><body>x</body></html>' % t)
+    pages = spark.createDataFrame([
+        # root-relative SELF-declaration: must resolve then drop as
+        # the no-op fixed point
+        ("http://h/a", link("/a")),
+        # root-relative to another path
+        ("http://h/b", link("/master")),
+        # protocol-relative
+        ("http://h/c", link("//other.example/m")),
+        # path-relative, resolved against the page's directory
+        ("http://h/dir/d", link("m2")),
+    ], "url string, html string")
+    redirects = spark.createDataFrame(
+        [], "src string, dst string")
+    out = {r["url"]: r
+           for r in canonical_identity(pages, redirects).collect()}
+    assert out["http://h/a"]["canonical_id"] == "http://h/a"
+    assert out["http://h/a"]["hops"] == 0
+    assert out["http://h/b"]["canonical_id"] == "http://h/master"
+    assert out["http://h/c"]["canonical_id"] == "http://other.example/m"
+    assert out["http://h/dir/d"]["canonical_id"] == "http://h/dir/m2"
