@@ -1247,6 +1247,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     / F.col("n_urls").cast("double"),
                                     6)))
 
+    def q_meta_refresh(spark, sf):
+        # meta-refresh soft redirects (htmlmeta.meta_refresh): six
+        # arms — quoted, unquoted+uppercase URL=, flipped attribute
+        # order, delay-only self-reload, non-refresh meta, and two
+        # tags where document order must win; closed-form oracle
+        from scrapely_spark.frontier.htmlmeta import meta_refresh
+        did = F.col("doc_id")
+        cls = did % 6
+        ds = did.cast("string")
+        body = F.concat(F.lit("<body>"), F.md5(F.col("text")),
+                        F.lit("</body>"))
+        html = F.concat(
+            F.lit("<html><head>"),
+            (F.when(cls == 0, F.lit(
+                '<meta http-equiv="refresh" content="0; url=/next">'))
+             .when(cls == 1, F.concat(
+                 F.lit("<meta http-equiv=refresh "
+                       "content='5;URL=http://x/"), ds, F.lit("'>")))
+             .when(cls == 2, F.concat(
+                 F.lit('<meta content="0;url=/z'), ds,
+                 F.lit('" http-equiv="refresh">')))
+             .when(cls == 3, F.lit(
+                 '<meta http-equiv="refresh" content="30">'))
+             .when(cls == 4, F.lit(
+                 '<meta http-equiv="content-type" '
+                 'content="text/html">'))
+             .otherwise(F.lit(
+                 '<meta http-equiv="refresh" content="0;url=/first">'
+                 '<meta http-equiv="refresh" '
+                 'content="0;url=/second">'))),
+            F.lit("</head>"), body, F.lit("</html>"))
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("http://h/u"), ds).alias("url"),
+            html.alias("html"))
+        return meta_refresh(pages).drop("html")
+
     def q_canonical_identity(spark, sf):
         # unified canonical-identity resolution (canonical.
         # canonical_identity): groups of 7 docs — a declaring page,
@@ -2801,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dups": q_video_near_dups,
         "image_caption_safety": q_caption_safety,
         "url_canonical_identity": q_canonical_identity,
+        "url_meta_refresh": q_meta_refresh,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -6088,6 +6125,21 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # meta refresh: the expected extraction per arm in closed form
+        "url_meta_refresh": """
+            SELECT 'http://h/u' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 0 WHEN 1 THEN 5 WHEN 2 THEN 0
+                     WHEN 3 THEN 30 WHEN 4 THEN NULL ELSE 0
+                   END AS refresh_delay_s,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN '/next'
+                     WHEN 1 THEN 'http://x/' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN '/z' || CAST(doc_id AS VARCHAR)
+                     WHEN 5 THEN '/first'
+                   END AS refresh_url
+            FROM documents""",
 
         # canonical identity: the merged redirect+declaration edge map
         # and the pointer-doubling resolution replayed as SQL — three

@@ -159,6 +159,7 @@ HEADLINE = [
     "video_near_dups",
     "image_caption_safety",
     "url_canonical_identity",
+    "url_meta_refresh",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

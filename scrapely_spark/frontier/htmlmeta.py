@@ -473,3 +473,49 @@ def page_ingest(pages: DataFrame, url_col: str = "url",
         .alias("canonical_url"),
         is_canon.alias("is_canonical"), kept.alias("kept"),
         reason.alias("drop_reason"))
+
+
+# first <meta> whose http-equiv is EXACTLY refresh (either attribute
+# order, quoted or bare), then the content attribute read out of that
+# one tag — document order decides conflicts, same two-step discipline
+# as the robots/canonical extractors above
+_REFRESH_TAG = (r'(?is)<meta\b[^>]*[\s"\x27/]http-equiv\s*=\s*'
+                r'(?:["\x27][ \t]*refresh[ \t]*["\x27][^>]*>'
+                r'|refresh[\s/][^>]*>'
+                r'|refresh[ \t]*>)')
+# content="5; url=/target" — delay, then an optional url= part whose
+# value may be quoted; whitespace and case per the WHATWG number rules
+_REFRESH_DELAY = r"(?is)content\s*=\s*[\"\x27]?\s*(\d+)"
+_REFRESH_URL = (r"(?is)content\s*=\s*[\"\x27]?[^\"\x27>]*?"
+                r"url\s*=\s*[\"\x27]?([^\"\x27>\s;]+)")
+
+
+def meta_refresh(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Extract ``<meta http-equiv="refresh">`` soft redirects.
+
+    The third redirect kind a crawl meets (after 3xx and
+    rel=canonical): a page that client-side forwards to another URL.
+    Zero-delay refreshes are treated by search engines as redirects
+    (the page's identity moves); longer delays are usually interstitial
+    pages worth keeping but flagging.  Emits per page the declared
+    delay and target; document order decides among multiple tags, and
+    a refresh without a ``url=`` part (a self-reload) yields a NULL
+    target.
+
+    Shuffle-free single Project (same regexp discipline as the
+    robots/canonical extractors — one tag-level pattern accepting
+    either attribute order, then attribute readout within that tag).
+    Feed the zero-delay (url, refresh_url) pairs into
+    :func:`canonical_identity`'s redirect side to fold identities.
+
+    Returns input columns + (refresh_delay_s, refresh_url).
+    """
+    tag = F.regexp_extract(F.col(html_col), _REFRESH_TAG, 0)
+    delay = F.regexp_extract(tag, _REFRESH_DELAY, 1)
+    target = F.trim(F.regexp_extract(tag, _REFRESH_URL, 1))
+    return pages.select(
+        *pages.columns,
+        F.when(delay != "", delay.cast("int"))
+        .alias("refresh_delay_s"),
+        F.when(target != "", target).alias("refresh_url"))

@@ -1887,3 +1887,34 @@ def test_canonical_identity_relative_hrefs(spark):
     assert out["http://h/b"]["canonical_id"] == "http://h/master"
     assert out["http://h/c"]["canonical_id"] == "http://other.example/m"
     assert out["http://h/dir/d"]["canonical_id"] == "http://h/dir/m2"
+
+
+def test_meta_refresh_extraction(spark):
+    from scrapely_spark.frontier.htmlmeta import meta_refresh
+
+    rows = [
+        ("a", '<meta http-equiv="refresh" content="0; url=/next">'),
+        ("b", "<meta http-equiv=refresh content='5;URL=http://x/y'>"),
+        # attribute order flipped + unquoted content
+        ("c", '<meta content="0;url=/z" http-equiv="refresh">'),
+        # refresh without a url= part: self-reload, NULL target
+        ("d", '<meta http-equiv="refresh" content="30">'),
+        # not a refresh tag at all
+        ("e", '<meta http-equiv="content-type" content="text/html">'),
+        # first tag in document order wins
+        ("f", '<meta http-equiv="refresh" content="0;url=/first">'
+              '<meta http-equiv="refresh" content="0;url=/second">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: (r["refresh_delay_s"], r["refresh_url"])
+           for r in meta_refresh(df).collect()}
+    assert out["a"] == (0, "/next")
+    assert out["b"] == (5, "http://x/y")
+    assert out["c"] == (0, "/z")
+    assert out["d"] == (30, None)
+    assert out["e"] == (None, None)
+    assert out["f"] == (0, "/first")
+
+    plan = meta_refresh(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
