@@ -1247,6 +1247,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     / F.col("n_urls").cast("double"),
                                     6)))
 
+    def q_strip_tracking(spark, sf):
+        # static tracking-param strip (canonical.
+        # strip_tracking_params): five arms — mixed tracking+real
+        # params, all-tracking (the '?' disappears), click-id family,
+        # clean query, no query; the oracle replays the split /
+        # anchored-regex filter / rejoin list algebra
+        from scrapely_spark.frontier.canonical import (
+            strip_tracking_params)
+        did = F.col("doc_id")
+        ds = did.cast("string")
+        cls = did % 5
+        q = (F.when(cls == 0, F.concat(F.lit("?a=1&utm_source=s"), ds))
+             .when(cls == 1, F.lit("?utm_campaign=c&utm_medium=m"))
+             .when(cls == 2, F.concat(F.lit("?fbclid=f"), ds,
+                                      F.lit("&real=1")))
+             .when(cls == 3, F.concat(F.lit("?a="), ds))
+             .otherwise(F.lit("")))
+        urls = _t(spark, sf, "documents").select(
+            F.concat(F.lit("http://h"), (did % 9).cast("string"),
+                     F.lit("/p"), ds, q).alias("canonical_url"))
+        return strip_tracking_params(urls)
+
     def q_meta_refresh(spark, sf):
         # meta-refresh soft redirects (htmlmeta.meta_refresh): six
         # arms — quoted, unquoted+uppercase URL=, flipped attribute
@@ -2838,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_safety": q_caption_safety,
         "url_canonical_identity": q_canonical_identity,
         "url_meta_refresh": q_meta_refresh,
+        "url_strip_tracking": q_strip_tracking,
         "image_caption_alignment": q_caption_alignment,
         "host_mirror_pairs": q_mirror_hosts,
         "url_adaptive_delay": q_adaptive_delay,
@@ -6125,6 +6148,49 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                              THEN t_us + wait_s * 1000000 END
                         AS BIGINT) AS retry_at_us
             FROM p""",
+
+        # tracking-param strip: the split / anchored-regex filter /
+        # rejoin list algebra replayed with the same parameter list
+        "url_strip_tracking": """
+            WITH u AS (
+              SELECT 'http://h' || CAST(doc_id % 9 AS VARCHAR)
+                       || '/p' || CAST(doc_id AS VARCHAR)
+                       || CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN '?a=1&utm_source=s'
+                                        || CAST(doc_id AS VARCHAR)
+                            WHEN 1 THEN '?utm_campaign=c&utm_medium=m'
+                            WHEN 2 THEN '?fbclid=f'
+                                        || CAST(doc_id AS VARCHAR)
+                                        || '&real=1'
+                            WHEN 3 THEN '?a='
+                                        || CAST(doc_id AS VARCHAR)
+                            ELSE '' END AS canonical_url
+              FROM documents),
+            s AS (
+              SELECT canonical_url,
+                     split_part(canonical_url, '?', 1) AS base,
+                     list_filter(
+                       string_split(
+                         CASE WHEN contains(canonical_url, '?')
+                              THEN substr(canonical_url,
+                                          instr(canonical_url, '?')
+                                          + 1)
+                              ELSE '' END, '&'),
+                       p -> NOT regexp_matches(p,
+                         '^(?:utm_[a-z]+|fbclid|gclid|gclsrc|dclid|'
+                         || 'msclkid|mc_cid|mc_eid|igshid|twclid|'
+                         || 'yclid|_hsenc|_hsmi|ref_src)=')
+                         AND p != '') AS kept
+              FROM u)
+            SELECT canonical_url,
+                   CASE WHEN len(kept) > 0
+                        THEN base || '?' || array_to_string(kept, '&')
+                        ELSE base END AS stripped_url,
+                   CASE WHEN len(kept) > 0
+                        THEN base || '?' || array_to_string(kept, '&')
+                        ELSE base END != canonical_url
+                     AS had_tracking
+            FROM s""",
 
         # meta refresh: the expected extraction per arm in closed form
         "url_meta_refresh": """

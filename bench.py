@@ -160,6 +160,7 @@ HEADLINE = [
     "image_caption_safety",
     "url_canonical_identity",
     "url_meta_refresh",
+    "url_strip_tracking",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -616,3 +616,55 @@ def canonical_identity(pages: DataFrame, redirects: DataFrame,
                 .cast("int").alias("hops"),
                 F.coalesce("resolved", F.lit(True))
                 .alias("resolved")))
+
+
+# ---------------------------------------------------------------------------
+# static tracking-parameter stripping
+
+# well-known cross-site tracking parameters (the static complement to
+# the per-site DUST rules, which MINE what this list cannot know):
+# the utm_* campaign family plus the big platforms' click ids.  The
+# list is the spec, shared verbatim with the DuckDB oracle.
+TRACKING_PARAM_RE = (r"^(?:utm_[a-z]+|fbclid|gclid|gclsrc|dclid|"
+                     r"msclkid|mc_cid|mc_eid|igshid|twclid|yclid|"
+                     r"_hsenc|_hsmi|ref_src)=")
+
+
+def strip_tracking_params(urls: DataFrame,
+                          url_col: str = "canonical_url") -> DataFrame:
+    """Remove well-known tracking parameters from canonical URLs.
+
+    ``utm_source=newsletter`` and friends multiply one logical URL
+    into dozens of frontier entries — each holding its own seen slot
+    and politeness slot — while the DUST miner needs witness traffic
+    it does not yet have.  This static pass strips the parameters
+    every crawler already knows are content-free, BEFORE seen-keying:
+    split the query on ``&``, drop members matching
+    :data:`TRACKING_PARAM_RE`, re-join (preserving the canonical
+    sorted order), and drop the ``?`` entirely when nothing survives.
+
+    Shuffle-free single Project (split / filter / array_join on the
+    already-canonical URL).  Emits ``stripped_url`` plus a flag so
+    budget accounting can report how much of the frontier was
+    tracking inflation.
+
+    Returns input columns + (stripped_url, had_tracking).
+    """
+    from pyspark.sql import functions as F
+
+    url = F.col(url_col)
+    base = F.substring_index(url, "?", 1)
+    query = F.when(url.contains("?"),
+                   F.expr("substring(%s, instr(%s, '?') + 1)"
+                          % (url_col, url_col))).otherwise(F.lit(""))
+    kept = F.filter(F.split(query, "&"),
+                    lambda p: ~p.rlike(TRACKING_PARAM_RE)
+                    & (p != ""))
+    rebuilt = F.when(F.size(kept) > 0,
+                     F.concat(base, F.lit("?"),
+                              F.array_join(kept, "&"))) \
+        .otherwise(base)
+    return urls.select(
+        *urls.columns,
+        rebuilt.alias("stripped_url"),
+        (rebuilt != url).alias("had_tracking"))

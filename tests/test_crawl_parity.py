@@ -1918,3 +1918,32 @@ def test_meta_refresh_extraction(spark):
     plan = meta_refresh(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_strip_tracking_params(spark):
+    from scrapely_spark.frontier.canonical import strip_tracking_params
+
+    rows = [
+        ("http://h/p?a=1&utm_source=nl&z=2",),
+        ("http://h/p?utm_campaign=x&utm_medium=y",),  # all tracking
+        ("http://h/p?fbclid=abc&gclid=def&real=1",),
+        ("http://h/p?a=1",),                          # untouched
+        ("http://h/p",),                              # no query
+        # prefix must not over-match: 'utm_sourcey' is not in the
+        # list (regexp is anchored ^...=), but 'autm_source' is a
+        # DIFFERENT param and must survive
+        ("http://h/p?autm_source=keep",),
+    ]
+    df = spark.createDataFrame(rows, "canonical_url string")
+    out = {r["canonical_url"]: (r["stripped_url"], r["had_tracking"])
+           for r in strip_tracking_params(df).collect()}
+    assert out["http://h/p?a=1&utm_source=nl&z=2"] \
+        == ("http://h/p?a=1&z=2", True)
+    assert out["http://h/p?utm_campaign=x&utm_medium=y"] \
+        == ("http://h/p", True)
+    assert out["http://h/p?fbclid=abc&gclid=def&real=1"] \
+        == ("http://h/p?real=1", True)
+    assert out["http://h/p?a=1"] == ("http://h/p?a=1", False)
+    assert out["http://h/p"] == ("http://h/p", False)
+    assert out["http://h/p?autm_source=keep"] \
+        == ("http://h/p?autm_source=keep", False)
