@@ -1058,6 +1058,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus.weighted_sample(scored, 100, "quality",
                                       group_col="lang")
 
+    def q_graph_opic(spark, sf):
+        # OPIC online importance (graph.opic_micro): 3 cash-diffusion
+        # rounds over the same derived host graph as pagerank/HITS
+        # (h89..h96 are genuine dangling nodes exercising the
+        # virtual-root split); the oracle unrolls the identical
+        # integer recurrence as SQL CTEs
+        from scrapely_spark.spark import graph
+        edges = _t(spark, sf, "orders").selectExpr(
+            "'h' || CAST(o_orderkey % 89 AS STRING) AS src",
+            "'h' || CAST(o_custkey % 97 AS STRING) AS dst")
+        return graph.opic_micro(edges, rounds=3)
+
     def q_graph_pagerank(spark, sf):
         # link authority over a derived host graph (graph.pagerank):
         # 5 power iterations with damping 0.85 and dangling-mass
@@ -2919,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_format_sniff": q_image_format_sniff,
         "url_anchor_text": q_anchor_text,
         "graph_hits": q_graph_hits,
+        "graph_opic": q_graph_opic,
         "text_c4_filters": q_c4_filters,
         "text_encoding_gate": q_encoding_gate,
         "image_size_gate": q_image_size_gate,
@@ -3069,6 +3082,43 @@ _BANDS_SQL = _SHINGLE_CTE + """
 
 
 _EMB_DIM = 64          # synthetic embeddings table dimension
+def _opic_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB twin of graph.opic_micro over the same derived
+    host graph: one (inflow, dangling, state) CTE triple per round,
+    all floor-division BIGINT micro arithmetic — the exact integer
+    expressions the Spark plan evaluates."""
+    parts = ["""WITH e AS (
+      SELECT DISTINCT 'h' || CAST(o_orderkey % 89 AS VARCHAR) AS src,
+                      'h' || CAST(o_custkey % 97 AS VARCHAR) AS dst
+      FROM orders),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    s0 AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg,
+                  CAST(1000000 AS BIGINT) AS cash,
+                  CAST(0 AS BIGINT) AS hist
+           FROM nodes n LEFT JOIN deg d ON d.src = n.node)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS node, SUM(p.cash // p.outdeg) AS inflow
+             FROM e JOIN s{p} p ON p.node = e.src AND p.outdeg > 0
+             GROUP BY e.dst),
+    d{i} AS (SELECT COALESCE(SUM(cash), 0) AS dang
+             FROM s{p} WHERE outdeg = 0),
+    s{i} AS (SELECT p.node, p.outdeg,
+                    CAST(COALESCE(c.inflow, 0)
+                         + (SELECT dang FROM d{i})
+                           // (SELECT n FROM nn) AS BIGINT) AS cash,
+                    CAST(p.hist + p.cash AS BIGINT) AS hist
+             FROM s{p} p LEFT JOIN c{i} c ON c.node = p.node)""")
+    parts.append(f"""
+    SELECT node, CAST(hist + cash AS BIGINT) AS importance_micro,
+           cash AS cash_micro
+    FROM s{rounds}""")
+    return "".join(parts)
+
+
 def _hits_oracle_sql(iterations: int = 3) -> str:
     """Unrolled DuckDB twin of graph.hits_micro over the same derived
     host graph: one (auth-step, hub-step) CTE pair per iteration, all
@@ -6700,6 +6750,10 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # HITS: the full 3-iteration unroll in integer arithmetic —
         # see _hits_oracle_sql
         "graph_hits": _hits_oracle_sql(3),
+
+        # OPIC: the full 3-round cash-diffusion unroll — see
+        # _opic_oracle_sql
+        "graph_opic": _opic_oracle_sql(3),
 
         # exact image dedup: identical payload rendering (doc_id//3
         # collisions), sha over the shared uppercase hex encoding

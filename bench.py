@@ -161,6 +161,7 @@ HEADLINE = [
     "url_canonical_identity",
     "url_meta_refresh",
     "url_strip_tracking",
+    "graph_opic",
     # bench-only approximate twins of the exact operators (see
     # _approx_twins): the 100 TB sketch paths, exercised not described
     "approx_length_quantiles",

@@ -509,3 +509,104 @@ def hits_micro_py(edges, iterations: int = 3) -> dict:
         hm = max(max(hraw.values(), default=0), 1)
         hub = {v: (hraw[v] * RANK_ONE_MICRO) // hm for v in nodes}
     return {v: (auth[v], hub[v]) for v in nodes}
+
+
+def opic_micro(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """(node, importance_micro, cash_micro) — OPIC, order-independent.
+
+    Adaptive On-line Page Importance Computation (Abiteboul, Preda,
+    Cobena, WWW 2003): every node holds CASH; each round it
+    distributes its cash equally over its out-edges and banks the
+    amount into its HISTORY; dangling cash routes through the virtual
+    root — redistributed uniformly.  Importance after R rounds is
+    ``history + cash``.  What OPIC buys over PageRank for a CRAWLER:
+    the estimate is meaningful after any number of rounds and updates
+    incrementally as pages are fetched — the scheduler reads cash as
+    "importance accumulated since last visit", which is exactly the
+    refetch-priority signal, without iterating a full power method to
+    convergence.
+
+    Same exactness discipline as :func:`pagerank_micro`: all amounts
+    on the 64-bit integer micro grid, per-edge shares and the
+    virtual-root split are floor divisions, so every sum is exact
+    under ANY partitioning and the DuckDB oracle (unrolled CTEs)
+    matches bit for bit.  Floor leaks a few micro-units per round —
+    a priority signal with a spec, not a probability estimate.
+
+    Scale shape per round: ONE co-partitioned edge⋈cash join + ONE
+    slim groupBy(dst) with map-side partials (identical to the
+    pagerank contribution step), a 1-row dangling broadcast, and an
+    EAGER localCheckpoint (the broadcast-thread lazy-checkpoint
+    deadlock discipline documented above).
+    """
+    e = edges.select("src", "dst").distinct() \
+        .repartition("src").cache()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (nodes.join(deg.withColumnRenamed("src", "node"),
+                       "node", "left")
+            .select("node",
+                    F.coalesce("outdeg", F.lit(0)).cast("long")
+                    .alias("outdeg"))
+            .localCheckpoint(eager=True))
+    n_total = F.broadcast(base.agg(F.count("*").alias("_n")))
+    s = base.select(
+        "node", "outdeg",
+        F.lit(RANK_ONE_MICRO).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist")) \
+        .localCheckpoint(eager=True)
+    for _ in range(rounds):
+        inflow = (e.join(s.where(F.col("outdeg") > 0)
+                         .select(F.col("node").alias("_s"), "cash",
+                                 F.col("outdeg").alias("_od")),
+                         e["src"] == F.col("_s"))
+                  .select(F.col("dst").alias("node"),
+                          F.expr("cash div _od").alias("_c"))
+                  .groupBy("node").agg(F.sum("_c").alias("inflow")))
+        dang = F.broadcast(s.agg(
+            F.coalesce(F.sum(F.when(F.col("outdeg") == 0,
+                                    F.col("cash"))), F.lit(0))
+            .alias("_d")))
+        s = (s.join(inflow, "node", "left")
+             .crossJoin(dang).crossJoin(n_total)
+             .select("node", "outdeg",
+                     (F.coalesce("inflow", F.lit(0))
+                      + F.expr("_d div _n")).cast("long")
+                     .alias("cash"),
+                     (F.col("hist") + F.col("cash")).cast("long")
+                     .alias("hist"))
+             .localCheckpoint(eager=True))
+    out = s.select("node",
+                   (F.col("hist") + F.col("cash")).cast("long")
+                   .alias("importance_micro"),
+                   F.col("cash").alias("cash_micro"))
+    return _unpersist_on_gc(out, [e])
+
+
+def opic_micro_py(edges, rounds: int = 3) -> dict:
+    """Pure-python twin of :func:`opic_micro` (exact integer replay)."""
+    es = sorted(set(edges))
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    out = {}
+    for s, d in es:
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    cash = {v: RANK_ONE_MICRO for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(rounds):
+        inflow = {v: 0 for v in nodes}
+        dang = 0
+        for v in nodes:
+            if v in out:
+                share = cash[v] // len(out[v])
+                for d in out[v]:
+                    inflow[d] += share
+            else:
+                dang += cash[v]
+        g = dang // n
+        for v in nodes:
+            hist[v] += cash[v]
+        cash = {v: inflow[v] + g for v in nodes}
+    return {v: (hist[v] + cash[v], cash[v]) for v in nodes}

@@ -423,3 +423,39 @@ def test_hits_micro_partitioning_invariance(spark):
     r32 = {r.node: (r.auth_micro, r.hub_micro)
            for r in graph.hits_micro(df32, 3).collect()}
     assert r1 == r32
+
+
+def test_opic_matches_python_twin_exactly(spark):
+    import random
+
+    from scrapely_spark.spark.graph import opic_micro, opic_micro_py
+
+    random.seed(23)
+    edges = list({("n%d" % random.randint(0, 30),
+                   "n%d" % random.randint(0, 40))
+                  for _ in range(150)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["importance_micro"], r["cash_micro"])
+           for r in opic_micro(df, rounds=3).collect()}
+    want = opic_micro_py(edges, rounds=3)
+    assert got == want
+    # partitioning invariance: exact integer sums under any layout
+    got2 = {r["node"]: (r["importance_micro"], r["cash_micro"])
+            for r in opic_micro(df.repartition(7), rounds=3).collect()}
+    assert got2 == want
+
+
+def test_opic_cash_conservation_and_dangling(spark):
+    from scrapely_spark.spark.graph import opic_micro
+
+    # a → b → (dangling); c isolated-as-dangling via only in-edge
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    rows = {r["node"]: r for r in opic_micro(df, rounds=2).collect()}
+    # all importance positive; total cash stays within floor leak of
+    # 3 * RANK_ONE_MICRO
+    total_cash = sum(r["cash_micro"] for r in rows.values())
+    assert 3_000_000 - 10 <= total_cash <= 3_000_000
+    # the dangling sink c accumulates the most importance
+    assert rows["c"]["importance_micro"] \
+        == max(r["importance_micro"] for r in rows.values())
