@@ -45,6 +45,50 @@ def _value_hash(rows, columns):
     return digest.hexdigest()
 
 
+def _pd_cell(v):
+    """Normalize a pandas cell the way the driver's compare sees it.
+
+    Crucially, int-typed and float-typed renderings of the same value
+    must NOT collide: the driver fetches both sides through pandas, so
+    a DuckDB HUGEINT column arrives as float64 ("1435.000000") while a
+    Spark BIGINT arrives as int64 ("1435").  Round 4 shipped three
+    oracles whose values were bit-identical but whose DuckDB output
+    type was HUGEINT; ``fetchall()`` erased the difference locally and
+    the driver flagged them.  This path reproduces the driver's view.
+    """
+    import numpy as np
+    if v is None:
+        return "∅"
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v):
+            # pandas renders SQL NULL as NaN in float/object columns
+            # while Spark's toPandas leaves None in object columns —
+            # the driver treats both as null, so collapse them
+            return "∅"
+        return "%.6f" % float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_pd_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _pd_hash(pdf):
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "\x1f".join(_pd_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None))
+    digest = hashlib.sha256()
+    for line in lines:
+        digest.update(line.encode("utf-8"))
+        digest.update(b"\n")
+    return digest.hexdigest()
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -72,22 +116,37 @@ def test_every_query_has_callable():
 
 @pytest.mark.parametrize("name", sorted(contract.oracle_sql()))
 def test_query_matches_oracle(spark, duck, name):
-    q = contract.queries()[name]
-    sdf = q(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
+    # Both sides travel through pandas DataFrames — the driver's fetch
+    # path — so output-TYPE divergence (HUGEINT→float64 vs BIGINT)
+    # fails here exactly as it fails in CORRECTNESS_r{N}.json.
+    spdf = contract.queries()[name](spark, SF_DIR).toPandas()
+    dpdf = duck.execute(contract.oracle_sql()[name]).df()
 
-    cur = duck.execute(contract.oracle_sql()[name])
-    dcols = [d[0] for d in cur.description]
-    drows = cur.fetchall()
-
-    assert sorted(scols) == sorted(dcols), (
-        "column mismatch: %s vs %s" % (scols, dcols))
-    assert len(srows) == len(drows), (
-        "row count mismatch: %d vs %d" % (len(srows), len(drows)))
-    assert _value_hash(srows, scols) == _value_hash(drows, dcols), (
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        "column mismatch: %s vs %s"
+        % (list(spdf.columns), list(dpdf.columns)))
+    assert len(spdf) == len(dpdf), (
+        "row count mismatch: %d vs %d" % (len(spdf), len(dpdf)))
+    assert _pd_hash(spdf) == _pd_hash(dpdf), (
         "value hash mismatch for %s\nspark: %s\nduck:  %s" % (
-            name, srows[:3], drows[:3]))
+            name, spdf.head(3).to_dict("records"),
+            dpdf.head(3).to_dict("records")))
+
+
+def test_pandas_path_is_type_sensitive(duck):
+    # the class-closure guard: a HUGEINT-emitting SQL (SUM over BIGINT)
+    # must hash differently from its BIGINT-cast twin through this
+    # fetch path — if pandas/duckdb ever start erasing the distinction,
+    # this fails loudly and the replica is no longer the driver's twin
+    huge = duck.execute(
+        "SELECT SUM(x) AS n FROM (SELECT CAST(1 AS BIGINT) x"
+        " FROM range(3))").df()
+    big = duck.execute(
+        "SELECT CAST(SUM(x) AS BIGINT) AS n FROM"
+        " (SELECT CAST(1 AS BIGINT) x FROM range(3))").df()
+    assert str(huge["n"].dtype) != str(big["n"].dtype)
+    assert _pd_hash(huge) != _pd_hash(big)
+    assert _pd_cell(big["n"].iloc[0]) == "3"
 
 
 def test_no_rows_only_queries_remain():
