@@ -1261,20 +1261,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_strip_tracking(spark, sf):
         # static tracking-param strip (canonical.
-        # strip_tracking_params): five arms — mixed tracking+real
+        # strip_tracking_params): seven arms — mixed tracking+real
         # params, all-tracking (the '?' disappears), click-id family,
-        # clean query, no query; the oracle replays the split /
-        # anchored-regex filter / rejoin list algebra
+        # clean query, no query, PLUS the two flag-accounting traps:
+        # an empty '&&' member and a bare trailing '?' both rewrite
+        # the string yet carry no tracking, so had_tracking must stay
+        # false (the flag is the filter delta, not rebuilt != url)
         from scrapely_spark.frontier.canonical import (
             strip_tracking_params)
         did = F.col("doc_id")
         ds = did.cast("string")
-        cls = did % 5
+        cls = did % 7
         q = (F.when(cls == 0, F.concat(F.lit("?a=1&utm_source=s"), ds))
              .when(cls == 1, F.lit("?utm_campaign=c&utm_medium=m"))
              .when(cls == 2, F.concat(F.lit("?fbclid=f"), ds,
                                       F.lit("&real=1")))
              .when(cls == 3, F.concat(F.lit("?a="), ds))
+             .when(cls == 4, F.concat(F.lit("?a="), ds,
+                                      F.lit("&&b=2")))
+             .when(cls == 5, F.lit("?"))
              .otherwise(F.lit("")))
         urls = _t(spark, sf, "documents").select(
             F.concat(F.lit("http://h"), (did % 9).cast("string"),
@@ -1322,8 +1327,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical_identity): groups of 7 docs — a declaring page,
         # a 1-redirect and a 2-redirect chain INTO that declaration
         # (mixed-signal chains), a self-declaration no-op, a redirect
-        # cycle pair, and a plain page; the oracle replays the merged
-        # edge map and the 3-round pointer-doubling algebra in SQL
+        # cycle pair, and a dot-segment relative declaration
+        # ('./x/../y{id}' must fold to '/y{id}' per RFC 3986 §5.2.4
+        # — the oracle states the folded target in closed form, so
+        # the hash is green only if the Spark side normalizes);
+        # the oracle replays the merged edge map and the 3-round
+        # pointer-doubling algebra in SQL
         from scrapely_spark.frontier.canonical import (
             canonical_identity)
         d = _t(spark, sf, "documents")
@@ -1337,13 +1346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit('<html><head><link rel="canonical" href="'), tgt,
             F.lit('"></head><body>'), F.md5(F.col("text")),
             F.lit("</body></html>"))
-        plain = F.concat(F.lit("<html><body>"), F.md5(F.col("text")),
-                         F.lit("</body></html>"))
         pages = d.where(mem.isin(0, 3, 6)).select(
             s_url(did).alias("url"),
             (F.when(mem == 0, link(chead))
              .when(mem == 3, link(s_url(did)))
-             .otherwise(plain)).alias("html"))
+             .otherwise(link(F.concat(F.lit("./x/../y"),
+                                      did.cast("string"))))
+             ).alias("html"))
         redirects = d.where(mem.isin(1, 2, 4, 5)).select(
             s_url(did).alias("src"),
             (F.when(mem == 1, s_url(b))
@@ -2290,15 +2299,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # main_content): every page gets a nav + footer (pure chrome,
         # dropped), an article paragraph off the real text column
         # (kept), every 3rd doc a link-heavy related rail (dropped by
-        # density), every 4th a short div (dropped by length); the
-        # oracle rebuilds identical pages and replays the split/
-        # normalize/density list algebra with the same regex literals
+        # density), every 4th a short div (dropped by length), every
+        # 5th a card-style anchor WRAPPING a block element — the
+        # split severs it, so only cross-block open-anchor tracking
+        # sees its text as anchored (and drops it); the oracle
+        # rebuilds identical pages and replays the split/normalize/
+        # density list algebra with the same regex literals
         from scrapely_spark.frontier.htmlmeta import main_content
         did = F.col("doc_id")
         rail = F.concat(
             F.lit('<ul><li><a href="/r1">'), F.md5(F.col("text")),
             F.lit('</a></li><li><a href="/r2">more stories'
                   '</a></li></ul>'))
+        card = F.concat(
+            F.lit('<a href="/card"><div>'), F.md5(F.col("text")),
+            F.lit(' related coverage continues here</div></a>'))
         shortd = F.concat(F.lit("<div>"),
                           F.substring(F.md5(F.col("text")), 1, 8),
                           F.lit("</div>"))
@@ -2306,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit('<html><body><nav><a href="/">Home</a> '
                   '<a href="/c">Categories</a> '
                   '<a href="/s">Search</a></nav>'),
+            F.when(did % 5 == 0, card).otherwise(F.lit("")),
             F.when(did % 3 == 0, rail).otherwise(F.lit("")),
             F.lit("<p>"), F.col("text"), F.lit("</p>"),
             F.when(did % 4 == 0, shortd).otherwise(F.lit("")),
@@ -2496,8 +2512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ip_budgets(spark, sf):
         # shared-IP politeness (politeness.ip_budget_groups): a third
         # of hosts on dedicated IPs, a third on ~12 shared boxes, a
-        # third behind one CDN address; the oracle replays the ip
-        # window count + three-way classification + floor split
+        # third behind one CDN address; every 7th row is DUPLICATED so
+        # the fan-in must be a distinct-host count — a row count would
+        # flip those dedicated IPs to 'shared' and halve their budgets
         from scrapely_spark.frontier.politeness import ip_budget_groups
         did = F.col("doc_id")
         ip = (F.when(did % 3 == 0,
@@ -2506,10 +2523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.concat(F.lit("ip-s-"),
                              (did % 40).cast("string")))
               .otherwise(F.lit("ip-cdn")))
-        hosts = _t(spark, sf, "documents").select(
+        base = _t(spark, sf, "documents").select(
+            did.alias("doc_id"),
             F.concat(F.lit("h"), did.cast("string")).alias("host"),
             ip.alias("ip"),
             (100 + did % 50).cast("int").alias("budget"))
+        hosts = (base.unionAll(base.where("doc_id % 7 = 0"))
+                 .drop("doc_id"))
         return ip_budget_groups(hosts)
 
     def q_dims_router(spark, sf):
@@ -2551,8 +2571,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     elif i % 6 == 4:
                         blobs.append(avif_bytes(w, h))
                     else:
-                        blobs.append(b"BM" + b"\x00" * 16
-                                     + _st.pack("<ii", w, h))
+                        sub = (i // 6) % 3
+                        if sub == 1:
+                            # OS/2 BITMAPCOREHEADER: u16 dims — the
+                            # router must refuse to read i32 fields
+                            blobs.append(b"BM" + b"\x00" * 12
+                                         + _st.pack("<IHHHH", 12,
+                                                    w, h, 1, 24))
+                        elif sub == 2:
+                            # negative biWidth: malformed, rejected
+                            blobs.append(b"BM" + b"\x00" * 12
+                                         + _st.pack("<Iii", 40, -w, h))
+                        else:
+                            # BITMAPINFOHEADER; odd groups top-down
+                            # (negative height, |h| reported)
+                            hh = -h if (i // 18) % 2 else h
+                            blobs.append(b"BM" + b"\x00" * 12
+                                         + _st.pack("<Iii", 40, w, hh))
                 yield pd.DataFrame({"image_id": ids, "bytes": blobs})
 
         imgs = d.mapInPandas(build, "image_id long, bytes binary")
@@ -3212,6 +3247,67 @@ _DSIR_BUCKETS = 256    # hashed-unigram feature space in corpus_dsir_weights
 
 # the corpus module's tokenization, as a DuckDB fragment
 _CORPUS_WORDS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+# block link-density algebra shared by the page_main_content and
+# page_corpus_ingest oracles (mirror of htmlmeta.main_content): split
+# on block tags, normalize per-block text, count anchored chars as
+# complete <a>..</a> pairs PLUS cross-block open-anchor carry — a
+# card-style <a><div>nav</div></a> is severed by the block split, so
+# the prefix sum of per-block open/close tag deltas decides whether a
+# block starts inside an anchor, and its text up to the first </a>
+# (or all of it) is anchored.  Expects a CTE `pages(url, html)`;
+# yields `b(url, blocks)`.  DuckDB list indexes are 1-based, hence
+# list_slice(deltas, 1, i - 1) for the strict prefix.
+_BLOCK_SQL = r"""
+            raw AS (
+              SELECT url,
+                     string_split_regex(html,
+                       '(?i)</?(?:p|div|section|article|main|li|'
+                       || 'ul|ol|table|thead|tbody|tr|td|th|'
+                       || 'h[1-6]|header|footer|nav|aside|'
+                       || 'blockquote|pre|br|hr|form|fieldset)'
+                       || '\b[^>]*>') AS rawb
+              FROM pages),
+            dl AS (
+              SELECT url, rawb,
+                     list_transform(rawb, s ->
+                       len(regexp_extract_all(s, '(?i)<a\b[^>]*>'))
+                       - len(regexp_extract_all(s, '(?i)</a\s*>')))
+                       AS deltas
+              FROM raw),
+            b AS (
+              SELECT url,
+                     list_filter(
+                       list_transform(rawb, (s, i) ->
+                         {'t': trim(regexp_replace(
+                                 regexp_replace(s, '(?s)<[^>]*>',
+                                                ' ', 'g'),
+                                 '\s+', ' ', 'g')),
+                          'a': least(
+                            coalesce(list_sum(list_transform(
+                              regexp_extract_all(s,
+                                '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                              m -> length(trim(regexp_replace(
+                                regexp_replace(m, '(?s)<[^>]*>',
+                                               ' ', 'g'),
+                                '\s+', ' ', 'g'))))), 0)
+                            + CASE WHEN coalesce(list_sum(
+                                     list_slice(deltas, 1, i - 1)),
+                                     0) > 0
+                              THEN length(trim(regexp_replace(
+                                     regexp_replace(
+                                       string_split_regex(s,
+                                         '(?i)</a\s*>')[1],
+                                       '(?s)<[^>]*>', ' ', 'g'),
+                                     '\s+', ' ', 'g')))
+                              ELSE 0 END,
+                            length(trim(regexp_replace(
+                              regexp_replace(s, '(?s)<[^>]*>',
+                                             ' ', 'g'),
+                              '\s+', ' ', 'g'))))}),
+                       s -> length(s.t) > 0) AS blocks
+              FROM dl),"""
 
 
 # quality / langid oracle bodies, shared verbatim with the composed
@@ -5737,8 +5833,13 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
               FROM d)
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                    raw_score,
-                   round(CAST(raw_score AS DOUBLE) / (1000.0 * n_tokens),
-                         6) AS score,
+                   -- integer micro grid, not round(quotient, 6):
+                   -- DuckDB // and Spark div both truncate toward
+                   -- zero, so the score is bit-identical at every
+                   -- scale (round() broke a half-way tie differently
+                   -- per engine at sf0.01)
+                   CAST((raw_score * 1000) // n_tokens AS DOUBLE)
+                     / 1000000.0 AS score,
                    raw_score >= 0 AS keep
             FROM s""",
 
@@ -6121,6 +6222,12 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                      '<html><body><nav><a href="/">Home</a> '
                      || '<a href="/c">Categories</a> '
                      || '<a href="/s">Search</a></nav>'
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN '<a href="/card"><div>'
+                                  || md5(text)
+                                  || ' related coverage continues'
+                                  || ' here</div></a>'
+                             ELSE '' END
                      || CASE WHEN doc_id % 3 = 0
                              THEN '<ul><li><a href="/r1">'
                                   || md5(text)
@@ -6136,29 +6243,7 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                      || '<a href="/t">Terms of use</a></footer>'
                      || '</body></html>' AS html
               FROM documents),
-            b AS (
-              SELECT url,
-                     list_filter(
-                       list_transform(
-                         string_split_regex(html,
-                           '(?i)</?(?:p|div|section|article|main|li|'
-                           || 'ul|ol|table|thead|tbody|tr|td|th|'
-                           || 'h[1-6]|header|footer|nav|aside|'
-                           || 'blockquote|pre|br|hr|form|fieldset)'
-                           || '\b[^>]*>'),
-                         s -> {'t': trim(regexp_replace(
-                                 regexp_replace(s, '(?s)<[^>]*>',
-                                                ' ', 'g'),
-                                 '\s+', ' ', 'g')),
-                               'a': coalesce(list_sum(list_transform(
-                                 regexp_extract_all(s,
-                                   '(?is)<a\b[^>]*>(.*?)</a>', 1),
-                                 m -> length(trim(regexp_replace(
-                                   regexp_replace(m, '(?s)<[^>]*>',
-                                                  ' ', 'g'),
-                                   '\s+', ' ', 'g'))))), 0)}),
-                       s -> length(s.t) > 0) AS blocks
-              FROM pages),
+""" + _BLOCK_SQL + r"""
             k AS (
               SELECT url, blocks,
                      list_filter(blocks,
@@ -6236,7 +6321,7 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             WITH u AS (
               SELECT 'http://h' || CAST(doc_id % 9 AS VARCHAR)
                        || '/p' || CAST(doc_id AS VARCHAR)
-                       || CASE CAST(doc_id % 5 AS INT)
+                       || CASE CAST(doc_id % 7 AS INT)
                             WHEN 0 THEN '?a=1&utm_source=s'
                                         || CAST(doc_id AS VARCHAR)
                             WHEN 1 THEN '?utm_campaign=c&utm_medium=m'
@@ -6245,6 +6330,10 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                                         || '&real=1'
                             WHEN 3 THEN '?a='
                                         || CAST(doc_id AS VARCHAR)
+                            WHEN 4 THEN '?a='
+                                        || CAST(doc_id AS VARCHAR)
+                                        || '&&b=2'
+                            WHEN 5 THEN '?'
                             ELSE '' END AS canonical_url
               FROM documents),
             s AS (
@@ -6257,21 +6346,22 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                                           instr(canonical_url, '?')
                                           + 1)
                               ELSE '' END, '&'),
+                       p -> p != '') AS parts
+              FROM u),
+            k AS (
+              SELECT canonical_url, base, parts,
+                     list_filter(parts,
                        p -> NOT regexp_matches(p,
                          '^(?:utm_[a-z]+|fbclid|gclid|gclsrc|dclid|'
                          || 'msclkid|mc_cid|mc_eid|igshid|twclid|'
-                         || 'yclid|_hsenc|_hsmi|ref_src)=')
-                         AND p != '') AS kept
-              FROM u)
+                         || 'yclid|_hsenc|_hsmi|ref_src)=')) AS kept
+              FROM s)
             SELECT canonical_url,
                    CASE WHEN len(kept) > 0
                         THEN base || '?' || array_to_string(kept, '&')
                         ELSE base END AS stripped_url,
-                   CASE WHEN len(kept) > 0
-                        THEN base || '?' || array_to_string(kept, '&')
-                        ELSE base END != canonical_url
-                     AS had_tracking
-            FROM s""",
+                   len(parts) > len(kept) AS had_tracking
+            FROM k""",
 
         # meta refresh: the expected extraction per arm in closed form
         "url_meta_refresh": """
@@ -6309,8 +6399,12 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                                    || CAST(doc_id + 1 AS VARCHAR)
                        WHEN 5 THEN 'http://s/'
                                    || CAST(doc_id - 1 AS VARCHAR)
+                       -- mem 6 declares './x/../y{id}': the folded
+                       -- target, stated in closed form
+                       WHEN 6 THEN 'http://s/y'
+                                   || CAST(doc_id AS VARCHAR)
                      END AS dst
-              FROM d WHERE mem IN (0, 1, 2, 4, 5)),
+              FROM d WHERE mem IN (0, 1, 2, 4, 5, 6)),
             r0 AS (SELECT src, dst, 1 AS hops FROM e),
             r1 AS (
               SELECT a.src, coalesce(x.dst, a.dst) AS dst,
@@ -6412,8 +6506,9 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # shared-IP politeness: replay the ip-window fan-in count, the
         # dedicated/shared/cdn classification and the floor split
         "url_ip_budgets": """
-            WITH h AS (
-              SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+            WITH h0 AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id AS VARCHAR) AS host,
                      CASE CAST(doc_id % 3 AS INT)
                        WHEN 0 THEN 'ip-d-' || CAST(doc_id AS VARCHAR)
                        WHEN 1 THEN 'ip-s-'
@@ -6421,8 +6516,12 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                        ELSE 'ip-cdn' END AS ip,
                      CAST(100 + doc_id % 50 AS INT) AS budget
               FROM documents),
+            h AS (
+              SELECT host, ip, budget FROM h0
+              UNION ALL
+              SELECT host, ip, budget FROM h0 WHERE doc_id % 7 = 0),
             w AS (
-              SELECT *, COUNT(*) OVER (PARTITION BY ip)
+              SELECT *, COUNT(DISTINCT host) OVER (PARTITION BY ip)
                         AS n_hosts_on_ip
               FROM h)
             SELECT host, ip, budget,
@@ -6439,6 +6538,14 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         # dims router: the fused sniff+parse disposition in closed
         # form across all six container families
         "image_dims_router": """
+            WITH c AS (
+              SELECT doc_id,
+                     -- bmp arm sub-cases: 1 = BITMAPCOREHEADER,
+                     -- 2 = negative biWidth — both sniff as bmp but
+                     -- must report dims_valid = false
+                     (doc_id % 13 != 0 AND doc_id % 6 = 5
+                      AND (doc_id // 6) % 3 != 0) AS bmp_reject
+              FROM documents)
             SELECT doc_id AS image_id,
                    CASE WHEN doc_id % 13 = 0 THEN NULL
                         WHEN doc_id % 6 = 0 THEN 'jpeg'
@@ -6447,20 +6554,20 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                         WHEN doc_id % 6 = 3 THEN 'webp'
                         WHEN doc_id % 6 = 4 THEN 'avif'
                         ELSE 'bmp' END AS fmt,
-                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                   CASE WHEN doc_id % 13 = 0 OR bmp_reject THEN NULL
                         ELSE CAST(16 + (doc_id * 37) % 800 AS INT)
                    END AS w,
-                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                   CASE WHEN doc_id % 13 = 0 OR bmp_reject THEN NULL
                         ELSE CAST(16 + (doc_id * 61) % 800 AS INT)
                    END AS h,
-                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                   CASE WHEN doc_id % 13 = 0 OR bmp_reject THEN NULL
                         WHEN doc_id % 6 = 1
                           THEN CAST(1 + doc_id % 3 AS INT)
                         WHEN doc_id % 6 = 2
                           THEN CAST(1 + doc_id % 4 AS INT)
                         ELSE 1 END AS n_frames,
-                   doc_id % 13 != 0 AS dims_valid
-            FROM documents""",
+                   doc_id % 13 != 0 AND NOT bmp_reject AS dims_valid
+            FROM c""",
 
         # ISOBMFF roundtrip identity: expected box-walk results in
         # closed form — equality holds only if the recursive
@@ -6605,29 +6712,7 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                      || '<a href="/t">Terms of use</a></footer>'
                      || '</body></html>' AS html
               FROM documents),
-            b AS (
-              SELECT url,
-                     list_filter(
-                       list_transform(
-                         string_split_regex(html,
-                           '(?i)</?(?:p|div|section|article|main|li|'
-                           || 'ul|ol|table|thead|tbody|tr|td|th|'
-                           || 'h[1-6]|header|footer|nav|aside|'
-                           || 'blockquote|pre|br|hr|form|fieldset)'
-                           || '\b[^>]*>'),
-                         s -> {'t': trim(regexp_replace(
-                                 regexp_replace(s, '(?s)<[^>]*>',
-                                                ' ', 'g'),
-                                 '\s+', ' ', 'g')),
-                               'a': coalesce(list_sum(list_transform(
-                                 regexp_extract_all(s,
-                                   '(?is)<a\b[^>]*>(.*?)</a>', 1),
-                                 m -> length(trim(regexp_replace(
-                                   regexp_replace(m, '(?s)<[^>]*>',
-                                                  ' ', 'g'),
-                                   '\s+', ' ', 'g'))))), 0)}),
-                       s -> length(s.t) > 0) AS blocks
-              FROM pages),
+""" + _BLOCK_SQL + r"""
             k AS (
               SELECT url, blocks,
                      list_filter(blocks,

@@ -586,6 +586,40 @@ def canonical_identity(pages: DataFrame, redirects: DataFrame,
         .when(href.startswith("/"), F.concat(origin, href))
         .otherwise(F.concat(
             F.regexp_replace(url, r"[^/]*$", ""), href)))
+    # RFC 3986 §5.2.4 remove_dot_segments over the resolved path:
+    # href="../x" / "./x" are common rel=canonical spellings, and a
+    # literal 'http://h/a/../x' identity could never equi-join the
+    # canonicalized URL keyspace — the declaration would silently
+    # fail to fold.  Pure array fold ('' root marker is never
+    # popped, '..' above root drops, trailing '.'/'..' keeps the
+    # directory slash); identity on dot-free paths, so absolute
+    # declarations pass through byte-unchanged.
+    origin2 = F.regexp_extract(resolved_href,
+                               r"^([a-z][a-zA-Z0-9+.\-]*://[^/?#]*)",
+                               1)
+    rest2 = F.regexp_replace(resolved_href,
+                             r"^[a-z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
+    pathp = F.substring_index(rest2, "?", 1)
+    suffix = (F.when(rest2.contains("?"),
+                     F.regexp_extract(rest2, r"(\?.*)$", 1))
+              .otherwise(F.lit("")))
+    last = lambda acc: F.get(acc, F.size(acc) - 1)  # NULL-safe peek
+    folded = F.aggregate(
+        F.split(pathp, "/"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(s == "..",
+                  F.when((F.size(acc) > 1) & (last(acc) != ""),
+                         F.slice(acc, F.lit(1), F.size(acc) - 1))
+                  .otherwise(acc))
+            .otherwise(F.concat(acc, F.array(s)))))
+    joined = F.array_join(folded, "/")
+    norm_path = (F.when(pathp.rlike(r"(?:/\.\.|/\.)$")
+                        & ~joined.endswith("/"),
+                        F.concat(joined, F.lit("/")))
+                 .otherwise(joined))
+    resolved_href = F.concat(origin2, norm_path, suffix)
     decl_edges = (decl
                   .withColumn("_dst", F.when(href.isNotNull(),
                                              resolved_href))
@@ -646,7 +680,11 @@ def strip_tracking_params(urls: DataFrame,
     Shuffle-free single Project (split / filter / array_join on the
     already-canonical URL).  Emits ``stripped_url`` plus a flag so
     budget accounting can report how much of the frontier was
-    tracking inflation.
+    tracking inflation.  ``had_tracking`` is the actual filter delta
+    (a non-empty member matched the tracking regex), NOT a string
+    comparison of rebuilt-vs-input: rewrites that only drop empty
+    ``&&`` members or a bare trailing ``?`` change the string without
+    any tracking present and must not inflate the accounting flag.
 
     Returns input columns + (stripped_url, had_tracking).
     """
@@ -657,9 +695,8 @@ def strip_tracking_params(urls: DataFrame,
     query = F.when(url.contains("?"),
                    F.expr("substring(%s, instr(%s, '?') + 1)"
                           % (url_col, url_col))).otherwise(F.lit(""))
-    kept = F.filter(F.split(query, "&"),
-                    lambda p: ~p.rlike(TRACKING_PARAM_RE)
-                    & (p != ""))
+    parts = F.filter(F.split(query, "&"), lambda p: p != "")
+    kept = F.filter(parts, lambda p: ~p.rlike(TRACKING_PARAM_RE))
     rebuilt = F.when(F.size(kept) > 0,
                      F.concat(base, F.lit("?"),
                               F.array_join(kept, "&"))) \
@@ -667,4 +704,4 @@ def strip_tracking_params(urls: DataFrame,
     return urls.select(
         *urls.columns,
         rebuilt.alias("stripped_url"),
-        (rebuilt != url).alias("had_tracking"))
+        (F.size(parts) > F.size(kept)).alias("had_tracking"))

@@ -299,11 +299,39 @@ def main_content(pages: DataFrame, html_col: str = "html",
             F.lit(0),
             lambda acc, m: acc + F.length(_block_text(m))),
         F.lit(0))
+    raw = F.split(F.col(html_col), BLOCK_SPLIT_RE)
+    # Card-style anchors wrap block elements (<a><div>nav</div></a>),
+    # so the block split severs the open tag from its close and the
+    # complete-pair regex above sees neither half — exactly the
+    # boilerplate the density gate exists to catch would count as
+    # prose.  Track open-anchor state ACROSS blocks: per raw block,
+    # the open/close tag delta; a block whose prefix sum is positive
+    # starts inside an anchor, and its text up to the first </a> (or
+    # all of it) is anchored on top of its complete pairs.  Assumes
+    # non-nested anchors (HTML forbids nesting); the least() cap
+    # keeps malformed nesting from over-counting.  Still one
+    # shuffle-free Project — the prefix sums are in-row array folds.
+    _deltas = F.transform(
+        raw,
+        lambda b: F.size(F.regexp_extract_all(
+            b, F.lit(r"(?i)<a\b[^>]*>"), F.lit(0)))
+        - F.size(F.regexp_extract_all(
+            b, F.lit(r"(?i)</a\s*>"), F.lit(0))))
+    _open_in = lambda i: F.when(i == 0, F.lit(False)).otherwise(
+        F.aggregate(F.slice(_deltas, F.lit(1), i), F.lit(0),
+                    lambda acc, x: acc + x) > 0)
+    _head = lambda b: F.get(F.split(b, r"(?i)</a\s*>", 2), 0)
     blocks = F.filter(
         F.transform(
-            F.split(F.col(html_col), BLOCK_SPLIT_RE),
-            lambda b: F.struct(_block_text(b).alias("t"),
-                               anchor_chars(b).alias("a"))),
+            raw,
+            lambda b, i: F.struct(
+                _block_text(b).alias("t"),
+                F.least(
+                    anchor_chars(b)
+                    + F.when(_open_in(i),
+                             F.length(_block_text(_head(b))))
+                    .otherwise(F.lit(0)),
+                    F.length(_block_text(b))).alias("a"))),
         lambda s: F.length(s["t"]) > 0)
     kept = F.filter(
         blocks,

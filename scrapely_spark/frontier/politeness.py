@@ -436,14 +436,23 @@ def ip_budget_groups(hosts: DataFrame, budget_col: str = "budget",
     Cloudflare) pull in opposite directions and the fan-in count is
     what separates them.
 
+    Fan-in is the DISTINCT-host count per IP, not a row count: the
+    natural input is one row per (ip, host), but an upstream that
+    emits duplicate host rows (retries, multiple URLs per host) must
+    not inflate the fan-in and flip dedicated→shared — a flipped
+    class silently halves real budgets through the even split.
+
     Plan: ONE ip-keyed window over the host dimension (host
-    cardinality, slim columns) — no join-back, no second shuffle.
-    Integer arithmetic throughout.
+    cardinality, slim columns) — no join-back, no second shuffle; the
+    distinct count is ``size(collect_set(host))`` inside that window,
+    whose per-group memory is bounded by the fan-in (a 10^5-name CDN
+    IP is a few MB of hostnames — fine at executor scale).  Integer
+    arithmetic throughout.
 
     Returns input columns + (n_hosts_on_ip, ip_class, host_budget).
     """
     w = Window.partitionBy("ip")
-    n = F.count(F.lit(1)).over(w)
+    n = F.size(F.collect_set(F.col("host")).over(w))
     staged = hosts.withColumn("n_hosts_on_ip", n.cast("long"))
     cls = (F.when(F.col("n_hosts_on_ip") == 1, F.lit("dedicated"))
            .when(F.col("n_hosts_on_ip") <= cdn_threshold,

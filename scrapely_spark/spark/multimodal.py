@@ -1180,9 +1180,22 @@ def image_dims_router(images: DataFrame,
             w, h, brand, ok = avif_dims(data)
             return (brand if ok else "avif", w, h,
                     1 if ok else None, ok)
-        if data[:2] == b"BM" and len(data) >= 26:
-            w, h = struct.unpack_from("<ii", data, 18)
-            return ("bmp", w, abs(h), 1, True)
+        if data[:2] == b"BM":
+            # dims live in the DIB header, whose layout depends on the
+            # u32 size field at offset 14: only the INFO family (40 /
+            # 52 / 56 / 64 / 108 / 124) carries i32 width/height at
+            # 18/22.  A BITMAPCOREHEADER (size 12, u16 fields) or an
+            # unknown size would yield garbage through the i32 read,
+            # and a non-positive biWidth is malformed — all of those
+            # sniff as bmp but report dims_valid=false rather than
+            # silently-wrong dimensions.
+            if len(data) >= 26:
+                dib = struct.unpack_from("<I", data, 14)[0]
+                w, h = struct.unpack_from("<ii", data, 18)
+                if (dib in (40, 52, 56, 64, 108, 124)
+                        and w > 0 and h != 0):
+                    return ("bmp", w, abs(h), 1, True)
+            return ("bmp", None, None, None, False)
         return (None, None, None, None, False)
 
     id_cols = [c for c in images.columns if c != bytes_col]

@@ -371,8 +371,16 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 1024,
     map-only pass; the weight table of a real model would ride along
     as a broadcast literal array exactly like the derived one here.
 
-    Integer-exact: the raw score is a BIGINT sum of integer weights;
-    the only float op is one IEEE division rounded to 6 decimals.
+    Integer-exact: the raw score is a BIGINT sum of integer weights
+    and the exposed ``score`` is that sum put on the integer micro
+    grid (``raw_score·1000 div n_tokens``, truncation toward zero —
+    identical semantics in Spark ``div`` and DuckDB ``//``) divided by
+    1e6.  No round-to-nearest anywhere: a ``round(x, 6)`` on an IEEE
+    quotient has half-way ties that Spark and DuckDB break
+    differently (observed at sf0.01: -0.0640625 → -0.064063 vs
+    -0.064062), while the micro grid is bit-identical at every scale.
+    This is also the exact per-document grid :func:`host_quality`
+    aggregates, so the two operators compose without re-rounding.
 
     Returns (doc_id, n_tokens, raw_score, score, keep).
     """
@@ -391,13 +399,15 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 1024,
     raw = F.aggregate(words, F.lit(0).cast("long"),
                       lambda acc, tok: acc + _w(tok))
     n = F.size(words)
-    return docs.select(
-        "doc_id", *passthrough,
-        n.cast("long").alias("n_tokens"),
-        raw.alias("raw_score"),
-        F.round(raw.cast("double") / (F.lit(1000.0) * n), 6)
-        .alias("score"),
-        (raw >= 0).alias("keep"))
+    return (docs.select(
+                "doc_id", *passthrough,
+                n.cast("long").alias("n_tokens"),
+                raw.alias("raw_score"))
+            .select(
+                "doc_id", *passthrough, "n_tokens", "raw_score",
+                (F.expr("raw_score * 1000 div n_tokens")
+                 .cast("double") / F.lit(1000000.0)).alias("score"),
+                (F.col("raw_score") >= 0).alias("keep")))
 
 
 def c4_filters(docs: DataFrame, min_words_per_line: int = 5,

@@ -1477,6 +1477,45 @@ def test_main_content_density_rule(spark):
     assert row["content_chars"] == len(row["content"])
 
 
+def test_main_content_card_anchor_across_blocks(spark):
+    """A card-style anchor wraps block elements (<a><div>..</div></a>
+    — nav rails, related-article cards): the block split severs it, so
+    the complete-pair regex sees neither half.  The open-anchor state
+    carried across blocks must still count that text as anchored, and
+    the density gate must drop it."""
+    from scrapely_spark.frontier.htmlmeta import main_content
+
+    html = (
+        '<html><body>'
+        '<a href="/card"><div>Breaking: the card teaser text that is '
+        'long enough to pass the length gate</div></a>'
+        '<p>The genuine article body text that the page is actually '
+        'about, which must survive.</p>'
+        # anchor opens in one block and closes in the NEXT block:
+        # the pre-close text of the second block is anchored, the
+        # post-close text keeps the block mostly prose
+        '<div>short tail</div>'
+        '</body></html>')
+    df = spark.createDataFrame([("u1", html)],
+                               "url string, html string")
+    row = main_content(df).collect()[0]
+    assert "card teaser" not in row["content"]
+    assert "genuine article body" in row["content"]
+    # open-anchor carry must not leak past the closing </a>: the
+    # following blocks are plain prose again
+    html2 = (
+        '<html><body>'
+        '<a href="/c"><div>all of this teaser text is inside a card '
+        'anchor and must drop</div></a>'
+        '<p>Prose after the card has closed is plain text again and '
+        'long enough to keep.</p></body></html>')
+    df2 = spark.createDataFrame([("u2", html2)],
+                                "url string, html string")
+    row2 = main_content(df2).collect()[0]
+    assert row2["n_kept"] == 1
+    assert row2["content"].startswith("Prose after the card")
+
+
 def test_main_content_threshold_boundaries(spark):
     from scrapely_spark.frontier.htmlmeta import main_content
 
@@ -1821,6 +1860,17 @@ def test_ip_budget_groups_three_classes(spark):
         "host string, ip string, budget int")
     assert all(r["host_budget"] == 1
                for r in ip_budget_groups(tiny).collect())
+    # fan-in is DISTINCT hosts: duplicate host rows (retries, many
+    # URLs per host) must not flip dedicated->shared or split budgets
+    dup = spark.createDataFrame(
+        [("d1", "10.0.0.9", 100)] * 3 + [("s1", "10.0.0.8", 90),
+                                         ("s2", "10.0.0.8", 90),
+                                         ("s2", "10.0.0.8", 90)],
+        "host string, ip string, budget int")
+    got = {(r["host"], r["n_hosts_on_ip"], r["ip_class"],
+            r["host_budget"]) for r in ip_budget_groups(dup).collect()}
+    assert got == {("d1", 1, "dedicated", 100),
+                   ("s1", 2, "shared", 45), ("s2", 2, "shared", 45)}
 
 
 def test_canonical_identity_mixed_chains(spark):
@@ -1877,6 +1927,12 @@ def test_canonical_identity_relative_hrefs(spark):
         ("http://h/c", link("//other.example/m")),
         # path-relative, resolved against the page's directory
         ("http://h/dir/d", link("m2")),
+        # dot segments must fold (RFC 3986 §5.2.4) or the identity
+        # can never equi-join the canonical keyspace
+        ("http://h/a/b/e", link("../x")),
+        ("http://h/dir/f", link("./y")),
+        ("http://h/g", link("../z")),          # '..' above root clamps
+        ("http://h/p/q/r", link("http://h/p/./../w")),  # absolute too
     ], "url string, html string")
     redirects = spark.createDataFrame(
         [], "src string, dst string")
@@ -1887,6 +1943,10 @@ def test_canonical_identity_relative_hrefs(spark):
     assert out["http://h/b"]["canonical_id"] == "http://h/master"
     assert out["http://h/c"]["canonical_id"] == "http://other.example/m"
     assert out["http://h/dir/d"]["canonical_id"] == "http://h/dir/m2"
+    assert out["http://h/a/b/e"]["canonical_id"] == "http://h/a/x"
+    assert out["http://h/dir/f"]["canonical_id"] == "http://h/dir/y"
+    assert out["http://h/g"]["canonical_id"] == "http://h/z"
+    assert out["http://h/p/q/r"]["canonical_id"] == "http://h/w"
 
 
 def test_meta_refresh_extraction(spark):
@@ -1933,6 +1993,10 @@ def test_strip_tracking_params(spark):
         # list (regexp is anchored ^...=), but 'autm_source' is a
         # DIFFERENT param and must survive
         ("http://h/p?autm_source=keep",),
+        # string-changing rewrites with NO tracking: the accounting
+        # flag must come from the filter delta, not rebuilt != url
+        ("http://h/p?a=1&&b=2",),                     # empty member
+        ("http://h/p?",),                             # bare '?'
     ]
     df = spark.createDataFrame(rows, "canonical_url string")
     out = {r["canonical_url"]: (r["stripped_url"], r["had_tracking"])
@@ -1947,3 +2011,5 @@ def test_strip_tracking_params(spark):
     assert out["http://h/p"] == ("http://h/p", False)
     assert out["http://h/p?autm_source=keep"] \
         == ("http://h/p?autm_source=keep", False)
+    assert out["http://h/p?a=1&&b=2"] == ("http://h/p?a=1&b=2", False)
+    assert out["http://h/p?"] == ("http://h/p", False)

@@ -370,7 +370,9 @@ def test_quality_classifier_matches_python_twin(spark):
         n, raw = _qc_twin(t)
         r = got[i]
         assert (r.n_tokens, r.raw_score) == (n, raw), (i, t)
-        assert r.score == _r(raw / (1000.0 * n), 6)
+        # integer micro grid with truncation toward zero (SQL div):
+        # int() in Python truncates toward zero too
+        assert r.score == int(raw * 1000 / n) / 1e6
         assert r.keep == (raw >= 0)
 
 

@@ -1035,8 +1035,13 @@ def test_image_dims_router_all_formats(spark):
         "FFD8"                            # SOI
         "FFE000104A46494600" + "00" * 9   # APP0
         + "FFC000110801E00280 03 000000 000000 000000".replace(" ", ""))
-    bmp = (b"BM" + b"\x00" * 16
-           + struct.pack("<ii", 321, -123) + b"\x00" * 4)
+    bmp = (b"BM" + b"\x00" * 12
+           + struct.pack("<Iii", 40, 321, -123) + b"\x00" * 4)
+    bmp_core = (b"BM" + b"\x00" * 12          # OS/2 BITMAPCOREHEADER:
+                + struct.pack("<IHHHH",       # u16 dims — an i32 read
+                              12, 321, 123, 1, 24))  # would be garbage
+    bmp_negw = (b"BM" + b"\x00" * 12
+                + struct.pack("<Iii", 40, -321, 123) + b"\x00" * 4)
     rows = [
         (1, jpeg),
         (2, png_bytes(50, 60, n_frames=4)),
@@ -1046,6 +1051,8 @@ def test_image_dims_router_all_formats(spark):
         (6, bmp),
         (7, b"total junk"),
         (8, gif_bytes(10, 10, 2)[:15]),   # right magic, broken walk
+        (9, bmp_core),
+        (10, bmp_negw),
     ]
     df = spark.createDataFrame(rows, "image_id int, bytes binary")
     out = {r["image_id"]: r
@@ -1062,6 +1069,12 @@ def test_image_dims_router_all_formats(spark):
     assert out[7]["dims_valid"] is False
     assert out[8]["fmt"] == "gif"
     assert out[8]["dims_valid"] is False
+    # non-INFO DIB headers and malformed widths sniff as bmp but must
+    # never return garbage dims as valid
+    assert (out[9]["fmt"], out[9]["w"], out[9]["dims_valid"]) \
+        == ("bmp", None, False)
+    assert (out[10]["fmt"], out[10]["w"], out[10]["dims_valid"]) \
+        == ("bmp", None, False)
 
 
 def test_container_walks_null_bytes_rows(spark):
