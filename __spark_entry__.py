@@ -4600,7 +4600,18 @@ def oracle_sql() -> dict[str, str]:
                    round(LEAST(CAST(demand AS DOUBLE),
                                MAX(cand) OVER ()
                                * CAST(w AS DOUBLE)), 6)
-                     AS alloc_fetches
+                     AS alloc_fetches,
+                   -- integer consumption path (budget_caps): floor +
+                   -- remainder of the UNROUNDED alloc
+                   CAST(floor(LEAST(CAST(demand AS DOUBLE),
+                                    MAX(cand) OVER ()
+                                    * CAST(w AS DOUBLE))) AS BIGINT)
+                     AS alloc_floor,
+                   LEAST(CAST(demand AS DOUBLE),
+                         MAX(cand) OVER () * CAST(w AS DOUBLE))
+                   - floor(LEAST(CAST(demand AS DOUBLE),
+                                 MAX(cand) OVER ()
+                                 * CAST(w AS DOUBLE))) AS alloc_frac
             FROM c""",
         # HyperLogLog: identical md5 register/rho derivation (rho via
         # base-2 string length, no log), integer harmonic sum, one

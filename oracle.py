@@ -30,7 +30,9 @@ from __future__ import annotations
 from urllib.parse import urlsplit
 
 from scrapely_spark.frontier.canonical import canonicalize, murmur3_32
-from scrapely_spark.frontier.politeness import host_budget
+from scrapely_spark.frontier.politeness import (adaptive_crawl_delay_py,
+                                                budget_caps_py,
+                                                host_budget)
 from scrapely_spark.frontier.robots import DEFAULT_CRAWL_DELAY, is_allowed
 from scrapely_spark.spark import datagen
 
@@ -42,7 +44,10 @@ class OracleCrawl:
                  round_seconds: float = 10.0,
                  authority_levels: int = 1,
                  authority_iters: int = 3,
-                 template_budget: int = 0):
+                 template_budget: int = 0,
+                 adaptive_delay: bool = False,
+                 adaptive_multiplier: int = 2,
+                 budget_fetches: int = 0):
         self.n = n_pages
         self.n_hosts = n_hosts
         self.round_seconds = round_seconds
@@ -51,6 +56,13 @@ class OracleCrawl:
         self.authority_levels = authority_levels
         self.authority_iters = authority_iters
         self.template_budget = template_budget
+        # adaptive-scheduling twins (rounds.crawl kwargs of the same
+        # names): latency-adaptive per-host delay off the accumulated
+        # fetch log, and the global water-filled fetch budget
+        self.adaptive_delay = adaptive_delay
+        self.adaptive_multiplier = adaptive_multiplier
+        self.budget_fetches = budget_fetches
+        self.latencies_by_host: dict[str, list] = {}
         self.host_edges: set = set()   # accumulated (src_host, dst_host)
         self.robots = robots if robots is not None else {
             r["host"]: r for r in
@@ -113,10 +125,34 @@ class OracleCrawl:
         by_host: dict[str, list] = {}
         for canon, (prio, host) in self.frontier.items():
             by_host.setdefault(host, []).append((eff(prio, host), canon))
+        # effective per-host delay: the larger of robots Crawl-delay
+        # and the adaptive p95-latency delay (twin of the
+        # _politeness_wave greatest(); delays come from rounds < this
+        # one — the Spark side reads only COMMITTED fetch-log rounds)
+        adelay = (adaptive_crawl_delay_py(
+            self.latencies_by_host,
+            multiplier=self.adaptive_multiplier)
+            if self.adaptive_delay else {})
+
+        def budget_of(host: str) -> int:
+            d = max(self.crawl_delay(host),
+                    adelay.get(host, 0) / 1e6)
+            return host_budget(d, self.round_seconds)
+
+        if self.budget_fetches > 0:
+            # global water-filled budget: demand = pending∧politeness,
+            # weight = politeness budget (twin of the _politeness_wave
+            # budget_caps wiring)
+            host_rows = [(h, min(len(es), budget_of(h)), budget_of(h))
+                         for h, es in by_host.items()]
+            caps = budget_caps_py(host_rows, self.budget_fetches)
+        else:
+            caps = None
         batch = []
         for host, entries in by_host.items():
             entries.sort()
-            batch.extend(entries[:host_budget(self.crawl_delay(host), self.round_seconds)])
+            take = caps[host] if caps is not None else budget_of(host)
+            batch.extend(entries[:take])
         batch.sort()  # the recorded fetch order
         # candidate collection is BATCHED per round (the Spark round
         # aggregates all discovered links before the seen check):
@@ -125,6 +161,12 @@ class OracleCrawl:
         cands: dict[str, tuple] = {}  # canon → (depth, host)
         for prio, canon in batch:
             self.fetch_log.append((round_id, prio, canon))
+            if self.adaptive_delay:
+                # every response has a latency, misses included (the
+                # Spark side derives it from the fetch-log canonical)
+                h = (urlsplit(canon).hostname or "").lower()
+                self.latencies_by_host.setdefault(h, []).append(
+                    datagen.fetch_latency_us(canon))
             depth = self.frontier[canon][0]
             del self.frontier[canon]
             hit = self.pages_by_canon.get(canon)

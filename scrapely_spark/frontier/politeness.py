@@ -44,16 +44,25 @@ def host_budget(crawl_delay: float,
 
 
 def select_fetch_batch(candidates: DataFrame, n_salts: int = N_SALTS,
-                       round_seconds: float = ROUND_SECONDS) -> DataFrame:
+                       round_seconds: float = ROUND_SECONDS,
+                       cap_col: str | None = None) -> DataFrame:
     """Pick each host's politeness budget of URLs for this round.
 
     Requires columns: host, crawl_delay, priority, canonical_url, url_key.
+    ``cap_col`` (optional): a per-host integer column that further caps
+    the budget (global budget allocation — see ``budget_caps``); a host
+    missing a cap keeps its plain politeness budget.
     """
     order = [F.col("priority").asc(), F.col("canonical_url").asc()]
 
     salted = candidates.withColumn(
         "salt", F.pmod(F.col("url_key"), F.lit(n_salts)))
     budget = host_budget_expr(round_seconds)
+    if cap_col is not None:
+        budget = F.least(
+            budget,
+            F.coalesce(F.col(cap_col).cast("int"),
+                       budget).cast("int"))
     phase1 = (
         salted.withColumn(
             "r1",
@@ -279,7 +288,9 @@ def crawl_budget_allocation(hosts: DataFrame, budget_fetches: int,
         F.col("_h").alias("host"),
         F.col("_d").alias("demand"),
         F.col("_w").alias("weight_micro"),
-        F.lit(0.0).alias("alloc_fetches"))
+        F.lit(0.0).alias("alloc_fetches"),
+        F.lit(0).cast("long").alias("alloc_floor"),
+        F.lit(0.0).alias("alloc_frac"))
     staged = staged.where(F.col("_w") > 0)
     pre_d = F.coalesce(
         F.sum("_d").over(w_order.rowsBetween(Window.unboundedPreceding,
@@ -296,11 +307,128 @@ def crawl_budget_allocation(hosts: DataFrame, budget_fetches: int,
     level = F.max("_cand").over(everything)
     alloc = F.least(F.col("_d").cast("double"),
                     level * F.col("_w").cast("double"))
+    # integer consumption path (budget_caps / the crawl scheduler):
+    # floor + fractional remainder of the UNROUNDED alloc — round()
+    # half-way ties break differently across engines, floor of the
+    # same IEEE double never does
     return staged.select(
         F.col("_h").alias("host"),
         F.col("_d").alias("demand"),
         F.col("_w").alias("weight_micro"),
-        F.round(alloc, 6).alias("alloc_fetches")).unionByName(zero)
+        F.round(alloc, 6).alias("alloc_fetches"),
+        F.floor(alloc).cast("long").alias("alloc_floor"),
+        (alloc - F.floor(alloc)).alias("alloc_frac")).unionByName(zero)
+
+
+def budget_caps(hosts: DataFrame, budget_fetches: int,
+                host_col: str = "host", demand_col: str = "demand",
+                weight_col: str = "weight_micro") -> DataFrame:
+    """Integer per-host fetch caps that spend a global round budget
+    EXACTLY: water-fill (:func:`crawl_budget_allocation`), floor each
+    allocation, then hand the leftover ``B − Σ floor`` out one fetch
+    each to the hosts with the largest fractional remainders
+    (largest-remainder method, ties by host) — only to hosts whose
+    demand is not already met, so no host is topped up past its
+    pending URLs.  ``Σ cap == min(B, Σ demand)`` exactly: a bare
+    floor could strand the whole budget (every alloc < 1 floors to 0
+    and the round fetches nothing), and any rounding rule would
+    over- or under-spend.
+
+    Determinism: the remainders are the unrounded IEEE doubles from
+    the water-fill; the top-up rank orders on (eligible desc,
+    remainder desc, host asc) — a total key both engines sort
+    identically (oracle twin :func:`budget_caps_py`).
+
+    Scale shape: the input is the host table; one extra global window
+    over it (same bounded-small discipline as the water-fill itself).
+
+    Returns (host, demand, weight_micro, cap_fetches).
+    """
+    a = crawl_budget_allocation(hosts, budget_fetches,
+                                host_col=host_col,
+                                demand_col=demand_col,
+                                weight_col=weight_col)
+    everything = Window.partitionBy()
+    eligible = F.col("demand") > F.col("alloc_floor")
+    left = (F.lit(int(budget_fetches)).cast("long")
+            - F.sum("alloc_floor").over(everything))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc(eligible), F.desc("alloc_frac"),
+                       F.asc("host")))
+    cap = (F.col("alloc_floor")
+           + (eligible & (rk <= left)).cast("long"))
+    return a.select("host", "demand", "weight_micro",
+                    cap.alias("cap_fetches"))
+
+
+def crawl_budget_allocation_py(hosts: list, budget_fetches: int) -> dict:
+    """Pure-python twin of :func:`crawl_budget_allocation` for the
+    crawl oracle: same sort key, same prefix-sum level candidates in
+    the same order, every division the identical single IEEE op.
+    ``hosts`` is [(host, demand, weight_micro)]; returns
+    host → (demand, weight, alloc_exact)."""
+    b = float(int(budget_fetches))
+    pos = [(h, int(d), int(w)) for h, d, w in hosts if int(w) > 0]
+    out = {h: (int(d), int(w), 0.0) for h, d, w in hosts
+           if int(w) <= 0}
+    if not pos:
+        return out
+    pos.sort(key=lambda t: (t[1] / t[2], t[0]))
+    w_tot = sum(w for _, _, w in pos)
+    pre_d = pre_w = 0
+    level = None
+    for _, d, w in pos:
+        cand = (b - float(pre_d)) / float(w_tot - pre_w)
+        level = cand if level is None else max(level, cand)
+        pre_d += d
+        pre_w += w
+    for h, d, w in pos:
+        out[h] = (d, w, min(float(d), level * float(w)))
+    return out
+
+
+def budget_caps_py(hosts: list, budget_fetches: int) -> dict:
+    """Pure-python twin of :func:`budget_caps`: floor + largest-
+    remainder top-up on the same unrounded doubles.  Returns
+    host → cap_fetches (int)."""
+    import math
+
+    alloc = crawl_budget_allocation_py(hosts, budget_fetches)
+    floors = {h: int(math.floor(a)) for h, (_, _, a) in alloc.items()}
+    left = int(budget_fetches) - sum(floors.values())
+    ranked = sorted(
+        alloc.items(),
+        key=lambda kv: (not (kv[1][0] > floors[kv[0]]),   # eligible first
+                        -(kv[1][2] - floors[kv[0]]),      # frac desc
+                        kv[0]))                           # host asc
+    caps = dict(floors)
+    for h, (d, _, _) in ranked:
+        if left <= 0:
+            break
+        if d > caps[h]:
+            caps[h] += 1
+            left -= 1
+    return caps
+
+
+def adaptive_crawl_delay_py(latencies_by_host: dict,
+                            multiplier: int = 2,
+                            min_delay_us: int = 500_000,
+                            max_delay_us: int = 10_000_000) -> dict:
+    """Pure-python twin of :func:`adaptive_crawl_delay` for the crawl
+    oracle: nearest-rank p95 at rank ``(95·n + 99) div 100`` over the
+    per-host integer-µs latency order, then ``clamp(p95·multiplier)``.
+    Returns host → crawl_delay_us (int)."""
+    out = {}
+    for host, lats in latencies_by_host.items():
+        lats = sorted(int(x) for x in lats if x is not None)
+        if not lats:
+            continue
+        n = len(lats)
+        p95 = lats[(95 * n + 99) // 100 - 1]
+        out[host] = max(int(min_delay_us),
+                        min(int(max_delay_us), p95 * int(multiplier)))
+    return out
 
 
 def crawl_tiers(hosts: DataFrame, n_tiers: int = 4,

@@ -244,7 +244,9 @@ def _politeness_wave(spark, store: StateStore, frontier: DataFrame,
                      robots: DataFrame, round_id: int,
                      round_seconds: float,
                      auth: DataFrame | None = None,
-                     levels: int = 1) -> dict:
+                     levels: int = 1,
+                     adaptive: DataFrame | None = None,
+                     budget_fetches: int = 0) -> dict:
     """Wave 1: select and stage ``round_id``'s fetch batch.
 
     ``frontier`` is the round's frontier view — either the store-derived
@@ -298,8 +300,44 @@ def _politeness_wave(spark, store: StateStore, frontier: DataFrame,
         "host", "crawl_delay")), "host", "left")
         .withColumn("crawl_delay", F.coalesce(
             F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))))
-    batch = select_fetch_batch(with_delay, round_seconds=round_seconds) \
-        .drop("crawl_delay")
+    if adaptive is not None:
+        # latency-adaptive backoff (adaptive_crawl_delay over the
+        # committed fetch log): the LARGER of robots Crawl-delay and
+        # the observed-load delay wins — a slow host never gets more
+        # than robots allows, and a fast host never less.  No
+        # broadcast hint: tiny here, unbounded on the real web (AQE
+        # decides), same discipline as the authority view.
+        with_delay = (with_delay
+                      .join(adaptive, "host", "left")
+                      .withColumn("crawl_delay", F.greatest(
+                          F.col("crawl_delay"),
+                          F.coalesce(
+                              F.col("crawl_delay_us").cast("double")
+                              / F.lit(1e6), F.lit(0.0))))
+                      .drop("crawl_delay_us"))
+    cap_col = None
+    if budget_fetches > 0:
+        # global per-round fetch budget: water-fill + largest-
+        # remainder caps (politeness.budget_caps) over the host
+        # demand table.  demand = min(pending, politeness budget) and
+        # weight = politeness budget, so a cap can never exceed what
+        # politeness alone would grant — the global budget only ever
+        # tightens the schedule.
+        from scrapely_spark.frontier.politeness import (budget_caps,
+                                                        host_budget_expr)
+        pb = host_budget_expr(round_seconds).cast("long")
+        per_host = (with_delay.groupBy("host", "crawl_delay")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .select("host",
+                            F.least(F.col("_n"), pb).alias("demand"),
+                            pb.alias("weight_micro")))
+        caps = (budget_caps(per_host, budget_fetches)
+                .select("host", F.col("cap_fetches").alias("_cap")))
+        with_delay = with_delay.join(caps, "host", "left")
+        cap_col = "_cap"
+    batch = select_fetch_batch(with_delay, round_seconds=round_seconds,
+                               cap_col=cap_col) \
+        .drop("crawl_delay", *([cap_col] if cap_col else []))
     fetch_log = batch.select(
         F.lit(round_id).alias("round_id"), "priority", "canonical_url")
     obs_fetched = Observation()
@@ -323,7 +361,9 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
               plan_bc, round_id: int, spec: BloomSpec,
               round_seconds: float = 10.0,
               auth: DataFrame | None = None, levels: int = 1,
-              template_budget: int = 0, seen_filter=None) -> dict:
+              template_budget: int = 0, seen_filter=None,
+              adaptive: DataFrame | None = None,
+              budget_fetches: int = 0) -> dict:
     """Execute one committed crawl round; returns its metrics.
 
     ``pages`` must be keyed by canonical URL (see prepare_replay_store).
@@ -333,7 +373,9 @@ def run_round(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     """
     frontier = frontier_view(spark, store)
     w1 = _politeness_wave(spark, store, frontier, robots, round_id,
-                          round_seconds, auth=auth, levels=levels)
+                          round_seconds, auth=auth, levels=levels,
+                          adaptive=adaptive,
+                          budget_fetches=budget_fetches)
     if w1["fetched"] == 0:
         return _commit_drained(store, round_id, w1)
     finish, _enqueue = _round_body(spark, store, pages, robots, plan_bc,
@@ -574,7 +616,10 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
           authority_levels: int = 1,
           authority_iters: int = 3,
           template_budget: int = 0,
-          seen_filter=None) -> StateStore:
+          seen_filter=None,
+          adaptive_delay: bool = False,
+          adaptive_multiplier: int = 2,
+          budget_fetches: int = 0) -> StateStore:
     """Run (or resume) a crawl to completion or ``max_rounds``.
 
     Resume: everything is derived from the store's ledger — a killed job
@@ -602,6 +647,21 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     ``template_budget > 0`` caps each (host, digit-normalized path
     template) candidate family per round — the spider-trap/calendar
     guard (canonical.cap_template_families), oracle-mirrored.
+
+    ``adaptive_delay=True`` closes the load-feedback loop: each round
+    computes the per-host nearest-rank p95 of the committed fetch
+    log's latencies (politeness.adaptive_crawl_delay; latencies are
+    the deterministic datagen stand-in — no network in the sandbox)
+    and the LARGER of robots Crawl-delay and the adaptive delay sets
+    the host's politeness budget.  ``budget_fetches > 0`` closes the
+    budget loop: a global per-round fetch budget is water-filled
+    across hosts with exact integer spend (politeness.budget_caps,
+    demand = pending∧politeness, weight = politeness budget).  Both
+    signals derive from committed state, so resume reproduces them,
+    and both run rounds sequentially like authority mode (round r's
+    signal must include round r−1's committed log).  Both are
+    replayed bit-identically by the oracle's pure-python twins
+    (adaptive_crawl_delay_py / budget_caps_py).
     """
     spec = spec or BloomSpec()
     flt = seen_filter or BloomSeenFilter(spec)
@@ -645,6 +705,24 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         return (graph.authority_buckets(ranks, authority_levels)
                 .withColumnRenamed("node", "host"))
 
+    def _adaptive_view():
+        if not adaptive_delay:
+            return None
+        from scrapely_spark.frontier.canonical import host_of_canonical
+        from scrapely_spark.frontier.politeness import (
+            adaptive_crawl_delay)
+        from scrapely_spark.spark.datagen import fetch_latency_us_expr
+        fl = store.read_rounds(spark, FETCH_LOG)
+        if fl is None:
+            return None
+        lat = fl.select(
+            host_of_canonical(F.col("canonical_url")).alias("host"),
+            fetch_latency_us_expr(F.col("canonical_url"))
+            .alias("latency_us"))
+        return (adaptive_crawl_delay(lat,
+                                     multiplier=adaptive_multiplier)
+                .select("host", "crawl_delay_us"))
+
     next_w1 = None
     frontier = None
     while round_id < max_rounds:
@@ -654,7 +732,9 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
             w1 = _politeness_wave(spark, store, frontier, robots,
                                   round_id, round_seconds,
                                   auth=_authority_view(),
-                                  levels=authority_levels)
+                                  levels=authority_levels,
+                                  adaptive=_adaptive_view(),
+                                  budget_fetches=budget_fetches)
         else:
             # frontier was rebuilt from the store after the previous
             # round committed (constant plan depth — increments never
@@ -671,7 +751,8 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
         will_compact = bool(compact_every
                             and round_id % compact_every == 0)
         if (round_id < max_rounds and not will_compact
-                and authority_levels <= 1):
+                and authority_levels <= 1 and not adaptive_delay
+                and budget_fetches <= 0):
             # compaction rewrites state files, so an already-planned
             # increment must not straddle it — those rounds fall back
             # to the sequential schedule

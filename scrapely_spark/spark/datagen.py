@@ -161,6 +161,26 @@ def page_record(i: int, n: int, n_hosts: int = N_HOSTS_DEFAULT) -> dict:
     }
 
 
+def fetch_latency_us(canonical_url: str) -> int:
+    """Deterministic stand-in for a fetch's measured latency.
+
+    The sandbox has no network, so the latency a real fetcher would
+    record per response is replayed as a closed form of the canonical
+    URL: 100ms + murmur3(canonical) mod 900ms — the same murmur3 the
+    seen keys use, so the Spark twin is one ``F.hash`` expression
+    (``fetch_latency_us_expr``) and the adaptive-delay crawl loop is
+    byte-parity-checkable against the pure-python oracle."""
+    from scrapely_spark.frontier.canonical import murmur3_32
+    return 100_000 + murmur3_32(canonical_url.encode("utf-8")) % 900_000
+
+
+def fetch_latency_us_expr(col):
+    """Spark twin of :func:`fetch_latency_us` (F.hash == murmur3_32)."""
+    from pyspark.sql import functions as F
+    return (F.lit(100_000)
+            + F.pmod(F.hash(col), F.lit(900_000))).cast("long")
+
+
 def robots_record(hid: int) -> dict:
     return {
         "host": "h%03d.example.com" % hid,

@@ -562,6 +562,136 @@ def test_template_budget_caps_families(auth_oracle_run):
         assert len(discovered) <= AUTH_BUDGET * n_rounds, (host, tpl)
 
 
+# --------------------------------------------------------------------------
+# round 5: adaptive crawl-delay + global fetch budget in the loop
+# (oracle parity — the operators that existed standalone now govern
+# the actual fetch schedule, closed the same way authority mode was)
+# --------------------------------------------------------------------------
+
+ADAPT_N = 240
+ADAPT_ROUNDS = 12
+ADAPT_BUDGET = 40   # global per-round fetches: well under the
+#                     unconstrained batch, so the water-fill bites
+
+
+@pytest.fixture(scope="module")
+def adapt_oracle_run():
+    return OracleCrawl(ADAPT_N, datagen.seeds(ADAPT_N),
+                       adaptive_delay=True,
+                       budget_fetches=ADAPT_BUDGET).run(ADAPT_ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def adapt_spark_run(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("adaptcrawl"))
+    store = StateStore(root)
+    pages = datagen.pages_df(spark, ADAPT_N).cache()
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    rounds.crawl(spark, store, pages, robots, plan,
+                 datagen.seeds(ADAPT_N), max_rounds=ADAPT_ROUNDS,
+                 spec=BloomSpec(n_blocks=64),
+                 adaptive_delay=True, budget_fetches=ADAPT_BUDGET)
+    return store
+
+
+def test_adaptive_budget_fetch_order_byte_identical(spark,
+                                                    adapt_oracle_run,
+                                                    adapt_spark_run):
+    """The loop closure: the p95-latency adaptive delay AND the
+    water-filled global budget both feed the politeness selection, and
+    the recorded fetch order matches the pure-python oracle bit for
+    bit — i.e. both engines computed identical p95 ranks, identical
+    water levels, and identical largest-remainder top-ups."""
+    got = (adapt_spark_run.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    assert [(r.round_id, r.priority, r.canonical_url) for r in got] == \
+        adapt_oracle_run.fetch_order()
+
+
+def test_adaptive_budget_seen_set_byte_identical(spark,
+                                                 adapt_oracle_run,
+                                                 adapt_spark_run):
+    seen = adapt_spark_run.read_rounds(spark, rounds.SEEN).collect()
+    assert sorted(r.canonical_url for r in seen) == \
+        adapt_oracle_run.seen_urls()
+
+
+def test_adaptive_delay_actually_bites(adapt_oracle_run):
+    # with adaptive off (same budget), the schedule must differ —
+    # otherwise the latency signal never moved a single fetch and the
+    # parity above would be vacuous
+    base = OracleCrawl(ADAPT_N, datagen.seeds(ADAPT_N),
+                       budget_fetches=ADAPT_BUDGET).run(ADAPT_ROUNDS)
+    assert base.fetch_order() != adapt_oracle_run.fetch_order()
+
+
+def test_budget_spends_exactly(adapt_oracle_run):
+    # exact integer spend: no round exceeds the global budget, and
+    # while the frontier has demand the budget is spent in full (a
+    # bare floor of the water-fill would strand fractional budget —
+    # the largest-remainder top-up is what makes this equality hold)
+    from collections import Counter
+    per_round = Counter(r for r, _, _ in adapt_oracle_run.fetch_order())
+    assert max(per_round.values()) <= ADAPT_BUDGET
+    assert ADAPT_BUDGET in per_round.values()
+
+
+def test_budget_huge_is_identity():
+    # a global budget at least the total demand must reproduce the
+    # unconstrained schedule byte-for-byte (alloc == demand clears
+    # every host to its politeness budget)
+    n, r = 120, 6
+    a = OracleCrawl(n, datagen.seeds(n), budget_fetches=10**9).run(r)
+    b = OracleCrawl(n, datagen.seeds(n)).run(r)
+    assert a.fetch_order() == b.fetch_order()
+    assert a.seen_urls() == b.seen_urls()
+
+
+def test_budget_caps_py_matches_spark(spark):
+    # the python twin and the Spark budget_caps agree on a table with
+    # hot/zero/fractional hosts — including who wins the top-up
+    rows = [("a", 50, 10), ("b", 3, 10), ("c", 7, 1),
+            ("d", 0, 5), ("e", 9, 0), ("f", 11, 3)]
+    df = spark.createDataFrame(
+        rows, "host string, demand long, weight_micro long")
+    for budget in (1, 2, 7, 23, 60, 500):
+        got = {r["host"]: r["cap_fetches"] for r in
+               politeness.budget_caps(df, budget).collect()}
+        want = politeness.budget_caps_py(rows, budget)
+        assert got == want, budget
+        spent = sum(got.values())
+        total_d = sum(min(d, d) for _, d, w in rows if w > 0)
+        assert spent <= budget
+        if budget <= sum(d for _, d, w in rows if w > 0):
+            assert spent == budget
+
+
+def test_adaptive_budget_resume_after_kill(spark, tmp_path_factory,
+                                           adapt_oracle_run):
+    """Both signals derive from committed state (fetch log rounds),
+    so a killed job resumed mid-crawl recomputes identical p95 delays
+    and identical caps and converges to the same artifacts."""
+    root = str(tmp_path_factory.mktemp("adaptresume"))
+    store = StateStore(root)
+    pages = datagen.pages_df(spark, ADAPT_N).cache()
+    robots = datagen.robots_df(spark)
+    plan = plan_from_templates([datagen.template_body()])
+    kwargs = dict(spec=BloomSpec(n_blocks=64), adaptive_delay=True,
+                  budget_fetches=ADAPT_BUDGET)
+    rounds.crawl(spark, store, pages, robots, plan,
+                 datagen.seeds(ADAPT_N), max_rounds=4, **kwargs)
+    resumed = StateStore(root)
+    rounds.crawl(spark, resumed, pages, robots, plan,
+                 datagen.seeds(ADAPT_N), max_rounds=ADAPT_ROUNDS,
+                 **kwargs)
+    log = (resumed.read_rounds(spark, rounds.FETCH_LOG)
+           .orderBy("round_id", "priority", "canonical_url").collect())
+    assert [(r.round_id, r.priority, r.canonical_url) for r in log] == \
+        adapt_oracle_run.fetch_order()
+    shutil.rmtree(root)
+
+
 def test_cap_template_families_calendar_trap(spark):
     """The calendar-trap fixture: an unbounded /cal/Y/M/D family is
     cut to the budget on the total key while static pages survive."""
