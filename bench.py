@@ -89,9 +89,7 @@ HEADLINE = [
     # r4 session 3: deletable URL-seen gate, ANN recall harness,
     # line-level boilerplate removal
     "cuckoo_seen_gate",
-    "ann_recall_sq8",
-    "ann_recall_bq",
-    "ann_recall_pq",
+    "ann_recall_ladder",
     "text_boilerplate_lines",
     # r4 session 4: CLIP-style alignment gate, mirror detection,
     # adaptive politeness, HLL, budget water-filling, and the image
@@ -285,7 +283,8 @@ def run_crawl(spark, n_pages: int, max_rounds: int,
     from scrapely_spark.spark import datagen
     from scrapely_spark.spark.extract import plan_from_templates
 
-    root = tempfile.mkdtemp(prefix="benchcrawl-")
+    from scrapely_spark.spark.session import fast_local_dir
+    root = tempfile.mkdtemp(prefix="benchcrawl-", dir=fast_local_dir())
     try:
         store = StateStore(root)
         # materialize the synthetic corpus to parquet outside the timing
@@ -575,7 +574,8 @@ def run_scaling(include_large: bool = True) -> dict:
     out = {}
     # generate the corpora once; both parallelism levels crawl the same
     # on-disk page store (identical input, as N vs 4N executors would)
-    shared = tempfile.mkdtemp(prefix="benchscaling-")
+    from scrapely_spark.spark.session import fast_local_dir
+    shared = tempfile.mkdtemp(prefix="benchscaling-", dir=fast_local_dir())
     boot = _session(SCALE_LARGE, "scrapely-spark-scaling-datagen")
     small_corpus = os.path.join(shared, "pages_small")
     datagen.pages_df(boot, CRAWL_PAGES, CRAWL_HOSTS) \

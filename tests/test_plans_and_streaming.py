@@ -541,7 +541,14 @@ def test_recall_at_k_is_one_small_join(spark):
     """recall_at_k must not rescan the corpus: its plan joins two
     already-limited top-k subtrees (TakeOrderedAndProject) and
     aggregates — no extra Exchange beyond the top-k machinery."""
-    df = contract.queries()["ann_recall_sq8"](spark, SF_DIR)
+    from scrapely_spark.spark import simsearch
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    vec = [float(x) for x in
+           emb.where("vec_id = 0").select("embedding").first().embedding]
+    df = simsearch.recall_at_k(
+        simsearch.sq8_topk(emb, vec, 20),
+        simsearch.cosine_topk(emb, vec, 20), 20)
     plan = _physical(df)
     assert plan.count("TakeOrderedAndProject") == 2, plan
 
