@@ -3235,36 +3235,60 @@ _CORPUS_WORDS = r"string_split_regex(trim(lower(text)), '\s+')"
 
 
 # block link-density algebra shared by the page_main_content and
-# page_corpus_ingest oracles (mirror of htmlmeta.main_content): split
-# on block tags, normalize per-block text, count anchored chars as
-# complete <a>..</a> pairs PLUS cross-block open-anchor carry — a
-# card-style <a><div>nav</div></a> is severed by the block split, so
-# the prefix sum of per-block open/close tag deltas decides whether a
-# block starts inside an anchor, and its text up to the first </a>
-# (or all of it) is anchored.  Expects a CTE `pages(url, html)`;
-# yields `b(url, blocks)`.  DuckDB list indexes are 1-based, hence
-# list_slice(deltas, 1, i - 1) for the strict prefix.
+# page_corpus_ingest oracles (mirror of htmlmeta.main_content): a
+# page-level localize pre-pass closes and reopens anchors at block
+# boundaries (a card-style <a><div>nav</div></a> is severed by the
+# block split, so without it the complete-pair counter would see
+# neither half) — split on anchor openers, rewrite each block tag T
+# inside the anchored head (text up to the first </a>, or all of it)
+# to </a>T<a>, re-wrap the head in a bare pair.  ONE linear pass,
+# mirroring htmlmeta._localize_anchors; afterwards every anchored
+# char is a block-local complete pair.  The rest of a segment is
+# rejoined on a canonical '</a>' — safe, since a segment contains no
+# openers (closers there pair with nothing and every tag spelling
+# collapses to a space in the text normalization).  Expects a CTE
+# `pages(url, html)`; yields `b(url, blocks)`.  DuckDB list indexes
+# are 1-based.
 _BLOCK_SQL = r"""
+            lseg AS (
+              SELECT url,
+                     string_split_regex(html, '(?i)<a\b[^>]*>')
+                       AS segs
+              FROM pages),
+            lz AS (
+              SELECT url,
+                     segs[1] || coalesce(array_to_string(
+                       list_transform(segs[2:], s ->
+                         '<a>' || regexp_replace(
+                           string_split_regex(s, '(?i)</a\s*>')[1],
+                           '(?i)(</?(?:p|div|section|article|main|li|'
+                           || 'ul|ol|table|thead|tbody|tr|td|th|'
+                           || 'h[1-6]|header|footer|nav|aside|'
+                           || 'blockquote|pre|br|hr|form|fieldset)'
+                           || '\b[^>]*>)',
+                           '</a>\1<a>', 'g')
+                         || '</a>'
+                         || CASE WHEN len(string_split_regex(s,
+                                      '(?i)</a\s*>')) > 1
+                            THEN array_to_string(
+                                   string_split_regex(s,
+                                     '(?i)</a\s*>')[2:], '</a>')
+                            ELSE '' END),
+                       ''), '') AS html2
+              FROM lseg),
             raw AS (
               SELECT url,
-                     string_split_regex(html,
+                     string_split_regex(html2,
                        '(?i)</?(?:p|div|section|article|main|li|'
                        || 'ul|ol|table|thead|tbody|tr|td|th|'
                        || 'h[1-6]|header|footer|nav|aside|'
                        || 'blockquote|pre|br|hr|form|fieldset)'
                        || '\b[^>]*>') AS rawb
-              FROM pages),
-            dl AS (
-              SELECT url, rawb,
-                     list_transform(rawb, s ->
-                       len(regexp_extract_all(s, '(?i)<a\b[^>]*>'))
-                       - len(regexp_extract_all(s, '(?i)</a\s*>')))
-                       AS deltas
-              FROM raw),
+              FROM lz),
             b AS (
               SELECT url,
                      list_filter(
-                       list_transform(rawb, (s, i) ->
+                       list_transform(rawb, s ->
                          {'t': trim(regexp_replace(
                                  regexp_replace(s, '(?s)<[^>]*>',
                                                 ' ', 'g'),
@@ -3276,23 +3300,13 @@ _BLOCK_SQL = r"""
                               m -> length(trim(regexp_replace(
                                 regexp_replace(m, '(?s)<[^>]*>',
                                                ' ', 'g'),
-                                '\s+', ' ', 'g'))))), 0)
-                            + CASE WHEN coalesce(list_sum(
-                                     list_slice(deltas, 1, i - 1)),
-                                     0) > 0
-                              THEN length(trim(regexp_replace(
-                                     regexp_replace(
-                                       string_split_regex(s,
-                                         '(?i)</a\s*>')[1],
-                                       '(?s)<[^>]*>', ' ', 'g'),
-                                     '\s+', ' ', 'g')))
-                              ELSE 0 END,
+                                '\s+', ' ', 'g'))))), 0),
                             length(trim(regexp_replace(
                               regexp_replace(s, '(?s)<[^>]*>',
                                              ' ', 'g'),
                               '\s+', ' ', 'g'))))}),
                        s -> length(s.t) > 0) AS blocks
-              FROM dl),"""
+              FROM raw),"""
 
 
 # quality / langid oracle bodies, shared verbatim with the composed

@@ -248,18 +248,63 @@ def soft404(pages: DataFrame, host_col: str = "host",
 # <span>…) stays inside its block.  The pattern is the operator's spec,
 # shared verbatim with the DuckDB oracle (Java regex and RE2 agree on
 # every construct used).
-BLOCK_SPLIT_RE = (
-    r"(?i)</?(?:p|div|section|article|main|li|ul|ol|table|thead|"
+_BLOCK_TAG_CORE = (
+    r"</?(?:p|div|section|article|main|li|ul|ol|table|thead|"
     r"tbody|tr|td|th|h[1-6]|header|footer|nav|aside|blockquote|pre|"
     r"br|hr|form|fieldset)\b[^>]*>")
+BLOCK_SPLIT_RE = r"(?i)" + _BLOCK_TAG_CORE
+_BLOCK_GROUP_RE = r"(?i)(" + _BLOCK_TAG_CORE + r")"
 _ANY_TAG_RE = r"(?s)<[^>]*>"
 _ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+_ANCHOR_OPEN_RE = r"(?i)<a\b[^>]*>"
+_ANCHOR_CLOSE_RE = r"(?i)</a\s*>"
 
 
 def _block_text(col):
     """Inline tags → spaces, whitespace collapsed, trimmed."""
     return F.trim(F.regexp_replace(
         F.regexp_replace(col, _ANY_TAG_RE, " "), r"\s+", " "))
+
+
+def _localize_anchors(col):
+    """Rewrite the page so no ``<a>`` element spans a block boundary.
+
+    Card-style anchors wrap block elements (``<a><div>nav</div></a>``
+    — nav rails, related-article cards); splitting on block tags
+    severs the open tag from its close, so a per-block complete-pair
+    counter would see neither half.  Instead of carrying open-anchor
+    state across blocks with per-block prefix sums (O(blocks²) in-row
+    folds), close and reopen the anchor around every block tag inside
+    the anchored span ONCE, at page level: split on anchor openers;
+    within each opener's segment the text up to the first ``</a>``
+    (or all of it, if the anchor never closes) is anchored — rewrite
+    each block tag ``T`` in that span to ``</a>T<a>`` and re-wrap the
+    span in a bare pair.  One linear pass; afterwards every anchored
+    char sits inside a block-local complete pair and the plain pair
+    counter is exact.  Assumes non-nested anchors (HTML forbids
+    nesting); on malformed nesting each opener is treated
+    independently and the ``least()`` cap in the caller keeps counts
+    sane.  Tag text never counts as block text (all tags collapse to
+    spaces), so ``t``/``n_blocks`` are unchanged by the rewrite.
+    Mirrored verbatim by the DuckDB oracle (``_BLOCK_SQL``).
+    """
+    segs = F.split(col, _ANCHOR_OPEN_RE)
+
+    def _seg(s):
+        parts = F.split(s, _ANCHOR_CLOSE_RE, 2)
+        head = F.regexp_replace(
+            F.get(parts, 0), _BLOCK_GROUP_RE, "</a>$1<a>")
+        rest = F.when(F.size(parts) > 1, F.get(parts, 1)) \
+            .otherwise(F.lit(""))
+        return F.concat(F.lit("<a>"), head, F.lit("</a>"), rest)
+
+    return F.concat(
+        F.get(segs, 0),
+        F.array_join(
+            F.transform(
+                F.slice(segs, F.lit(2),
+                        F.greatest(F.size(segs) - 1, F.lit(0))),
+                _seg), ""))
 
 
 def main_content(pages: DataFrame, html_col: str = "html",
@@ -299,39 +344,17 @@ def main_content(pages: DataFrame, html_col: str = "html",
             F.lit(0),
             lambda acc, m: acc + F.length(_block_text(m))),
         F.lit(0))
-    raw = F.split(F.col(html_col), BLOCK_SPLIT_RE)
-    # Card-style anchors wrap block elements (<a><div>nav</div></a>),
-    # so the block split severs the open tag from its close and the
-    # complete-pair regex above sees neither half — exactly the
-    # boilerplate the density gate exists to catch would count as
-    # prose.  Track open-anchor state ACROSS blocks: per raw block,
-    # the open/close tag delta; a block whose prefix sum is positive
-    # starts inside an anchor, and its text up to the first </a> (or
-    # all of it) is anchored on top of its complete pairs.  Assumes
-    # non-nested anchors (HTML forbids nesting); the least() cap
-    # keeps malformed nesting from over-counting.  Still one
-    # shuffle-free Project — the prefix sums are in-row array folds.
-    _deltas = F.transform(
-        raw,
-        lambda b: F.size(F.regexp_extract_all(
-            b, F.lit(r"(?i)<a\b[^>]*>"), F.lit(0)))
-        - F.size(F.regexp_extract_all(
-            b, F.lit(r"(?i)</a\s*>"), F.lit(0))))
-    _open_in = lambda i: F.when(i == 0, F.lit(False)).otherwise(
-        F.aggregate(F.slice(_deltas, F.lit(1), i), F.lit(0),
-                    lambda acc, x: acc + x) > 0)
-    _head = lambda b: F.get(F.split(b, r"(?i)</a\s*>", 2), 0)
+    # the localize pre-pass (one linear pass over the page) makes
+    # every anchor block-local, so per-block complete pairs count all
+    # anchored text — no cross-block state, no prefix sums
+    raw = F.split(_localize_anchors(F.col(html_col)), BLOCK_SPLIT_RE)
     blocks = F.filter(
         F.transform(
             raw,
-            lambda b, i: F.struct(
+            lambda b: F.struct(
                 _block_text(b).alias("t"),
-                F.least(
-                    anchor_chars(b)
-                    + F.when(_open_in(i),
-                             F.length(_block_text(_head(b))))
-                    .otherwise(F.lit(0)),
-                    F.length(_block_text(b))).alias("a"))),
+                F.least(anchor_chars(b),
+                        F.length(_block_text(b))).alias("a"))),
         lambda s: F.length(s["t"]) > 0)
     kept = F.filter(
         blocks,

@@ -328,11 +328,13 @@ def budget_caps(hosts: DataFrame, budget_fetches: int,
     allocation, then hand the leftover ``B − Σ floor`` out one fetch
     each to the hosts with the largest fractional remainders
     (largest-remainder method, ties by host) — only to hosts whose
-    demand is not already met, so no host is topped up past its
-    pending URLs.  ``Σ cap == min(B, Σ demand)`` exactly: a bare
-    floor could strand the whole budget (every alloc < 1 floors to 0
-    and the round fetches nothing), and any rounding rule would
-    over- or under-spend.
+    demand is not already met AND whose weight is positive, so no
+    host is topped up past its pending URLs and a zero-weight host
+    (excluded from the water-fill by contract) can never win a
+    top-up fetch either.  ``Σ cap == min(B, Σ demand over
+    positive-weight hosts)`` exactly: a bare floor could strand the
+    whole budget (every alloc < 1 floors to 0 and the round fetches
+    nothing), and any rounding rule would over- or under-spend.
 
     Determinism: the remainders are the unrounded IEEE doubles from
     the water-fill; the top-up rank orders on (eligible desc,
@@ -349,7 +351,8 @@ def budget_caps(hosts: DataFrame, budget_fetches: int,
                                 demand_col=demand_col,
                                 weight_col=weight_col)
     everything = Window.partitionBy()
-    eligible = F.col("demand") > F.col("alloc_floor")
+    eligible = ((F.col("demand") > F.col("alloc_floor"))
+                & (F.col("weight_micro") > 0))
     left = (F.lit(int(budget_fetches)).cast("long")
             - F.sum("alloc_floor").over(everything))
     rk = F.row_number().over(
@@ -398,14 +401,15 @@ def budget_caps_py(hosts: list, budget_fetches: int) -> dict:
     left = int(budget_fetches) - sum(floors.values())
     ranked = sorted(
         alloc.items(),
-        key=lambda kv: (not (kv[1][0] > floors[kv[0]]),   # eligible first
+        key=lambda kv: (not (kv[1][0] > floors[kv[0]]
+                             and kv[1][1] > 0),            # eligible first
                         -(kv[1][2] - floors[kv[0]]),      # frac desc
                         kv[0]))                           # host asc
     caps = dict(floors)
-    for h, (d, _, _) in ranked:
+    for h, (d, w, _) in ranked:
         if left <= 0:
             break
-        if d > caps[h]:
+        if d > caps[h] and w > 0:
             caps[h] += 1
             left -= 1
     return caps

@@ -67,7 +67,10 @@ def fast_local_dir() -> str | None:
     """
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override is not None:
-        return override or None  # empty string = keep Spark's default
+        if not override:
+            return None  # empty string = keep Spark's default
+        os.makedirs(override, exist_ok=True)
+        return override
     shm = "/dev/shm"
     try:
         st = os.statvfs(shm)

@@ -661,10 +661,11 @@ def test_budget_caps_py_matches_spark(spark):
         want = politeness.budget_caps_py(rows, budget)
         assert got == want, budget
         spent = sum(got.values())
-        total_d = sum(min(d, d) for _, d, w in rows if w > 0)
-        assert spent <= budget
-        if budget <= sum(d for _, d, w in rows if w > 0):
-            assert spent == budget
+        total_d = sum(d for _, d, w in rows if w > 0)
+        # exact spend: Σ cap == min(B, Σ demand over positive weight)
+        assert spent == min(budget, total_d), budget
+        # a zero-weight host never wins a fetch, even from the top-up
+        assert got["e"] == 0, budget
 
 
 def test_adaptive_budget_resume_after_kill(spark, tmp_path_factory,
@@ -1685,6 +1686,34 @@ def test_main_content_empty_and_tagless(spark):
     assert out["e"]["n_blocks"] == 0
     assert out["e"]["content"] == ""
     assert out["t"]["n_kept"] == 1   # whole page is one block
+
+
+def test_main_content_block_heavy_page(spark):
+    """A template-heavy page (thousands of block splits — large
+    tables, list rails) must be linear in the block count: the
+    anchor-localize pre-pass replaced the per-block prefix-sum folds
+    that made this O(blocks²).  4,000 blocks, half of them card
+    anchors spanning the block boundary, completes in seconds and
+    counts exactly."""
+    from scrapely_spark.frontier.htmlmeta import main_content
+
+    n = 2000
+    cards = "".join(
+        '<a href="/c%d"><div>card teaser number %d dropped by the '
+        'density gate as boilerplate</div></a>' % (i, i)
+        for i in range(n))
+    prose = "".join(
+        "<p>Genuine paragraph %d with enough plain prose text to "
+        "clear the length gate comfortably.</p>" % i
+        for i in range(n))
+    df = spark.createDataFrame(
+        [("u", "<html><body>%s%s</body></html>" % (cards, prose))],
+        "url string, html string")
+    row = main_content(df).collect()[0]
+    assert row["n_blocks"] == 2 * n
+    assert row["n_kept"] == n
+    assert "card teaser" not in row["content"]
+    assert row["content"].count("Genuine paragraph") == n
 
 
 def test_main_content_is_shuffle_free(spark):

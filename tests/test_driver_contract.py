@@ -22,29 +22,6 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-def _norm_cell(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return "%.6f" % v
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def _value_hash(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    lines = sorted(
-        "\x1f".join(_norm_cell(row[i]) for i in order) for row in rows)
-    digest = hashlib.sha256()
-    for line in lines:
-        digest.update(line.encode("utf-8"))
-        digest.update(b"\n")
-    return digest.hexdigest()
-
-
 def _pd_cell(v):
     """Normalize a pandas cell the way the driver's compare sees it.
 
