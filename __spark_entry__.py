@@ -7350,6 +7350,8 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                        i -> words[i+1] || ' ' || words[i+2] || ' '
                             || words[i+3]))) AS ngram
               FROM w WHERE len(words) >= 3),
+            ids AS (SELECT DISTINCT doc_id FROM documents
+                    WHERE doc_id % 29 = 0),
             test AS (SELECT * FROM gr WHERE doc_id % 29 = 0),
             train0 AS (SELECT * FROM gr WHERE doc_id % 29 <> 0),
             rare AS (SELECT ngram FROM train0 GROUP BY ngram
@@ -7363,13 +7365,17 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                      count(DISTINCT train_doc) AS n_train_docs,
                      count(DISTINCT test.ngram) AS n_shared
               FROM test JOIN train USING (ngram) GROUP BY test.doc_id)
-            SELECT s.doc_id, s.n_test_ngrams,
+            -- every test doc gets a row: one shorter than the n-gram
+            -- width reports (0, 0, 0, 0.0), mirroring the engine
+            SELECT ids.doc_id,
+                   coalesce(s.n_test_ngrams, 0) AS n_test_ngrams,
                    coalesce(n_train_docs, 0) AS n_train_docs,
                    coalesce(n_shared, 0) AS n_shared,
-                   round(coalesce(n_shared, 0)
-                         / CAST(s.n_test_ngrams AS DOUBLE), 6)
+                   coalesce(round(coalesce(n_shared, 0)
+                            / CAST(s.n_test_ngrams AS DOUBLE), 6), 0.0)
                      AS contamination
-            FROM sizes s LEFT JOIN hits USING (doc_id)""",
+            FROM ids LEFT JOIN sizes s USING (doc_id)
+                     LEFT JOIN hits USING (doc_id)""",
 
         # md5-ticket stratified sampling: thresholds are shared literals
         # (corpus.sample_threshold of the rates in _SAMPLE_RATES)

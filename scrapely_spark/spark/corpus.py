@@ -152,8 +152,16 @@ def contamination(docs: DataFrame, n: int = 3, test_mod: int = 29,
     fraction of its n-gram vocabulary.  Train n-grams with document
     frequency > ``max_df`` are dropped before the join (boilerplate
     phrases are not leakage and would each fan out O(df) rows).
+
+    EVERY test document gets a row — one with fewer than ``n`` words
+    has no n-grams and reports (0, 0, 0, 0.0) rather than silently
+    vanishing, so an auditor can check output cardinality == test
+    split cardinality and "not contaminated" never masquerades as
+    "not evaluated".
     """
     grams = F.explode(_ngrams(_words(), n)).alias("ngram")
+    test_ids = (docs.where(F.col("doc_id") % test_mod == 0)
+                .select("doc_id").distinct())
     test = (docs.where(F.col("doc_id") % test_mod == 0)
             .select("doc_id", grams).distinct())
     train_grams = (docs.where(F.col("doc_id") % test_mod != 0)
@@ -174,13 +182,18 @@ def contamination(docs: DataFrame, n: int = 3, test_mod: int = 29,
             .groupBy("doc_id")
             .agg(F.countDistinct("train_doc").alias("n_train_docs"),
                  F.countDistinct("ngram").alias("n_shared")))
-    return (test_sizes.join(hits, "doc_id", "left")
-            .select("doc_id", "n_test_ngrams",
+    return (test_ids.join(test_sizes, "doc_id", "left")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_test_ngrams", F.lit(0))
+                    .alias("n_test_ngrams"),
                     F.coalesce("n_train_docs", F.lit(0))
                     .alias("n_train_docs"),
                     F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-                    F.round(F.coalesce("n_shared", F.lit(0))
-                            / F.col("n_test_ngrams"), 6)
+                    F.coalesce(
+                        F.round(F.coalesce("n_shared", F.lit(0))
+                                / F.col("n_test_ngrams"), 6),
+                        F.lit(0.0))
                     .alias("contamination")))
 
 

@@ -142,8 +142,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
     correctness driver validate the whole signature pipeline against a
     pure-SQL oracle.
     """
-    if n_hashes > 16:
-        raise ValueError("n_hashes > 16 exceeds the 2-md5 digest budget")
+    if n_hashes > 8:
+        # the two md5s give 64 hex chars = eight 8-hex (32-bit) slices;
+        # slice 8+ would start past the digest end and F.substring
+        # would return '' for every doc — constant sig columns, every
+        # band containing them degenerate (one global bucket)
+        raise ValueError("n_hashes > 8 exceeds the 2-md5 digest budget "
+                         "of eight 32-bit slices")
     # docs shorter than one shingle would all hash to the same NULL-band
     # bucket and quadratically blow up the candidate join — drop them
     # (they can't be near-dups by n-gram similarity anyway)
@@ -213,7 +218,9 @@ def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET
 
 def minhash_candidates_delta(new_docs: DataFrame,
                              index_bands: DataFrame,
-                             max_bucket: int = MAX_BUCKET) -> DataFrame:
+                             max_bucket: int = MAX_BUCKET,
+                             new_bands: DataFrame | None = None
+                             ) -> DataFrame:
     """Incremental LSH dedup: a new batch against an existing index.
 
     The production shape at crawl scale — each increment dedups against
@@ -234,17 +241,29 @@ def minhash_candidates_delta(new_docs: DataFrame,
     that grows past the cap stops emitting from that increment on
     (emission is append-only — already-emitted old pairs are never
     retracted).
+
+    ``new_bands``: a caller that has ALREADY materialized the batch's
+    bands (the streaming loop, which also writes them to the index)
+    passes them here so the shingle-explode + double-md5 pipeline is
+    not computed twice per micro-batch; the caller owns their
+    persistence.
     """
     # cache only the COMPUTED side (the new batch's signatures): at
     # crawl scale the index side is a materialized table whose scan is
     # cheaper than pinning O(corpus) bands in executor storage per
     # increment; the cap window over the union recomputes per join
     # side, but its exchange is identical on both and gets reused.
-    new_bands = (minhash_bands(new_docs)
-                 .withColumn("is_new", F.lit(True)).cache())
+    if new_bands is None:
+        nb = (minhash_bands(new_docs)
+              .withColumn("is_new", F.lit(True)).cache())
+        owned = [nb]
+    else:
+        nb = (new_bands.select("doc_id", "band_id", "band_key")
+              .withColumn("is_new", F.lit(True)))
+        owned = []
     idx = (index_bands.select("doc_id", "band_id", "band_key")
            .withColumn("is_new", F.lit(False)))
-    allb = _cap_buckets(new_bands.unionByName(idx),
+    allb = _cap_buckets(nb.unionByName(idx),
                         ["band_id", "band_key"], max_bucket)
     a = allb.where("is_new").alias("a")
     b = allb.alias("b")
@@ -261,7 +280,7 @@ def minhash_candidates_delta(new_docs: DataFrame,
              .groupBy(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                       F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
              .agg(F.min(~F.col("b.is_new")).alias("vs_index")))
-    return _unpersist_on_gc(pairs, [new_bands])
+    return _unpersist_on_gc(pairs, owned) if owned else pairs
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,

@@ -295,9 +295,14 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     ``min(2^i, chain length)`` hops with its exact hop count (the
     doubling join adds the tail half's hops through the coalesce, so
     counts stay exact, not powers of two); ``resolved`` is false when
-    the final node still has an outgoing redirect — a chain longer
-    than ``max_hops``, or a redirect cycle, both of which a scheduler
-    drops rather than follows.
+    the final node still has an outgoing redirect OR the chain took
+    more than ``max_hops`` hops to terminate — a too-long chain and a
+    redirect cycle both read as resolved=false, which a scheduler
+    drops rather than follows.  (The doubling rounds reach
+    ``2^ceil(log2(max_hops))`` nodes — for a non-power-of-two
+    ``max_hops`` the reported final_url/hops may describe a terminal
+    a few hops past the cap, but ``resolved`` never claims it was
+    within budget.)
 
     Scale shape: each round is ONE equi-join of the reach table with
     itself on the destination key (co-partitioned after the first
@@ -324,7 +329,9 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
             .select(F.col("src").alias("url"),
                     F.col("dst").alias("final_url"),
                     "hops",
-                    F.col("_head").isNull().alias("resolved")))
+                    (F.col("_head").isNull()
+                     & (F.col("hops") <= F.lit(int(max_hops))))
+                    .alias("resolved")))
 
 
 def mirror_hosts(docs: DataFrame, host_col: str = "host",

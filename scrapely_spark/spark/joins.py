@@ -101,7 +101,8 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
 
 def range_join(points: DataFrame, intervals: DataFrame, key: str,
                ts: str, start_col: str, end_col: str,
-               bucket: str = "6 hours") -> DataFrame:
+               bucket: str = "6 hours",
+               max_span_buckets: int = 4096) -> DataFrame:
     """Point-in-interval join: each ``points`` row × every ``intervals``
     row of the same key whose ``[start, end)`` contains its timestamp.
 
@@ -118,6 +119,17 @@ def range_join(points: DataFrame, intervals: DataFrame, key: str,
     ≈ median interval span keeps the blow-up ~2× while pruning nearly
     all non-overlapping comparisons.  Overlapping intervals are fine —
     each containing interval emits its own output row.
+
+    Open-ended sentinel intervals (the common "still active" encoding:
+    end = 9999-12-31) would explode into millions of bucket rows each
+    and OOM the executor, so intervals spanning more than
+    ``max_span_buckets`` buckets skip the explode entirely and go
+    through a plain key equi-join + containment filter instead — for
+    an interval that wide the candidate pairs ARE (close to) the true
+    matches, so the bucket pruning buys nothing there anyway.  Both
+    paths are hash equi-joins (never BroadcastNestedLoopJoin), no pair
+    is produced twice (the two interval sets are disjoint), and the
+    exact containment filter keeps results identical.
     """
     reserved = {"_bucket", "_w", "_us", "_us0", "_us1", "_first", "_last"}
     clash = reserved & (set(points.columns) | set(intervals.columns))
@@ -126,8 +138,14 @@ def range_join(points: DataFrame, intervals: DataFrame, key: str,
             "input columns %s collide with range_join's reserved "
             "internal names" % sorted(clash))
     width = F.expr("INTERVAL %s" % bucket)
-    w_us = ((F.lit(0).cast("timestamp") + width).cast("long")
-            * F.lit(1_000_000))
+    # unix_micros keeps sub-second widths exact — a cast("long") of
+    # the shifted timestamp floors to whole seconds, so e.g. a
+    # "500 milliseconds" bucket would silently become width 0 and
+    # pmod-by-zero would NULL every bucket (an empty join, no error)
+    w_us = F.unix_micros(F.lit(0).cast("timestamp") + width)
+    w_us = F.when(w_us > 0, w_us).otherwise(F.raise_error(F.lit(
+        "range_join bucket must be a positive interval, got: %s"
+        % bucket)))
 
     # exact floor division on longs: pmod is non-negative, so
     # (x − pmod(x, w)) is an exact multiple of w, and integer `div` of
@@ -146,22 +164,32 @@ def range_join(points: DataFrame, intervals: DataFrame, key: str,
          .drop("_us", "_w"))
     # end is exclusive: the bucket of (end − 1µs) is the last covered,
     # under the SAME floor semantics as the point bucket
-    i = (intervals
-         .withColumn("_us0",
-                     F.unix_micros(F.col(start_col).cast("timestamp")))
-         .withColumn("_us1",
-                     F.unix_micros(F.col(end_col).cast("timestamp"))
-                     - F.lit(1))
-         .withColumn("_w", w_us)
-         .withColumn("_first", F.expr(_FLOORDIV.format(x="_us0")))
-         .withColumn("_last", F.expr(_FLOORDIV.format(x="_us1")))
+    staged = (intervals
+              .withColumn("_us0",
+                          F.unix_micros(F.col(start_col)
+                                        .cast("timestamp")))
+              .withColumn("_us1",
+                          F.unix_micros(F.col(end_col)
+                                        .cast("timestamp"))
+                          - F.lit(1))
+              .withColumn("_w", w_us)
+              .withColumn("_first", F.expr(_FLOORDIV.format(x="_us0")))
+              .withColumn("_last", F.expr(_FLOORDIV.format(x="_us1"))))
+    span_ok = (F.col("_last") - F.col("_first")
+               < F.lit(int(max_span_buckets)))
+    containment = ((F.col(ts) >= F.col(start_col))
+                   & (F.col(ts) < F.col(end_col)))
+    i = (staged.where(span_ok)
          .withColumn("_bucket",
                      F.explode(F.sequence(
                          F.col("_first"),
                          F.greatest("_first", "_last"))))
          .drop("_us0", "_us1", "_w", "_first", "_last"))
     joined = p.join(i, on=[key, "_bucket"]) \
-        .where((F.col(ts) >= F.col(start_col)) &
-               (F.col(ts) < F.col(end_col))) \
+        .where(containment) \
         .drop("_bucket")
-    return joined
+    wide = staged.where(~span_ok) \
+        .drop("_us0", "_us1", "_w", "_first", "_last")
+    joined_wide = p.drop("_bucket").join(wide, on=[key]) \
+        .where(containment)
+    return joined.unionByName(joined_wide)

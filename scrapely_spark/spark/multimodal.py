@@ -157,8 +157,8 @@ def phash_chunks(images: DataFrame, n_chunks: int = 4,
 def phash_delta_dups(new_images: DataFrame, index_chunks: DataFrame,
                      max_hamming: int = 3, n_chunks: int = 4,
                      max_bucket: int = 4096,
-                     id_col: str = "image_id", hash_col: str = "phash"
-                     ) -> DataFrame:
+                     id_col: str = "image_id", hash_col: str = "phash",
+                     new_chunks: DataFrame | None = None) -> DataFrame:
     """Incremental image dedup: a new crawl increment against the
     accumulated phash chunk index — the image twin of
     ``dedup.minhash_candidates_delta``, with the same append-only
@@ -175,16 +175,28 @@ def phash_delta_dups(new_images: DataFrame, index_chunks: DataFrame,
     time), preserving ``dups(old ∪ new) == dups(old) ∪ delta(new,
     chunks(old))`` whenever no bucket crosses the cap between
     increments.
+
+    ``new_chunks``: a caller that has ALREADY materialized the batch's
+    chunk table (the streaming loop, which also writes it to the
+    index) passes it here so the chunking is not computed twice per
+    micro-batch; the caller owns its persistence.
     """
     _check_banding(max_hamming, n_chunks)
     from scrapely_spark.spark.dedup import _cap_buckets, _unpersist_on_gc
 
-    new_chunks = (phash_chunks(new_images, n_chunks, id_col, hash_col)
-                  .withColumn("is_new", F.lit(True)).cache())
+    if new_chunks is None:
+        nc = (phash_chunks(new_images, n_chunks, id_col, hash_col)
+              .withColumn("is_new", F.lit(True)).cache())
+        owned = [nc]
+    else:
+        nc = (new_chunks
+              .select("image_id", "phash", "chunk_idx", "chunk_val")
+              .withColumn("is_new", F.lit(True)))
+        owned = []
     idx = (index_chunks
            .select("image_id", "phash", "chunk_idx", "chunk_val")
            .withColumn("is_new", F.lit(False)))
-    allb = _cap_buckets(new_chunks.unionByName(idx),
+    allb = _cap_buckets(nc.unionByName(idx),
                         ["chunk_idx", "chunk_val"], max_bucket)
     a = allb.where("is_new").alias("a")
     b = allb.alias("b")
@@ -205,7 +217,7 @@ def phash_delta_dups(new_images: DataFrame, index_chunks: DataFrame,
                         .cast("int")).alias("hamming"))
              .where(F.col("hamming") <= max_hamming)
              .select("id_a", "id_b", "hamming", "vs_index"))
-    return _unpersist_on_gc(pairs, [new_chunks])
+    return _unpersist_on_gc(pairs, owned) if owned else pairs
 
 
 def phash_near_dups(images: DataFrame, max_hamming: int = 3,

@@ -181,9 +181,8 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         "vec_id", "label", v.alias("v"),
         F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
                            lambda acc, x: acc + x)).alias("norm"))
-    w = Window.partitionBy("label")
-    slim = (slim.withColumn("_bn", F.count("*").over(w))
-            .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    from scrapely_spark.spark.dedup import _cap_buckets
+    slim = _cap_buckets(slim, ["label"], max_bucket)
     a = slim.alias("a")
     b = slim.alias("b")
     dot = F.aggregate(
@@ -254,12 +253,12 @@ def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     # normalized vectors re-join by key, and the capped banded table
     # is cached so both join sides stop re-evaluating the n_planes
     # interpreted dot products per row
+    from scrapely_spark.spark.dedup import _cap_buckets
     banded = (embeddings.select(
         "vec_id", F.explode(band_arr).alias("b"))
         .select("vec_id", "b.band_id", "b.band_key"))
-    w = Window.partitionBy("band_id", "band_key")
-    banded = (banded.withColumn("_bn", F.count("*").over(w))
-              .where(F.col("_bn") <= max_bucket).drop("_bn").cache())
+    banded = _cap_buckets(banded, ["band_id", "band_key"],
+                          max_bucket).cache()
     pairs = (banded.alias("a")
              .join(banded.alias("b"), ["band_id", "band_key"])
              .where(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -327,15 +326,15 @@ def hard_negatives(embeddings: DataFrame, k: int = 3,
     # re-join the normalized vectors by key (the standard re-join
     # shape; cuts the band shuffle to two longs per row and computes
     # each surviving pair's dot product exactly once)
+    from scrapely_spark.spark.dedup import _cap_buckets
     banded = (embeddings.select(
         "vec_id", F.explode(band_arr).alias("b"))
         .select("vec_id", "b.band_id", "b.band_key"))
-    wb = Window.partitionBy("band_id", "band_key")
     # cache: both sides of the self-join would otherwise recompute the
     # 16 interpreted hyperplane dot products per row (the banding is
     # the expensive half, the cached table is three slim columns)
-    banded = (banded.withColumn("_bn", F.count("*").over(wb))
-              .where(F.col("_bn") <= max_bucket).drop("_bn").cache())
+    banded = _cap_buckets(banded, ["band_id", "band_key"],
+                          max_bucket).cache()
     pairs = (banded.alias("a")
              .join(banded.alias("b"), ["band_id", "band_key"])
              .where(F.col("a.vec_id") != F.col("b.vec_id"))

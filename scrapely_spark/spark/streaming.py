@@ -218,23 +218,27 @@ def minhash_dedup_stream(spark: SparkSession, docs_dir: str,
 
     def _batch(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        batch_df = batch_df.persist()   # bands are derived twice below
+        # compute the batch's bands ONCE: the persisted frame feeds
+        # both the delta probe and the index write — the
+        # shingle-explode + double-md5 pipeline is the dominant
+        # per-batch cost and must not run twice
+        bands = dedup.minhash_bands(batch_df).persist()
         try:
             prior = [p for p in _index_batches(sess, index_dir)
                      if p[0] < batch_id]
             if prior:
                 index = sess.read.parquet(*[p[1] for p in prior])
             else:
-                index = dedup.minhash_bands(batch_df).limit(0)
-            pairs = dedup.minhash_candidates_delta(batch_df, index)
+                index = bands.limit(0)
+            pairs = dedup.minhash_candidates_delta(batch_df, index,
+                                                   new_bands=bands)
             (pairs.withColumn("batch_id", F.lit(batch_id))
              .write.mode("overwrite")
              .parquet("%s/batch_id=%d" % (pairs_dir, batch_id)))
-            (dedup.minhash_bands(batch_df)
-             .write.mode("overwrite")
+            (bands.write.mode("overwrite")
              .parquet("%s/batch_id=%d" % (index_dir, batch_id)))
         finally:
-            batch_df.unpersist()
+            bands.unpersist()
 
     writer = (stream.writeStream
               .foreachBatch(_batch)
@@ -267,24 +271,26 @@ def phash_dedup_stream(spark: SparkSession, images_dir: str,
 
     def _batch(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        batch_df = batch_df.persist()   # chunks are derived twice below
+        # chunk the batch's hashes ONCE: the persisted frame feeds
+        # both the delta probe and the index write
+        chunks = multimodal.phash_chunks(batch_df).persist()
         try:
             prior = [p for p in _index_batches(sess, index_dir)
                      if p[0] < batch_id]
             if prior:
                 index = sess.read.parquet(*[p[1] for p in prior])
             else:
-                index = multimodal.phash_chunks(batch_df).limit(0)
+                index = chunks.limit(0)
             pairs = multimodal.phash_delta_dups(batch_df, index,
-                                                max_hamming=max_hamming)
+                                                max_hamming=max_hamming,
+                                                new_chunks=chunks)
             (pairs.withColumn("batch_id", F.lit(batch_id))
              .write.mode("overwrite")
              .parquet("%s/batch_id=%d" % (pairs_dir, batch_id)))
-            (multimodal.phash_chunks(batch_df)
-             .write.mode("overwrite")
+            (chunks.write.mode("overwrite")
              .parquet("%s/batch_id=%d" % (index_dir, batch_id)))
         finally:
-            batch_df.unpersist()
+            chunks.unpersist()
 
     writer = (stream.writeStream
               .foreachBatch(_batch)
@@ -309,33 +315,79 @@ def compact_index(spark: SparkSession, index_dir: str) -> int:
     first time — which the compacted directory, carrying an id < N,
     still provides.  Row multiset is preserved verbatim; only file
     layout changes.  (On Iceberg this is ``rewrite_data_files``; here
-    the staging-dir + rename gives the same crash discipline: a killed
-    compaction leaves the staging dir, never a half-removed index.)
+    the staging dir becomes AUTHORITATIVE the instant it is complete —
+    marked by a ``_merged_ids.json`` manifest naming exactly which
+    batch ids it replaces, written only after the parquet write
+    returns — so a kill at ANY point
+    is recoverable: an incomplete staging is discarded with every
+    source intact, a complete one is finished (delete the manifest's
+    source dirs, rename into place) on the next call.  The unsafe
+    order — deleting sources while the merged rows live only in a
+    discardable staging dir — never occurs.)
 
     Returns the number of batch directories merged (0 = nothing to do).
     """
+    import json
     import os
-    import shutil
 
+    _recover_compaction(index_dir)
     batches = _index_batches(spark, index_dir)
     if len(batches) <= 2:
         return 0
     to_merge = batches[:-1]
     target_id = to_merge[-1][0]
     staging = os.path.join(index_dir, "_compacting")
-    if os.path.isdir(staging):        # leftover from a killed run
-        shutil.rmtree(staging)
     # pin the schema to one batch's real columns: a multi-path read can
     # INFER a batch_id partition column from the directory names, which
     # must not leak into the compacted files
     cols = spark.read.parquet(to_merge[0][1]).columns
     (spark.read.parquet(*[p for _, p in to_merge]).select(*cols)
      .write.mode("overwrite").parquet(staging))
-    for _, p in to_merge:
-        shutil.rmtree(p)
-    os.rename(staging, os.path.join(index_dir,
-                                    "batch_id=%d" % target_id))
+    # the manifest is the commit record: from here on the staging dir
+    # is the authoritative copy and recovery FINISHES rather than
+    # discards ("_"-prefixed files are invisible to parquet readers)
+    with open(os.path.join(staging, "_merged_ids.json"), "w") as f:
+        json.dump({"target_id": target_id,
+                   "ids": [i for i, _ in to_merge]}, f)
+    _finish_compaction(index_dir, staging)
     return len(to_merge)
+
+
+def _recover_compaction(index_dir: str) -> None:
+    """Resolve a staging dir left by a killed :func:`compact_index`:
+    complete (manifest present — it is only ever written AFTER the
+    parquet write returns, so its presence alone proves the data is
+    whole) → finish it; incomplete → discard it (every source dir is
+    still intact in that case)."""
+    import os
+    import shutil
+
+    staging = os.path.join(index_dir, "_compacting")
+    if not os.path.isdir(staging):
+        return
+    if os.path.exists(os.path.join(staging, "_merged_ids.json")):
+        _finish_compaction(index_dir, staging)
+    else:
+        shutil.rmtree(staging)
+
+
+def _finish_compaction(index_dir: str, staging: str) -> None:
+    """Promote a complete staging dir: delete exactly the source batch
+    dirs its manifest names (the target id's original dir among them),
+    then atomically rename the staging dir into the target's place.
+    Idempotent under kill/retry at every step."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(staging, "_merged_ids.json")) as f:
+        manifest = json.load(f)
+    for i in manifest["ids"]:
+        p = os.path.join(index_dir, "batch_id=%d" % int(i))
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    os.rename(staging, os.path.join(
+        index_dir, "batch_id=%d" % int(manifest["target_id"])))
 
 
 def _index_batches(spark: SparkSession, index_dir: str):

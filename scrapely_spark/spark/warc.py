@@ -72,6 +72,12 @@ def parse_warc_segment(segment: str) -> list:
             length = int(headers.get("content-length", ""))
         except ValueError:
             length = None
+        if length is not None and length < 0:
+            # a negative declared length would move ``pos`` backward,
+            # and str.find with a negative start clamps to 0 — the
+            # parser would re-find the same record forever.  Hostile
+            # header; take the same invalid path as a non-numeric one.
+            length = None
         if length is None:
             out.append((idx, headers.get("warc-type"),
                         headers.get("warc-target-uri"), None, "", True))

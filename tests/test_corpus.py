@@ -104,6 +104,21 @@ def test_contamination_full_and_zero_overlap(spark):
     assert set(out) == {0, 29}
 
 
+def test_contamination_short_test_doc_reports_zero_not_missing(spark):
+    # a test doc with fewer words than the n-gram width has no grams,
+    # but it was still EVALUATED: it must appear with an all-zero row
+    # so output cardinality always equals the test-split cardinality
+    texts = [""] * 59
+    texts[0] = "only two"                       # test split, < 3 words
+    texts[29] = "a long enough held out test document right here"
+    texts[1] = "some train text with enough words to shingle fine"
+    docs = _docs(spark, texts).where("text <> ''")
+    out = {r.doc_id: r for r in corpus.contamination(docs).collect()}
+    assert set(out) == {0, 29}
+    assert (out[0].n_test_ngrams, out[0].n_train_docs,
+            out[0].n_shared, out[0].contamination) == (0, 0, 0, 0.0)
+
+
 def test_contamination_df_cap_drops_boilerplate(spark):
     # "of the and" appears in every train doc -> df above the cap -> not
     # counted as leakage for the test doc that also contains it

@@ -141,6 +141,15 @@ def test_simhash_default_banding_has_full_recall(spark):
     assert got == expected and expected
 
 
+def test_minhash_digest_budget_guard():
+    # two md5s carve exactly eight 32-bit slices; n_hashes=9+ would
+    # silently substring past the digest end into '' sig columns
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(None, n_hashes=9)
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(None, n_hashes=16)
+
+
 def test_simhash_banding_guard():
     with pytest.raises(ValueError):
         dedup.simhash_near_pairs(None, max_hamming=4, n_chunks=4)

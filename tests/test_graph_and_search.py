@@ -302,6 +302,20 @@ def test_resolve_redirects_chains_cycles_terminals(spark):
     assert out["l1"] == ("l9", 8, True)
 
 
+def test_resolve_redirects_nonpow2_cap_never_claims_resolved(spark):
+    # the doubling rounds reach the next power of two, but resolved
+    # must honor the caller's cap exactly: with max_hops=5 a 7-hop
+    # chain terminates inside the 8-hop reach yet is NOT resolved
+    from scrapely_spark.spark import graph
+    edges = [("m%d" % i, "m%d" % (i + 1)) for i in range(7)]  # m0..m7
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.url: (r.final_url, r.hops, r.resolved)
+           for r in graph.resolve_redirects(df, max_hops=5).collect()}
+    assert out["m0"] == ("m7", 7, False)   # terminal, but past the cap
+    assert out["m2"] == ("m7", 5, True)    # exactly at the cap
+    assert out["m3"] == ("m7", 4, True)
+
+
 def test_resolve_redirects_partitioning_invariant(spark):
     from scrapely_spark.spark import graph
     edges = [("u%d" % n, "u%d" % (n // 3)) for n in range(10, 200)]

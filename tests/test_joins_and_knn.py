@@ -249,6 +249,51 @@ def test_range_join_matches_brute_force(spark):
         assert got == _brute_range(points, intervals), bucket
 
 
+def test_range_join_subsecond_bucket(spark):
+    # a sub-second bucket width must stay exact (unix_micros), not
+    # floor to zero seconds and silently produce an empty join
+    T = _ts
+    points = [(1, T("2024-01-01T10:00:00.200"), 1),
+              (1, T("2024-01-01T10:00:01.700"), 2)]
+    intervals = [(1, T("2024-01-01T10:00:00"),
+                  T("2024-01-01T10:00:01"), 10)]
+    from scrapely_spark.spark.joins import range_join
+    p = spark.createDataFrame(points, "k long, ts timestamp, pid long")
+    i = spark.createDataFrame(
+        intervals, "k long, s timestamp, e timestamp, iid long")
+    got = sorted((r.pid, r.iid) for r in range_join(
+        p, i, key="k", ts="ts", start_col="s", end_col="e",
+        bucket="500 milliseconds").collect())
+    assert got == [(1, 10)]
+
+
+def test_range_join_sentinel_interval_no_explosion(spark):
+    # an open-ended "still active" interval (9999-12-31 sentinel end)
+    # must not explode into millions of bucket rows: it takes the
+    # key-equi-join path, results identical to brute force
+    T = _ts
+    points = [
+        (1, T("2024-01-01T10:00:00"), 1),
+        (1, T("2030-06-15T00:00:00"), 2),
+        (1, T("2023-12-31T23:59:59"), 3),   # before the sentinel start
+        (2, T("2024-01-01T10:00:00"), 4),   # other key: no interval
+    ]
+    intervals = [
+        (1, T("2024-01-01T00:00:00"), T("9999-12-31T00:00:00"), 10),
+        (1, T("2024-01-01T09:00:00"), T("2024-01-01T11:00:00"), 11),
+    ]
+    from scrapely_spark.spark.joins import range_join
+    p = spark.createDataFrame(points, "k long, ts timestamp, pid long")
+    i = spark.createDataFrame(
+        intervals, "k long, s timestamp, e timestamp, iid long")
+    df = range_join(p, i, key="k", ts="ts", start_col="s",
+                    end_col="e", bucket="6 hours")
+    got = sorted((r.pid, r.iid) for r in df.collect())
+    assert got == _brute_range(points, intervals)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_range_join_is_equi_join_not_nested_loop(spark):
     from scrapely_spark.spark.joins import range_join
     e = spark.read.parquet(SF_DIR + "/events.parquet")

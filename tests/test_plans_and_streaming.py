@@ -520,6 +520,70 @@ def test_compact_index_preserves_delta_semantics(spark, tmp_path):
     assert streaming.compact_index(spark, index_dir) == 0
 
 
+def test_compact_index_recovers_from_kill(spark, tmp_path):
+    """A compaction killed at the two dangerous points must never lose
+    index rows: (a) after the merged write + manifest but before any
+    source deletion — recovery FINISHES the promotion; (b) mid source
+    deletion — ditto, the staging dir is authoritative; (c) before the
+    manifest exists — recovery discards the staging with every source
+    intact."""
+    import json
+    import os
+    import shutil
+
+    from scrapely_spark.spark import dedup, streaming
+
+    def text(i):
+        return " ".join("t%d_%d" % (i % 7, j) for j in range(12))
+
+    def build(index_dir):
+        for b in range(4):
+            df = spark.createDataFrame(
+                [(100 * b + j, text(100 * b + j)) for j in range(10)],
+                "doc_id long, text string")
+            (dedup.minhash_bands(df).write.mode("overwrite")
+             .parquet("%s/batch_id=%d" % (index_dir, b)))
+        return sorted(map(tuple, spark.read.parquet(
+            *[p for _, p in streaming._index_batches(spark, index_dir)])
+            .select("doc_id", "band_id", "band_key").collect()))
+
+    def rows(index_dir):
+        return sorted(map(tuple, spark.read.parquet(
+            *[p for _, p in streaming._index_batches(spark, index_dir)])
+            .select("doc_id", "band_id", "band_key").collect()))
+
+    # (a)+(b): write a complete staging (merge of batches 0..2, the
+    # way compact_index does), then simulate the kill by deleting TWO
+    # of the three sources and never renaming — the pre-fix code
+    # rmtree'd this staging on the next run, losing batches 0-1
+    idx = str(tmp_path / "idx_a")
+    before = build(idx)
+    staging = os.path.join(idx, "_compacting")
+    cols = spark.read.parquet(idx + "/batch_id=0").columns
+    (spark.read.parquet(*[idx + "/batch_id=%d" % b for b in range(3)])
+     .select(*cols).write.mode("overwrite").parquet(staging))
+    with open(os.path.join(staging, "_merged_ids.json"), "w") as f:
+        json.dump({"target_id": 2, "ids": [0, 1, 2]}, f)
+    shutil.rmtree(idx + "/batch_id=0")
+    shutil.rmtree(idx + "/batch_id=1")
+    # next maintenance call finds and finishes the killed run
+    assert streaming.compact_index(spark, idx) == 0  # recovery, then <=2 dirs
+    assert sorted(os.listdir(idx)) == ["batch_id=2", "batch_id=3"]
+    assert rows(idx) == before
+
+    # (c): staging without a manifest = incomplete write; it is
+    # discarded and a fresh compaction proceeds from intact sources
+    idx2 = str(tmp_path / "idx_c")
+    before2 = build(idx2)
+    staging2 = os.path.join(idx2, "_compacting")
+    os.makedirs(staging2)
+    with open(os.path.join(staging2, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert streaming.compact_index(spark, idx2) == 3
+    assert sorted(os.listdir(idx2)) == ["batch_id=2", "batch_id=3"]
+    assert rows(idx2) == before2
+
+
 def test_cuckoo_probe_broadcasts_filter_state(spark):
     """The cuckoo probe joins candidates against the shard table:
     broadcast while the filter fits the threshold, and never a

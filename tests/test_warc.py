@@ -36,6 +36,14 @@ def test_parse_truncation_and_garbage():
     bad = "WARC/1.0\r\nWARC-Type: response\r\n\r\nrest"
     got = parse_warc_segment(bad)
     assert got[0][5] is True and got[0][3] is None
+    # hostile negative declared length must not loop forever (pos
+    # would walk backward and re-find the same magic): same invalid
+    # path as a non-numeric length, and the parser still terminates
+    neg = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "Content-Length: -9999\r\n\r\n" + "x" * 10)
+    got = parse_warc_segment(neg)
+    assert len(got) == 1
+    assert got[0][3] is None and got[0][5] is True
     # leading garbage before the first magic is skipped
     got = parse_warc_segment("garbage" + seg)
     assert len(got) == 1 and got[0][5] is False
