@@ -5654,14 +5654,17 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                        CASE WHEN max_age_s IS NOT NULL
                             THEN CAST(max_age_s AS BIGINT) * 1000000
                             WHEN last_modified_us IS NOT NULL
-                            THEN CAST(GREATEST(floor(
-                                   (fetched_us - last_modified_us)
-                                   * 10 / 100.0), 0) AS BIGINT)
+                            -- integer div end to end (clamp before
+                            -- divide), same as the engine: doubles
+                            -- lose µs above 2^53
+                            THEN CAST(GREATEST(
+                                   fetched_us - last_modified_us,
+                                   0) * 10 // 100 AS BIGINT)
                             ELSE 86400000000 END)) AS ttl_us
               FROM log)
             SELECT url,
-                   CAST(floor(age_us / 1000000.0) AS BIGINT) AS age_s,
-                   CAST(floor(ttl_us / 1000000.0) AS BIGINT) AS ttl_s,
+                   CAST(age_us // 1000000 AS BIGINT) AS age_s,
+                   CAST(ttl_us // 1000000 AS BIGINT) AS ttl_s,
                    CASE WHEN age_us < ttl_us THEN 'fresh'
                         WHEN etag IS NOT NULL THEN 'revalidate_etag'
                         WHEN last_modified_us IS NOT NULL

@@ -84,10 +84,14 @@ class OracleCrawl:
         self.enqueue_canonical(canonicalize(url), depth)
 
     def enqueue_canonical(self, canon: str, depth: int):
+        if not canon:
+            return  # unparseable URL: same drop as the engine's
+        host = (urlsplit(canon).hostname or "").lower()
+        if not host:
+            return  # hostless canonical (e.g. 'ftp:' oddities)
         if canon in self.seen:
             return
         self.seen.add(canon)
-        host = (urlsplit(canon).hostname or "").lower()
         rules = self.robots.get(host)
         if rules and not is_allowed(urlsplit(canon).path,
                                     rules["disallow"]):

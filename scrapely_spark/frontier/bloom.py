@@ -56,11 +56,20 @@ def key_block_ids(keys: np.ndarray, spec: BloomSpec) -> np.ndarray:
 
 
 def key_bit_positions(keys: np.ndarray, spec: BloomSpec) -> np.ndarray:
-    """(len(keys), k) bit positions inside each key's block."""
-    mixed = _mix64(np.asarray(keys, dtype=np.int64))
+    """(len(keys), k) bit positions inside each key's block.
+
+    Each mix round yields four independent 16-bit lanes; k > 4 re-mixes
+    for the next four lanes so every shift stays < 64 (a uint64 shift
+    >= the bit width is undefined in numpy) and build/probe sides agree
+    for ANY k.  Lanes 0-3 are unchanged from the original derivation.
+    """
+    words = _mix64(np.asarray(keys, dtype=np.int64))
     cols = []
     for i in range(spec.k):
-        cols.append(((mixed >> np.uint64(16 * i))
+        lane = i % 4
+        if i and lane == 0:
+            words = _mix64(words.astype(np.int64))
+        cols.append(((words >> np.uint64(16 * lane))
                      % np.uint64(spec.block_bits)).astype(np.int64))
     return np.stack(cols, axis=1)
 

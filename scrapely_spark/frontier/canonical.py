@@ -49,8 +49,11 @@ def canonicalize_with_host(url: str) -> tuple[str, str]:
         if port is not None and port != _DEFAULT_PORTS.get(scheme):
             netloc = "%s:%d" % (host, port)
     except ValueError:
-        netloc = parts.netloc.lower()
-        bare = netloc.rsplit("@", 1)[-1]
+        # invalid port text: keep its spelling but still drop userinfo,
+        # matching the normal path (same credentialed resource with and
+        # without a bogus port must not get two url_keys)
+        bare = parts.netloc.lower().rsplit("@", 1)[-1]
+        netloc = bare
         if bare.startswith("["):  # IPv6 literal, urlsplit-compatible host
             host = bare[1:].split("]", 1)[0]
         else:
@@ -580,7 +583,7 @@ def canonical_identity(pages: DataFrame, redirects: DataFrame,
                               r"^([a-z][a-zA-Z0-9+.\-]*://[^/]+)", 1)
     scheme = F.regexp_extract(url, r"^([a-z][a-zA-Z0-9+.\-]*):", 1)
     resolved_href = (
-        F.when(href.rlike(r"^[a-z][a-zA-Z0-9+.\-]*:"), href)
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"), href)
         .when(href.startswith("//"),
               F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(origin, href))
@@ -594,15 +597,25 @@ def canonical_identity(pages: DataFrame, redirects: DataFrame,
     # popped, '..' above root drops, trailing '.'/'..' keeps the
     # directory slash); identity on dot-free paths, so absolute
     # declarations pass through byte-unchanged.
-    origin2 = F.regexp_extract(resolved_href,
-                               r"^([a-z][a-zA-Z0-9+.\-]*://[^/?#]*)",
-                               1)
-    rest2 = F.regexp_replace(resolved_href,
-                             r"^[a-z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
-    pathp = F.substring_index(rest2, "?", 1)
-    suffix = (F.when(rest2.contains("?"),
-                     F.regexp_extract(rest2, r"(\?.*)$", 1))
-              .otherwise(F.lit("")))
+    origin2 = F.regexp_extract(
+        resolved_href, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1)
+    rest2 = F.regexp_replace(
+        resolved_href, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
+    # project the declared target into the CANONICAL keyspace spelling
+    # (an identity that differs from canonicalize()'s output can never
+    # equi-join the crawl's url keys): strip the fragment, sort query
+    # members, and lowercase scheme+authority — same rules as
+    # canonicalize_with_host, expressed in JVM columns.
+    rest_nf = F.substring_index(rest2, "#", 1)
+    pathp = F.substring_index(rest_nf, "?", 1)
+    qraw = (F.when(rest_nf.contains("?"),
+                   F.regexp_extract(rest_nf, r"\?(.*)$", 1))
+            .otherwise(F.lit("")))
+    suffix = (F.when(qraw == "", F.lit(""))
+              .otherwise(F.concat(
+                  F.lit("?"),
+                  F.array_join(F.array_sort(F.split(qraw, "&")),
+                               "&"))))
     last = lambda acc: F.get(acc, F.size(acc) - 1)  # NULL-safe peek
     folded = F.aggregate(
         F.split(pathp, "/"),
@@ -619,7 +632,10 @@ def canonical_identity(pages: DataFrame, redirects: DataFrame,
                         & ~joined.endswith("/"),
                         F.concat(joined, F.lit("/")))
                  .otherwise(joined))
-    resolved_href = F.concat(origin2, norm_path, suffix)
+    resolved_href = F.concat(
+        F.lower(origin2),
+        F.when(norm_path == "", F.lit("/")).otherwise(norm_path),
+        suffix)
     decl_edges = (decl
                   .withColumn("_dst", F.when(href.isNotNull(),
                                              resolved_href))

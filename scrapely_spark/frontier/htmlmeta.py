@@ -536,8 +536,8 @@ _REFRESH_TAG = (r'(?is)<meta\b[^>]*[\s"\x27/]http-equiv\s*=\s*'
                 r'|refresh[ \t]*>)')
 # content="5; url=/target" — delay, then an optional url= part whose
 # value may be quoted; whitespace and case per the WHATWG number rules
-_REFRESH_DELAY = r"(?is)content\s*=\s*[\"\x27]?\s*(\d+)"
-_REFRESH_URL = (r"(?is)content\s*=\s*[\"\x27]?[^\"\x27>]*?"
+_REFRESH_DELAY = r"(?is)[\s\"\x27/]content\s*=\s*[\"\x27]?\s*(\d+)"
+_REFRESH_URL = (r"(?is)[\s\"\x27/]content\s*=\s*[\"\x27]?[^\"\x27>]*?"
                 r"url\s*=\s*[\"\x27]?([^\"\x27>\s;]+)")
 
 

@@ -69,15 +69,21 @@ def revalidation_plan(fetch_log: DataFrame, now_us: int,
     fetched = F.col("fetched_us").cast("long")
     lastmod = F.col("last_modified_us").cast("long")
     # heuristic lifetime: pct% of the Last-Modified age AT FETCH TIME,
-    # never negative (a Last-Modified in the fetch's future is bogus)
-    # floor() rather than a truncating cast: both engines floor
-    # identically, and the operand is non-negative by the greatest()
-    heur = F.greatest(
-        F.floor((fetched - lastmod) * heuristic_pct / F.lit(100.0)),
-        F.lit(0)).cast("long")
+    # never negative (a Last-Modified in the fetch's future is bogus).
+    # Integer `div` end to end — a long→double round-trip loses µs
+    # above 2^53 (a 1994 Last-Modified read in 2026 crosses it), and
+    # the clamp-BEFORE-divide keeps every operand non-negative so
+    # Spark's div and the oracle's // agree trivially.
+    staged = (fetch_log
+              .withColumn("_delta_us",
+                          F.greatest(fetched - lastmod,
+                                     F.lit(0).cast("long")))
+              .withColumn("_heur_us",
+                          F.expr("_delta_us * %d div 100"
+                                 % int(heuristic_pct))))
     ttl_us = (F.when(F.col("max_age_s").isNotNull(),
                      F.col("max_age_s").cast("long") * us)
-              .when(lastmod.isNotNull(), heur)
+              .when(lastmod.isNotNull(), F.col("_heur_us"))
               .otherwise(F.lit(int(default_ttl_s) * us)))
     ttl_us = F.greatest(F.lit(int(min_ttl_s) * us),
                         F.least(F.lit(int(max_ttl_s) * us), ttl_us))
@@ -88,10 +94,12 @@ def revalidation_plan(fetch_log: DataFrame, now_us: int,
                     F.lit("revalidate_etag"))
               .when(lastmod.isNotNull(), F.lit("revalidate_lastmod"))
               .otherwise(F.lit("refetch")))
-    return fetch_log.select(
+    staged = (staged.withColumn("_age_us", age_us)
+              .withColumn("_ttl_us", ttl_us))
+    return staged.select(
         "url",
-        F.floor(age_us / F.lit(float(us))).cast("long").alias("age_s"),
-        F.floor(ttl_us / F.lit(float(us))).cast("long").alias("ttl_s"),
+        F.expr("_age_us div %d" % us).alias("age_s"),
+        F.expr("_ttl_us div %d" % us).alias("ttl_s"),
         action.alias("action"),
         F.when(action == "revalidate_etag", F.col("etag"))
         .alias("if_none_match"),

@@ -85,10 +85,13 @@ def parse_robots_body(body: str, agent: str = "*") -> dict:
             elif key == "disallow" and val:
                 current[2].append(val)
             elif key == "crawl-delay":
-                try:
-                    current[3][0] = float(val)
-                except ValueError:
-                    pass
+                # first numeric value in the group wins (document
+                # order), matching crawl_delay_df's min_by(pos)
+                if current[3][0] is None:
+                    try:
+                        current[3][0] = float(val)
+                    except ValueError:
+                        pass
     agent = agent.lower()
     # RFC 9309 §2.2.1: combine ALL groups naming the agent (exact
     # groups when any exist, else all '*' groups); the first numeric

@@ -185,6 +185,11 @@ def seed_round(spark, store: StateStore, seed_urls, robots: DataFrame,
                                       "url string")
         n_seeded = len(seed_urls)
     canon = (canonicalize_df(seeds)
+             # same malformed-URL drop as discovered links in
+             # _round_body: an unparseable seed ('http://[') must not
+             # plant an empty-key row in SEEN/ENQUEUED/the filter
+             .where((F.col("canonical_url") != "")
+                    & (F.col("host") != ""))
              .groupBy("canonical_url")
              .agg(F.min("url_key").alias("url_key"),
                   F.min("host").alias("host"))
@@ -237,7 +242,13 @@ def prepare_replay_store(pages: DataFrame) -> DataFrame:
     unsorted queries) — the oracle keys by canonicalize(url), so must we.
     """
     canon = canonicalize_df(pages.select("url", "body"))
-    return canon.select(F.col("canonical_url").alias("page_url"), "body")
+    # equivalent spellings collapse to ONE row per canonical key — a
+    # duplicate would double-fire the replay join and the extraction
+    # kernel.  min(body) is a deterministic election (the synthetic
+    # corpus never collides, so any stable rule preserves oracle
+    # parity); one map-side-combined shuffle over the store.
+    return (canon.groupBy(F.col("canonical_url").alias("page_url"))
+            .agg(F.min("body").alias("body")))
 
 
 def _politeness_wave(spark, store: StateStore, frontier: DataFrame,

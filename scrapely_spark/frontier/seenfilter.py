@@ -48,7 +48,14 @@ class BloomSeenFilter:
 
     def prefilter(self, candidates: DataFrame,
                   rounds_df: DataFrame | None) -> DataFrame:
-        state = bloomlib.merge_blocks(None, rounds_df, self.spec)
+        if rounds_df is None:
+            # no prior state: every key is definitively unseen (the
+            # left join in might_contain sees only null bitmaps) —
+            # mirrors the cuckoo arm's empty-state behaviour
+            state = candidates.sparkSession.createDataFrame(
+                [], "block_id int, bitmap binary")
+        else:
+            state = bloomlib.merge_blocks(None, rounds_df, self.spec)
         return bloomlib.might_contain(candidates, state, self.spec)
 
 
@@ -61,13 +68,19 @@ class CuckooSeenFilter:
         self.spec = spec or CuckooSpec()
 
     def _latest(self, rounds_df: DataFrame | None) -> DataFrame | None:
-        """Current filter bytes: the highest-round row per shard.  One
-        slim shuffle over O(shards · rounds) rows, never the key data."""
+        """Current filter bytes: the highest-(round, seq) row per shard.
+        One slim shuffle over O(shards · rounds) rows, never the key
+        data.  ``seq`` orders writes WITHIN a round (insert=0, evict=1)
+        so a round that both inserts and evicts the same shard resolves
+        deterministically; pre-seq state rows order as seq=0."""
         if rounds_df is None:
             return None
+        if "seq" not in rounds_df.columns:
+            rounds_df = rounds_df.withColumn("seq", F.lit(0))
+        key = F.struct(F.col("round_id"), F.col("seq"))
         return rounds_df.groupBy("shard").agg(
-            F.max_by("slots", "round_id").alias("slots"),
-            F.max_by("stash", "round_id").alias("stash"))
+            F.max_by("slots", key).alias("slots"),
+            F.max_by("stash", key).alias("stash"))
 
     def round_delta(self, new_keys: DataFrame, rounds_df: DataFrame | None,
                     round_id: int) -> DataFrame:
@@ -80,7 +93,8 @@ class CuckooSeenFilter:
                 .alias("shard")).distinct()
             prev = prev.join(touched, "shard", "left_semi")
         return cuckoolib.insert(prev, new_keys, self.spec) \
-            .withColumn("round_id", F.lit(round_id))
+            .withColumn("round_id", F.lit(round_id)) \
+            .withColumn("seq", F.lit(0))
 
     def prefilter(self, candidates: DataFrame,
                   rounds_df: DataFrame | None) -> DataFrame:
@@ -106,4 +120,5 @@ class CuckooSeenFilter:
             .alias("shard")).distinct()
         prev = prev.join(touched, "shard", "left_semi")
         return cuckoolib.delete(prev, evict_keys, self.spec) \
-            .withColumn("round_id", F.lit(round_id))
+            .withColumn("round_id", F.lit(round_id)) \
+            .withColumn("seq", F.lit(1))

@@ -2092,6 +2092,13 @@ def test_canonical_identity_relative_hrefs(spark):
         ("http://h/dir/f", link("./y")),
         ("http://h/g", link("../z")),          # '..' above root clamps
         ("http://h/p/q/r", link("http://h/p/./../w")),  # absolute too
+        # the declared target must land in the CANONICAL keyspace
+        # spelling or it can never equi-join the crawl's url keys:
+        ("http://h/bare", link("http://x.example")),     # empty path
+        ("http://h/qs", link("http://h/p?b=2&a=1")),     # query sort
+        ("http://h/frag", link("/f#sec")),               # fragment
+        ("http://h/up", link("HTTP://H2.Example/P")),    # case fold
+        ("http://h/loneq", link("/l?")),                 # lone '?'
     ], "url string, html string")
     redirects = spark.createDataFrame(
         [], "src string, dst string")
@@ -2106,6 +2113,11 @@ def test_canonical_identity_relative_hrefs(spark):
     assert out["http://h/dir/f"]["canonical_id"] == "http://h/dir/y"
     assert out["http://h/g"]["canonical_id"] == "http://h/z"
     assert out["http://h/p/q/r"]["canonical_id"] == "http://h/w"
+    assert out["http://h/bare"]["canonical_id"] == "http://x.example/"
+    assert out["http://h/qs"]["canonical_id"] == "http://h/p?a=1&b=2"
+    assert out["http://h/frag"]["canonical_id"] == "http://h/f"
+    assert out["http://h/up"]["canonical_id"] == "http://h2.example/P"
+    assert out["http://h/loneq"]["canonical_id"] == "http://h/l"
 
 
 def test_meta_refresh_extraction(spark):
@@ -2123,6 +2135,10 @@ def test_meta_refresh_extraction(spark):
         # first tag in document order wins
         ("f", '<meta http-equiv="refresh" content="0;url=/first">'
               '<meta http-equiv="refresh" content="0;url=/second">'),
+        # 'content=' must not match inside another attribute NAME
+        # (data-content) — the readout anchors on a delimiter
+        ("g", '<meta http-equiv=refresh data-content="99" '
+              'content="0;url=/x">'),
     ]
     df = spark.createDataFrame(rows, "url string, html string")
     out = {r["url"]: (r["refresh_delay_s"], r["refresh_url"])
@@ -2133,6 +2149,7 @@ def test_meta_refresh_extraction(spark):
     assert out["d"] == (30, None)
     assert out["e"] == (None, None)
     assert out["f"] == (0, "/first")
+    assert out["g"] == (0, "/x")
 
     plan = meta_refresh(df)._jdf.queryExecution().executedPlan() \
         .toString()

@@ -328,3 +328,35 @@ def test_alt_bucket_involution(fp, log_buckets):
     a = ck.alt_bucket(b, f, spec)
     assert (ck.alt_bucket(a, f, spec) == b).all()
     assert ((a >= 0) & (a < spec.shard_buckets)).all()
+
+
+def test_same_round_insert_then_evict_is_deterministic(spark, spec):
+    """A round that both inserts and evicts rows of the SAME shard must
+    resolve deterministically: the evict delta (seq=1) outranks the
+    insert delta (seq=0) in _latest, so inserted-then-evicted keys read
+    new again and inserted keys are never lost to an arbitrary max_by
+    tie on round_id alone."""
+    from scrapely_spark.frontier.seenfilter import CuckooSeenFilter
+
+    flt = CuckooSeenFilter(spec)
+    keys = spark.range(2000).select(
+        F.hash(F.col("id").cast("string")).alias("url_key")).cache()
+    r1 = flt.round_delta(keys, None, 1).cache()
+    evicted = keys.where("url_key % 4 = 0").cache()
+    # SAME round id as a hypothetical concurrent insert write
+    r2a = flt.round_delta(
+        spark.range(2000, 2500).select(
+            F.hash(F.col("id").cast("string")).alias("url_key")),
+        r1, 2).cache()
+    r2b = flt.evict_delta(evicted, r1.unionByName(r2a), 2)
+    state = r1.unionByName(r2a).unionByName(r2b)
+    # evicted keys re-open (minus fp collisions)
+    reopened = flt.prefilter(evicted, state)
+    assert (reopened.where(F.col("maybe_seen")).count()
+            / max(evicted.count(), 1)) < 0.01
+    # round-1 survivors AND the round-2 inserts survive the tie
+    survivors = keys.where("url_key % 4 != 0").unionByName(
+        spark.range(2000, 2500).select(
+            F.hash(F.col("id").cast("string")).alias("url_key")))
+    assert flt.prefilter(survivors, state) \
+        .where(~F.col("maybe_seen")).count() == 0
