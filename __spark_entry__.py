@@ -2177,18 +2177,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from scrapely_spark.spark import multimodal
         did = F.col("doc_id")
         fmts = F.array(*[F.lit(x) for x in
-                         ("jpeg", "png", "gif", "tiff", "webp", "bmp")])
+                         ("jpeg", "png", "gif", "tiff", "webp", "bmp",
+                          "avif", "heic")])
         hdrs = F.array(*[F.lit(x) for x in (
             "FFD8FFE000104A46494600", "89504E470D0A1A0A",
             "474946383961", "49492A00",
-            "524946462400000057454250", "424D")])
-        actual = ((did + F.when(did % 7 == 0, 1).otherwise(0)) % 6
+            "524946462400000057454250", "424D",
+            # ISOBMFF ftyp boxes: size 32, 'ftyp', brand avif / heic
+            "000000206674797061766966", "000000206674797068656963")])
+        actual = ((did + F.when(did % 7 == 0, 1).otherwise(0)) % 8
                   + 1).cast("int")
         hdr = (F.when(did % 13 == 0, F.lit("DEADBEEF"))
                .otherwise(F.element_at(hdrs, actual)))
         imgs = _t(spark, sf, "documents").select(
             did.alias("image_id"),
-            F.element_at(fmts, (did % 6 + 1).cast("int")).alias("fmt"),
+            F.element_at(fmts, (did % 8 + 1).cast("int")).alias("fmt"),
             F.unhex(F.concat(hdr, F.substring(
                 F.md5(did.cast("string")), 1, 24))).alias("bytes"))
         return multimodal.sniff_format(imgs)
@@ -2225,7 +2228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        be32(w), be32(h), F.lit("08060000"))
         gif = F.concat(F.lit("474946383961"), le16(w), le16(h),
                        F.lit("00000000"))
-        bmp = F.concat(F.lit("424D"), F.lit("00" * 16),
+        # file header zeros, then DIB size 40 (BITMAPINFOHEADER) at
+        # offset 14 — the INFO-family check header_dims now enforces
+        bmp = F.concat(F.lit("424D"), F.lit("00" * 12),
+                       F.lit("28000000"),
                        le32(w), le32(h_store), F.lit("0000"))
         hx = (F.when(did % 13 == 0, F.lit("DEADBEEF" + "00" * 20))
               .when(did % 3 == 0, png)
@@ -4197,16 +4203,16 @@ def _image_build_sql() -> str:
           SELECT * FROM img
           WHERE w >= 64 AND h >= 64
             AND round(CAST(w AS DOUBLE) / h, 6) BETWEEN 0.5 AND 2.0
-            AND len(string_split_regex(trim(lower(caption)), '\\s+'))
+            AND len(string_split_regex(regexp_replace(lower(caption), '^\\s+|\\s+$', '', 'g'), '\\s+'))
                 BETWEEN 3 AND 77),
         spam AS (
-          SELECT regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g')
+          SELECT trim(regexp_replace(lower(caption), '\\s+', ' ', 'g'))
                    AS cn
           FROM cur GROUP BY 1
           HAVING COUNT(DISTINCT phash) >= 3),
         clean AS (
           SELECT * FROM cur
-          WHERE regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g')
+          WHERE trim(regexp_replace(lower(caption), '\\s+', ' ', 'g'))
                 NOT IN (SELECT cn FROM spam)),
         bands AS (
           SELECT image_id, phash, chunk_idx,
@@ -5332,7 +5338,7 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             m AS (
               SELECT image_id, w, h,
                      round(CAST(w AS DOUBLE) / h, 6) AS aspect,
-                     len(string_split_regex(trim(lower(caption)), '\s+'))
+                     len(string_split_regex(regexp_replace(lower(caption), '^\s+|\s+$', '', 'g'), '\s+'))
                        AS n_caption_tokens
               FROM imgs)
             SELECT * FROM m
@@ -5754,11 +5760,11 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                    CAST(COUNT(DISTINCT phash) AS BIGINT)
                      AS n_distinct_phash
             FROM (
-              SELECT regexp_replace(trim(lower(
+              SELECT trim(regexp_replace(lower(
                        CASE WHEN doc_id % 2 = 0
                             THEN 'Cap  ' || CAST(doc_id % 37 AS VARCHAR)
                             ELSE 'cap ' || CAST(doc_id % 37 AS VARCHAR)
-                                 || ' ' END)), '\\s+', ' ', 'g')
+                                 || ' ' END), '\\s+', ' ', 'g'))
                        AS caption_norm,
                      phash
               FROM ph)
@@ -5862,15 +5868,18 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
         "image_format_sniff": """
             WITH base AS (
               SELECT doc_id,
-                     ['jpeg','png','gif','tiff','webp','bmp']
-                       [CAST(doc_id % 6 AS INT) + 1] AS declared_fmt,
+                     ['jpeg','png','gif','tiff','webp','bmp',
+                      'avif','heic']
+                       [CAST(doc_id % 8 AS INT) + 1] AS declared_fmt,
                      (CASE WHEN doc_id % 13 = 0 THEN 'DEADBEEF'
                            ELSE ['FFD8FFE000104A46494600',
                                  '89504E470D0A1A0A', '474946383961',
                                  '49492A00',
-                                 '524946462400000057454250', '424D']
+                                 '524946462400000057454250', '424D',
+                                 '000000206674797061766966',
+                                 '000000206674797068656963']
                              [CAST((doc_id + CASE WHEN doc_id % 7 = 0
-                                             THEN 1 ELSE 0 END) % 6
+                                             THEN 1 ELSE 0 END) % 8
                                    AS INT) + 1] END
                       || substr(md5(CAST(doc_id AS VARCHAR)), 1, 24))
                      AS hx
@@ -5894,6 +5903,13 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                        WHEN substr(h,1,8) IN ('49492A00','4D4D002A')
                          THEN 'tiff'
                        WHEN substr(h,1,4) = '424D' THEN 'bmp'
+                       WHEN substr(h,9,8) = '66747970' THEN
+                         CASE WHEN substr(h,17,8) IN
+                                ('61766966','61766973') THEN 'avif'
+                              WHEN substr(h,17,8) IN
+                                ('68656963','68656978',
+                                 '6D696631','6D736631') THEN 'heic'
+                              ELSE 'isobmff' END
                        ELSE 'unknown' END AS sniffed_fmt
               FROM b)
             SELECT doc_id AS image_id, declared_fmt, sniffed_fmt,
@@ -5938,7 +5954,9 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                          || substr(lpad(hex(h),4,'0'),1,2)
                          || '00000000'
                        ELSE
-                         '424D' || repeat('00', 16)
+                         -- file header zeros, then DIB size 40
+                         -- (BITMAPINFOHEADER) at offset 14
+                         '424D' || repeat('00', 12) || '28000000'
                          || substr(lpad(hex(w),8,'0'),7,2)
                          || substr(lpad(hex(w),8,'0'),5,2)
                          || substr(lpad(hex(w),8,'0'),3,2)
@@ -5979,7 +5997,17 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
             p AS (
               SELECT doc_id, sniffed_fmt, decl_w, decl_h, n,
                      CASE sniffed_fmt WHEN 'png' THEN 24
-                          WHEN 'gif' THEN 10 WHEN 'bmp' THEN 26
+                          WHEN 'gif' THEN 10
+                          -- bmp: only the INFO-header family carries
+                          -- i32 dims at 18/22 (engine's DIB guard)
+                          WHEN 'bmp' THEN
+                            CASE WHEN n < 18
+                                   OR TRY_CAST('0x' || substr(hh,35,2)
+                                        || substr(hh,33,2)
+                                        || substr(hh,31,2)
+                                        || substr(hh,29,2) AS BIGINT)
+                                      IN (40, 52, 56, 64, 108, 124)
+                                 THEN 26 END
                           END AS need,
                      CASE sniffed_fmt
                        WHEN 'png' THEN

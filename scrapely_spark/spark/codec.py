@@ -152,12 +152,18 @@ def average_hash(pixels: np.ndarray) -> int:
     """64-bit average perceptual hash over an 8×8 luma downsample."""
     luma = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = luma.shape
+    if h < 1 or w < 1:
+        return 0  # degenerate decode: deterministic, never NaN bits
     ys = np.linspace(0, h, 9).astype(int)
     xs = np.linspace(0, w, 9).astype(int)
     cells = np.empty((8, 8))
     for i in range(8):
         for j in range(8):
-            cells[i, j] = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+            # clamp like _area_downsample: images under 8px repeat
+            # linspace boundaries and an empty slice means NaN → a
+            # constant hash that pairs ALL small images as dups
+            cells[i, j] = luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                               xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
     bits = (cells > cells.mean()).flatten()
     value = 0
     for bit in bits:
@@ -452,6 +458,8 @@ def jpeg_sof(data: bytes) -> tuple:
     those; none may become an executor exception.
     """
     inv = (None, None, None, None, False)
+    if not data:  # NULL/empty blob: flagged, never an executor raise
+        return inv
     try:
         n = len(data)
         if n < 4 or data[0] != 0xFF or data[1] != 0xD8:

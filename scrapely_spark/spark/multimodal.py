@@ -42,17 +42,23 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 pixels, w, h, fmt = codec.decode_image(bytes(blob))
                 luma = float((pixels.astype(np.float64)
                               @ np.array([0.299, 0.587, 0.114])).mean())
+                # phash crosses the Arrow boundary as a STRING (below):
+                # an int64 column with any null in the batch coerces to
+                # float64 in pandas — NaN crash on the null row, silent
+                # bit rounding above 2^53 on every other row
                 rows.append({
                     "image_id": image_id, "w": w, "h": h, "fmt": fmt,
                     "mean_luma": round(luma, 4),
                     "phash_match":
                         codec.average_hash(pixels) == int(phash)
-                        if fmt == "png" else None,
+                        if fmt == "png" and phash is not None else None,
                 })
             yield pd.DataFrame(rows, columns=[
                 "image_id", "w", "h", "fmt", "mean_luma", "phash_match"])
 
-    return images.select("image_id", "bytes", "phash") \
+    return images.select(
+        "image_id", "bytes",
+        F.col("phash").cast("string").alias("phash")) \
         .mapInPandas(kernel, _STATS_SCHEMA)
 
 
@@ -274,7 +280,10 @@ def _caption_norm(col: str = "caption"):
     case-folded) shared by :func:`caption_spam` and the
     :func:`image_corpus_build` anti-join — both sides of that join
     must normalize identically or the join silently matches nothing."""
-    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    # collapse BEFORE trimming: Spark trim strips only spaces, so a
+    # leading tab/newline survives trim-first and splits one logical
+    # caption into two normalized spellings
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
 
 
 def caption_spam(images: DataFrame, min_distinct_images: int = 3
@@ -376,6 +385,34 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
         kernel, _FRAME_SCHEMA)
 
 
+def frame_phashes(frames: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes keyed for :func:`video_near_dups`.
+
+    The composition bridge between :func:`frame_sample`'s output
+    ``(video_id, frame_index, frame_bytes)`` and the
+    ``(video_id, frame_idx, phash)`` rows :func:`video_near_dups`
+    consumes — :func:`phash_column` can't serve here because it keys
+    by ``image_id`` and drops frame identity.  Same decode +
+    average-hash kernel, one shuffle-free Arrow pass.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for video_id, idx, blob in zip(batch["video_id"],
+                                           batch["frame_index"],
+                                           batch["frame_bytes"]):
+                pixels, _w, _h, _fmt = codec.decode_image(bytes(blob))
+                rows.append({"video_id": video_id,
+                             "frame_idx": int(idx),
+                             "phash": codec.average_hash(pixels)})
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_idx", "phash"])
+
+    return frames.select("video_id", "frame_index", "frame_bytes") \
+        .mapInPandas(kernel, "video_id string, frame_idx int, "
+                             "phash long")
+
+
 def curate_image_captions(images: DataFrame, min_dim: int = 64,
                           min_aspect: float = 0.5,
                           max_aspect: float = 2.0,
@@ -392,7 +429,11 @@ def curate_image_captions(images: DataFrame, min_dim: int = 64,
     reads only the pruned (image_id, w, h, caption) columns and the
     binary column stays on disk.
     """
-    n_tokens = F.size(F.split(F.trim(F.lower(F.col("caption"))), r"\s+"))
+    # strip ALL edge whitespace (trim handles spaces only) so a
+    # leading tab/newline can't mint a phantom first token
+    n_tokens = F.size(F.split(
+        F.regexp_replace(F.lower(F.col("caption")),
+                         r"^\s+|\s+$", ""), r"\s+"))
     ar = F.round(F.col("w") / F.col("h"), 6)
     return (images.select(
         "image_id", "w", "h", ar.alias("aspect"),
@@ -509,32 +550,13 @@ def exif_extract(images: DataFrame, bytes_col: str = "exif") -> DataFrame:
     scan prunes everything else and the kernel is embarrassingly
     parallel (no shuffle; output schema adds four narrow columns).
     """
-    from typing import Iterator
-
-    import pandas as pd
-
     from scrapely_spark.spark.codec import exif_meta
 
-    id_cols = [c for c in images.columns if c != bytes_col]
-    in_schema = images.select(*id_cols, bytes_col)
-    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
-                            for f in in_schema.schema.fields
-                            if f.name != bytes_col)
-                  + ", orientation int, taken_at string, make string,"
-                    " exif_valid boolean")
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            metas = [exif_meta(b) for b in batch[bytes_col]]
-            out = batch[id_cols].copy()
-            out["orientation"] = pd.array(
-                [m[0] for m in metas], dtype="Int32")
-            out["taken_at"] = [m[1] for m in metas]
-            out["make"] = [m[2] for m in metas]
-            out["exif_valid"] = [m[3] for m in metas]
-            yield out
-
-    return in_schema.mapInPandas(kernel, out_fields)
+    return _binary_meta_op(images, bytes_col, exif_meta, [
+        ("orientation", "int", "Int32"),
+        ("taken_at", "string", None),
+        ("make", "string", None),
+        ("exif_valid", "boolean", None)])
 
 
 # magic-byte prefixes (hex, uppercase) → canonical format name.  The
@@ -562,6 +584,21 @@ def _sniffed_fmt(bytes_col: str):
     for prefix, name in _MAGIC:
         ladder = ladder.when(
             F.substring(hx, 1, len(prefix)) == prefix, F.lit(name))
+    # ISOBMFF ('ftyp' at bytes 4-8, checked after the leading magics
+    # per WHATWG sniffing order): the container AVIF/HEIC ship in —
+    # without this arm every modern-CDN payload sniffs 'unknown' and
+    # the composed ingest gate rejects the whole format family.
+    # Brand (bytes 8-12) splits AV1 vs HEVC families; an unrecognized
+    # brand still reports the container rather than 'unknown'.
+    brand = F.substring(hx, 17, 8)
+    ladder = ladder.when(
+        F.substring(hx, 9, 8) == "66747970",  # 'ftyp'
+        F.when(brand.isin("61766966", "61766973"),        # avif/avis
+               F.lit("avif"))
+        .when(brand.isin("68656963", "68656978",          # heic/heix
+                         "6D696631", "6D736631"),         # mif1/msf1
+              F.lit("heic"))
+        .otherwise(F.lit("isobmff")))
     return ladder.otherwise(F.lit("unknown"))
 
 
@@ -758,17 +795,19 @@ def exact_image_dedup(images: DataFrame,
     payloads are exactly what the key collapses — and a window-min
     rather than a self-join.
 
-    NULL payloads (failed/empty downloads) carry no content to match
-    on: each such row stays its own singleton canonical (grouping them
-    by the NULL hash would elect one arbitrary winner and silently
-    drop N−1 unrelated images downstream).
+    NULL and EMPTY payloads (failed/zero-byte downloads) carry no
+    content to match on: each such row stays its own singleton
+    canonical (grouping them — by the NULL hash or by sha2('') —
+    would elect one arbitrary winner and silently drop N−1 unrelated
+    images downstream).
 
     Returns one row per input image: (image_id, content_sha, canonical_id,
     is_canonical, group_size).
     """
     from pyspark.sql import Window
 
-    sha = F.sha2(F.hex(F.col(bytes_col)), 256)
+    sha = F.when(F.length(F.col(bytes_col)) > 0,
+                 F.sha2(F.hex(F.col(bytes_col)), 256))
     staged = images.select("image_id", sha.alias("content_sha"))
     nulls = staged.where(F.col("content_sha").isNull()).select(
         "image_id", "content_sha",
@@ -853,13 +892,20 @@ def header_dims(images: DataFrame, bytes_col: str = "bytes",
     bmp_h_signed = F.when(bmp_h_raw >= two31, bmp_h_raw - two32
                           ).otherwise(bmp_h_raw)
     bmp_h = F.abs(bmp_h_signed)
+    # only the BITMAPINFOHEADER family puts i32 dims at 18/22; a
+    # BITMAPCOREHEADER (DIB size 12, u16 dims at 18/20) read through
+    # the i32 path packs width+height into one garbage number — same
+    # guard image_dims_router applies.  Payloads too short to carry
+    # the DIB size field stay on the bmp arm and report truncated.
+    bmp_dib = _hex_le(hx, 14, 4)
+    bmp_info = (n < F.lit(18)) | bmp_dib.isin(40, 52, 56, 64, 108, 124)
 
     # minimum payload length to read the dimension fields of each
     # sniffed container (PNG: through IHDR height = 24; GIF: logical
     # screen descriptor = 10; BMP: through biHeight = 26)
     need = (F.when(sniffed == "png", F.lit(24))
             .when(sniffed == "gif", F.lit(10))
-            .when(sniffed == "bmp", F.lit(26))
+            .when((sniffed == "bmp") & bmp_info, F.lit(26))
             .otherwise(F.lit(None)).cast("long"))
 
     actual_w = (F.when(sniffed == "png", png_w)
@@ -891,10 +937,6 @@ def header_dims(images: DataFrame, bytes_col: str = "bytes",
         status.alias("status"))
 
 
-_JPEG_DIMS_COLS = (", jpeg_w int, jpeg_h int, progressive boolean,"
-                   " n_components int, jpeg_valid boolean")
-
-
 def jpeg_dims(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """JPEG frame dimensions + progressive flag off the binary column —
     the decoder-family sibling of :func:`header_dims` (which covers the
@@ -910,34 +952,13 @@ def jpeg_dims(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     cost ~3× to decode and some training loaders reject them, so
     curation routes on it.
     """
-    from typing import Iterator
-
-    import pandas as pd
-
     from scrapely_spark.spark.codec import jpeg_sof
 
-    id_cols = [c for c in images.columns if c != bytes_col]
-    in_schema = images.select(*id_cols, bytes_col)
-    out_fields = (", ".join("%s %s" % (f.name, f.dataType.simpleString())
-                            for f in in_schema.schema.fields
-                            if f.name != bytes_col)
-                  + _JPEG_DIMS_COLS)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            metas = [jpeg_sof(b) for b in batch[bytes_col]]
-            out = batch[id_cols].copy()
-            out["jpeg_w"] = pd.array([m[0] for m in metas],
-                                     dtype="Int32")
-            out["jpeg_h"] = pd.array([m[1] for m in metas],
-                                     dtype="Int32")
-            out["progressive"] = [m[2] for m in metas]
-            out["n_components"] = pd.array([m[3] for m in metas],
-                                           dtype="Int32")
-            out["jpeg_valid"] = [m[4] for m in metas]
-            yield out
-
-    return in_schema.mapInPandas(kernel, out_fields)
+    return _binary_meta_op(images, bytes_col, jpeg_sof, [
+        ("jpeg_w", "int", "Int32"), ("jpeg_h", "int", "Int32"),
+        ("progressive", "boolean", None),
+        ("n_components", "int", "Int32"),
+        ("jpeg_valid", "boolean", None)])
 
 
 def gps_scrub(images: DataFrame, bytes_col: str = "exif") -> DataFrame:
@@ -1238,7 +1259,7 @@ def video_near_dups(frames: DataFrame, max_hamming: int = 3,
     hashes — the video extension of :func:`phash_near_dups`.
 
     Input: one row per sampled frame ``(video_id, frame_idx, phash)``
-    (what :func:`frame_sample` + :func:`phash_column` produce).  Two
+    (what :func:`frame_sample` + :func:`frame_phashes` produce).  Two
     videos are near-duplicates when at least ``min_match_frames`` of
     their ALIGNED frames (same sample index — re-encodes and quality
     ladders preserve timing) hash within ``max_hamming``; requiring

@@ -387,8 +387,11 @@ def test_phash_delta_reingestion_no_self_pair(spark):
 
 def test_caption_spam_normalizes_and_counts_distinct_visuals(spark):
     rows = [
-        # "buy now" under 3 visually distinct images, noisy spellings
+        # "buy now" under 4 visually distinct images, noisy spellings
+        # (incl. EDGE tabs/newlines: Spark trim strips only spaces,
+        # so the norm must collapse before trimming)
         ("a", 1, "Buy  Now"), ("b", 2, "buy now "), ("c", 3, "BUY\tNOW"),
+        ("g", 4, "\tbuy now\n"),
         # same caption but ONE image re-uploaded (same phash): not spam
         ("d", 7, "lake sunset"), ("e", 7, "Lake  Sunset"),
         # unique caption: not spam
@@ -399,7 +402,7 @@ def test_caption_spam_normalizes_and_counts_distinct_visuals(spark):
                                "caption string")
     out = {r.caption_norm: (r.n_images, r.n_distinct_phash)
            for r in multimodal.caption_spam(df, 3).collect()}
-    assert out == {"buy now": (3, 3)}
+    assert out == {"buy now": (4, 4)}
 
 
 # ---------------------------------------------------- caption_alignment
@@ -1192,3 +1195,125 @@ def test_caption_safety_gate(spark):
     plan = multimodal.caption_safety_gate(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_sniff_format_isobmff_brands(spark):
+    # ISOBMFF 'ftyp' detection: AVIF/HEIC brands resolve to their
+    # family, unknown brands still report the container, and a
+    # payload with 'ftyp' NOT at offset 4 stays unknown
+    ftyp = lambda brand: (b"\x00\x00\x00\x20ftyp" + brand
+                          + b"\x00" * 12)
+    cases = [
+        ("avif", "avif", ftyp(b"avif")),
+        ("avis", "avif", ftyp(b"avis")),
+        ("heic", "heic", ftyp(b"heic")),
+        ("mif1", "heic", ftyp(b"mif1")),
+        ("qt",   "avif", ftyp(b"qt  ")),      # unknown brand
+        ("off",  "avif", b"ftypavif" + b"\x00" * 12),  # wrong offset
+        # a leading magic still wins over a crafted interior ftyp
+        ("bmp",  "bmp",  b"BM\x00\x00ftypavif" + b"\x00" * 8),
+    ]
+    df = spark.createDataFrame(
+        [(i, f, bytearray(b)) for i, f, b in cases],
+        "image_id string, fmt string, bytes binary")
+    got = {r.image_id: r.sniffed_fmt
+           for r in multimodal.sniff_format(df).collect()}
+    assert got == {"avif": "avif", "avis": "avif", "heic": "heic",
+                   "mif1": "heic", "qt": "isobmff", "off": "unknown",
+                   "bmp": "bmp"}
+
+
+def test_header_dims_bmp_core_header_unsupported(spark):
+    # BITMAPCOREHEADER (DIB size 12, u16 dims) must NOT be read
+    # through the i32 INFO path — garbage dims with status ok/mismatch
+    import struct
+    core = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHH", 12, 100, 200))
+    trunc = b"BM" + b"\x00" * 10  # too short to carry the DIB size
+    df = spark.createDataFrame(
+        [("core", bytearray(core), 100, 200),
+         ("trunc", bytearray(trunc), 100, 200)],
+        "image_id string, bytes binary, w int, h int")
+    out = {r["image_id"]: r for r in
+           multimodal.header_dims(df).collect()}
+    assert out["core"]["status"] == "unsupported"
+    assert out["core"]["actual_w"] is None
+    assert out["trunc"]["status"] == "truncated"
+
+
+def test_exact_image_dedup_empty_payloads_stay_singletons(spark):
+    # zero-byte (non-NULL) failed downloads carry no content either:
+    # sha2('') must not elect one winner over unrelated rows
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\x01")), (1, bytearray(b"")),
+         (2, bytearray(b"")), (3, bytearray(b"\x01"))],
+        "image_id long, bytes binary")
+    got = {r.image_id: r for r in
+           multimodal.exact_image_dedup(df).collect()}
+    assert got[1].is_canonical and got[1].group_size == 1
+    assert got[2].is_canonical and got[2].group_size == 1
+    assert got[1].content_sha is None and got[2].content_sha is None
+    assert got[0].group_size == 2 and got[3].canonical_id == 0
+
+
+def test_average_hash_small_images_not_constant():
+    # sub-8px decodes used to NaN-poison the cell means into hash 0,
+    # pairing every favicon with every other at hamming 0
+    import numpy as np
+
+    from scrapely_spark.spark import codec as c
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)
+    b = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)
+    ha, hb = c.average_hash(a), c.average_hash(b)
+    assert ha != hb
+    assert c.average_hash(np.zeros((0, 5, 3), dtype=np.uint8)) == 0
+
+
+def test_jpeg_dims_null_bytes_row(spark):
+    # NULL blob reaches the jpeg walk: flagged invalid, never a raise
+    df = spark.createDataFrame(
+        [(1, None)], "image_id int, bytes binary")
+    row = multimodal.jpeg_dims(df).collect()[0]
+    assert row["jpeg_valid"] is False
+    assert row["jpeg_w"] is None
+
+
+def test_decode_stats_null_phash_row(spark):
+    # a null phash in the batch must neither crash (NaN int()) nor
+    # corrupt the other rows' 64-bit comparisons (float64 coercion)
+    from pyspark.sql import functions as F
+
+    images = datagen.images_df(spark, 8)
+    null_id = "img-%08d" % 0
+    with_null = images.withColumn(
+        "phash", F.when(F.col("image_id") != null_id, F.col("phash")))
+    rows = {r.image_id: r
+            for r in multimodal.decode_stats(with_null).collect()}
+    assert len(rows) == 8
+    for iid, r in rows.items():
+        if r.fmt == "png":
+            if iid == null_id:
+                assert r.phash_match is None
+            else:
+                assert r.phash_match
+
+
+def test_frame_phashes_composition_with_video_near_dups(spark):
+    # the documented pipeline frame_sample -> frame_phashes ->
+    # video_near_dups must type-check and pair a byte-identical
+    # re-upload with its original (lossless frames -> hamming 0)
+    rows = []
+    for vid in ("v1", "v2"):
+        frames = codec.frames_for(vid, 24, 18, 5)
+        blob = bytearray(codec.encode_video(frames, "png"))
+        rows += [(vid, blob), (vid + "-copy", blob)]
+    videos = spark.createDataFrame(rows,
+                                   "video_id string, bytes binary")
+    sampled = multimodal.frame_sample(videos, every_n=2)  # 0, 2, 4
+    hashed = multimodal.frame_phashes(sampled)
+    assert hashed.columns == ["video_id", "frame_idx", "phash"]
+    pairs = {(r.va, r.vb)
+             for r in multimodal.video_near_dups(
+                 hashed, min_match_frames=2).collect()}
+    assert pairs == {("v1", "v1-copy"), ("v2", "v2-copy")}
