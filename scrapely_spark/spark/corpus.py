@@ -67,7 +67,10 @@ def pack_chunks(docs: DataFrame, seq_len: int = 256,
     sequence index it lands in.  One window cumsum per shard; no Python.
     """
     shard = (F.col("doc_id") % n_shards).alias("shard")
-    tok = F.size(_words())
+    # NULL text carries 0 tokens (explicit contract — a NULL n_tokens
+    # would silently poison the window cumsum for every later doc in
+    # the shard)
+    tok = F.coalesce(F.size(_words()), F.lit(0))
     w = (Window.partitionBy("shard").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     base = docs.select("doc_id", shard, tok.alias("n_tokens"))
@@ -131,9 +134,12 @@ def pack_greedy(docs: DataFrame, max_tokens: int = 256,
     tok_col = (F.col("n_tokens").cast("int")
                if reuse_cols and "n_tokens" in docs.columns
                else F.size(_words()))
+    # NULL-safe (same contract as pack_chunks): a NULL count would
+    # reach the pandas kernel as NaN and crash the shard's task with
+    # an opaque 'cannot convert non-finite values' error
     base = docs.select(
         "doc_id", (F.col("doc_id") % n_shards).alias("shard"),
-        tok_col.alias("n_tokens"))
+        F.coalesce(tok_col, F.lit(0)).alias("n_tokens"))
     return (base.groupBy("shard")
             .applyInPandas(kernel,
                            "doc_id long, shard long, n_tokens int, "
@@ -232,11 +238,19 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     depends on partitioning or row order.
     """
     ticket = F.substring(_ticket_md5(seed), 1, 8)
-    thr = F.lit(sample_threshold(default_rate))
+
+    def _keep(rate: float):
+        # rate >= 1.0 keeps EVERY row (same guard as
+        # apply_mixing_rates): the clamped 'ffffffff' threshold with a
+        # strict < would drop the 2^-32 tickets equal to it
+        if rate >= 1.0:
+            return F.lit(True)
+        return ticket < F.lit(sample_threshold(rate))
+
+    cond = _keep(default_rate)
     for lang, rate in sorted(rates.items()):
-        thr = F.when(F.col("lang") == lang,
-                     F.lit(sample_threshold(rate))).otherwise(thr)
-    return (docs.where(ticket < thr)
+        cond = F.when(F.col("lang") == lang, _keep(rate)).otherwise(cond)
+    return (docs.where(cond)
             .select("doc_id", "lang", ticket.alias("ticket")))
 
 
@@ -317,8 +331,11 @@ def dsir_weights(docs: DataFrame, target_source: str,
     """
     bucket = (F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10)
               .cast("long") % n_buckets).alias("bucket")
-    toks = docs.select("doc_id", "source",
-                       F.explode(_words()).alias("word"))
+    toks = (docs.select("doc_id", "source",
+                        F.explode(_words()).alias("word"))
+            # empty/whitespace-only docs yield one '' token from
+            # split(): no feature, not a phantom bucket hit
+            .where(F.length("word") > 0))
     doc_b = (toks.select("doc_id", "source", bucket)
              .groupBy("doc_id", "source", "bucket")
              .agg(F.count("*").alias("c")))
@@ -738,7 +755,10 @@ def top_pmi_bigrams(docs: DataFrame, k: int = 50,
     ties by bigram — deterministic across engines and summation
     orders).
     """
-    w = _words()
+    # drop the '' token split() yields for empty/whitespace-only docs
+    # (bpe_train's tokenizer contract) — it would otherwise count one
+    # phantom unigram per empty doc and shift every PMI denominator
+    w = F.filter(_words(), lambda x: F.length(x) > 0)
     # _ngrams is NULL below 2 words — coalesce to empty or concat()
     # nulls out the whole array and a 1-word doc loses its UNIGRAM
     tagged = docs.select(F.explode(F.concat(
@@ -836,15 +856,21 @@ def mixing_rates(docs: DataFrame, budget_tokens: int = 10_000,
     """
     from scrapely_spark.spark import textstats
 
-    if reuse_cols and "quality" in docs.columns:
-        q = docs.select("doc_id", "quality")
-    else:
-        q = textstats.quality_scores(docs).select("doc_id", "quality")
     tok_col = (F.col("n_tokens")
                if reuse_cols and "n_tokens" in docs.columns
                else F.size(_words()))
-    toks = docs.select("doc_id", "source", tok_col.alias("n_tokens"))
-    per = (toks.join(q, "doc_id")
+    if reuse_cols and "quality" in docs.columns:
+        # carried column: ONE projection — a doc_id self-join here
+        # would shuffle the whole corpus to reattach a column the
+        # frame already holds
+        joined = docs.select("doc_id", "source",
+                             tok_col.alias("n_tokens"), "quality")
+    else:
+        q = textstats.quality_scores(docs).select("doc_id", "quality")
+        joined = (docs.select("doc_id", "source",
+                              tok_col.alias("n_tokens"))
+                  .join(q, "doc_id"))
+    per = (joined
            .groupBy("source")
            .agg(F.count("*").alias("n_docs"),
                 F.sum("n_tokens").alias("n_tokens"),

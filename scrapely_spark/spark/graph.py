@@ -244,13 +244,18 @@ def authority_buckets(ranks: DataFrame, levels: int) -> DataFrame:
     """
     from pyspark.sql import Window
     order = [F.desc("rank_micro"), F.asc("node")]
-    # persist pins the range boundaries: the frame is consumed twice
-    # (partition counts, then the ranked output), and a re-executed
-    # range sampler could legally pick different boundaries — the
-    # offsets below must describe the SAME partitioning the window sees
+    # localCheckpoint (eager) pins the range boundaries: the frame is
+    # consumed twice (partition counts, then the ranked output), and a
+    # re-executed range sampler could legally pick different
+    # boundaries — the offsets below must describe the SAME
+    # partitioning the window sees.  persist() alone is not a pin:
+    # an evicted/lost partition recomputes through the sampler and
+    # can silently shift rows across _pid; the checkpoint truncates
+    # lineage so recomputation is impossible (executor loss fails
+    # loudly instead) — the repo-wide convention for this hazard.
     ranged = (ranks.repartitionByRange(*order)
               .withColumn("_pid", F.spark_partition_id())
-              .persist())
+              .localCheckpoint(eager=True))
     sizes = {r._pid: r.n for r in
              ranged.groupBy("_pid").agg(F.count("*").alias("n"))
              .collect()}

@@ -38,23 +38,29 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     ``terms`` are deduplicated; per BM25 each distinct query term
     contributes once.  Documents matching no term are not returned.
     """
+    from scrapely_spark.spark.corpus import _words
+    from scrapely_spark.spark.dedup import _unpersist_on_gc
+
     terms = sorted(set(t.lower() for t in terms))
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    toks = docs.select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_toks"))
+    toks = docs.select("doc_id", _words().alias("_toks"))
     stats = F.broadcast(
         toks.select(F.size("_toks").alias("dl"))
         .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")))
     # dl rides the explode as a grouping key (it is functionally
     # dependent on doc_id, so the extra key is free) — one tokenize
     # pass feeds tf AND length normalization; no corpus-side join back
+    # cached: tf feeds BOTH the df broadcast and the scored join, and
+    # exchange reuse does not fire across the broadcast boundary (the
+    # same double-computation tfidf_keywords caches against) — without
+    # it the corpus-wide tokenize+explode lineage runs twice
     tf = (toks.select("doc_id", F.size("_toks").alias("dl"),
                       F.explode("_toks").alias("term"))
           .where(F.col("term").isin(terms))
           .groupBy("doc_id", "dl", "term")
-          .agg(F.count("*").alias("tf")))
+          .agg(F.count("*").alias("tf"))
+          .cache())
     df_t = F.broadcast(
         tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")))
     idf = F.log(
@@ -67,10 +73,10 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
               .crossJoin(stats)
               .groupBy("doc_id")
               .agg(F.round(F.sum(part), _ROUND).alias("score")))
-    return (scored
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .select("doc_id", "score"))
+    return _unpersist_on_gc(
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score"), [tf])
 
 
 def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -100,8 +106,9 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     from scrapely_spark.spark.dedup import _unpersist_on_gc
 
-    toks = docs.select("doc_id", F.explode(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+    from scrapely_spark.spark.corpus import _words
+
+    toks = docs.select("doc_id", F.explode(_words()).alias("term"))
     tf = (toks.groupBy("doc_id", "term")
           .agg(F.count("*").alias("tf")).cache())
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -50,7 +50,8 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col,
     distinct's partial aggregation is what bounds the shuffle — the
     full value column never moves, only 8-byte hashes.
     """
-    hashed = (df.select(*group_cols, kmv_hash(value_col).alias("_h"))
+    hashed = (df.where(value_col.isNotNull())
+              .select(*group_cols, kmv_hash(value_col).alias("_h"))
               .distinct())
     w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
     topk = (hashed.withColumn("_r", F.row_number().over(w))
@@ -63,6 +64,25 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col,
             .select(*group_cols, F.round(est, 4).alias("est_distinct")))
 
 
+def _kmv_check_k(sketch: DataFrame, k: int) -> DataFrame:
+    """Fail loudly (at execution, distributed) when a sketch built
+    with one k is consumed with another — a larger consume-time k
+    would read a saturated bottom-64 set as an 'exact' count of ~64.
+    The assertion is tied to ``_h`` so column pruning can't drop it;
+    pre-stamp sketches (no ``_k`` column) pass through unchecked.
+    Same geometry discipline as cms_build's _depth/_width stamps.
+    """
+    if "_k" not in sketch.columns:
+        return sketch
+    guard = F.assert_true(
+        F.col("_k") == k,
+        F.concat(F.lit("KMV sketch was built with k="),
+                 F.col("_k").cast("string"),
+                 F.lit(", consumed with k=%d" % k)))
+    return (sketch.withColumn(
+        "_h", F.when(guard.isNull(), F.col("_h"))).drop("_k"))
+
+
 def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame,
               group_cols: list[str], k: int = 64) -> DataFrame:
     """Merge two bottom-k hash sets (columns: group_cols + ``_h``).
@@ -72,26 +92,34 @@ def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame,
     for tests and for incremental (per-day sketch, merge at query
     time) pipelines.
     """
-    merged = sketch_a.unionByName(sketch_b).distinct()
+    merged = (_kmv_check_k(sketch_a, k)
+              .unionByName(_kmv_check_k(sketch_b, k)).distinct())
     w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
     return (merged.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= k).drop("_r"))
+            .where(F.col("_r") <= k).drop("_r")
+            .withColumn("_k", F.lit(k)))
 
 
 def kmv_bottom_k(df: DataFrame, group_cols: list[str], value_col,
                  k: int = 64) -> DataFrame:
-    """The raw sketch (group_cols + ``_h`` rows) for merge pipelines."""
-    hashed = (df.select(*group_cols, kmv_hash(value_col).alias("_h"))
+    """The raw sketch (group_cols + ``_h`` + ``_k`` rows) for merge
+    pipelines.  NULL values carry no identity and are excluded, the
+    COUNT(DISTINCT) convention; the ``_k`` stamp lets every consumer
+    reject a k mismatch loudly instead of mis-estimating."""
+    hashed = (df.where(value_col.isNotNull())
+              .select(*group_cols, kmv_hash(value_col).alias("_h"))
               .distinct())
     w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
     return (hashed.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= k).drop("_r"))
+            .where(F.col("_r") <= k).drop("_r")
+            .withColumn("_k", F.lit(k)))
 
 
 def kmv_estimate(sketch: DataFrame, group_cols: list[str],
                  k: int = 64) -> DataFrame:
     """Estimate from a raw bottom-k sketch (same formula as
     :func:`kmv_distinct`)."""
+    sketch = _kmv_check_k(sketch, k)
     est = (F.when(F.col("_n") < k, F.col("_n").cast("double"))
            .otherwise(F.lit(float(k - 1))
                       / (F.col("_hk") / F.lit(_HASH_SPACE))))
@@ -216,8 +244,12 @@ def hll_registers(df: DataFrame, group_cols: list[str],
     shuffle key is (group, register), at most 256 rows per group no
     matter how many billions of values arrived).
     """
-    h = kmv_hash(F.col(value_col) if isinstance(value_col, str)
-                 else value_col)
+    vcol = F.col(value_col) if isinstance(value_col, str) else value_col
+    # COUNT(DISTINCT) convention: NULL carries no identity — an
+    # unfiltered NULL would mint a phantom (_reg NULL, _rho NULL)
+    # register that inflates the estimate
+    df = df.where(vcol.isNotNull())
+    h = kmv_hash(vcol)
     rem = h % F.lit(1 << _HLL_REM_BITS)
     rho = (F.when(rem == 0, F.lit(_HLL_RHO_MAX))
            .otherwise(F.lit(_HLL_RHO_MAX)

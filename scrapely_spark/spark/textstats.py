@@ -43,23 +43,31 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword-ratio quality heuristics."""
+    """Length / punctuation / stopword-ratio quality heuristics.
+
+    Empty text scores 0 ratios (the divisor clamps to 1 — under
+    Spark's default ANSI mode a bare ``x / length(text)`` would throw
+    DIVIDE_BY_ZERO and one empty extraction would kill the whole
+    corpus build); ``n_words`` is never 0 because ``split`` of an
+    empty string yields ``['']``.
+    """
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.size(words)
     stop_hits = F.size(F.filter(
         words, lambda w: F.lower(w).isin(STOPWORDS)))
     punct = F.length(F.regexp_replace(F.col("text"), r"[^\.,;:!?]", ""))
     alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    tlen = F.greatest(F.length("text"), F.lit(1))
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
-        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
-        F.round(alpha / F.length("text"), 6).alias("alpha_ratio"),
+        F.round(punct / tlen, 6).alias("punct_ratio"),
+        F.round(alpha / tlen, 6).alias("alpha_ratio"),
         F.round(
             F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
             + (stop_hits / n_words) * 0.3
-            + (alpha / F.length("text")) * 0.2, 6).alias("quality"),
+            + (alpha / tlen) * 0.2, 6).alias("quality"),
     )
 
 
@@ -211,7 +219,12 @@ def lm_perplexity(docs: DataFrame, n_buckets: int = 3,
     buckets are engine-specific (no cross-engine oracle), so the driver
     query uses the exact path and the bench exercises the approx one.
     """
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # drop the '' token split() yields for empty/whitespace-only docs
+    # (the bpe_train tokenizer contract) — it would otherwise add a
+    # phantom '' row to the vocabulary V and shift every smoothed
+    # probability
+    words = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                     lambda x: F.length(x) > 0)
     base = docs.select("doc_id", "lang", words.alias("w"),
                        F.size(words).alias("n"))
     starts = F.when(F.col("n") >= 2,

@@ -771,3 +771,49 @@ def test_pmi_single_word_docs_keep_their_unigrams(spark):
     import math
     want = math.log((6 / 11) / ((6 / 16) * (10 / 16)))
     assert abs(out["alpha beta"]["pmi"] - round(want, 6)) < 1e-9
+
+
+def test_empty_and_null_docs_never_crash_the_pipeline(spark):
+    """Spark 4's default ANSI mode turns x/0 into a job-killing
+    exception: one empty extraction must score low, not crash
+    quality_scores (and with it clean/scrub/llm_corpus_build), and a
+    NULL text must pack as 0 tokens, not NaN-crash the pandas kernel."""
+    from pyspark.sql import functions as F
+
+    from scrapely_spark.spark import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "a normal document with several words", "en", "src0", 36),
+         (1, "", "en", "src0", 0),
+         (2, None, "en", "src0", 0),
+         (3, "   ", "en", "src0", 3)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    q = {r.doc_id: r for r in textstats.quality_scores(docs).collect()}
+    assert len(q) == 4
+    assert q[1].punct_ratio == 0.0 and q[1].alpha_ratio == 0.0
+    assert q[0].quality > q[1].quality
+
+    greedy = {r.doc_id: r for r in
+              corpus.pack_greedy(docs, max_tokens=8,
+                                 n_shards=1).collect()}
+    assert greedy[2].n_tokens == 0
+    chunks = {r.doc_id: r for r in
+              corpus.pack_chunks(docs, seq_len=8,
+                                 n_shards=1).collect()}
+    assert chunks[2].n_tokens == 0
+    assert chunks[2].start_off is not None
+
+    # the statistics operators drop the '' phantom token entirely
+    pmi = corpus.top_pmi_bigrams(
+        docs.where("text IS NOT NULL"), k=5, min_count=1).collect()
+    assert all("''" not in r.bigram for r in pmi)
+
+
+def test_stratified_sample_rate_one_keeps_everything(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "src0", 1) for i in range(500)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = corpus.stratified_sample(docs, {"en": 1.0}, seed=3)
+    assert out.count() == 500

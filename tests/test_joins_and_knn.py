@@ -724,3 +724,35 @@ def test_hll_linear_counting_small_range(spark):
     r, = sketches.hll_estimate(
         sketches.hll_registers(df, ["g"], "v"), ["g"]).collect()
     assert 2.9 <= r.hll_distinct <= 3.1
+
+
+def test_sketches_ignore_nulls(spark):
+    """COUNT(DISTINCT) semantics: NULL carries no identity — it must
+    not steal a bottom-k slot or mint a phantom HLL register."""
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None), ("g", "a")],
+        "g string, v string")
+    got = sketches.kmv_distinct(df, ["g"], F.col("v")).first()
+    assert got.est_distinct == 2.0
+    regs = sketches.hll_registers(df, ["g"], "v").collect()
+    assert all(r._reg is not None for r in regs)
+    clean = df.where("v IS NOT NULL")
+    a = sketches.hll_estimate(
+        sketches.hll_registers(df, ["g"], "v"), ["g"]).first()
+    b = sketches.hll_estimate(
+        sketches.hll_registers(clean, ["g"], "v"), ["g"]).first()
+    assert a.hll_distinct == b.hll_distinct
+
+
+def test_kmv_k_mismatch_fails_loudly(spark):
+    """A bottom-64 sketch consumed with k=128 would read saturation as
+    an 'exact' count of ~64; the _k stamp turns that into an error."""
+    df = spark.createDataFrame(
+        [("g", str(i)) for i in range(5000)], "g string, v string")
+    sk = sketches.kmv_bottom_k(df, ["g"], F.col("v"), k=64)
+    est = sketches.kmv_estimate(sk, ["g"], k=64).first()
+    assert est.est_distinct > 3000  # saturated estimate, not ~64
+    with pytest.raises(Exception, match="built with k=64"):
+        sketches.kmv_estimate(sk, ["g"], k=128).collect()
+    with pytest.raises(Exception, match="built with k=64"):
+        sketches.kmv_merge(sk, sk, ["g"], k=32).collect()
