@@ -130,6 +130,16 @@ def _shingles(n: int = 3):
                   for k in range(n)], [])))
 
 
+def _check_digest_budget(n_hashes: int) -> None:
+    if n_hashes > 8:
+        # the two md5s give 64 hex chars = eight 8-hex (32-bit) slices;
+        # slice 8+ would start past the digest end and F.substring
+        # would return '' for every doc — constant sig columns, every
+        # band containing them degenerate (one global bucket)
+        raise ValueError("n_hashes > 8 exceeds the 2-md5 digest budget "
+                         "of eight 32-bit slices")
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
                        ) -> DataFrame:
     """Per-document MinHash signature.
@@ -142,13 +152,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
     correctness driver validate the whole signature pipeline against a
     pure-SQL oracle.
     """
-    if n_hashes > 8:
-        # the two md5s give 64 hex chars = eight 8-hex (32-bit) slices;
-        # slice 8+ would start past the digest end and F.substring
-        # would return '' for every doc — constant sig columns, every
-        # band containing them degenerate (one global bucket)
-        raise ValueError("n_hashes > 8 exceeds the 2-md5 digest budget "
-                         "of eight 32-bit slices")
+    _check_digest_budget(n_hashes)  # validate before touching docs
     # docs shorter than one shingle would all hash to the same NULL-band
     # bucket and quadratically blow up the candidate join — drop them
     # (they can't be near-dups by n-gram similarity anyway)
@@ -157,27 +161,50 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
     # explode distinct shingles so the md5 pair is computed exactly once
     # per (doc, shingle) — array-expression variants get inlined by
     # Catalyst's projection collapse into every sig_k column, re-running
-    # the digests k times.  The groupBy mins aggregate map-side (partial
-    # agg), so the shuffle carries n_hashes 8-char strings per doc.
-    digests = _spread(long_enough.select("doc_id", "text")).select(
+    # the digests k times.
+    sh = _spread(long_enough.select("doc_id", "text")).select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles())).alias("s")
-    ).select(
+        F.explode(F.array_distinct(_shingles())).alias("shingle"))
+    return _signatures_from_shingles(sh, n_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int = N_HASHES
+                              ) -> DataFrame:
+    """Signatures from an ALREADY-exploded distinct (doc_id, shingle)
+    frame — lets jaccard_pairs feed its cached shingle table into the
+    banding pipeline instead of re-running the regex tokenization (the
+    single most expensive pass) a second time.  The groupBy mins
+    aggregate map-side (partial agg), so the shuffle carries n_hashes
+    8-char strings per doc.
+    """
+    _check_digest_budget(n_hashes)
+    # a sub-shingle doc contributes one NULL shingle row: dropped here
+    # (the long_enough guard's role in the docs path) — its all-NULL
+    # sigs would otherwise fold every short doc into ONE degenerate
+    # band bucket and quadratically blow up the candidate join
+    digests = sh.where(F.col("shingle").isNotNull()).select(
         "doc_id",
-        F.concat(F.md5("s"), F.md5(F.concat("s", F.lit("#")))).alias("h"))
+        F.concat(F.md5("shingle"),
+                 F.md5(F.concat("shingle", F.lit("#")))).alias("h"))
     return digests.groupBy("doc_id").agg(
         *[F.min(F.substring("h", k * 8 + 1, 8)).alias("sig_%d" % k)
           for k in range(n_hashes)])
 
 
 def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
-                  band_size: int = BAND_SIZE) -> DataFrame:
+                  band_size: int = BAND_SIZE,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, band_id, band_key): LSH bucketing of the signatures.
 
     One explode over a struct array instead of a per-band union: a
     union re-runs the whole signature pipeline once per band.
+    ``shingles`` optionally supplies a pre-exploded (doc_id, shingle)
+    frame so a caller that already tokenized (jaccard_pairs) doesn't
+    pay the scan twice.
     """
-    sigs = minhash_signatures(docs, n_hashes)
+    sigs = (_signatures_from_shingles(shingles, n_hashes)
+            if shingles is not None
+            else minhash_signatures(docs, n_hashes))
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -189,11 +216,13 @@ def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
             .select("doc_id", "b.band_id", "b.band_key"))
 
 
-def _candidates_impl(docs: DataFrame, max_bucket: int):
+def _candidates_impl(docs: DataFrame, max_bucket: int,
+                     shingles: DataFrame | None = None):
     """(candidate pairs, [cached intermediates]) — see minhash_candidates."""
     # cache: a self-join of an unmaterialized plan computes the whole
     # signature pipeline once per side
-    bands = _cap_buckets(minhash_bands(docs), ["band_id", "band_key"],
+    bands = _cap_buckets(minhash_bands(docs, shingles=shingles),
+                         ["band_id", "band_key"],
                          max_bucket).cache()
     a = bands.alias("a")
     b = bands.alias("b")
@@ -296,7 +325,9 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         "doc_id", F.explode(F.array_distinct(_shingles()))
         .alias("shingle")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cands, cached = _candidates_impl(docs, max_bucket)
+    # the cached shingles feed the banding pipeline too — without
+    # this the minhash path re-scans and re-shingles the whole corpus
+    cands, cached = _candidates_impl(docs, max_bucket, shingles=sh)
     # count common shingles by joining candidates through the shingle value
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

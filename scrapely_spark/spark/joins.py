@@ -48,8 +48,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     """
     if direction != "backward":
         raise NotImplementedError("only backward as-of is implemented")
-    # the tie-break cast below is to long — a non-numeric order_col
-    # would become all-NULL and silently lose the determinism promise.
+    # the tie-break orders on the column's OWN type (no cast — a long
+    # cast truncated 1.9 vs 1.2 to a tie; a double cast would lose
+    # longs above 2^53); a non-numeric order_col would still order,
+    # but the determinism promise is documented for numerics only.
     # Exact-match against Spark's simpleString() names: prefix checks
     # are wrong in both directions (they reject 'tinyint'/'smallint'
     # and accept 'interval day to second', which starts with 'int').
@@ -67,28 +69,36 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
             "input columns %s collide with asof_join's reserved "
             "internal names" % sorted(clash))
     payload = F.struct(*[F.col(c) for c in right_cols])
-    # a NULL right timestamp can never satisfy l.ts >= r.ts (ASOF
-    # comparison semantics) — drop it before it sorts to the partition
-    # front and gets carried into every left row
-    right = right.where(F.col(ts).isNotNull())
+    # a NULL right timestamp can never satisfy l.ts >= r.ts, and a
+    # NULL right KEY must not enrich NULL-key left rows (SQL equi-join
+    # semantics, which DuckDB's ASOF oracle follows: NULL = NULL never
+    # matches — but partitionBy groups NULLs together) — drop both
+    # before they sort into a partition and get carried
+    right = right.where(F.col(ts).isNotNull() & F.col(key).isNotNull())
     r = right.select(
         F.col(key).alias("_k"), F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(order_col).cast("long").alias("_ord"),
+        F.col(order_col).alias("_ord"),
         payload.alias("_payload"))
     l = left.withColumn("_k", F.col(key)) \
             .withColumn("_ts", F.col(ts)) \
             .withColumn("_side", F.lit(1)) \
-            .withColumn("_ord", F.lit(None).cast("long")) \
+            .withColumn("_ord",
+                        F.lit(None).cast(
+                            right.schema[order_col].dataType)) \
             .withColumn("_payload",
                         F.lit(None).cast(r.schema["_payload"].dataType))
     both = l.unionByName(r, allowMissingColumns=True)
     # right rows sort before left rows at the same ts (side 0 < 1), so
     # the carried payload is inclusive of r.ts == l.ts; among right rows
     # at one (key, ts) the largest _ord is seen last and wins.
+    # NULLS FIRST on _ord: a right row with a NULL order_col must be
+    # overwritten by every ranked row at the same (key, ts), not sort
+    # after the maximum and steal the tie (left rows order by _side
+    # alone, so their NULL _ord position is irrelevant)
     w = (Window.partitionBy("_k")
          .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
-                  F.col("_ord").asc_nulls_last())
+                  F.col("_ord").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = both.withColumn(
         "_match", F.last("_payload", ignorenulls=True).over(w))

@@ -27,16 +27,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 MAX_BUCKET = 200
 
 
+def _l2norm(v):
+    """Clamped column-side L2 norm (>= 1e-12): a zero vector — the
+    common failed-embedding sentinel — must score 0, not throw
+    DIVIDE_BY_ZERO under Spark's default ANSI mode (the same guard
+    semdedup and the numpy kernels already apply)."""
+    return F.greatest(
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                           lambda acc, x: acc + x)),
+        F.lit(1e-12))
+
+
 def _cosine(vec_col, query: list):
     q = F.array(*[F.lit(float(x)) for x in query])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm_v = F.sqrt(F.aggregate(
-        F.transform(v, lambda x: x * x), F.lit(0.0),
-        lambda acc, x: acc + x))
-    norm_q = float(sum(x * x for x in query)) ** 0.5
-    return dot / (norm_v * F.lit(norm_q))
+    norm_q = max(float(sum(x * x for x in query)) ** 0.5, 1e-12)
+    return dot / (_l2norm(v) * F.lit(norm_q))
 
 
 def cosine_topk(embeddings: DataFrame, query: list, k: int = 10,
@@ -100,6 +108,11 @@ def kmeans_cells(embeddings: DataFrame, n_cells: int = 16,
 
     rows = (embeddings.select("vec_id", vec_col).orderBy("vec_id")
             .limit(sample).collect())
+    if not rows:
+        # same loud contract as pq_train — an empty table would die
+        # deep in numpy with an unrelated AxisError otherwise
+        raise ValueError("kmeans_cells needs at least one embedding "
+                         "row to fit centroids")
     vec_ids = [r[0] for r in rows]
     X = np.array([r[1] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -179,8 +192,7 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     slim = embeddings.select(
         "vec_id", "label", v.alias("v"),
-        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
-                           lambda acc, x: acc + x)).alias("norm"))
+        _l2norm(v).alias("norm"))
     from scrapely_spark.spark.dedup import _cap_buckets
     slim = _cap_buckets(slim, ["label"], max_bucket)
     a = slim.alias("a")
@@ -239,8 +251,12 @@ def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     unless supplied, so a SQL oracle can reproduce the bucketing.
     """
     if planes is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-        planes = hyperplanes(dim, n_planes)
+        head = embeddings.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "cannot derive the plane dimension from an "
+                "empty embeddings table; pass planes= explicitly")
+        planes = hyperplanes(len(head[0]), n_planes)
     keys = _band_keys(vec_col, planes, band_size)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # one explode over a struct array, not a per-band union (a union
@@ -267,8 +283,7 @@ def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
              .distinct())
     vecs = embeddings.select(
         "vec_id", v.alias("v"),
-        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
-                           lambda acc, x: acc + x)).alias("norm"))
+        _l2norm(v).alias("norm"))
     dot = F.aggregate(
         F.zip_with(F.col("va.v"), F.col("vb.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -313,8 +328,12 @@ def hard_negatives(embeddings: DataFrame, k: int = 3,
     whole lineage SQL-replayable.
     """
     if planes is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-        planes = hyperplanes(dim, n_planes)
+        head = embeddings.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "cannot derive the plane dimension from an "
+                "empty embeddings table; pass planes= explicitly")
+        planes = hyperplanes(len(head[0]), n_planes)
     keys = _band_keys(vec_col, planes, band_size)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     band_arr = F.array(*[
@@ -343,8 +362,7 @@ def hard_negatives(embeddings: DataFrame, k: int = 3,
              .distinct())
     vecs = embeddings.select(
         "vec_id", v.alias("v"),
-        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
-                           lambda acc, x: acc + x)).alias("norm"))
+        _l2norm(v).alias("norm"))
     dot = F.aggregate(
         F.zip_with(F.col("va.v"), F.col("vb.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -447,7 +465,9 @@ def sq8_minmax(embeddings: DataFrame, dim: int,
     """
     aggs = []
     for i in range(dim):
-        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        # F.get (NULL out of bounds), not element_at (throws under
+        # ANSI): one ragged vector must not kill the aggregate
+        e = F.get(F.col(vec_col), i).cast("double")
         aggs.append(F.min(e).alias("mn%d" % i))
         aggs.append(F.max(e).alias("mx%d" % i))
     row = embeddings.agg(*aggs).first()
@@ -465,8 +485,10 @@ def _sq8_dequant(vec_col, mins: list, maxs: list):
     mn = F.array(*[F.lit(float(x)) for x in mins])
     mx = F.array(*[F.lit(float(x)) for x in maxs])
     def dq(x, i):
-        lo = F.element_at(mn, i + 1)
-        hi = F.element_at(mx, i + 1)
+        # F.get: a vector longer than dim would drive element_at
+        # past the literal arrays and throw under ANSI mode
+        lo = F.get(mn, i)
+        hi = F.get(mx, i)
         rng = hi - lo
         t = (x.cast("double") - lo) * F.lit(255.0) / rng
         code = F.least(F.lit(255.0),
@@ -498,9 +520,11 @@ def sq8_topk(embeddings: DataFrame, query: list, k: int = 10,
     q = F.array(*[F.lit(float(x)) for x in query])
     dot = F.aggregate(F.zip_with(xhat, q, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = F.sqrt(F.aggregate(F.transform(xhat, lambda x: x * x),
-                              F.lit(0.0), lambda acc, x: acc + x))
-    qnorm = float(sum(x * x for x in query)) ** 0.5
+    norm = F.greatest(
+        F.sqrt(F.aggregate(F.transform(xhat, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)),
+        F.lit(1e-12))
+    qnorm = max(float(sum(x * x for x in query)) ** 0.5, 1e-12)
     return (embeddings
             .select("vec_id", "label",
                     F.round(dot / (norm * F.lit(qnorm)), 6).alias("score"))
@@ -622,8 +646,10 @@ def pq_topk(embeddings: DataFrame, query: list, k: int = 10,
         F.element_at(F.array(*[F.lit(float(x)) for x in n2_lut[j]]),
                      F.element_at("codes", j + 1) + 1)
         for j in range(m))
-    qnorm = float(np.sqrt((q * q).sum()))
-    score = F.round(dots / (F.sqrt(n2s) * F.lit(qnorm)), 6)
+    qnorm = max(float(np.sqrt((q * q).sum())), 1e-12)
+    score = F.round(
+        dots / (F.greatest(F.sqrt(n2s), F.lit(1e-12)) * F.lit(qnorm)),
+        6)
     return (coded.select("vec_id", "label", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("vec_id"))
             .limit(k))
@@ -657,7 +683,7 @@ def bq_bits(vec_col: str = "embedding", dim: int = 64):
     """
     def half(lo_bit, n):
         terms = [
-            (F.element_at(F.col(vec_col), lo_bit + i + 1) >= 0)
+            (F.get(F.col(vec_col), lo_bit + i) >= 0)
             .cast("long") * F.lit(1 << i)
             for i in range(n)]
         out = terms[0]
@@ -691,7 +717,11 @@ def bq_topk(embeddings: DataFrame, query: list, k: int = 10,
                          .bitwiseXOR(hi.cast("long"))))
     return (embeddings
             .select("vec_id", "label", ham.cast("int").alias("hamming"))
-            .orderBy(F.asc("hamming"), F.asc("vec_id"))
+            # NULLS LAST: a NULL-embedding row yields NULL hamming, and
+            # plain asc() is NULLS FIRST in Spark — the garbage row
+            # would rank as the #1 neighbor (desc-ordered cosine_topk
+            # is safe only because desc is NULLS LAST)
+            .orderBy(F.asc_nulls_last("hamming"), F.asc("vec_id"))
             .limit(k))
 
 
@@ -739,11 +769,11 @@ def semdedup(embeddings: DataFrame, eps: float = 0.4,
     # assignment plus the normalization fold — cache it so that pass
     # runs once, not three times (the _candidates_impl convention;
     # freed when the result frame is dropped)
+    from scrapely_spark.spark.dedup import _cap_buckets
+
     slim = (cells.select("vec_id", "cell", vn.alias("vn"))
             .withColumn("ccos", ccos)).persist()
-    w = Window.partitionBy("cell")
-    capped = (slim.withColumn("_cn", F.count("*").over(w))
-              .where(F.col("_cn") <= max_cell).drop("_cn"))
+    capped = _cap_buckets(slim, ["cell"], max_cell)
     a, b = capped.alias("a"), capped.alias("b")
     cos = F.round(F.aggregate(
         F.zip_with(F.col("a.vn"), F.col("b.vn"), lambda x, y: x * y),

@@ -152,6 +152,11 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     out_schema = ("user_id long, n_events long, total_value double, "
                   "last_ts timestamp")
 
+    # event-time operator contract, BOTH paths: an event with no
+    # timestamp has no event time — the stream's watermark would drop
+    # it before the state op anyway, so the batch twin must drop it
+    # too or streaming/batch parity breaks on NULL-ts rows
+    events = events.where(F.col("ts").isNotNull())
     if not events.isStreaming:
         return (events.groupBy("user_id")
                 .agg(F.count("*").alias("n_events"),
@@ -159,19 +164,32 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
                      F.max(F.col("ts").cast("timestamp")).alias("last_ts")))
 
     def update(key, pdfs, state):
-        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        # n_vals/n_ts track whether ANY non-null value/ts was ever
+        # seen: the batch twin's sum/max return NULL for an all-NULL
+        # key, and seeding (0, 0.0, epoch) here would fabricate a
+        # 0.0 total and a 1970 timestamp the oracle never emits
+        n, n_vals, n_ts, total, last_us = (
+            state.get if state.exists else (0, 0, 0, 0.0, 0))
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            # unit-explicit epoch micros (Arrow may hand us ns or µs)
-            ets = pdf["ets"].to_numpy(dtype="datetime64[us]").astype("int64")
-            last_us = max(last_us, int(ets.max()))
-        state.update((n, total, last_us))
+            vals = pdf["value"].dropna()
+            n_vals += len(vals)
+            total += float(vals.sum())
+            ets = pdf["ets"].dropna()
+            if len(ets):
+                n_ts += len(ets)
+                # unit-explicit epoch micros (Arrow hands us ns or µs)
+                e = ets.to_numpy(dtype="datetime64[us]").astype("int64")
+                last_us = max(last_us, int(e.max()))
+        state.update((n, n_vals, n_ts, total, last_us))
         yield pd.DataFrame({
-            "user_id": [key[0]], "n_events": [n], "total_value": [total],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "user_id": [key[0]], "n_events": [n],
+            "total_value": pd.array(
+                [total if n_vals else None], dtype="Float64"),
+            "last_ts": [pd.Timestamp(last_us, unit="us")
+                        if n_ts else None],
         })
 
     with_ts = (events
@@ -179,7 +197,7 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
                .withWatermark("ets", watermark))
     return (with_ts.groupBy("user_id").applyInPandasWithState(
         update, out_schema,
-        "n long, total double, last_us long",
+        "n long, n_vals long, n_ts long, total double, last_us long",
         "update", "NoTimeout"))
 
 
@@ -391,11 +409,19 @@ def _finish_compaction(index_dir: str, staging: str) -> None:
 
 
 def _index_batches(spark: SparkSession, index_dir: str):
-    """(batch_id, path) pairs already committed under ``index_dir``."""
+    """(batch_id, path) pairs already committed under ``index_dir``.
+
+    Resolves any half-finished compaction FIRST: a compact_index kill
+    between deleting its source dirs and the final rename leaves the
+    merged rows only in ``_compacting``, which the ``batch_id=*`` glob
+    would skip — a restarted stream would then probe an index missing
+    those batches and silently never emit their near-dup pairs.
+    """
     import os
     import re
     if not os.path.isdir(index_dir):
         return []
+    _recover_compaction(index_dir)
     out = []
     for name in os.listdir(index_dir):
         m = re.fullmatch(r"batch_id=(\d+)", name)

@@ -756,3 +756,63 @@ def test_kmv_k_mismatch_fails_loudly(spark):
         sketches.kmv_estimate(sk, ["g"], k=128).collect()
     with pytest.raises(Exception, match="built with k=64"):
         sketches.kmv_merge(sk, sk, ["g"], k=32).collect()
+
+
+def test_asof_join_float_ties_and_null_semantics(spark):
+    # (1) double order_col ties break on the REAL value (a long cast
+    # collapsed 1.9 vs 1.2 into a tie); (2) a NULL order_col row loses
+    # to every ranked row; (3) NULL keys never match NULL keys (the
+    # DuckDB ASOF equi-join rule the docstring pins)
+    left = spark.createDataFrame(
+        [("k", 10), (None, 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 5, 1.2, "low"), ("k", 5, 1.9, "high"),
+         ("k", 5, None, "unranked"), (None, 5, 9.9, "nullkey")],
+        "k string, ts long, o double, payload string")
+    got = {(r.k, r.ts): r.payload
+           for r in asof_join(left, right, key="k", ts="ts",
+                              right_cols=["payload"],
+                              order_col="o").collect()}
+    assert got[("k", 10)] == "high"
+    assert got[(None, 10)] is None
+
+
+def test_asof_join_long_order_not_truncated(spark):
+    # longs above 2^53 must keep exact ordering (a double cast would
+    # round them together)
+    a, b = (1 << 60) + 3, (1 << 60) + 1
+    left = spark.createDataFrame([("k", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 5, b, "small"), ("k", 5, a, "big")],
+        "k string, ts long, o long, payload string")
+    got = asof_join(left, right, key="k", ts="ts",
+                    right_cols=["payload"], order_col="o").first()
+    assert got.payload == "big"
+
+
+def test_topk_null_and_zero_embeddings(spark):
+    # a NULL embedding row must not rank first in bq_topk (NULL
+    # hamming sorts last), and a zero vector must score 0 in
+    # cosine_topk, not throw DIVIDE_BY_ZERO under ANSI mode
+    rows = [(0, 0, [1.0, 0.0, 0.0, 0.0]),
+            (1, 0, [0.9, 0.1, 0.0, 0.0]),
+            (2, 0, None),
+            (3, 0, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+    top = simsearch.bq_topk(df, q, k=2, vec_col="embedding").collect()
+    assert [r.vec_id for r in top] == [0, 1]
+    cos = {r.vec_id: r.score
+           for r in simsearch.cosine_topk(df, q, k=4,
+                                          vec_col="embedding").collect()}
+    assert cos[3] == 0.0
+
+
+def test_empty_embeddings_fail_loudly(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<double>")
+    with pytest.raises(ValueError, match="at least one embedding"):
+        simsearch.kmeans_cells(empty)
+    with pytest.raises(ValueError, match="empty embeddings table"):
+        simsearch.hyperplane_near_dups(empty)

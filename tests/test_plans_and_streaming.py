@@ -854,3 +854,93 @@ def test_streaming_page_ingest_agrees_with_batch(spark, tmp_path):
     q2.awaitTermination(180)
     again = {r["url"] for r in spark.read.parquet(kept_dir).collect()}
     assert again == set(kept)
+
+
+def test_index_batches_recovers_killed_compaction(spark, tmp_path):
+    """The STREAM path must self-heal a killed compaction: a restart
+    that goes straight into a micro-batch (never calling
+    compact_index) reads the index through _index_batches, which now
+    finishes the promotion — without it the probe would silently skip
+    every merged band."""
+    import json
+    import os
+    import shutil
+
+    from scrapely_spark.spark import dedup, streaming
+
+    def text(i):
+        return " ".join("w%d_%d" % (i % 5, j) for j in range(12))
+
+    idx = str(tmp_path / "idx_stream")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(100 * b + j, text(100 * b + j)) for j in range(8)],
+            "doc_id long, text string")
+        (dedup.minhash_bands(df).write.mode("overwrite")
+         .parquet("%s/batch_id=%d" % (idx, b)))
+    before = sorted(map(tuple, spark.read.parquet(
+        *[p for _, p in streaming._index_batches(spark, idx)])
+        .select("doc_id", "band_id", "band_key").collect()))
+
+    staging = os.path.join(idx, "_compacting")
+    cols = spark.read.parquet(idx + "/batch_id=0").columns
+    (spark.read.parquet(idx + "/batch_id=0", idx + "/batch_id=1")
+     .select(*cols).write.mode("overwrite").parquet(staging))
+    with open(os.path.join(staging, "_merged_ids.json"), "w") as f:
+        json.dump({"target_id": 1, "ids": [0, 1]}, f)
+    shutil.rmtree(idx + "/batch_id=0")  # killed mid-promotion
+
+    got = streaming._index_batches(spark, idx)
+    assert [b for b, _ in got] == [1, 2]
+    after = sorted(map(tuple, spark.read.parquet(
+        *[p for _, p in got])
+        .select("doc_id", "band_id", "band_key").collect()))
+    assert after == before
+
+
+def test_running_totals_all_null_user_matches_batch(spark, tmp_path):
+    """NULL-ts events have no event time: the stream's watermark drops
+    them, so the batch twin must drop them too (parity), and a user
+    surviving with NULL values must emit NULL total_value — never a
+    fabricated 0.0 or a 1970 timestamp."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scrapely_spark.spark import streaming
+
+    zone = str(tmp_path / "null_zone")
+    os.makedirs(zone)
+    rows = [(1, 7, None, None), (2, 7, None, None),
+            (3, 8, 2.5, "2026-01-02 03:04:05"),
+            (4, 8, None, "2026-01-02 03:04:06"),
+            (5, 9, None, "2026-01-02 03:04:07")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts string")
+    # one FLAT parquet file (spark's .write makes a subdirectory the
+    # stream's file glob would not descend into)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "ts": pa.array([r[3] for r in rows], pa.string()),
+        }), os.path.join(zone, "part-0.parquet"))
+
+    schema = df.schema
+    stream = streaming.running_totals(
+        spark.readStream.schema(schema).parquet(zone))
+    q = streaming.run_available_now(stream, "null_totals",
+                                    str(tmp_path / "ckpt_null"),
+                                    output_mode="update")
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.total_value, r.last_ts)
+           for r in spark.sql("select * from null_totals").collect()}
+    want = {r.user_id: (r.n_events, r.total_value, r.last_ts)
+            for r in streaming.running_totals(df).collect()}
+    assert got == want
+    assert 7 not in got          # no event time on either path
+    assert got[8][:2] == (2, 2.5) and got[8][2] is not None
+    assert got[9][:2] == (1, None)  # survives, but value stays NULL
