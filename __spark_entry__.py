@@ -1104,7 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parsed back through the real length-driven Arrow kernel.
         # The oracle states the roundtrip IDENTITY — records in ==
         # records out — which only holds if the parser consumes
-        # exactly Content-Length characters per record
+        # exactly Content-Length BYTES per record (octet_length here;
+        # the corpus is ASCII so len(text) in the oracle agrees)
         from scrapely_spark.spark import warc
         d = _t(spark, sf, "documents")
         seg = (F.col("doc_id") - F.col("doc_id") % 10) / 10
@@ -1115,7 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
                   "WARC-Target-URI: "), uri,
             F.lit("\r\nContent-Length: "),
-            F.length("text").cast("string"),
+            F.octet_length("text").cast("string"),
             F.lit("\r\n\r\n"), F.col("text"), F.lit("\r\n\r\n"))
         segments = (d.select(seg.cast("long").alias("sid"),
                              F.struct(F.col("doc_id").alias("k"),
@@ -5593,7 +5594,8 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 7""",
                      FIRST_VALUE(target_uri) OVER w AS fu
               FROM recs WHERE warc_type = 'response'
               WINDOW w AS (PARTITION BY sha256(payload)
-                           ORDER BY segment_id, record_idx))
+                           ORDER BY len(segment_id), segment_id,
+                                    record_idx))
             SELECT segment_id, record_idx, target_uri, payload_digest,
                    CASE WHEN rn > 1 THEN 'revisit'
                         ELSE 'response' END AS record_type,

@@ -101,8 +101,13 @@ def retry_plan(fetches: DataFrame, base_delay_s: int = 60,
                     .bit_length())
     # the python shiftleft() wrapper wants a literal bit count, so the
     # column-shift goes through the SQL function directly
+    # clamp BOTH sides of the shift count: the JVM masks a NEGATIVE
+    # count to 63 too, so a corrupt attempt<=0 row would wrap
+    # base<<63 to 0 and retry with zero wait — the exact hammering
+    # the upper cap exists to prevent
     backoff = F.least(
-        F.expr("shiftleft(CAST(%d AS BIGINT), least(attempt - 1, %d))"
+        F.expr("shiftleft(CAST(%d AS BIGINT), "
+               "greatest(least(attempt - 1, %d), 0))"
                % (base_delay_s, shift_cap)),
         F.lit(max_delay_s).cast("long"))
     wait_s = F.greatest(

@@ -82,9 +82,16 @@ def sitemap_lastmod_refetch(bodies: DataFrame, fetch_state: DataFrame,
                             "'<lastmod>\\\\s*([^<]+?)\\\\s*</lastmod>',"
                             " 1) AS TIMESTAMP)").alias("lastmod"))
              .where(F.col("url") != ""))
-    st = fetch_state.select(F.col("url"),
-                            F.col("fetched_at").cast("timestamp")
-                            .alias("_fetched"))
+    # one row per URL — an accumulated fetch LOG has one row per
+    # fetch, and joining it raw would fan out and emit a spurious
+    # 'stale' against an old fetch even when a newer one already
+    # covers the lastmod; the latest fetch is the state
+    st = (fetch_state
+          .select(F.col("url"),
+                  F.col("fetched_at").cast("timestamp")
+                  .alias("_fetched"))
+          .groupBy("url")
+          .agg(F.max("_fetched").alias("_fetched")))
     j = entry.join(st, "url", "left")
     reason = (F.when(F.col("_fetched").isNull(), F.lit("new"))
               .when(F.col("lastmod").isNotNull()

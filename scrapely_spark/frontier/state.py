@@ -232,7 +232,10 @@ class StateStore(CatalogStateStore):
             return None
         _, v = self.stage(df, table)
         ledger = self.ledger()
-        ledger["tables"][table] = {"version": v}
+        # only the 'compacted' pointer: publishing the snapshot under
+        # the FULL-TABLE pointer too would flip exists()/read() on for
+        # a per-round table with a view frozen at through_round —
+        # silently diverging from read_rounds as later rounds commit
         ledger.setdefault("compacted", {})[table] = {
             "version": v, "through_round": self.last_round()}
         self._commit_ledger(ledger)

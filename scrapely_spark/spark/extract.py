@@ -37,6 +37,24 @@ def plan_from_templates(template_bodies, descriptor=None) -> ExtractionPlan:
     return ExtractionPlan(pairs)
 
 
+def _broadcast_plan(spark, plan: ExtractionPlan):
+    """One broadcast per (session, plan) — a driver loop calling
+    extract_records per crawl wave would otherwise re-broadcast the
+    full plan every call and leak dead broadcast blocks for the
+    session lifetime.  Cached on the plan object itself, so the
+    broadcast dies with the plan."""
+    cached = getattr(plan, "_bc_by_session", None)
+    sid = id(spark.sparkContext)
+    if cached is not None and cached[0] == sid:
+        return cached[1]
+    bc = spark.sparkContext.broadcast(plan)
+    try:
+        plan._bc_by_session = (sid, bc)
+    except AttributeError:
+        pass  # __slots__ plans: fall back to per-call broadcast
+    return bc
+
+
 def extract_records(pages: DataFrame, plan: ExtractionPlan,
                     fields: tuple = ("title", "image_url", "caption",
                                      "price")) -> DataFrame:
@@ -48,7 +66,7 @@ def extract_records(pages: DataFrame, plan: ExtractionPlan,
     (first extracted value) and the full record set as JSON.
     """
     spark = pages.sparkSession
-    bc_plan = spark.sparkContext.broadcast(plan)
+    bc_plan = _broadcast_plan(spark, plan)
     field_list = list(fields)
     has_encoding = "encoding" in pages.columns
 
@@ -64,7 +82,13 @@ def extract_records(pages: DataFrame, plan: ExtractionPlan,
             rows = []
             for url, body, enc in zip(batch["url"], batch["body"],
                                       encodings):
-                page = HtmlPage(url=url, body=body, encoding=enc)
+                if body is None or url is None:
+                    # a failed/empty fetch joined in: no match, not a
+                    # TypeError that fails the task 4x and kills the
+                    # job (the WARC kernel's same defense)
+                    continue
+                page = HtmlPage(url=url, body=body,
+                                encoding=enc or "utf-8")
                 items, template = local_plan.extract_page(page)
                 # descriptor-less plans validate an empty record as a
                 # "match" (reference-faithful); the pipeline operator

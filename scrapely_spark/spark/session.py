@@ -32,6 +32,7 @@ def _package_zip() -> str:
     digest = hashlib.sha1()
     members = []
     for root, _dirs, files in os.walk(pkg_dir):
+        _dirs.sort()  # deterministic traversal → stable content digest
         for fname in sorted(files):
             if fname.endswith(".py"):
                 full = os.path.join(root, fname)

@@ -40,29 +40,48 @@ def parse_warc_segment(segment: str) -> list:
     """Pure-Python single-segment parser (oracle twin of the kernel).
 
     Returns ``[(record_idx, warc_type, target_uri, content_length,
-    payload, truncated), ...]``.  Length-driven: after the blank line,
-    exactly ``Content-Length`` characters are consumed, then the
-    ``\\r\\n\\r\\n`` record terminator.  A record whose payload or
-    terminator runs past the segment end is emitted with
-    ``truncated=True`` and whatever payload prefix exists.
+    payload, truncated), ...]``.  Length-driven IN BYTES: the segment
+    re-encodes to UTF-8 (recovering the original file bytes of a
+    text-read archive) and exactly ``Content-Length`` BYTES are
+    consumed after the blank line — ISO 28500 declares byte lengths,
+    and counting characters would mis-slice every record after the
+    first multi-byte character.  A record whose payload or terminator
+    runs past the segment end is emitted with ``truncated=True`` and
+    whatever payload prefix exists (a byte-boundary-split character
+    decodes with U+FFFD rather than raising).
+
+    Two hostile-input rules: a record with a missing/invalid
+    Content-Length STOPS the segment parse (emitted truncated) — the
+    parser cannot know where that record ends, and re-synchronizing on
+    the next magic would let a payload-embedded fake header mint a
+    forged clean record; trailing bytes with no record magic surface
+    as a final ``truncated=True`` row, never silently dropped.
     """
     out = []
+    data = (segment or "").encode("utf-8", "surrogatepass")
+    magic = _MAGIC.encode()
     pos, idx = 0, 0
-    n = len(segment or "")
+    n = len(data)
+
+    def dec(b: bytes) -> str:
+        return b.decode("utf-8", "replace")
+
     while pos < n:
-        start = (segment or "").find(_MAGIC, pos)
+        start = data.find(magic, pos)
         if start < 0:
+            if data[pos:]:
+                out.append((idx, None, None, None, "", True))
             break
-        pos = start + len(_MAGIC)
+        pos = start + len(magic)
         headers = {}
         while True:
-            eol = segment.find("\r\n", pos)
+            eol = data.find(b"\r\n", pos)
             if eol < 0:  # header block runs off the segment
                 out.append((idx, headers.get("warc-type"),
                             headers.get("warc-target-uri"), None, "",
                             True))
                 return out
-            line = segment[pos:eol]
+            line = dec(data[pos:eol])
             pos = eol + 2
             if line == "":
                 break
@@ -73,23 +92,23 @@ def parse_warc_segment(segment: str) -> list:
         except ValueError:
             length = None
         if length is not None and length < 0:
-            # a negative declared length would move ``pos`` backward,
-            # and str.find with a negative start clamps to 0 — the
-            # parser would re-find the same record forever.  Hostile
-            # header; take the same invalid path as a non-numeric one.
+            # a negative declared length would move ``pos`` backward —
+            # hostile header; same invalid path as a non-numeric one
             length = None
         if length is None:
+            # unknown extent: emit and STOP — scanning forward for the
+            # next magic would resynchronize INSIDE this record's
+            # unskippable payload and forge records from its bytes
             out.append((idx, headers.get("warc-type"),
                         headers.get("warc-target-uri"), None, "", True))
-            idx += 1
-            continue
-        payload = segment[pos:pos + length]
+            return out
+        payload = data[pos:pos + length]
         truncated = (len(payload) < length
-                     or segment[pos + length:pos + length + 4]
-                     != "\r\n\r\n")
+                     or data[pos + length:pos + length + 4]
+                     != b"\r\n\r\n")
         out.append((idx, headers.get("warc-type"),
-                    headers.get("warc-target-uri"), length, payload,
-                    truncated))
+                    headers.get("warc-target-uri"), length,
+                    dec(payload), truncated))
         pos = pos + length + 4
         idx += 1
     return out
@@ -131,7 +150,10 @@ def build_warc_segment(records: list) -> str:
         parts.append(_MAGIC
                      + "WARC-Type: %s\r\n" % warc_type
                      + "WARC-Target-URI: %s\r\n" % uri
-                     + "Content-Length: %d\r\n" % len(payload)
+                     # BYTE length (the ISO 28500 contract the parser
+                     # consumes), not character count
+                     + "Content-Length: %d\r\n"
+                     % len(payload.encode("utf-8"))
                      + "\r\n" + payload + "\r\n\r\n")
     return "".join(parts)
 
@@ -147,8 +169,10 @@ def revisit_records(records: DataFrame) -> DataFrame:
     Input is the :func:`parse_warc_segments` shape; only
     ``warc_type = 'response'`` rows participate (request/metadata
     records are never deduplicated).  Capture order is
-    ``(segment_id, record_idx)`` — the stable order the archive was
-    written in — so the election is deterministic.
+    ``(length(segment_id), segment_id, record_idx)`` — natural order
+    for the numeric-suffix segment naming crawl writers use ('seg2'
+    precedes 'seg10'; plain lexicographic would not), deterministic
+    for any naming.
 
     Emits (segment_id, record_idx, target_uri, payload_digest,
     record_type, refers_to_segment, refers_to_idx, refers_to_uri,
@@ -170,7 +194,7 @@ def revisit_records(records: DataFrame) -> DataFrame:
                       F.length("payload").cast("long").alias("_n"),
                       digest.alias("payload_digest")))
     w = (Window.partitionBy("payload_digest")
-         .orderBy("segment_id", "record_idx"))
+         .orderBy(F.length("segment_id"), "segment_id", "record_idx"))
     rn = F.row_number().over(w)
     first_seg = F.first("segment_id").over(w)
     first_idx = F.first("record_idx").over(w)

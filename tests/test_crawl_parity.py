@@ -2189,3 +2189,37 @@ def test_strip_tracking_params(spark):
         == ("http://h/p?autm_source=keep", False)
     assert out["http://h/p?a=1&&b=2"] == ("http://h/p?a=1&b=2", False)
     assert out["http://h/p?"] == ("http://h/p", False)
+
+
+def test_retry_plan_zero_attempt_never_hammers(spark):
+    """attempt<=0 (corrupt/1-off upstream) must clamp the shift count
+    low — the JVM masks a negative count to 63 and base<<63 wraps to
+    ZERO backoff, the exact hammering the cap exists to prevent."""
+    from scrapely_spark.frontier.retry import retry_plan
+
+    df = spark.createDataFrame(
+        [("u0", "h", 500, 0, 1_000_000, None),
+         ("uneg", "h", 500, -3, 1_000_000, None)],
+        "url string, host string, status int, attempt int, "
+        "t_us long, retry_after_s int")
+    out = {r["url"]: r for r in retry_plan(df).collect()}
+    for u in ("u0", "uneg"):
+        assert out[u]["action"] == "retry"
+        assert out[u]["backoff_s"] >= 60  # base backoff, never 0
+
+
+def test_sitemap_refetch_multi_fetch_log_no_spurious_stale(spark):
+    """An accumulated fetch LOG carries one row per fetch: the newest
+    fetch is the state, so a URL refetched after the lastmod must NOT
+    re-emit 'stale' against its older fetch (nor duplicate rows)."""
+    from scrapely_spark.frontier.sitemaps import sitemap_lastmod_refetch
+
+    body = ("<urlset><url><loc>http://h/a</loc>"
+            "<lastmod>2024-03-10T00:00:00</lastmod></url></urlset>")
+    bodies = spark.createDataFrame([("http://h/sm.xml", body)],
+                                   "sitemap_url string, body string")
+    log = spark.createDataFrame(
+        [("http://h/a", "2024-03-01 00:00:00"),
+         ("http://h/a", "2024-03-20 00:00:00")],
+        "url string, fetched_at string")
+    assert sitemap_lastmod_refetch(bodies, log).count() == 0

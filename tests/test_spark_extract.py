@@ -92,3 +92,26 @@ def test_extraction_stage_has_no_shuffle(spark):
     physical = (extract_records(pages, plan)
                 ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in physical, physical
+
+
+def test_null_body_rows_skipped_not_crashed(spark):
+    """A failed fetch leaves NULL body/url/encoding rows in the pages
+    frame: the kernel must skip them, not TypeError the whole job."""
+    pages = datagen.pages_df(spark, 8).select("url", "body") \
+        .withColumn("encoding", F.lit("utf-8"))
+    nulls = spark.createDataFrame(
+        [(None, None, None), ("http://x/null-body", None, None)],
+        "url string, body string, encoding string")
+    plan = plan_from_templates([datagen.template_body()])
+    n_clean = extract_records(pages, plan).count()
+    n_mixed = extract_records(pages.unionByName(nulls), plan).count()
+    assert n_clean == 8 and n_mixed == 8
+
+
+def test_plan_broadcast_is_cached_per_session(spark):
+    from scrapely_spark.spark.extract import _broadcast_plan
+
+    plan = plan_from_templates([datagen.template_body()])
+    b1 = _broadcast_plan(spark, plan)
+    b2 = _broadcast_plan(spark, plan)
+    assert b1 is b2  # one broadcast per (session, plan), not per call

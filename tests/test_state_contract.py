@@ -195,3 +195,22 @@ def test_ledger_survives_reopen(spark, store_factory):
     assert reopened.last_round() == 1
     assert reopened.round_metrics()[0]["fetched"] == 7
     assert _rows(reopened.read_rounds(spark, "t")) == {("a", 1)}
+
+
+def test_compaction_does_not_publish_full_table_pointer(spark,
+                                                        store_factory):
+    """compact_rounds must not flip exists()/read() on for a per-round
+    table: the full-table API would return a view frozen at
+    through_round that silently diverges from read_rounds as later
+    rounds commit."""
+    store = store_factory()
+    for r in (1, 2):
+        _, tag = store.stage_round(_df(spark, [("u%d" % r, r)]), "t", r)
+        store.commit_round(r, {"t": tag}, {})
+    assert not store.exists("t")
+    store.compact_rounds(spark, "t")
+    assert not store.exists("t")
+    _, tag = store.stage_round(_df(spark, [("u3", 3)]), "t", 3)
+    store.commit_round(3, {"t": tag}, {})
+    assert _rows(store.read_rounds(spark, "t")) == \
+        {("u1", 1), ("u2", 2), ("u3", 3)}

@@ -122,3 +122,59 @@ def test_robots_fetch_policy_ladder(spark):
         "e": ("use_cached", True), "f": ("disallow_all", False),
         "g": ("disallow_all", False), "h": ("use_cached", True),
         "i": ("disallow_all", False)}
+
+
+def test_content_length_is_bytes_not_characters():
+    # ISO 28500 declares BYTE lengths; a multi-byte payload must
+    # roundtrip exactly (a character-counting parser would overrun
+    # into the next record and shear the rest of the segment)
+    recs = [
+        ("response", "http://a/1", "café crème — 1000"),
+        ("response", "http://a/2", "plain ascii after it"),
+    ]
+    seg = build_warc_segment(recs)
+    got = parse_warc_segment(seg)
+    assert len(got) == 2
+    for i, (t, u, p) in enumerate(recs):
+        idx, typ, uri, length, payload, trunc = got[i]
+        assert (typ, uri, payload, trunc) == (t, u, p, False)
+        assert length == len(p.encode("utf-8"))
+
+
+def test_unknown_length_stops_instead_of_forging_records():
+    # a record with no Content-Length has an unknowable extent —
+    # resynchronizing on the next magic would land INSIDE its payload
+    # and mint an attacker-controlled 'clean' record
+    evil = ("WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://victim/\r\n\r\n"
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://evil/\r\n"
+            "Content-Length: 5\r\n\r\nxxxxx\r\n\r\n")
+    got = parse_warc_segment(evil)
+    assert len(got) == 1
+    assert got[0][2] == "http://victim/" and got[0][5] is True
+    assert all(r[2] != "http://evil/" for r in got)
+
+
+def test_trailing_garbage_surfaces_as_truncated_row():
+    seg = build_warc_segment([("response", "http://a/1", "abc")])
+    got = parse_warc_segment(seg + "trailing junk without magic")
+    assert len(got) == 2
+    assert got[0][5] is False
+    assert got[1][5] is True and got[1][3] is None
+
+
+def test_revisit_order_is_natural_for_numeric_segment_suffixes(spark):
+    from scrapely_spark.spark.warc import revisit_records
+
+    rows = [("seg10", 0, "response", "http://a/1", 5, "same", False),
+            ("seg2", 0, "response", "http://a/2", 5, "same", False)]
+    df = spark.createDataFrame(
+        rows, "segment_id string, record_idx int, warc_type string, "
+              "target_uri string, content_length int, payload string, "
+              "truncated boolean")
+    out = {r.segment_id: r for r in revisit_records(df).collect()}
+    # seg2 wrote first (natural order): it stays the response
+    assert out["seg2"].record_type == "response"
+    assert out["seg10"].record_type == "revisit"
+    assert out["seg10"].refers_to_segment == "seg2"
