@@ -533,6 +533,61 @@ def idn_hosts(hosts: DataFrame, host_col: str = "host") -> DataFrame:
     return hosts.mapInPandas(kernel, out_fields)
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 over an already-split path string: '..' pops
+    (never past the leading root marker), '.' drops, a TRAILING '.' or
+    '..' keeps the directory slash.  Identity on dot-free paths.
+    urljoin applies this during relative resolution; an ABSOLUTE
+    declared href keeps its dot segments, so the fold runs here."""
+    segs = path.split("/")
+    out: list[str] = []
+    n = len(segs)
+    for i, s in enumerate(segs):
+        if s == ".":
+            if i == n - 1:
+                out.append("")
+            continue
+        if s == "..":
+            if len(out) > 1 and out[-1] != "":
+                out.pop()
+            if i == n - 1:
+                out.append("")
+            continue
+        out.append(s)
+    return "/".join(out)
+
+
+def resolve_declared_canonical(page_url: str, href: str) -> str:
+    """A page's declared rel=canonical target, resolved against the
+    page URL and spelled in the canonical keyspace.
+
+    ``urljoin`` does the full RFC 3986 §5 resolution (path-relative,
+    root-relative, protocol-relative, dot segments); a residual dot
+    fold covers absolute hrefs (urljoin leaves their paths verbatim);
+    :func:`canonicalize` then applies the keyspace rules — lowercase
+    scheme+host, query sort, fragment strip, default ports, userinfo
+    drop, empty path → '/'.  Returns '' for unresolvable input (the
+    caller drops those rows), never raises — one bad declaration on
+    one page must never kill a kernel.
+    """
+    from urllib.parse import urljoin
+
+    if not href or not (href or "").strip():
+        return ""  # no declaration, no edge
+    try:
+        resolved = urljoin(page_url or "", href.strip())
+        parts = urlsplit(resolved)
+        if parts.path and ("/." in parts.path or parts.path == "."
+                           or parts.path == ".."):
+            resolved = urlunsplit(
+                (parts.scheme, parts.netloc,
+                 _remove_dot_segments(parts.path),
+                 parts.query, parts.fragment))
+        return canonicalize(resolved)
+    except ValueError:
+        return ""
+
+
 def canonical_identity(pages: DataFrame, redirects: DataFrame,
                        url_col: str = "url", html_col: str = "html",
                        max_hops: int = 8) -> DataFrame:
@@ -570,80 +625,39 @@ def canonical_identity(pages: DataFrame, redirects: DataFrame,
 
     decl = rel_canonical(pages.select(url_col, html_col),
                          html_col=html_col)
-    # resolve the declared href against the page URL BEFORE the
-    # self-no-op filter and edge build: relative declarations
-    # (href="/path", href="//host/path", bare path-relative) are the
-    # common real-web spelling, and an unresolved one would both miss
-    # the self-check and emit a non-URL identity that can never join
-    # other keys.  Assumes canonical page URLs (path at least "/" —
-    # what the crawl's canonicalizer guarantees).
+    # resolve the declared href against the page URL and project it
+    # into the CANONICAL keyspace spelling (an identity that differs
+    # from canonicalize()'s output can never equi-join the crawl's
+    # url keys).  Runs as the standard Arrow batch kernel — stdlib
+    # urljoin does the full RFC 3986 §5 resolution (relative paths,
+    # protocol-relative, dot segments), a small fold normalizes dot
+    # segments absolute hrefs keep, and canonicalize() applies the
+    # keyspace rules (case, query sort, fragment strip, default
+    # ports, userinfo).  A JVM-expression spelling of the same
+    # pipeline compiled to a ~15 MB task binary whose codegen and
+    # per-job broadcast dominated the whole query — the kernel plan
+    # is a few KB and the per-row work is microseconds.
+    from typing import Iterator
+
+    import pandas as pd
+
     url = F.col(url_col)
     href = F.col("canonical_href")
-    origin = F.regexp_extract(url,
-                              r"^([a-z][a-zA-Z0-9+.\-]*://[^/]+)", 1)
-    scheme = F.regexp_extract(url, r"^([a-z][a-zA-Z0-9+.\-]*):", 1)
-    resolved_href = (
-        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"), href)
-        .when(href.startswith("//"),
-              F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(origin, href))
-        .otherwise(F.concat(
-            F.regexp_replace(url, r"[^/]*$", ""), href)))
-    # RFC 3986 §5.2.4 remove_dot_segments over the resolved path:
-    # href="../x" / "./x" are common rel=canonical spellings, and a
-    # literal 'http://h/a/../x' identity could never equi-join the
-    # canonicalized URL keyspace — the declaration would silently
-    # fail to fold.  Pure array fold ('' root marker is never
-    # popped, '..' above root drops, trailing '.'/'..' keeps the
-    # directory slash); identity on dot-free paths, so absolute
-    # declarations pass through byte-unchanged.
-    origin2 = F.regexp_extract(
-        resolved_href, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1)
-    rest2 = F.regexp_replace(
-        resolved_href, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
-    # project the declared target into the CANONICAL keyspace spelling
-    # (an identity that differs from canonicalize()'s output can never
-    # equi-join the crawl's url keys): strip the fragment, sort query
-    # members, and lowercase scheme+authority — same rules as
-    # canonicalize_with_host, expressed in JVM columns.
-    rest_nf = F.substring_index(rest2, "#", 1)
-    pathp = F.substring_index(rest_nf, "?", 1)
-    qraw = (F.when(rest_nf.contains("?"),
-                   F.regexp_extract(rest_nf, r"\?(.*)$", 1))
-            .otherwise(F.lit("")))
-    suffix = (F.when(qraw == "", F.lit(""))
-              .otherwise(F.concat(
-                  F.lit("?"),
-                  F.array_join(F.array_sort(F.split(qraw, "&")),
-                               "&"))))
-    last = lambda acc: F.get(acc, F.size(acc) - 1)  # NULL-safe peek
-    folded = F.aggregate(
-        F.split(pathp, "/"),
-        F.expr("CAST(array() AS array<string>)"),
-        lambda acc, s: (
-            F.when(s == ".", acc)
-            .when(s == "..",
-                  F.when((F.size(acc) > 1) & (last(acc) != ""),
-                         F.slice(acc, F.lit(1), F.size(acc) - 1))
-                  .otherwise(acc))
-            .otherwise(F.concat(acc, F.array(s)))))
-    joined = F.array_join(folded, "/")
-    norm_path = (F.when(pathp.rlike(r"(?:/\.\.|/\.)$")
-                        & ~joined.endswith("/"),
-                        F.concat(joined, F.lit("/")))
-                 .otherwise(joined))
-    resolved_href = F.concat(
-        F.lower(origin2),
-        F.when(norm_path == "", F.lit("/")).otherwise(norm_path),
-        suffix)
-    decl_edges = (decl
-                  .withColumn("_dst", F.when(href.isNotNull(),
-                                             resolved_href))
-                  .where(F.col("_dst").isNotNull()
-                         & (F.col("_dst") != url))
-                  .select(url.alias("src"),
-                          F.col("_dst").alias("dst"),
-                          F.lit(1).alias("_prio")))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame({
+                "src": batch["src"],
+                "dst": [resolve_declared_canonical(u, h)
+                        for u, h in zip(batch["src"], batch["href"])],
+            })
+
+    decl_edges = (decl.where(href.isNotNull())
+                  .select(url.alias("src"), href.alias("href"))
+                  .mapInPandas(kernel, "src string, dst string")
+                  .where((F.col("dst") != "")
+                         & (F.col("dst") != F.col("src")))
+                  .withColumn("_prio", F.lit(1)))
     r_edges = redirects.select("src", "dst",
                                F.lit(0).alias("_prio"))
     edges = (r_edges.unionByName(decl_edges)

@@ -318,7 +318,19 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     import math
 
     rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
-    reach = edges.select("src", "dst", F.lit(1).cast("int").alias("hops"))
+    # ONE lineage truncation at entry: every doubling round references
+    # `reach` on BOTH join sides, so an untruncated input plan would
+    # re-execute ~2^rounds times (the canonical-identity edge build —
+    # a wide declaration-normalization projection — measurably so).
+    # The rounds themselves stay lazy: their inputs are checkpoint
+    # block re-reads, and per-round eager checkpoints would serialize
+    # log(hops) blocking jobs for no saved work.
+    reach = (edges.select("src", "dst",
+                          F.lit(1).cast("int").alias("hops"))
+             .localCheckpoint(eager=True))
+    # round-0 reach holds exactly the edge rows: derive heads from the
+    # checkpoint so the edges lineage never re-runs
+    heads = reach.select(F.col("src").alias("_head")).distinct()
     for _ in range(rounds):
         hop = reach.select(F.col("src").alias("_s"),
                            F.col("dst").alias("_d"),
@@ -329,7 +341,6 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
                          (reach["hops"]
                           + F.coalesce(hop["_h"], F.lit(0)))
                          .cast("int").alias("hops")))
-    heads = edges.select(F.col("src").alias("_head")).distinct()
     return (reach.join(heads, reach["dst"] == heads["_head"], "left")
             .select(F.col("src").alias("url"),
                     F.col("dst").alias("final_url"),

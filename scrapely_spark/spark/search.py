@@ -39,7 +39,6 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     contributes once.  Documents matching no term are not returned.
     """
     from scrapely_spark.spark.corpus import _words
-    from scrapely_spark.spark.dedup import _unpersist_on_gc
 
     terms = sorted(set(t.lower() for t in terms))
     if not terms:
@@ -51,16 +50,18 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     # dl rides the explode as a grouping key (it is functionally
     # dependent on doc_id, so the extra key is free) — one tokenize
     # pass feeds tf AND length normalization; no corpus-side join back
-    # cached: tf feeds BOTH the df broadcast and the scored join, and
-    # exchange reuse does not fire across the broadcast boundary (the
-    # same double-computation tfidf_keywords caches against) — without
-    # it the corpus-wide tokenize+explode lineage runs twice
+    # tf feeds BOTH the df broadcast and the scored join; the lineage
+    # therefore runs twice, and that is the MEASURED-faster choice: a
+    # cache here forces full materialization before the broadcast
+    # build can start, serializing stages that otherwise overlap
+    # (A/B at sf0.1: cached 1.5s vs uncached 0.83s warm).  Contrast
+    # tfidf_keywords, whose reused frame is corpus-sized per-doc
+    # counts — there the cache wins and is kept.
     tf = (toks.select("doc_id", F.size("_toks").alias("dl"),
                       F.explode("_toks").alias("term"))
           .where(F.col("term").isin(terms))
           .groupBy("doc_id", "dl", "term")
-          .agg(F.count("*").alias("tf"))
-          .cache())
+          .agg(F.count("*").alias("tf")))
     df_t = F.broadcast(
         tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")))
     idf = F.log(
@@ -73,10 +74,10 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
               .crossJoin(stats)
               .groupBy("doc_id")
               .agg(F.round(F.sum(part), _ROUND).alias("score")))
-    return _unpersist_on_gc(
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .select("doc_id", "score"), [tf])
+    return (scored
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score"))
 
 
 def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
