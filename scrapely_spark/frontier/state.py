@@ -150,9 +150,20 @@ class StateStore(CatalogStateStore):
     def read(self, spark, table: str):
         return spark.read.parquet(self.path_of(table))
 
+    def _max_version(self, table: str) -> int:
+        """Highest version any pointer references — the FULL-TABLE
+        pointer or the compacted-base pointer.  The allocator must see
+        both: a compacted base advances the version space without
+        publishing the full-table pointer, and allocating from
+        version_of alone would stage INTO the base being read."""
+        led = self.ledger()
+        return max(led["tables"].get(table, {}).get("version", 0),
+                   led.get("compacted", {}).get(table, {})
+                   .get("version", 0))
+
     def stage(self, df, table: str) -> tuple[str, int]:
         """Write a new uncommitted version; return (path, version)."""
-        v = self.version_of(table) + 1
+        v = self._max_version(table) + 1
         path = self.path_of(table, v)
         if os.path.exists(path):  # orphan from a killed run — overwrite
             shutil.rmtree(path)

@@ -214,3 +214,24 @@ def test_compaction_does_not_publish_full_table_pointer(spark,
     store.commit_round(3, {"t": tag}, {})
     assert _rows(store.read_rounds(spark, "t")) == \
         {("u1", 1), ("u2", 2), ("u3", 3)}
+
+
+def test_repeated_compaction_allocates_fresh_versions(spark,
+                                                      store_factory):
+    """A second compaction must stage into a NEW version, not
+    overwrite the base it is reading (the version allocator sees the
+    compacted pointer even though the full-table pointer stays
+    unpublished)."""
+    store = store_factory()
+    rows = set()
+    for r in (1, 2):
+        _, tag = store.stage_round(_df(spark, [("u%d" % r, r)]), "t", r)
+        store.commit_round(r, {"t": tag}, {})
+        rows.add(("u%d" % r, r))
+    v1 = store.compact_rounds(spark, "t")
+    _, tag = store.stage_round(_df(spark, [("u3", 3)]), "t", 3)
+    store.commit_round(3, {"t": tag}, {})
+    rows.add(("u3", 3))
+    v2 = store.compact_rounds(spark, "t")
+    assert v2 > v1
+    assert _rows(store.read_rounds(spark, "t")) == rows
