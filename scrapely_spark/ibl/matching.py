@@ -34,7 +34,13 @@ def as_array(seq) -> np.ndarray:
     if isinstance(seq, str):
         if not seq:
             return np.empty(0, dtype=np.uint32)
-        return np.frombuffer(seq.encode("utf-32-le"), dtype=np.uint32)
+        # surrogatepass: a lone surrogate (surrogateescape-decoded
+        # fetch bytes, JSON round-trips) must encode to its codepoint,
+        # not raise UnicodeEncodeError — the reference's pure-string
+        # matching handles such pages, and a raise here would kill the
+        # whole Arrow extraction task
+        return np.frombuffer(
+            seq.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
     return np.asarray(seq, dtype=np.int64)
 
 

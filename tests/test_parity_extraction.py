@@ -87,3 +87,64 @@ def test_our_engine_matches_goldens(ref_extraction_corpus):
         if got != expected:
             failures.append((name, expected, got))
     assert not failures, "\n".join(repr(f) for f in failures)
+
+
+def _both(templates, page):
+    from scrapely.extraction import (
+        InstanceBasedLearningExtractor as RefIBLE)
+    from scrapely.htmlpage import HtmlPage as RefHtmlPage
+
+    ref, _ = RefIBLE(
+        [(RefHtmlPage(None, {}, t), None) for t in templates]
+    ).extract(RefHtmlPage(None, {}, page))
+    ours, _ = InstanceBasedLearningExtractor(
+        [(HtmlPage(None, {}, t), None) for t in templates]
+    ).extract(HtmlPage(None, {}, page))
+    return ref, ours
+
+
+def test_replacement_stack_pops_none_verbatim():
+    """A nested same-name tag inside a data-scrapy-replacement scope
+    pops a None stack entry; the reference files that annotation under
+    key None — where no close tag ever completes it — so the
+    annotation is DROPPED.  Resolving the None back to the real tag
+    name completed it and emitted slots the reference never does
+    (193/4000 fuzz templates diverged)."""
+    tpl = ('<html><body>'
+           '<div data-scrapy-annotate="{&quot;annotations&quot;:'
+           ' {&quot;content&quot;: &quot;f1&quot;}}"'
+           ' data-scrapy-replacement="p">outer'
+           '<div data-scrapy-annotate="{&quot;annotations&quot;:'
+           ' {&quot;content&quot;: &quot;f2&quot;}}">inner'
+           '<li>alpha</li><li>beta</li>'
+           '</div></div></body></html>')
+    page = ('<html><body><p>outer<div>inner'
+            '<li>alpha</li><li>beta</li>'
+            '</div></p></body></html>')
+    ref, ours = _both([tpl], page)
+    assert ours == ref
+
+
+def test_region_ending_at_fragment_zero_keeps_reference_quirk():
+    """A region that ENDS at fragment index 0 slices through the LAST
+    fragment's end (the reference's falsy-zero `end_index or -1`), not
+    an empty string (75/3000 fuzz pairs diverged under `is not
+    None`)."""
+    tpl = ('<a data-scrapy-annotate="{&quot;annotations&quot;:'
+           ' {&quot;content&quot;: &quot;f&quot;}}">x</a>')
+    page = '<a></a>trailing text'
+    ref, ours = _both([tpl], page)
+    assert ours == ref
+
+
+def test_lone_surrogates_never_crash_char_matching():
+    """surrogateescape-decoded fetch bytes put lone surrogates in page
+    text; char-level (generated-annotation) matching must extract,
+    not raise UnicodeEncodeError and kill the Arrow task."""
+    from scrapely_spark.ibl.extractors import AffixExtractor
+    from scrapely_spark.ibl.matching import as_array
+
+    s = "designed by Marc\ud800Newson."
+    assert len(as_array(s)) == len(s)
+    got = AffixExtractor("designed by ", ".").extract_text(s)
+    assert got == "Marc\ud800Newson"
