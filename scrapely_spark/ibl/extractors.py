@@ -248,20 +248,27 @@ class RepeatExtractor:
         max_index = min(len(tokens) - slen, end + slen)
         max_start = max_index - plen
 
-        # vectorized window matches, then the reference's sequential
-        # consumption order over the hit positions
-        pre_hits = _window_hits(tokens, self.prefix)
-        suf_hits = _window_hits(tokens, self.suffix)
+        # vectorized window matches over ONLY the scanned range (every
+        # queried window lies inside [lo, hi)), then the reference's
+        # sequential consumption order; suffix hit positions are
+        # computed once and consumed by binary search — the previous
+        # whole-page masks plus a per-item O(n) flatnonzero made every
+        # call O(page) even for a narrow repeat region
+        lo = index
+        hi = max(max_index + slen, lo)
+        window = tokens[lo:hi]
+        pre_hits = _window_hits(window, self.prefix)
+        suf_pos = np.flatnonzero(_window_hits(window, self.suffix)) + lo
 
         out = []
         while index <= max_start:
-            if index < len(pre_hits) and pre_hits[index]:
+            rel = index - lo
+            if rel < len(pre_hits) and pre_hits[rel]:
                 prefix_end = index + plen
-                hits = np.flatnonzero(
-                    suf_hits[prefix_end:max_index + 1])
-                if hits.size == 0:
+                j = int(np.searchsorted(suf_pos, prefix_end))
+                if j >= len(suf_pos) or suf_pos[j] > max_index:
                     break
-                peek = int(hits[0]) + prefix_end
+                peek = int(suf_pos[j])
                 out += self.extractor.extract(
                     page, prefix_end - 1, peek, ignored_regions,
                     suffix_max_length=slen)
