@@ -140,6 +140,25 @@ def _check_digest_budget(n_hashes: int) -> None:
                          "of eight 32-bit slices")
 
 
+def _digests(shingle_arr):
+    """``md5(s) || md5(s || '#')`` per element of a shingle array."""
+    return F.transform(
+        shingle_arr,
+        lambda s: F.concat(F.md5(s), F.md5(F.concat(s, F.lit("#")))))
+
+
+def _sig_cols(hs_col, n_hashes: int):
+    """sig_k columns from a bound digest-array column (array-local min:
+    each 8-hex slice family takes ``array_min`` over the digests — the
+    lexicographic min the exploded groupBy used to compute, with zero
+    shuffle)."""
+    return [
+        F.array_min(F.transform(
+            hs_col, lambda h: F.substring(h, k * 8 + 1, 8)))
+        .alias("sig_%d" % k)
+        for k in range(n_hashes)]
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
                        ) -> DataFrame:
     """Per-document MinHash signature.
@@ -151,6 +170,16 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
     hash because it is bit-identical in Spark and DuckDB, which lets the
     correctness driver validate the whole signature pipeline against a
     pure-SQL oracle.
+
+    Computed ARRAY-LOCALLY: the digest array is bound once per doc in
+    its own projection (multi-referenced non-cheap expressions survive
+    CollapseProject, the shared_substring_pairs convention) and each
+    sig_k is an ``array_min`` over it — the whole signature pipeline is
+    a map-only scan.  The previous explode → groupBy(doc_id) shape
+    planned as TWO SortAggregates around a hash exchange (string min
+    has no hash-agg fast path), sorting every exploded shingle row
+    twice; removing it cut dedup_minhash_bands' plan to scan + project
+    (guide §2.4 — remove shuffles outright).
     """
     _check_digest_budget(n_hashes)  # validate before touching docs
     # docs shorter than one shingle would all hash to the same NULL-band
@@ -158,53 +187,17 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
     # (they can't be near-dups by n-gram similarity anyway)
     long_enough = docs.where(
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
-    # explode distinct shingles so the md5 pair is computed exactly once
-    # per (doc, shingle) — array-expression variants get inlined by
-    # Catalyst's projection collapse into every sig_k column, re-running
-    # the digests k times.
-    sh = _spread(long_enough.select("doc_id", "text")).select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingles())).alias("shingle"))
-    return _signatures_from_shingles(sh, n_hashes)
+    base = _spread(long_enough.select("doc_id", "text")).select(
+        "doc_id", F.array_distinct(_shingles()).alias("_sh"))
+    bound = base.select("doc_id", _digests(F.col("_sh")).alias("_hs"))
+    return bound.select("doc_id", *_sig_cols(F.col("_hs"), n_hashes))
 
 
-def _signatures_from_shingles(sh: DataFrame, n_hashes: int = N_HASHES
-                              ) -> DataFrame:
-    """Signatures from an ALREADY-exploded distinct (doc_id, shingle)
-    frame — lets jaccard_pairs feed its cached shingle table into the
-    banding pipeline instead of re-running the regex tokenization (the
-    single most expensive pass) a second time.  The groupBy mins
-    aggregate map-side (partial agg), so the shuffle carries n_hashes
-    8-char strings per doc.
-    """
-    _check_digest_budget(n_hashes)
-    # a sub-shingle doc contributes one NULL shingle row: dropped here
-    # (the long_enough guard's role in the docs path) — its all-NULL
-    # sigs would otherwise fold every short doc into ONE degenerate
-    # band bucket and quadratically blow up the candidate join
-    digests = sh.where(F.col("shingle").isNotNull()).select(
-        "doc_id",
-        F.concat(F.md5("shingle"),
-                 F.md5(F.concat("shingle", F.lit("#")))).alias("h"))
-    return digests.groupBy("doc_id").agg(
-        *[F.min(F.substring("h", k * 8 + 1, 8)).alias("sig_%d" % k)
-          for k in range(n_hashes)])
-
-
-def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
-                  band_size: int = BAND_SIZE,
-                  shingles: DataFrame | None = None) -> DataFrame:
-    """(doc_id, band_id, band_key): LSH bucketing of the signatures.
-
-    One explode over a struct array instead of a per-band union: a
-    union re-runs the whole signature pipeline once per band.
-    ``shingles`` optionally supplies a pre-exploded (doc_id, shingle)
-    frame so a caller that already tokenized (jaccard_pairs) doesn't
-    pay the scan twice.
-    """
-    sigs = (_signatures_from_shingles(shingles, n_hashes)
-            if shingles is not None
-            else minhash_signatures(docs, n_hashes))
+def _bands_from_sigs(sigs: DataFrame, n_hashes: int = N_HASHES,
+                     band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_id, band_key) from a signature frame — one explode
+    over a struct array instead of a per-band union (a union re-runs
+    the signature pipeline once per band)."""
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -216,22 +209,34 @@ def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
             .select("doc_id", "b.band_id", "b.band_key"))
 
 
+def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
+                  band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_id, band_key): LSH bucketing of the signatures.
+
+    Map-only end to end: array-local signatures + the band explode —
+    no exchange anywhere in the plan (the one repartition is
+    ``_spread`` widening a single-file scan)."""
+    return _bands_from_sigs(minhash_signatures(docs, n_hashes),
+                            n_hashes, band_size)
+
+
 def _candidates_impl(docs: DataFrame, max_bucket: int,
-                     shingles: DataFrame | None = None):
+                     bands: DataFrame | None = None):
     """(candidate pairs, [cached intermediates]) — see minhash_candidates."""
-    # cache: a self-join of an unmaterialized plan computes the whole
-    # signature pipeline once per side
-    bands = _cap_buckets(minhash_bands(docs, shingles=shingles),
-                         ["band_id", "band_key"],
-                         max_bucket).cache()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # no cache: the band pipeline is map-only, so the self-join's two
+    # sides sit above ONE reused exchange (the _cap_buckets window's) —
+    # the signature work runs once in the map stage regardless
+    capped = _cap_buckets(bands if bands is not None
+                          else minhash_bands(docs),
+                          ["band_id", "band_key"], max_bucket)
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (a.join(b, ["band_id", "band_key"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    return pairs, [bands]
+    return pairs, []
 
 
 def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET
@@ -277,19 +282,17 @@ def minhash_candidates_delta(new_docs: DataFrame,
     not computed twice per micro-batch; the caller owns their
     persistence.
     """
-    # cache only the COMPUTED side (the new batch's signatures): at
-    # crawl scale the index side is a materialized table whose scan is
-    # cheaper than pinning O(corpus) bands in executor storage per
-    # increment; the cap window over the union recomputes per join
-    # side, but its exchange is identical on both and gets reused.
+    # no cache on either side: the new batch's band pipeline is now
+    # map-only (array-local signatures), and the cap window over the
+    # union introduces ONE exchange that both self-join sides reuse —
+    # the signature work runs once in the map stage regardless.
     if new_bands is None:
         nb = (minhash_bands(new_docs)
-              .withColumn("is_new", F.lit(True)).cache())
-        owned = [nb]
+              .withColumn("is_new", F.lit(True)))
     else:
         nb = (new_bands.select("doc_id", "band_id", "band_key")
               .withColumn("is_new", F.lit(True)))
-        owned = []
+    owned = []
     idx = (index_bands.select("doc_id", "band_id", "band_key")
            .withColumn("is_new", F.lit(False)))
     allb = _cap_buckets(nb.unionByName(idx),
@@ -316,34 +319,45 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                   max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Exact n-gram Jaccard for banded candidates (verify stage).
 
-    Explode shingles once, join candidates to shingle sets, compute
-    |A∩B| / |A∪B| with groupBy counts — no per-row Python anywhere.
+    The per-doc DISTINCT shingle array is computed (and cached) once;
+    the banding pipeline derives its signatures from it array-locally,
+    and the verify stage attaches the two shingle arrays to each
+    candidate pair by doc_id and scores |A∩B| / |A∪B| with
+    ``array_intersect`` — the exploded shingle table (and the two
+    corpus-sized joins through the shingle VALUE it used to require)
+    is gone: candidate pairs are orders of magnitude fewer than
+    shingle rows, so the intersection work moves to exactly the rows
+    that need it (guide §2.3 — shuffle keys and metadata, not
+    payloads).  No per-row Python anywhere.
     """
-    # the exploded shingle set feeds three consumers (sizes, both join
-    # sides); cache it so the regex tokenization runs once
-    sh = _spread(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(F.array_distinct(_shingles()))
-        .alias("shingle")).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # the cached shingles feed the banding pipeline too — without
-    # this the minhash path re-scans and re-shingles the whole corpus
-    cands, cached = _candidates_impl(docs, max_bucket, shingles=sh)
-    # count common shingles by joining candidates through the shingle value
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    common = (cands.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
-              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
-    out = (common
-           .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n", "n_a"), "doc_a")
-           .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n", "n_b"), "doc_b")
+    # per-doc distinct shingles; cached — three consumers (banding,
+    # both pair-attach sides) must not re-run the regex tokenization
+    perdoc = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.array_distinct(_shingles()).alias("sh")).cache()
+    # sub-shingle docs carry [NULL] shingle arrays (the long_enough
+    # guard's role in the signature path): keep them OUT of banding so
+    # they can't fold into one degenerate band bucket
+    eligible = perdoc.where(F.get("sh", 0).isNotNull())
+    sigs = (eligible.select("doc_id", _digests(F.col("sh")).alias("_hs"))
+            .select("doc_id", *_sig_cols(F.col("_hs"), N_HASHES)))
+    cands, cached = _candidates_impl(docs, max_bucket,
+                                     bands=_bands_from_sigs(sigs))
+    a = perdoc.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sh").alias("_sha"))
+    b = perdoc.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sh").alias("_shb"))
+    out = (cands.join(a, "doc_a").join(b, "doc_b")
+           .select("doc_a", "doc_b",
+                   F.size(F.array_intersect("_sha", "_shb"))
+                   .alias("n_common"),
+                   F.size("_sha").alias("n_a"),
+                   F.size("_shb").alias("n_b"))
            .select("doc_a", "doc_b",
                    F.round(F.col("n_common")
                            / (F.col("n_a") + F.col("n_b")
                               - F.col("n_common")), 6).alias("jaccard"))
            .where(F.col("jaccard") >= threshold))
-    return _unpersist_on_gc(out, cached + [sh])
+    return _unpersist_on_gc(out, cached + [perdoc])
 
 
 def shared_substring_pairs(docs: DataFrame, n_chars: int = 32,
@@ -415,6 +429,11 @@ def shared_substring_pairs(docs: DataFrame, n_chars: int = 32,
     if gram_frac > 1:
         g = g.where(
             F.substring("g", 1, 1) < F.lit("0123456789abcdef"[16 // gram_frac]))
+    # shuffle the 16-byte binary digest, not its 32-char hex rendering:
+    # unhex is injective, so grouping/joining on the binary form yields
+    # identical pairs at half the exchange and cache bytes (guide §2.3
+    # — narrower types)
+    g = g.select("doc_id", F.unhex("g").alias("g"))
     g = _cap_buckets(g, ["g"], max_bucket).cache()
     pairs = (g.alias("a").join(g.alias("b"), "g")
              .where(F.col("a.doc_id") < F.col("b.doc_id"))

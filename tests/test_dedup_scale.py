@@ -105,14 +105,19 @@ def test_lsh_caches_freed_after_use(spark):
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     rows = [(i, "w%d x%d y%d z%d q%d" % (i % 5, i % 7, i % 3, i % 2,
                                          i % 11)) for i in range(60)]
-    for fn in (dedup.minhash_candidates,
-               lambda d: dedup.jaccard_pairs(d, threshold=0.1),
-               dedup.simhash_near_pairs,
-               lambda d: dedup.shared_substring_pairs(
-                   d, n_chars=8, min_shared=1)):
+    # minhash_candidates is cache-free since the array-local signature
+    # rewrite (its self-join sides share one reused exchange), so it
+    # asserts only the no-leak half
+    for fn, uses_cache in (
+            (dedup.minhash_candidates, False),
+            (lambda d: dedup.jaccard_pairs(d, threshold=0.1), True),
+            (dedup.simhash_near_pairs, True),
+            (lambda d: dedup.shared_substring_pairs(
+                d, n_chars=8, min_shared=1), True)):
         res = fn(_docs(spark, rows))
         res.collect()
-        assert not cache_mgr.isEmpty()  # cache was actually used
+        if uses_cache:
+            assert not cache_mgr.isEmpty()  # cache was actually used
         del res
         gc.collect()
         assert cache_mgr.isEmpty(), "cached intermediates leaked"
