@@ -263,28 +263,47 @@ def cuckoo_seen_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = ck.CuckooSpec(n_shards=n_shards, shard_buckets=buckets,
                          bucket_slots=4)
 
-    def urls(pred=None):
-        src = orders.where(pred) if pred else orders
-        return canonicalize_df(
-            src.selectExpr("%s AS url" % _SPARK_RAW_URL)) \
-            .withColumn("url_key", F.hash("canonical_url"))
+    # canonicalize ONCE with o_orderkey carried through the kernel and
+    # derive frontier/seen/evict as filters of the materialized frame —
+    # the previous per-subset calls ran the Arrow canonicalization
+    # kernel over the orders-derived URLs three separate times.  EAGER
+    # localCheckpoint, not cache: the plan fans out into ~7 concurrent
+    # AQE stage jobs (insert keys, delete keys, probe, exact
+    # fallthrough), and concurrent consumers of a cold cache RACE —
+    # each job re-ran the full canonicalization before any could
+    # populate the cache (profiled: seven 2.5s duplicate
+    # materializations).  The checkpoint runs once, serially, before
+    # the fan-out.
+    base = (canonicalize_df(
+        orders.selectExpr("o_orderkey", "%s AS url" % _SPARK_RAW_URL))
+        .withColumn("url_key", F.hash("canonical_url"))
+        .select("o_orderkey", "canonical_url", "host", "url_key")
+        .localCheckpoint(eager=True))
 
-    frontier = urls().select("canonical_url", "host", "url_key")
-    seen = urls("o_orderkey % 3 = 0").select("canonical_url", "url_key")
+    frontier = base.select("canonical_url", "host", "url_key")
+    seen = base.where("o_orderkey % 3 = 0") \
+        .select("canonical_url", "url_key")
     # recrawl eviction: a subset of seen (15 = lcm(3,5)) — satisfies
     # the cuckoo delete contract (only previously-inserted keys)
-    evict = seen.join(urls("o_orderkey % 15 = 0").select("url_key"),
+    evict = seen.join(base.where("o_orderkey % 15 = 0")
+                      .select("url_key"),
                       "url_key", "left_semi")
     state = ck.delete(ck.insert(None, seen, spec), evict, spec)
     probed = ck.might_contain(frontier, state, spec)
     live_seen = seen.join(evict, "url_key", "left_anti") \
         .select("canonical_url")
-    return (probed.where(~F.col("maybe_seen"))
-            .select("canonical_url", "host")
-            .unionByName(
-                probed.where(F.col("maybe_seen"))
-                .join(live_seen, "canonical_url", "left_anti")
-                .select("canonical_url", "host")))
+    # ONE pass over the probed frontier: the definitely-unseen branch
+    # and the maybe_seen exact-fallthrough anti-join are folded into a
+    # single left join + filter (live_seen is unique on canonical_url —
+    # the URL is injective in o_orderkey — so left-join-is-null is
+    # exactly anti-join and no row duplicates).  The previous
+    # two-branch union consumed `probed` twice, and cogroup stages are
+    # not exchange-reused, so the whole insert→delete→probe chain
+    # executed end to end once per branch.
+    return (probed.join(live_seen.withColumn("_in_seen", F.lit(1)),
+                        "canonical_url", "left")
+            .where((~F.col("maybe_seen")) | F.col("_in_seen").isNull())
+            .select("canonical_url", "host"))
 
 
 # --------------------------------------------------------------------------

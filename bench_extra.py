@@ -32,16 +32,36 @@ def _qs():
     return dict(contract.queries(), **bench._approx_twins())
 
 
-def _session():
+def _session(extra_conf=None):
     import bench
-    spark = bench._session(CPUS, "scrapely-spark-bench-extra")
+    if extra_conf:
+        from scrapely_spark.spark.session import get_spark
+        spark = get_spark("scrapely-spark-bench-extra",
+                          master="local[%s]" % CPUS,
+                          shuffle_partitions=int(CPUS),
+                          extra_conf=extra_conf)
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = bench._session(CPUS, "scrapely-spark-bench-extra")
     bench.warmup(spark)
     return spark
 
 
+def _extra_conf_from_argv():
+    conf = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--conf="):
+            k, v = a.split("=", 2)[1:]
+            conf[k] = v
+        elif a.startswith("--conf:"):
+            k, v = a[len("--conf:"):].split("=", 1)
+            conf[k] = v
+    return conf or None
+
+
 def time_queries(names, noop=False, repeats=1):
     qs = _qs()
-    spark = _session()
+    spark = _session(_extra_conf_from_argv())
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     out = {}

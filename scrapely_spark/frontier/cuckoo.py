@@ -284,53 +284,53 @@ def might_contain(candidates: DataFrame, state_df: DataFrame,
                   ) -> DataFrame:
     """Append ``maybe_seen`` (bool): fingerprint present in either
     bucket or the stash.  Same contract as bloom.might_contain — False
-    is definitive, True falls through to the exact anti-join.  One
-    shard join (broadcast while the filter is small, shuffle-hash at
-    full scale) + one vectorized partition kernel.
+    is definitive, True falls through to the exact anti-join.
+
+    Shape: one ``cogroup.applyInPandas`` on the shard key — the same
+    MERGE-style grouping insert/delete use — so each shard's 2 KiB
+    state crosses the Python boundary ONCE per shard instead of being
+    join-duplicated onto every candidate row (the previous shape
+    shipped |candidates| × 2 KiB through Arrow — ~300 MB at the sf0.1
+    frontier — and probed row-at-a-time in Python; this one is a
+    single vectorized gather per shard).  Per-shard candidate groups
+    must fit in worker memory, the constraint insert/delete already
+    impose; ``n_shards`` scales with the frontier exactly as it must
+    for their insert parallelism.
     """
     with_shard = candidates.withColumn(
         "shard",
         F.pmod(F.col(key_col).cast("long"),
                F.lit(spec.n_shards)).cast("int"))
-    state_bytes = spec.n_shards * (spec.n_slots * 2 + 64)
-    state_side = (F.broadcast(state_df)
-                  if state_bytes <= 64 * 1024 * 1024
-                  else state_df.hint("shuffle_hash"))
-    joined = with_shard.join(state_side, "shard", "left")
     out_schema = ", ".join(
         "%s %s" % (f.name, f.dataType.simpleString())
         for f in candidates.schema.fields) + ", maybe_seen boolean"
     out_cols = [f.name for f in candidates.schema.fields] + ["maybe_seen"]
 
-    def check(batches):
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=bool)
-            have = pdf["slots"].notna().to_numpy()
-            if have.any():
-                keys = pdf[key_col].to_numpy()[have]
-                _, buckets, fps = key_parts(keys, spec)
-                alts = alt_bucket(buckets, fps, spec)
-                sub = np.zeros(have.sum(), dtype=bool)
-                rows = pdf.loc[have]
-                for j, (b, a, f, srow, st) in enumerate(zip(
-                        buckets.tolist(), alts.tolist(), fps.tolist(),
-                        rows["slots"], rows["stash"])):
-                    slots = np.frombuffer(bytes(srow), dtype="<u2")
-                    bs = spec.bucket_slots
-                    if (slots[b * bs:(b + 1) * bs] == f).any() \
-                            or (slots[a * bs:(a + 1) * bs] == f).any():
-                        sub[j] = True
-                    elif len(st):
-                        stash = np.frombuffer(bytes(st), dtype="<u2")
-                        sub[j] = bool(
-                            stash[np.searchsorted(stash, f)
-                                  % len(stash)] == f)
-                out[have] = sub
-            result = pdf.drop(columns=["slots", "stash", "shard"])
-            result["maybe_seen"] = out
-            yield result[out_cols]
+    def check_shard(pdf_cand: pd.DataFrame, pdf_state: pd.DataFrame
+                    ) -> pd.DataFrame:
+        result = pdf_cand.drop(columns=["shard"])
+        out = np.zeros(len(pdf_cand), dtype=bool)
+        if len(pdf_cand) and len(pdf_state):
+            row = pdf_state.iloc[0]
+            slots = np.frombuffer(bytes(row["slots"]), dtype="<u2")
+            view = slots.reshape(spec.shard_buckets, spec.bucket_slots)
+            keys = pdf_cand[key_col].to_numpy()
+            _, buckets, fps = key_parts(keys, spec)
+            alts = alt_bucket(buckets, fps, spec)
+            hit = ((view[buckets] == fps[:, None]).any(axis=1)
+                   | (view[alts] == fps[:, None]).any(axis=1))
+            st = b"" if row["stash"] is None else bytes(row["stash"])
+            if len(st):
+                stash = np.frombuffer(st, dtype="<u2")
+                hit |= np.isin(fps, stash)
+            out[:] = hit
+        result = result.copy()
+        result["maybe_seen"] = out
+        return result[out_cols]
 
-    return joined.mapInPandas(check, out_schema)
+    return (with_shard.groupBy("shard")
+            .cogroup(state_df.groupBy("shard"))
+            .applyInPandas(check_shard, out_schema))
 
 
 def load_factor(state_df: DataFrame, spec: CuckooSpec) -> DataFrame:

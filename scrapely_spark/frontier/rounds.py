@@ -184,7 +184,7 @@ def seed_round(spark, store: StateStore, seed_urls, robots: DataFrame,
         seeds = spark.createDataFrame([(u,) for u in seed_urls],
                                       "url string")
         n_seeded = len(seed_urls)
-    canon = (canonicalize_df(seeds)
+    canon = (canonicalize_df(seeds, spread=False)
              # same malformed-URL drop as discovered links in
              # _round_body: an unparseable seed ('http://[') must not
              # plant an empty-key row in SEEN/ENQUEUED/the filter
@@ -241,7 +241,8 @@ def prepare_replay_store(pages: DataFrame) -> DataFrame:
     store may hold any equivalent spelling (default ports, case,
     unsorted queries) — the oracle keys by canonicalize(url), so must we.
     """
-    canon = canonicalize_df(pages.select("url", "body"))
+    canon = canonicalize_df(pages.select("url", "body"),
+                        spread=False)
     # equivalent spellings collapse to ONE row per canonical key — a
     # duplicate would double-fire the replay join and the extraction
     # kernel.  min(body) is a deterministic election (the synthetic
@@ -443,7 +444,7 @@ def _round_body(spark, store: StateStore, pages: DataFrame,
     # cached: two consumers (frontier candidates + LINKS edges) must
     # not each re-run the explode + Arrow canonicalize kernel — the
     # round's heaviest Python work; freed in finish()
-    canon_links = (canonicalize_df(links)
+    canon_links = (canonicalize_df(links, spread=False)
                    .where((F.col("canonical_url") != "")
                           & (F.col("host") != ""))
                    .cache())

@@ -755,10 +755,17 @@ def top_pmi_bigrams(docs: DataFrame, k: int = 50,
     ties by bigram — deterministic across engines and summation
     orders).
     """
+    from scrapely_spark.spark.dedup import _spread
+
     # drop the '' token split() yields for empty/whitespace-only docs
     # (bpe_train's tokenizer contract) — it would otherwise count one
     # phantom unigram per empty doc and shift every PMI denominator
     w = F.filter(_words(), lambda x: F.length(x) > 0)
+    # widen a single-split scan before the corpus-sized explode: the
+    # tagged explode + partial agg is the job's entire map cost and
+    # otherwise runs as ONE task (guide §2.5 input skew — measured 7s
+    # single-task at sf0.1, the whole query's wall time)
+    docs = _spread(docs.select("text"))
     # _ngrams is NULL below 2 words — coalesce to empty or concat()
     # nulls out the whole array and a 1-word doc loses its UNIGRAM
     tagged = docs.select(F.explode(F.concat(

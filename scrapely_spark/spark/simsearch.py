@@ -269,8 +269,11 @@ def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     # normalized vectors re-join by key, and the capped banded table
     # is cached so both join sides stop re-evaluating the n_planes
     # interpreted dot products per row
-    from scrapely_spark.spark.dedup import _cap_buckets
-    banded = (embeddings.select(
+    from scrapely_spark.spark.dedup import _cap_buckets, _spread
+    # widen a single-split scan before the n_planes interpreted dot
+    # products per row — the banding is the map cost and otherwise
+    # runs as one task (guide §2.5)
+    banded = (_spread(embeddings.select("vec_id", vec_col)).select(
         "vec_id", F.explode(band_arr).alias("b"))
         .select("vec_id", "b.band_id", "b.band_key"))
     banded = _cap_buckets(banded, ["band_id", "band_key"],
@@ -345,8 +348,10 @@ def hard_negatives(embeddings: DataFrame, k: int = 3,
     # re-join the normalized vectors by key (the standard re-join
     # shape; cuts the band shuffle to two longs per row and computes
     # each surviving pair's dot product exactly once)
-    from scrapely_spark.spark.dedup import _cap_buckets
-    banded = (embeddings.select(
+    from scrapely_spark.spark.dedup import _cap_buckets, _spread
+    # widen a single-split scan before the n_planes interpreted dot
+    # products per row (guide §2.5 — otherwise one task does them all)
+    banded = (_spread(embeddings.select("vec_id", vec_col)).select(
         "vec_id", F.explode(band_arr).alias("b"))
         .select("vec_id", "b.band_id", "b.band_key"))
     # cache: both sides of the self-join would otherwise recompute the

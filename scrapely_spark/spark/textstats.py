@@ -223,8 +223,14 @@ def lm_perplexity(docs: DataFrame, n_buckets: int = 3,
     # (the bpe_train tokenizer contract) — it would otherwise add a
     # phantom '' row to the vocabulary V and shift every smoothed
     # probability
+    from scrapely_spark.spark.dedup import _spread
+
     words = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
                      lambda x: F.length(x) > 0)
+    # widen a single-split scan before the two corpus-sized explodes
+    # below — they are the job's map cost and otherwise run as one
+    # task each (guide §2.5)
+    docs = _spread(docs.select("doc_id", "lang", "text"))
     base = docs.select("doc_id", "lang", words.alias("w"),
                        F.size(words).alias("n"))
     starts = F.when(F.col("n") >= 2,
