@@ -675,6 +675,50 @@ def crawl(spark, store: StateStore, pages: DataFrame, robots: DataFrame,
     replayed bit-identically by the oracle's pure-python twins
     (adaptive_crawl_delay_py / budget_caps_py).
     """
+    # Let AQE size the partitions of CACHED plans for the crawl's
+    # lifetime (restored on exit).  Every round caches four round-delta
+    # frames (ext, canon_links, flagged, new_urls); with the upstream
+    # default (false — a plan-compatibility choice, not a performance
+    # one) those materialize at the full shuffle-partition count, and
+    # the round's many small stages go task-dispatch-bound (profiled:
+    # ~0.7s per 64-task stage over KB-sized partitions at the sandbox
+    # round size — flipping this measured 2297 → 2886 urls/s, same
+    # fetched/extracted counts).  Deltas at 10^10-URL scale are exactly
+    # what AQE's advisory partition size is for, so the setting is
+    # scale-neutral; queries outside the crawl keep the session default.
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # pragma: no cover - config always defined
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        return _crawl_impl(
+            spark, store, pages, robots, plan, seed_urls,
+            max_rounds=max_rounds, spec=spec,
+            round_seconds=round_seconds, compact_every=compact_every,
+            replay_buckets=replay_buckets,
+            authority_levels=authority_levels,
+            authority_iters=authority_iters,
+            template_budget=template_budget, seen_filter=seen_filter,
+            adaptive_delay=adaptive_delay,
+            adaptive_multiplier=adaptive_multiplier,
+            budget_fetches=budget_fetches)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _crawl_impl(spark, store: StateStore, pages: DataFrame,
+                robots: DataFrame, plan, seed_urls, max_rounds: int,
+                spec: BloomSpec | None, round_seconds: float,
+                compact_every: int | None, replay_buckets: int,
+                authority_levels: int, authority_iters: int,
+                template_budget: int, seen_filter,
+                adaptive_delay: bool, adaptive_multiplier: int,
+                budget_fetches: int) -> StateStore:
     spec = spec or BloomSpec()
     flt = seen_filter or BloomSeenFilter(spec)
     plan_bc = spark.sparkContext.broadcast(plan)
