@@ -44,7 +44,10 @@ def _broadcast_plan(spark, plan: ExtractionPlan):
     session lifetime.  Cached on the plan object itself, so the
     broadcast dies with the plan."""
     cached = getattr(plan, "_bc_by_session", None)
-    sid = id(spark.sparkContext)
+    # keyed on applicationId, not id(sparkContext): after a context
+    # stop/restart CPython can reuse the same object id, which would
+    # hand back a stale broadcast bound to the dead JVM (ADVICE r5)
+    sid = spark.sparkContext.applicationId
     if cached is not None and cached[0] == sid:
         return cached[1]
     bc = spark.sparkContext.broadcast(plan)

@@ -76,7 +76,12 @@ def fast_local_dir() -> str | None:
     try:
         st = os.statvfs(shm)
         if st.f_bavail * st.f_frsize >= 32 << 30:
-            path = os.path.join(shm, "spark-graft-local")
+            # per-uid subdirectory: the previous fixed world-shared
+            # path could collide with another user owning it (ADVICE
+            # r5); uid (not pid) so repeated sessions of one user
+            # still share scratch and old dirs don't accumulate
+            path = os.path.join(
+                shm, "spark-graft-local-%d" % os.getuid())
             os.makedirs(path, exist_ok=True)
             return path
     except OSError:

@@ -105,7 +105,12 @@ def kmv_bottom_k(df: DataFrame, group_cols: list[str], value_col,
     """The raw sketch (group_cols + ``_h`` + ``_k`` rows) for merge
     pipelines.  NULL values carry no identity and are excluded, the
     COUNT(DISTINCT) convention; the ``_k`` stamp lets every consumer
-    reject a k mismatch loudly instead of mis-estimating."""
+    reject a k mismatch loudly instead of mis-estimating.
+
+    Schema note (round 5): the ``_k`` column is new — sketch tables
+    persisted by the pre-r5 version lack it.  ``kmv_merge`` handles
+    legacy sketches, so combine stored old and new sketches through
+    :func:`kmv_merge`, never a raw ``unionByName``."""
     hashed = (df.where(value_col.isNotNull())
               .select(*group_cols, kmv_hash(value_col).alias("_h"))
               .distinct())

@@ -142,6 +142,13 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     executors exactly like the built-in session_window state store, so
     the operator scales with key cardinality, not event volume.
 
+    Checkpoint compatibility: the state row widened in round 5 from
+    3 fields (n, total, last_us) to 5 (n, n_vals, n_ts, total,
+    last_us).  A stream restarted from a checkpoint written by the
+    3-field version will fail to deserialize its state — restart such
+    streams from a fresh checkpoint (state rebuilds from the source on
+    replay); there is no in-place migration.
+
     On a static DataFrame the same result is one ``groupBy().agg()`` —
     that batch twin is what the correctness oracle checks; the
     streaming/batch parity test drives this operator file-by-file

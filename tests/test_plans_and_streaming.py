@@ -584,10 +584,12 @@ def test_compact_index_recovers_from_kill(spark, tmp_path):
     assert rows(idx2) == before2
 
 
-def test_cuckoo_probe_broadcasts_filter_state(spark):
-    """The cuckoo probe joins candidates against the shard table:
-    broadcast while the filter fits the threshold, and never a
-    BroadcastNestedLoopJoin — the shard id is an equi-key."""
+def test_cuckoo_probe_cogroups_per_shard(spark):
+    """The cuckoo probe cogroups candidates with the shard table on the
+    shard key (the r6 shape): each shard's 2 KiB state crosses the
+    Python boundary once per shard instead of being join-duplicated
+    onto every candidate row, and no join of any kind multiplies the
+    state bytes into the candidate stream."""
     from scrapely_spark.frontier import cuckoo as ck
     from scrapely_spark.frontier.cuckoo import CuckooSpec
 
@@ -597,8 +599,12 @@ def test_cuckoo_probe_broadcasts_filter_state(spark):
     state = ck.insert(None, keys, spec)
     probe = ck.might_contain(keys, state, spec)
     plan = _physical(probe)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the state blob columns must never appear in the probe's output
+    # stream (they would ride every candidate row through Arrow)
+    assert "maybe_seen" in probe.columns
+    assert "slots" not in probe.columns and "stash" not in probe.columns
 
 
 def test_recall_at_k_is_one_small_join(spark):
