@@ -119,14 +119,28 @@ def normalized_exact(docs: DataFrame) -> DataFrame:
                  F.count("*").alias("n_dups")))
 
 
-def _shingles(n: int = 3):
-    """Word n-gram shingles of the text column (JVM array expr)."""
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+def _words():
+    """The lowercased whitespace-token array of the text column."""
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _shingles_of(words_col, n: int = 3):
+    """Word n-gram shingles from a BOUND token-array column.
+
+    ``words_col`` must be a plain column reference (bind ``_words()``
+    in its own projection first): expressions inside higher-order
+    function lambdas are not subexpression-eliminated, so an inline
+    ``split()`` here would re-run the regex tokenization once per
+    array access — O(words x text_len) per document (measured as the
+    dominant corpus CPU cost before the split was hoisted).
+    """
+    idx = F.sequence(F.lit(0),
+                     F.greatest(F.size(words_col) - n, F.lit(0)))
     # F.get is null-safe out of bounds (element_at raises under ANSI mode)
     return F.transform(
         idx, lambda i: F.concat(
-            *sum([[F.get(words, i + k)] + ([F.lit(" ")] if k < n - 1 else [])
+            *sum([[F.get(words_col, i + k)]
+                  + ([F.lit(" ")] if k < n - 1 else [])
                   for k in range(n)], [])))
 
 
@@ -188,7 +202,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES
     long_enough = docs.where(
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
     base = _spread(long_enough.select("doc_id", "text")).select(
-        "doc_id", F.array_distinct(_shingles()).alias("_sh"))
+        "doc_id", _words().alias("_w")).select(
+        "doc_id", F.array_distinct(_shingles_of(F.col("_w"))).alias("_sh"))
     bound = base.select("doc_id", _digests(F.col("_sh")).alias("_hs"))
     return bound.select("doc_id", *_sig_cols(F.col("_hs"), n_hashes))
 
@@ -221,14 +236,26 @@ def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
 
 
 def _candidates_impl(docs: DataFrame, max_bucket: int,
-                     bands: DataFrame | None = None):
-    """(candidate pairs, [cached intermediates]) — see minhash_candidates."""
-    # no cache: the band pipeline is map-only, so the self-join's two
-    # sides sit above ONE reused exchange (the _cap_buckets window's) —
-    # the signature work runs once in the map stage regardless
+                     bands: DataFrame | None = None,
+                     materialize: bool = False):
+    """(candidate pairs, [cached intermediates]) — see minhash_candidates.
+
+    ``materialize=True`` eagerly localCheckpoints the capped band table
+    before the self-join.  Needed when the band lineage is expensive
+    (jaccard_pairs' digest chain): the self-join plans as a broadcast
+    hash join whose build side RE-EXECUTES the whole
+    explode→exchange→window chain instead of reusing the streamed
+    side's exchange (broadcast-thread subqueries are not
+    exchange-reused — measured: the duplicated chain ran the full
+    tokenize+digest pipeline a second time, once as a single-task scan
+    stage).  The checkpoint computes the slim (doc_id, band_id,
+    band_key) table once, serially, and both join sides read blocks.
+    """
     capped = _cap_buckets(bands if bands is not None
                           else minhash_bands(docs),
                           ["band_id", "band_key"], max_bucket)
+    if materialize:
+        capped = capped.localCheckpoint(eager=True)
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = (a.join(b, ["band_id", "band_key"])
@@ -319,7 +346,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                   max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Exact n-gram Jaccard for banded candidates (verify stage).
 
-    The per-doc DISTINCT shingle array is computed (and cached) once;
+    The per-doc DISTINCT shingle array is computed (and eagerly
+    materialized) once;
     the banding pipeline derives its signatures from it array-locally,
     and the verify stage attaches the two shingle arrays to each
     candidate pair by doc_id and scores |A∩B| / |A∪B| with
@@ -330,10 +358,21 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     that need it (guide §2.3 — shuffle keys and metadata, not
     payloads).  No per-row Python anywhere.
     """
-    # per-doc distinct shingles; cached — three consumers (banding,
-    # both pair-attach sides) must not re-run the regex tokenization
+    # per-doc distinct shingles, materialized EAGERLY (localCheckpoint,
+    # not cache): three consumers (banding, both pair-attach sides)
+    # must not re-run the regex tokenization — the corpus's dominant
+    # CPU cost.  A lazy .cache() measured 3-6x slower here for two
+    # reasons: (a) concurrent AQE stage jobs racing a cold cache each
+    # recomputed the full tokenization, and (b) CacheManager matches
+    # plans structurally, so a previous call's deferred unpersist
+    # (fired by GC mid-query) dropped the CURRENT call's identical-plan
+    # cache and every consumer fell back to the raw scan.  The eager
+    # checkpoint is computed once, serially, owns its blocks (no
+    # cross-call plan matching), and frees them when the plan is GC'd.
     perdoc = _spread(docs.select("doc_id", "text")).select(
-        "doc_id", F.array_distinct(_shingles()).alias("sh")).cache()
+        "doc_id", _words().alias("_w")).select(
+        "doc_id", F.array_distinct(_shingles_of(F.col("_w"))).alias("sh")) \
+        .localCheckpoint(eager=True)
     # sub-shingle docs carry [NULL] shingle arrays (the long_enough
     # guard's role in the signature path): keep them OUT of banding so
     # they can't fold into one degenerate band bucket
@@ -341,7 +380,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     sigs = (eligible.select("doc_id", _digests(F.col("sh")).alias("_hs"))
             .select("doc_id", *_sig_cols(F.col("_hs"), N_HASHES)))
     cands, cached = _candidates_impl(docs, max_bucket,
-                                     bands=_bands_from_sigs(sigs))
+                                     bands=_bands_from_sigs(sigs),
+                                     materialize=True)
     a = perdoc.select(F.col("doc_id").alias("doc_a"),
                       F.col("sh").alias("_sha"))
     b = perdoc.select(F.col("doc_id").alias("doc_b"),
@@ -357,7 +397,9 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                            / (F.col("n_a") + F.col("n_b")
                               - F.col("n_common")), 6).alias("jaccard"))
            .where(F.col("jaccard") >= threshold))
-    return _unpersist_on_gc(out, cached + [perdoc])
+    # perdoc/capped are localCheckpoints, not cache entries — their
+    # blocks are freed by the ContextCleaner when the plan is GC'd
+    return _unpersist_on_gc(out, cached) if cached else out
 
 
 def shared_substring_pairs(docs: DataFrame, n_chars: int = 32,

@@ -234,6 +234,49 @@ def _band_keys(vec_col, planes: list, band_size: int):
             for b in range(len(planes) // band_size)]
 
 
+def _score_pairs(pairs: DataFrame, embeddings: DataFrame,
+                 a_col: str, b_col: str, vec_col: str) -> DataFrame:
+    """Attach both endpoint vectors to each candidate pair and score
+    cosine in ONE vectorized Arrow kernel.
+
+    The previous JVM spelling — ``aggregate(zip_with(va, vb, *))`` per
+    pair — runs interpreted (higher-order functions are excluded from
+    whole-stage codegen), measured at 40-250 CPU-seconds for ~1M
+    candidate pairs and unstable across runs.  The kernel computes the
+    same ``round(dot / (|a|·|b|), 6)`` with a float64 einsum over each
+    Arrow batch (guide §4.2) — the ``knn_join`` convention, whose
+    rounded scores agree with the SQL oracle's fold.  Join shape is
+    unchanged: pairs stay two longs through the shuffle; vectors
+    attach by key.
+    """
+    emb = embeddings.select("vec_id", vec_col)
+    both = (pairs
+            .join(emb.select(F.col("vec_id").alias(a_col),
+                             F.col(vec_col).alias("_va")), a_col)
+            .join(emb.select(F.col("vec_id").alias(b_col),
+                             F.col(vec_col).alias("_vb")), b_col)
+            .select(a_col, b_col, "_va", "_vb"))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf["_va"]])
+            B = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf["_vb"]])
+            an = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
+            bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+            cos = np.round(np.einsum("ij,ij->i", A, B) / (an * bn), 6)
+            yield pd.DataFrame({
+                a_col: pdf[a_col].astype("int64"),
+                b_col: pdf[b_col].astype("int64"),
+                "cosine": cos})
+
+    return both.mapInPandas(
+        score, "%s long, %s long, cosine double" % (a_col, b_col))
+
+
 def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
                          n_planes: int = 16, band_size: int = 4,
                          planes: list | None = None,
@@ -258,7 +301,6 @@ def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
                 "empty embeddings table; pass planes= explicitly")
         planes = hyperplanes(len(head[0]), n_planes)
     keys = _band_keys(vec_col, planes, band_size)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # one explode over a struct array, not a per-band union (a union
     # re-runs the scan + plane dot products once per band)
     band_arr = F.array(*[
@@ -276,31 +318,30 @@ def hyperplane_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     banded = (_spread(embeddings.select("vec_id", vec_col)).select(
         "vec_id", F.explode(band_arr).alias("b"))
         .select("vec_id", "b.band_id", "b.band_key"))
+    # eager localCheckpoint, not .cache(): the self-join below plans as
+    # a broadcast join whose build side is a separate concurrent stage
+    # job — two consumers racing a cold cache each re-ran the n_planes
+    # interpreted dot products per row (and a previous call's deferred
+    # unpersist can drop an identical-plan cache mid-query).  The
+    # checkpoint computes the slim (vec_id, band_id, band_key) table
+    # once, serially, before the fan-out.
     banded = _cap_buckets(banded, ["band_id", "band_key"],
-                          max_bucket).cache()
+                          max_bucket).localCheckpoint(eager=True)
     pairs = (banded.alias("a")
              .join(banded.alias("b"), ["band_id", "band_key"])
              .where(F.col("a.vec_id") < F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("vec_a"),
                      F.col("b.vec_id").alias("vec_b"))
              .distinct())
-    vecs = embeddings.select(
-        "vec_id", v.alias("v"),
-        _l2norm(v).alias("norm"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va.v"), F.col("vb.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    from scrapely_spark.spark.dedup import _unpersist_on_gc
-    out = (pairs
-           .join(vecs.alias("va"),
-                 F.col("vec_a") == F.col("va.vec_id"))
-           .join(vecs.alias("vb"),
-                 F.col("vec_b") == F.col("vb.vec_id"))
-           .select("vec_a", "vec_b",
-                   F.round(dot / (F.col("va.norm") * F.col("vb.norm")),
-                           6).alias("cosine"))
-           .where(F.col("cosine") >= threshold))
-    return _unpersist_on_gc(out, [banded])
+    # see hard_negatives: spread the scoring pass instead of letting
+    # AQE's byte-based coalescing serialize it onto a few partitions
+    pairs = pairs.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+        "vec_a")
+    # banded is a localCheckpoint — blocks are freed by the
+    # ContextCleaner when the plan is GC'd, no unpersist bookkeeping
+    scored = _score_pairs(pairs, embeddings, "vec_a", "vec_b", vec_col)
+    return scored.where(F.col("cosine") >= threshold)
 
 
 def hard_negatives(embeddings: DataFrame, k: int = 3,
@@ -338,7 +379,6 @@ def hard_negatives(embeddings: DataFrame, k: int = 3,
                 "empty embeddings table; pass planes= explicitly")
         planes = hyperplanes(len(head[0]), n_planes)
     keys = _band_keys(vec_col, planes, band_size)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band_id"), kk.alias("band_key"))
         for i, kk in enumerate(keys)])
@@ -354,38 +394,34 @@ def hard_negatives(embeddings: DataFrame, k: int = 3,
     banded = (_spread(embeddings.select("vec_id", vec_col)).select(
         "vec_id", F.explode(band_arr).alias("b"))
         .select("vec_id", "b.band_id", "b.band_key"))
-    # cache: both sides of the self-join would otherwise recompute the
-    # 16 interpreted hyperplane dot products per row (the banding is
-    # the expensive half, the cached table is three slim columns)
+    # eager localCheckpoint: both sides of the self-join would
+    # otherwise recompute the 16 interpreted hyperplane dot products
+    # per row (the banding is the expensive half, the materialized
+    # table is three slim columns) — see hyperplane_near_dups for why
+    # a lazy .cache() loses the race against concurrent stage jobs
     banded = _cap_buckets(banded, ["band_id", "band_key"],
-                          max_bucket).cache()
+                          max_bucket).localCheckpoint(eager=True)
     pairs = (banded.alias("a")
              .join(banded.alias("b"), ["band_id", "band_key"])
              .where(F.col("a.vec_id") != F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("anchor_id"),
                      F.col("b.vec_id").alias("neg_id"))
              .distinct())
-    vecs = embeddings.select(
-        "vec_id", v.alias("v"),
-        _l2norm(v).alias("norm"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va.v"), F.col("vb.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cand = (pairs
-            .join(vecs.alias("va"),
-                  F.col("anchor_id") == F.col("va.vec_id"))
-            .join(vecs.alias("vb"),
-                  F.col("neg_id") == F.col("vb.vec_id"))
-            .select("anchor_id", "neg_id",
-                    F.round(dot / (F.col("va.norm") * F.col("vb.norm")),
-                            6).alias("cosine"))
+    # spread the scoring pass across the cluster: the pair list is
+    # tiny in bytes, so AQE's byte-based coalescing would serialize
+    # the whole score stage onto a handful of partitions.  anchor_id
+    # is the window's partition key, so its ClusteredDistribution is
+    # already satisfied and no further exchange is added.
+    pairs = pairs.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+        "anchor_id")
+    cand = (_score_pairs(pairs, embeddings, "anchor_id", "neg_id",
+                         vec_col)
             .where(F.col("cosine") < dup_threshold))
     wr = (Window.partitionBy("anchor_id")
           .orderBy(F.col("cosine").desc(), F.col("neg_id").asc()))
-    from scrapely_spark.spark.dedup import _unpersist_on_gc
-    return _unpersist_on_gc(
-        cand.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= k), [banded])
+    return (cand.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k))
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -771,13 +807,15 @@ def semdedup(embeddings: DataFrame, eps: float = 0.4,
         F.lit(0.0), lambda acc, x: acc + x), 6)
     # slim feeds THREE consumers (both self-join sides and the final
     # per-vector output), and its lineage is the Arrow-batch matmul
-    # assignment plus the normalization fold — cache it so that pass
-    # runs once, not three times (the _candidates_impl convention;
-    # freed when the result frame is dropped)
+    # assignment plus the normalization fold — materialize it eagerly
+    # (localCheckpoint) so that pass runs once, not three times.  A
+    # lazy persist lost the race against concurrent stage jobs (see
+    # hyperplane_near_dups) and CacheManager's structural plan match
+    # let a previous call's deferred unpersist drop it mid-query.
     from scrapely_spark.spark.dedup import _cap_buckets
 
     slim = (cells.select("vec_id", "cell", vn.alias("vn"))
-            .withColumn("ccos", ccos)).persist()
+            .withColumn("ccos", ccos)).localCheckpoint(eager=True)
     capped = _cap_buckets(slim, ["cell"], max_cell)
     a, b = capped.alias("a"), capped.alias("b")
     cos = F.round(F.aggregate(
@@ -792,9 +830,7 @@ def semdedup(embeddings: DataFrame, eps: float = 0.4,
             .where(F.col("cos") >= eps)
             .select("vec_id").distinct()
             .withColumn("_dup", F.lit(True)))
-    from scrapely_spark.spark.dedup import _unpersist_on_gc
-    out = (slim.select("vec_id", "cell")
-           .join(dups, "vec_id", "left")
-           .select("vec_id", "cell",
-                   F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))
-    return _unpersist_on_gc(out, [slim])
+    return (slim.select("vec_id", "cell")
+            .join(dups, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))
