@@ -2184,7 +2184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .cast("string")).alias("dst"),
             F.element_at(phrases, (F.col("l_suppkey") % 12 + 1)
                          .cast("int")).alias("anchor"))
-        return search.anchor_text_profile(links, k=3)
+        # widen the single-split lineitem scan so the normalize +
+        # dedup map side doesn't run as one task (guide §2.5; the
+        # operator itself takes links as-given — a real crawl's link
+        # table arrives already partitioned)
+        from scrapely_spark.spark.dedup import _spread
+        return search.anchor_text_profile(_spread(links), k=3)
 
     def q_image_format_sniff(spark, sf):
         # magic-byte format sniffing + declared-format validation

@@ -723,6 +723,30 @@ def _crawl_impl(spark, store: StateStore, pages: DataFrame,
     flt = seen_filter or BloomSeenFilter(spec)
     plan_bc = spark.sparkContext.broadcast(plan)
     robots = robots.cache()
+    try:
+        return _crawl_rounds(spark, store, pages, robots, plan_bc,
+                             seed_urls, max_rounds, spec, round_seconds,
+                             compact_every, replay_buckets,
+                             authority_levels, authority_iters,
+                             template_budget, flt, adaptive_delay,
+                             adaptive_multiplier, budget_fetches)
+    finally:
+        # the crawl must not leak session state into whatever runs
+        # next: the robots cache and the executor copies of the plan
+        # broadcast are crawl-scoped (every output table is parquet in
+        # the store, so nothing returned evaluates them lazily)
+        robots.unpersist()
+        plan_bc.unpersist()
+
+
+def _crawl_rounds(spark, store: StateStore, pages: DataFrame,
+                  robots: DataFrame, plan_bc, seed_urls,
+                  max_rounds: int, spec, round_seconds: float,
+                  compact_every: int | None, replay_buckets: int,
+                  authority_levels: int, authority_iters: int,
+                  template_budget: int, flt,
+                  adaptive_delay: bool, adaptive_multiplier: int,
+                  budget_fetches: int) -> StateStore:
     # The replay page store is a *table*, not a cache (at 10^10 URLs it
     # can never live in executor memory), and it is bucketed by the join
     # key so per-round replay joins never shuffle it — see

@@ -331,8 +331,12 @@ def dsir_weights(docs: DataFrame, target_source: str,
     """
     bucket = (F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10)
               .cast("long") % n_buckets).alias("bucket")
-    toks = (docs.select("doc_id", "source",
-                        F.explode(_words()).alias("word"))
+    from scrapely_spark.spark.dedup import _spread
+    # widen a single-split scan before the corpus explode + per-token
+    # md5 bucketing (guide §2.5; no-op at real scale)
+    toks = (_spread(docs.select("doc_id", "source", "text"))
+            .select("doc_id", "source",
+                    F.explode(_words()).alias("word"))
             # empty/whitespace-only docs yield one '' token from
             # split(): no feature, not a phantom bucket hit
             .where(F.length("word") > 0))
@@ -432,7 +436,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     (``__spark_entry__._bpe_oracle_sql`` — same trick as the kmeans
     trainer oracle, one replace-based merge stage per iteration).
     """
-    vocab = (docs.select(F.explode(_words()).alias("word"))
+    from scrapely_spark.spark.dedup import _spread
+    # widen a single-split scan before the corpus-sized word explode +
+    # map-side partial count (guide §2.5 — otherwise one task does the
+    # whole corpus pass; a no-op whenever the scan yields enough splits)
+    vocab = (_spread(docs.select("text"))
+             .select(F.explode(_words()).alias("word"))
              .where(F.length("word") > 0)
              .groupBy("word").agg(F.count("*").alias("n"))
              .orderBy(F.desc("n"), F.asc("word"))
@@ -642,9 +651,13 @@ def bpe_tokenize_counts(docs: DataFrame, n_merges: int = 8,
     map-side.  One corpus-sized shuffle total, keyed by doc_id (unique,
     skew-free).
     """
+    from scrapely_spark.spark.dedup import _spread
     _, vocab = bpe_train(docs, n_merges, max_vocab_words)
     seg = vocab.select("word", F.size("syms").alias("n_syms"))
-    words = (docs.select("doc_id", F.explode(_words()).alias("word"))
+    # widen a single-split scan before the corpus-sized apply explode
+    # (guide §2.5; no-op at real scale)
+    words = (_spread(docs.select("doc_id", "text"))
+             .select("doc_id", F.explode(_words()).alias("word"))
              .where(F.length("word") > 0))
     return (words.join(F.broadcast(seg), "word", "left")
             .groupBy("doc_id")

@@ -90,11 +90,11 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
 
     Scale shape: ONE tokenize+explode feeds both aggregates — document
     frequency is derived from the already-deduplicated (doc_id, term)
-    counts, not a second pass over raw tokens; tf is cached so its two
-    consumers (the join side and the df aggregate) share one physical
-    computation (exchange reuse alone does not fire across the
-    broadcast boundary — verified on the executed plan), and the cache
-    is freed when the result is dropped.  The df join is left to AQE
+    counts, not a second pass over raw tokens; tf is eagerly
+    materialized so its two consumers (the join side and the df
+    aggregate) share one physical computation (exchange reuse alone
+    does not fire across the broadcast boundary — verified on the
+    executed plan).  The df join is left to AQE
     deliberately: at bench scale the aggregated vocabulary is small and
     AQE plans it as the broadcast build side (verified on the executed
     plan); at web scale a whitespace-token vocabulary can be billions
@@ -105,13 +105,19 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     ranking (ties by term), so the cut is reproducible across engines
     and summation orders.
     """
-    from scrapely_spark.spark.dedup import _unpersist_on_gc
-
     from scrapely_spark.spark.corpus import _words
+    from scrapely_spark.spark.dedup import _spread
 
-    toks = docs.select("doc_id", F.explode(_words()).alias("term"))
+    # widen a single-split scan before the corpus tokenize (guide
+    # §2.5), and materialize tf EAGERLY: a lazy .cache() here lost the
+    # race between its two consumers under concurrent AQE stage jobs
+    # and was vulnerable to CacheManager's structural-match unpersist
+    # (see dedup.jaccard_pairs) — the checkpointed table is the
+    # aggregated (doc, term) counts, vocabulary-sized
+    toks = (_spread(docs.select("doc_id", "text"))
+            .select("doc_id", F.explode(_words()).alias("term")))
     tf = (toks.groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf")).cache())
+          .agg(F.count("*").alias("tf")).localCheckpoint(eager=True))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
     scored = (tf.join(dfreq, "term").crossJoin(n_docs)
@@ -122,10 +128,9 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     from pyspark.sql import Window
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("term"))
-    out = (scored.withColumn("rank", F.row_number().over(w))
-           .where(F.col("rank") <= k)
-           .select("doc_id", "term", "score", "rank"))
-    return _unpersist_on_gc(out, [tf])
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "score", "rank"))
 
 
 # the classic generic-anchor stoplist: anchors that describe the ACT
