@@ -681,6 +681,19 @@ def clean_corpus(docs: DataFrame, min_quality: float = 0.4) -> DataFrame:
     the point is that the filter stack stays a single optimizable plan
     rather than three materialized passes.
     """
+    from scrapely_spark.spark.dedup import _spread
+    return _clean_impl(_spread(docs), min_quality)
+
+
+def _clean_impl(docs: DataFrame, min_quality: float) -> DataFrame:
+    """clean_corpus body over an already-widened docs frame.
+
+    Split out so scrub_corpus can widen docs ONCE and share the same
+    exchange across every per-doc map pass (the three passes below plus
+    its own repetition/PII legs) — identical spread subtrees reuse one
+    physical exchange, while nested ``_spread`` calls would stack a
+    second repartition (the file probe can't see an earlier widening).
+    """
     from scrapely_spark.spark import textstats
 
     quality = textstats.quality_scores(docs).select("doc_id", "quality")
@@ -712,8 +725,13 @@ def scrub_corpus(docs: DataFrame, min_quality: float = 0.4,
     joins rather than five materialized passes.
     """
     from scrapely_spark.spark import textstats
+    from scrapely_spark.spark.dedup import _spread
 
-    kept = clean_corpus(docs, min_quality)
+    # widen once and reuse the SAME frame for every leg: the identical
+    # exchange subtree is physically reused, so the repetition and PII
+    # legs ride the one widening clean's passes already pay for
+    docs = _spread(docs)
+    kept = _clean_impl(docs, min_quality)
     # repetition metrics are doc-local, so compute them only for docs
     # that survived the cheap filters: the bigram/trigram explode (the
     # dominant cost here) never runs on documents dedup/langid/quality

@@ -523,8 +523,14 @@ def image_corpus_build(images: DataFrame, min_dim: int = 64,
         .select("image_id"), "image_id")
     spam = (caption_spam(cur, spam_min_distinct)
             .select(F.col("caption_norm").alias("_cn")))
+    # clean feeds FIVE consumers (the banding lineage, the clusters
+    # doc side via the driver probe, aspect buckets, and the final
+    # caption join) — materialize it eagerly so the curation + spam
+    # anti-join chain runs once instead of once per consumer; the
+    # checkpointed table is image metadata + caption, never pixel data
     clean = (cur.withColumn("_cn", _caption_norm())
-             .join(spam, "_cn", "left_anti").drop("_cn"))
+             .join(spam, "_cn", "left_anti").drop("_cn")
+             .localCheckpoint(eager=True))
     pairs = (phash_near_dups(clean, max_hamming=max_hamming)
              .select(F.col("id_a").alias("doc_a"),
                      F.col("id_b").alias("doc_b")))
